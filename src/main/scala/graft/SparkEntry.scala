@@ -1,11 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.Metrics
-import graft.analysis.Analysis
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,255 +12,28 @@ import graft.analysis.Analysis
   * exposed as a named query over the fixture tables, each with matching
   * ANSI SQL the driver runs in DuckDB on the same parquet. Column names and
   * rounding are aligned on both sides (the driver sorts columns by name
-  * and hashes values).
+  * and hashes values). Queries live in `graft.queries.*` packs; this object
+  * merges them.
   */
 object SparkEntry {
 
-  /** Fixed "now" for deterministic latency math (2024-02-01 00:00:00 UTC,
-    * just past the events table's max ts) — SURVEY §7.4.1.
-    */
-  val NowMs: Long = 1706745600000L
-
-  /** Emulated micro-batch width for batch-replay of the streaming pipeline:
-    * 1 h buckets give realistically-sized batches on the month-long fixture
-    * stream (the reference's real trigger is 5 s; the width is a
-    * parameter, semantics identical).
-    */
-  val TriggerSec: Int = 3600
-
-  private val WarmupSec  = 86400L  // analog of the reference's 120 s warm-up
-  private val MeasureSec = 604800L // analog of the 240 s measurement window
+  private val packs: Seq[QueryPack] = Seq(ParityQueries, RelationalQueries, ExtensionQueries)
 
   /** Flagship: batch-replay of the streaming metrics pipeline
     * (spark_stream_metrics.py write_batch, single-pass form) on sf0.001.
     */
   def entry(spark: SparkSession): DataFrame =
-    Metrics.bucketedMetrics(events(spark, "/root/testdata/sf0.001"), col("ts"), NowMs, TriggerSec)
+    Metrics.bucketedMetrics(events(spark, "/root/testdata/sf0.001"), col("ts"),
+        ParityQueries.NowMs, ParityQueries.TriggerSec)
       .orderBy("batch_epoch_sec")
 
-  // ---------------------------------------------------------------- queries
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P3: per-event latency derivation (deterministic injected now).
-    "p3_latency" -> ((s, d) =>
-      events(s, d)
-        .select(col("event_id"), (lit(NowMs) - tsMillis(col("ts"))).as("latency_ms"))
-        .orderBy("event_id")),
-
-    // A1+A2+A3+A6+P8: the whole per-batch metrics record in ONE aggregation
-    // pass (empty-guard folds into count; SURVEY §4.3).
-    "a6_batch_metrics" -> ((s, d) =>
-      Metrics.batchMetrics(events(s, d), col("ts"), NowMs)),
-
-    // The streaming pipeline replayed over event-time micro-batches.
-    "batch_metrics_bucketed" -> ((s, d) =>
-      Metrics.bucketedMetrics(events(s, d), col("ts"), NowMs, TriggerSec)
-        .orderBy("batch_epoch_sec")),
-
-    // P6: throughput derivation from batch counts.
-    "p6_throughput" -> ((s, d) =>
-      Metrics.bucketedMetrics(events(s, d), col("ts"), NowMs, TriggerSec)
-        .select(col("batch_epoch_sec"),
-          round(col("batch_events") / lit(TriggerSec.toDouble), 6).as("throughput_eps"))
-        .orderBy("batch_epoch_sec")),
-
-    // P7: warm-up/measurement window filter anchored on the global min —
-    // the anchor is a broadcast 1-row aggregate, not a driver collect.
-    "p7_window_filter" -> ((s, d) => {
-      val ev = events(s, d).withColumn("ts_ms", tsMillis(col("ts")))
-      val anchor = ev.agg(min(col("ts_ms")).as("t0_ms"))
-      ev.crossJoin(broadcast(anchor))
-        .where(col("ts_ms") >= col("t0_ms") + lit(WarmupSec * 1000) &&
-               col("ts_ms") <  col("t0_ms") + lit((WarmupSec + MeasureSec) * 1000))
-        .select(col("event_id"))
-        .orderBy("event_id")
-    }),
-
-    // P9: regex extraction (run-label analog: pull the numeric k out of the
-    // JSON props string).
-    "p9_regex_extract" -> ((s, d) =>
-      events(s, d)
-        .select(col("event_id"),
-          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"))
-        .orderBy("event_id")),
-
-    // W1: global sort by event time (tiebreak on id for total order).
-    "w1_sort_by_time" -> ((s, d) =>
-      events(s, d)
-        .select(col("event_id"), tsMillis(col("ts")).as("ts_ms"))
-        .orderBy(col("ts_ms"), col("event_id"))),
-
-    // W3: lag-gap between consecutive events (the reference's one window
-    // function, analyze_recovery.py:15).
-    "w3_lag_gap" -> ((s, d) => {
-      val w = Window.orderBy(col("ts_ms"), col("event_id"))
-      events(s, d)
-        .select(col("event_id"), tsMillis(col("ts")).as("ts_ms"))
-        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
-        .select(col("event_id"), col("gap_ms"))
-        .orderBy("event_id")
-    }),
-
-    // A7/W4: argmax row — largest inter-batch gap = the recovery event.
-    "exp3_recovery" -> ((s, d) => {
-      val m = Metrics.bucketedMetrics(events(s, d), col("ts"), NowMs, TriggerSec)
-        .withColumn("batch_id", (col("batch_epoch_sec") / TriggerSec).cast("long"))
-      val w = Window.orderBy(col("batch_epoch_sec"))
-      m.withColumn("gap_sec", col("batch_epoch_sec") - lag(col("batch_epoch_sec"), 1).over(w))
-        .where(col("gap_sec").isNotNull)
-        .select(col("batch_id"), col("batch_epoch_sec"), col("gap_sec"), col("p95_latency_ms"))
-        .orderBy(col("gap_sec").desc, col("batch_epoch_sec"))
-        .limit(1)
-    }),
-
-    // A4/A5 + P5-P7 composite: the full exp1 offline analysis — per-run
-    // (event_type) windowed summary over the emulated metrics table.
-    "exp1_summary" -> ((s, d) => {
-      val lat = Metrics.withLatency(events(s, d), col("ts"), Some(NowMs))
-      val m = lat
-        .groupBy(col("event_type").as("run_label"),
-          (floor(tsMillis(col("ts")) / (TriggerSec * 1000L)) * TriggerSec).as("epoch_sec"))
-        .agg(Metrics.metricAggsExact(col("latency_ms")).head,
-          Metrics.metricAggsExact(col("latency_ms")).tail: _*)
-      Analysis.exp1Summary(m, "run_label", WarmupSec, MeasureSec, TriggerSec)
-    }),
-
-    // A4 (direct): grouped summary statistics by event type.
-    "a4_summary_by_type" -> ((s, d) =>
-      events(s, d).groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          round(avg(col("value")), 6).as("mean_value"),
-          round(percentile(col("value"), lit(0.95)), 6).as("p95_value"),
-          round(max(col("value")), 6).as("max_value"),
-          round(min(col("value")), 6).as("min_value"))
-        .orderBy("event_type")),
-
-    // TPC-H Q1-shaped pricing summary — partial aggregation + tiny shuffle
-    // (4 groups); the canonical scale-safe aggregate.
-    "q1_agg" -> ((s, d) =>
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-            .as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")))
-
-  // ------------------------------------------------------------- oracle SQL
-
-  def oracleSql: Map[String, String] = {
-    val lat = s"($NowMs - epoch_ms(ts))"
-    val bucket = s"(epoch_ms(ts) // ${TriggerSec}000) * $TriggerSec"
-    // Per-bucket metrics subquery shared by several oracles (mirrors
-    // Metrics.bucketedMetrics + metricAggsExact incl. rounding).
-    val bucketedMetrics =
-      s"""SELECT $bucket AS batch_epoch_sec, count(*) AS batch_events,
-         |  round(avg($lat), 6) AS mean_latency_ms,
-         |  round(quantile_cont($lat, 0.50), 6) AS p50_latency_ms,
-         |  round(quantile_cont($lat, 0.95), 6) AS p95_latency_ms,
-         |  round(quantile_cont($lat, 0.99), 6) AS p99_latency_ms
-         |FROM events GROUP BY 1""".stripMargin
-
-    Map(
-      "p3_latency" ->
-        s"SELECT event_id, $lat AS latency_ms FROM events ORDER BY event_id",
-
-      "a6_batch_metrics" ->
-        s"""SELECT count(*) AS batch_events, round(avg($lat), 6) AS mean_latency_ms,
-           |  round(quantile_cont($lat, 0.50), 6) AS p50_latency_ms,
-           |  round(quantile_cont($lat, 0.95), 6) AS p95_latency_ms,
-           |  round(quantile_cont($lat, 0.99), 6) AS p99_latency_ms
-           |FROM events""".stripMargin,
-
-      "batch_metrics_bucketed" ->
-        s"SELECT * FROM ($bucketedMetrics) ORDER BY batch_epoch_sec",
-
-      "p6_throughput" ->
-        s"""SELECT batch_epoch_sec, round(batch_events / $TriggerSec.0, 6) AS throughput_eps
-           |FROM ($bucketedMetrics) ORDER BY batch_epoch_sec""".stripMargin,
-
-      "p7_window_filter" ->
-        s"""SELECT event_id FROM events
-           |WHERE epoch_ms(ts) >= (SELECT min(epoch_ms(ts)) FROM events) + ${WarmupSec * 1000}
-           |  AND epoch_ms(ts) <  (SELECT min(epoch_ms(ts)) FROM events) + ${(WarmupSec + MeasureSec) * 1000}
-           |ORDER BY event_id""".stripMargin,
-
-      "p9_regex_extract" ->
-        """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
-          |FROM events ORDER BY event_id""".stripMargin,
-
-      "w1_sort_by_time" ->
-        "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events ORDER BY ts_ms, event_id",
-
-      "w3_lag_gap" ->
-        """SELECT event_id, ts_ms - lag(ts_ms, 1) OVER (ORDER BY ts_ms, event_id) AS gap_ms
-          |FROM (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events)
-          |ORDER BY event_id""".stripMargin,
-
-      "exp3_recovery" ->
-        s"""SELECT CAST(batch_epoch_sec / $TriggerSec AS BIGINT) AS batch_id, batch_epoch_sec,
-           |  batch_epoch_sec - lag(batch_epoch_sec, 1) OVER (ORDER BY batch_epoch_sec) AS gap_sec,
-           |  p95_latency_ms
-           |FROM ($bucketedMetrics)
-           |QUALIFY gap_sec IS NOT NULL
-           |ORDER BY gap_sec DESC, batch_epoch_sec LIMIT 1""".stripMargin,
-
-      "exp1_summary" ->
-        s"""WITH m AS (
-           |  SELECT event_type AS run_label, $bucket AS epoch_sec, count(*) AS batch_events,
-           |    round(avg($lat), 6) AS mean_latency_ms,
-           |    round(quantile_cont($lat, 0.50), 6) AS p50_latency_ms,
-           |    round(quantile_cont($lat, 0.95), 6) AS p95_latency_ms,
-           |    round(quantile_cont($lat, 0.99), 6) AS p99_latency_ms
-           |  FROM events GROUP BY 1, 2),
-           |w AS (
-           |  SELECT *, batch_events / $TriggerSec.0 AS throughput_eps,
-           |    min(epoch_sec) OVER (PARTITION BY run_label) + $WarmupSec AS t0
-           |  FROM m),
-           |f AS (
-           |  SELECT *,
-           |    (epoch_sec >= t0 AND epoch_sec < t0 + $MeasureSec) AS in_strict,
-           |    sum(CASE WHEN epoch_sec >= t0 AND epoch_sec < t0 + $MeasureSec THEN 1 ELSE 0 END)
-           |      OVER (PARTITION BY run_label) AS strict_n
-           |  FROM w),
-           |g AS (SELECT * FROM f
-           |      WHERE CASE WHEN strict_n >= 5 THEN in_strict ELSE epoch_sec >= t0 END)
-           |SELECT run_label, count(*) AS n_batches,
-           |  round(avg(throughput_eps), 6) AS mean_throughput_eps,
-           |  round(quantile_cont(throughput_eps, 0.95), 6) AS p95_throughput_eps,
-           |  round(avg(mean_latency_ms), 6) AS mean_latency_ms,
-           |  round(avg(p50_latency_ms), 6) AS mean_p50_latency_ms,
-           |  round(avg(p95_latency_ms), 6) AS mean_p95_latency_ms,
-           |  round(avg(p99_latency_ms), 6) AS mean_p99_latency_ms,
-           |  round(max(p95_latency_ms), 6) AS max_p95_latency_ms
-           |FROM g GROUP BY run_label ORDER BY run_label""".stripMargin,
-
-      "a4_summary_by_type" ->
-        """SELECT event_type, count(*) AS n,
-          |  round(avg(value), 6) AS mean_value,
-          |  round(quantile_cont(value, 0.95), 6) AS p95_value,
-          |  round(max(value), 6) AS max_value,
-          |  round(min(value), 6) AS min_value
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-      "q1_agg" ->
-        """SELECT l_returnflag, l_linestatus,
-          |  round(sum(l_quantity), 2) AS sum_qty,
-          |  round(sum(l_extendedprice), 2) AS sum_base_price,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-          |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-          |  round(avg(l_quantity), 6) AS avg_qty,
-          |  round(avg(l_extendedprice), 6) AS avg_price,
-          |  round(avg(l_discount), 6) AS avg_disc,
-          |  count(*) AS count_order
-          |FROM lineitem GROUP BY l_returnflag, l_linestatus
-          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
-  }
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracleSql).toMap
 }

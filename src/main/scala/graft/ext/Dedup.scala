@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — each expressed as declarative Spark plans
+  * (hash-partitioned groupBys and key-equi joins) that scale by key, never
+  * by pairwise row count, except the final candidate-verification join
+  * whose input LSH has already pruned.
+  *
+  * Hashing is the portable md5-derived 32-bit hash (TextOps.hash32) so the
+  * signatures have exact DuckDB oracles.
+  */
+object Dedup {
+
+  /** Exact dedup: one hash-aggregate on the text (at 100 TB: group on
+    * md5(text) instead to shuffle 16-byte keys, not documents).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash parameters: k permutations h_i(x) = (a_i*x + b_i) mod p over
+    * the 32-bit token-hash universe. a_i < 2^20 keeps a_i*x < 2^52 —
+    * overflow-free in both engines' signed-64 arithmetic.
+    */
+  val MinhashK = 8
+  val MinhashP = 2147483647L // 2^31 - 1, prime
+  def minhashA(i: Int): Long = 100003L + 7919L * i
+  def minhashB(i: Int): Long = 7L + 11117L * i
+
+  /** One MinHash signature component over a token-array column. */
+  def minhashSig(toks: Column, i: Int): Column =
+    array_min(transform(array_distinct(toks),
+      t => pmod(lit(minhashA(i)) * hash32(t) + lit(minhashB(i)), lit(MinhashP))))
+
+  /** doc frame -> (id, sig_0..sig_{k-1}) — the per-document sketch. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = MinhashK): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sigs = (0 until k).map(i => minhashSig(toks, i).as(s"sig_$i"))
+    docs.select(col(idCol) +: sigs: _*)
+  }
+
+  /** LSH banding: group the k signature components into `bands` bands and
+    * emit (band_index, band_key, id). Near-duplicates agree on at least one
+    * full band with high probability; candidate pairs come from a self-join
+    * on (band_index, band_key) — a key-equi join, so at scale it's one
+    * shuffle on band keys and skewed giant buckets are visible/AQE-split.
+    */
+  def minhashBands(sigs: DataFrame, idCol: String, bands: Int = 2): DataFrame = {
+    val k = sigs.columns.count(_.startsWith("sig_"))
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_ix"), concat_ws(":", parts: _*).as("band_key"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_ix").as("band_ix"), col("band.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = MinhashK, bands: Int = 2): DataFrame = {
+    val b = minhashBands(minhashSignatures(docs, idCol, textCol, k), idCol, bands)
+    val l = b.select(col("band_ix"), col("band_key"), col(idCol).as("id_a"))
+    val r = b.select(col("band_ix"), col("band_key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_ix", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two token-array columns (distinct-set
+    * semantics on both engines: array_intersect/union dedupe).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** SimHash-32 over unigram token hashes: for each bit j, sum +-1 over
+    * tokens by bit j of hash32(token); bit j of the sketch is the sign.
+    * Bit extraction is floor(h / 2^j) % 2 — 2^j as an exact double power
+    * (h < 2^32 << 2^53, so the division is exact), because neither engine
+    * shifts by a column-valued amount.
+    */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, hash32(_))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) => {
+        val bit = (h: Column) => pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
+        val bitSum = aggregate(hashes, lit(0L), (a, h) => a + bit(h) * 2L - 1L)
+        acc + when(bitSum >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two simhash sketches (bit-count of xor). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

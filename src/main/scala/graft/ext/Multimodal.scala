@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) travel as opaque
+  * `binary` columns with typed metadata alongside. The Spark-side shape —
+  * schema, batch iteration, partition-parallel decode — is real; the codec
+  * itself is a clearly-marked deterministic STUB because no media libraries
+  * ship in this environment. Swapping `fakeDecode` for a real decoder (e.g.
+  * a JNI JPEG reader) changes no plan shape: decode remains a narrow
+  * per-partition map, no shuffle, parallel over file splits at any scale.
+  */
+object Multimodal {
+
+  /** Decoded-media feature record (what a real image decode would yield). */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      checksum: Long)
+
+  /** STUB decoder: deterministic pseudo-features from the payload bytes.
+    * A real implementation would parse the container header; this derives
+    * "dimensions" from a rolling checksum so tests are reproducible.
+    */
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
+    MediaFeatures(
+      doc_id = id,
+      n_bytes = bytes.length.toLong,
+      width = (acc % 1920).toInt + 1,
+      height = ((acc / 1920) % 1080).toInt + 1,
+      channels = (acc % 3).toInt + 1,
+      checksum = acc)
+  }
+
+  /** Attach a binary "media" column (UTF-8 payload stands in for real
+    * bytes) — the ingest-side plumbing of a multimodal table.
+    */
+  def withBinaryPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"))
+
+  /** Partition-parallel decode: the Scala analog of a batched Pandas-UDF
+    * pipeline — one decoder instantiation per partition, streaming over
+    * rows, typed output. No shuffle; width scales with input splits.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (codec handles, buffers)
+        rows.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps.hash32
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine is the exact baseline: a broadcast of the query
+  * vector + one codegen'd projection per row + a top-k — embarrassingly
+  * parallel, no shuffle except the final k-row ordering. The scale path is
+  * sign-LSH bucketing: candidate generation becomes a key-equi join on
+  * bucket signatures (one shuffle on small keys), with cosine verification
+  * only inside buckets.
+  *
+  * All vector math uses higher-order functions over doubles (zip_with /
+  * aggregate fold left-to-right) — deterministic summation order, matching
+  * an index-based fold in DuckDB for oracle parity. No UDFs.
+  */
+object Similarity {
+
+  /** Cast a float array to double for exact, portable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector (broadcast 1-row
+    * frame; ties broken by id for determinism).
+    */
+  def topKCosine(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(asDouble(col(queryVecCol)).as("_qvec")))
+    embeddings
+      .crossJoin(q)
+      .select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("_qvec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose
+    * components are derived deterministically from hash32(plane:dim) mapped
+    * to [-1, 1); the signature is the concatenation of dot-product signs.
+    * Vectors in the same bucket are ANN candidates. At 100 TB: groupBy
+    * bucket (small keys), verify cosine within buckets only.
+    */
+  def lshSignature(vec: Column, dims: Int, planes: Int): Column = {
+    val sigBits = (0 until planes).map { p =>
+      val planeVec = array((0 until dims).map { d =>
+        (hash32(lit(s"$p:$d")) / lit(2147483648.0)) - 1.0
+      }: _*)
+      when(dot(asDouble(vec), planeVec) >= 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", sigBits.map(_.cast("string")): _*)
+  }
+
+  /** ANN candidate pairs: same LSH bucket, verified by exact cosine. */
+  def annPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      dims: Int, planes: Int, minCos: Double): DataFrame = {
+    val sig = embeddings.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), dims, planes).as("bucket"))
+    val l = sig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = sig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(asDouble(col("vec_a")), asDouble(col("vec_b"))), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All expression-only (whole-stage-codegen-friendly, no UDFs) and built on
+  * a PORTABLE 32-bit hash — the first 8 hex chars of md5 — so every
+  * operator has an exact DuckDB oracle. At 100 TB each operator is a pure
+  * per-row projection: no shuffle, trivially parallel over file splits.
+  */
+object TextOps {
+
+  /** Portable unsigned-32-bit token hash: both Spark (`conv(substr(md5,1,8),
+    * 16,10)`) and DuckDB (`('0x'||substr(md5,1,8))::BIGINT`) produce the
+    * same value, unlike engine-native hashes (xxhash64 vs DuckDB hash).
+    */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word-bigram shingles ("a b", "b c", ...). */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+
+  /** Quality features: token/char counts, mean token length, punctuation
+    * ratio, stopword ratio — the classic cheap quality-score inputs.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+    "with", "as", "at", "by", "this", "that", "be", "are")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Language-ID heuristic: count distinct-token overlap with a per-language
+    * stopword list; argmax with a fixed preference order on ties. The lists
+    * are tiny and broadcast as literals — no join, pure projection.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "he", "ta", "men"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(array_distinct(toks), array(words.map(lit): _*)))
+    }
+
+  /** Predicted language = lexicographically-first language with the maximal
+    * score (deterministic, matches a SQL CASE cascade).
+    */
+  def langId(toks: Column): Column = {
+    val scores = langScores(toks)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * token-hash sequence, mod 2^31-1. acc stays < 2^31 so acc*31 + h32
+    * (< 2^36 + 2^32) never overflows a long.
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(transform(toks, hash32(_)), lit(0L),
+      (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** North-star training-data-pipeline operators over `documents` /
+  * `embeddings`: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute-force cosine + sign-LSH ANN), text analysis
+  * (stats, language-ID, fingerprint), multimodal plumbing.
+  *
+  * Everything except the ANN pair generator and the multimodal stub has an
+  * exact DuckDB oracle, made possible by the portable md5-derived 32-bit
+  * hash (TextOps.hash32) on both engines.
+  */
+object ExtensionQueries extends QueryPack {
+
+  private val JaccardThreshold = 0.5
+
+  // Shared DuckDB SQL fragments (mirror TextOps exactly).
+  private val duckToks = """string_split_regex(lower(text), '\s+')"""
+  private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via md5 grouping — shuffles 16-byte keys, not documents.
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // MinHash sketch per document (k=8 portable permutations).
+    "dedup_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // LSH candidate pairs + exact-Jaccard verification.
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val toks = docs.select(col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      cand
+        .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+        .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jac"))
+        .where(col("jac") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash sketch per document.
+    "dedup_simhash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Blocked n-gram (unigram-set) Jaccard near-dup pairs: block on
+    // (lang, source) so the pairwise work is per-key, never global.
+    "ngram_jaccard_pairs" -> ((s, d) => {
+      val t = documents(s, d).select(col("lang"), col("source"), col("doc_id"),
+        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val l = t.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val r = t.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      l.join(r, Seq("lang", "source"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("lang"), col("source"), col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jac"))
+        .where(col("jac") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-10 against the vec_id=0 embedding.
+    "sim_topk_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.topKCosine(e, "vec_id", "embedding",
+        e.where(col("vec_id") === 0), "embedding", 10)
+    }),
+
+    // L2 norms — array-math coverage.
+    "sim_vector_norms" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          round(Similarity.norm(Similarity.asDouble(col("embedding"))), 6).as("l2_norm"))
+        .orderBy("vec_id")),
+
+    // ANN scale path: sign-LSH bucketed candidate pairs (no oracle —
+    // validated against brute force in ScalaTest).
+    "sim_ann_pairs" -> ((s, d) =>
+      Similarity.annPairs(embeddings(s, d), "vec_id", "embedding",
+          dims = 64, planes = 8, minCos = 0.7)
+        .orderBy("id_a", "id_b")),
+
+    // Text quality statistics (tokens, chars, punctuation, stopwords).
+    "text_stats" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.stopwordCount(toks).as("n_stopwords"),
+        round(aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).cast("double") / size(toks), 6).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (stopword-overlap argmax).
+    "text_langid" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // Order-sensitive rolling-hash fingerprint.
+    "text_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: binary payload + partition-parallel decode
+    // (deterministic stub codec; no oracle — rows-only check + ScalaTest).
+    "multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(s,
+          Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))
+        .toDF()
+        .orderBy("doc_id")))
+
+  def oracleSql: Map[String, String] = {
+    // MinHash signature column list, shared by two oracles.
+    val sigCols = (0 until Dedup.MinhashK).map { i =>
+      s"list_min(list_transform(list_distinct($duckToks), t -> " +
+        s"(${Dedup.minhashA(i)} * ${duckH32("t")} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS sig_$i"
+    }.mkString(",\n  ")
+    val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
+    val bandKey1 = "concat_ws(':', sig_4, sig_5, sig_6, sig_7)"
+
+    Map(
+      "dedup_exact" ->
+        """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+      "dedup_minhash_sig" ->
+        s"SELECT doc_id,\n  $sigCols\nFROM documents ORDER BY doc_id",
+
+      "dedup_minhash_pairs" ->
+        s"""WITH sig AS (SELECT doc_id,\n  $sigCols\nFROM documents),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band_ix, $bandKey0 AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band_ix, $bandKey1 AS band_key FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b USING (band_ix, band_key)
+           |  WHERE a.doc_id < b.doc_id),
+           |toks AS (SELECT doc_id, list_distinct($duckToks) AS t FROM documents)
+           |SELECT id_a, id_b,
+           |  round(len(list_intersect(ta.t, tb.t)) /
+           |        len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jac
+           |FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b
+           |WHERE jac >= $JaccardThreshold
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+           |    CASE WHEN list_sum(list_transform(hashes, h ->
+           |           ((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)) >= 0
+           |         THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+           |FROM (SELECT doc_id, list_transform($duckToks, t -> ${duckH32("t")}) AS hashes
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+
+      "ngram_jaccard_pairs" ->
+        s"""WITH t AS (SELECT lang, source, doc_id, list_distinct($duckToks) AS toks
+           |           FROM documents)
+           |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           |  round(len(list_intersect(a.toks, b.toks)) /
+           |        len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
+           |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+           |               AND a.doc_id < b.doc_id
+           |WHERE jac >= $JaccardThreshold
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "sim_topk_cosine" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |           FROM embeddings),
+          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          |d AS (SELECT vec_id,
+          |        list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) AS dvq,
+          |        list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])) AS dvv,
+          |        list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS dqq
+          |      FROM e, q)
+          |SELECT vec_id, round(dvq / (sqrt(dvv) * sqrt(dqq)), 6) AS cos_sim
+          |FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "sim_vector_norms" ->
+        """SELECT vec_id,
+          |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "text_stats" ->
+        s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+           |SELECT doc_id, len(toks) AS n_tokens, len(text) AS n_chars_calc,
+           |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+           |  len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS n_stopwords,
+           |  round(list_sum(list_transform(toks, x -> len(x))) / len(toks), 6) AS avg_token_len
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "text_langid" -> {
+        val scoreCols = TextOps.langStopwords.map { case (lang, words) =>
+          s"len(list_intersect(toks, ${words.map(w => s"'$w'").mkString("[", ",", "]")})) AS s_$lang"
+        }.mkString(",\n  ")
+        val langs = TextOps.langStopwords.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents),
+           |s AS (SELECT doc_id,\n  $scoreCols\nFROM t)
+           |SELECT doc_id, CASE\n    $cases\n    ELSE 'und' END AS lang_pred
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform($duckToks, t -> ${duckH32("t")})),
+           |    (a, h) -> (a * 31 + h) % 2147483647) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Extended relational surface over the star-schema fixtures: joins (with
+  * broadcast of dimension tables), semi/anti joins, window ranking, running
+  * aggregates, rollup/cube, set ops, event-time bucketing.
+  *
+  * Scale notes baked into each plan: dimension tables (customer, supplier,
+  * part, nation, region) are explicitly `broadcast()` — at 100 TB the fact
+  * tables shuffle only for fact-fact joins (orders⋈lineitem on the order
+  * key) where co-partitioning is the right strategy and AQE handles skew.
+  * Filters sit directly on the scans so Catalyst pushes them into parquet.
+  */
+object RelationalQueries extends QueryPack {
+
+  private val CutTs = "1998-07-01 00:00:00"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary — partial aggregation + tiny shuffle
+    // (a handful of groups); the canonical scale-safe aggregate.
+    "q1_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: broadcast the filtered dim, shuffle only the two
+    // facts; top-10 by a deterministic (rounded revenue, key) order.
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).where(col("o_orderdate") < to_timestamp(lit(CutTs)))
+      val l = lineitem(s, d).where(col("l_shipdate") > to_timestamp(lit(CutTs)))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          tsMillis(col("o_orderdate")).as("o_orderdate_ms"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: five joins, all dims broadcast, one fact shuffle.
+    "q5_nation_revenue" -> ((s, d) => {
+      val r = region(s, d).where(col("r_name") === "ASIA")
+      val o = orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+               col("o_orderdate") <  to_timestamp(lit("1997-01-01 00:00:00")))
+      lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Left-semi join (EXISTS): customers having at least one urgent order.
+    "semi_join_urgent" -> ((s, d) => {
+      val urgent = orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+      customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-anti join (NOT EXISTS): parts never shipped.
+    "anti_join_unsold_parts" -> ((s, d) =>
+      part(s, d)
+        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")),
+
+    // DISTINCT + UNION (set semantics — union dedups).
+    "distinct_union" -> ((s, d) =>
+      lineitem(s, d).select(col("l_returnflag").as("flag")).distinct()
+        .union(lineitem(s, d).select(col("l_linestatus").as("flag")).distinct())
+        .distinct()
+        .orderBy("flag")),
+
+    // Partitioned ranking window: top-2 parts per brand by price.
+    "window_rank_parts" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("p_retailprice"), col("rn"))
+        .orderBy("p_brand", "rn")
+    }),
+
+    // Running-sum frame window: cumulative spend per customer over time.
+    "window_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ROLLUP: hierarchical subtotals (grand total included).
+    "rollup_pricing" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // CUBE: all grouping-set combinations.
+    "cube_orders" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Event-time bucketing via the native `window()` — the batch twin of a
+    // streaming tumbling-window aggregation.
+    "time_window_5m" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .select(tsMillis(col("w.start")).as("w_start_ms"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start_ms", "event_type")))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '$CutTs'
+         |  AND l_shipdate > TIMESTAMP '$CutTs'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "semi_join_urgent" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "anti_join_unsold_parts" ->
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "distinct_union" ->
+      """SELECT l_returnflag AS flag FROM lineitem
+        |UNION
+        |SELECT l_linestatus AS flag FROM lineitem
+        |ORDER BY flag""".stripMargin,
+
+    "window_rank_parts" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rn
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |      FROM part)
+        |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey
+        |                                ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "time_window_5m" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_ms,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_ms, event_type""".stripMargin)
+}
