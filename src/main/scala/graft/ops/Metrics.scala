@@ -52,12 +52,13 @@ object Metrics {
   def metricAggsApprox(lat: Column, accuracy: Int = 100): Seq[Column] = Seq(
     count(lit(1)).as("batch_events"),
     avg(lat).as("mean_latency_ms"),
+    // cast: percentile_approx of an integral column yields integral values
     element_at(percentile_approx(lat, array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)), 1)
-      .as("p50_latency_ms"),
+      .cast("double").as("p50_latency_ms"),
     element_at(percentile_approx(lat, array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)), 2)
-      .as("p95_latency_ms"),
+      .cast("double").as("p95_latency_ms"),
     element_at(percentile_approx(lat, array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)), 3)
-      .as("p99_latency_ms"))
+      .cast("double").as("p99_latency_ms"))
 
   /** Global single-pass metrics record over an event frame — the A6
     * composite (spark_stream_metrics.py:59-68) as one job.

@@ -1,0 +1,109 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Event
+import graft.ops.Metrics
+
+/** The reference's flagship streaming job re-expressed Spark-first in
+  * Scala: Kafka (or any value-column stream) → JSON parse → latency
+  * derivation → per-micro-batch metrics → CSV append + console, with
+  * checkpointing (spark_job/spark_stream_metrics.py:16-86).
+  *
+  * Differences from the reference, by design (SURVEY §4.3): the four
+  * separate per-batch actions (`rdd.isEmpty`, `count`, `approxQuantile`,
+  * `agg(avg)`) collapse into ONE aggregation job per batch — count doubles
+  * as the empty-batch guard and the Greenwald-Khanna sketch rides in the
+  * same `agg`. Output stays at-least-once (non-transactional CSV append),
+  * exactly like the reference (SURVEY §7.4.3).
+  */
+object MetricsJob {
+
+  /** Parse stage (P1+P2): binary/string `value` column → typed event
+    * columns. Works unchanged on a Kafka frame (binary value + metadata
+    * cols) and on a MemoryStream[String] test frame.
+    */
+  def parse(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS value_str")
+      .select(from_json(col("value_str"), Event.schema).as("e"))
+      .select("e.*")
+
+  /** Latency stage (P3): the reference's processing-time proxy with its
+    * second-granularity quantization, or a fixed clock for deterministic
+    * tests.
+    */
+  def withLatency(parsed: DataFrame, nowMs: Option[Long] = None): DataFrame = {
+    val now = nowMs.map(lit(_)).getOrElse(unix_timestamp(current_timestamp()) * 1000L)
+    parsed.withColumn("latency_ms", (now - col("created_ts")).cast("long"))
+  }
+
+  /** Single-pass per-batch metrics (A6): returns None for an empty batch
+    * (P8's guard, folded into the same job). accuracy=100 matches the
+    * reference's relativeError=0.01.
+    */
+  def batchMetricsRow(batchDf: DataFrame): Option[Row] = {
+    val aggs = Metrics.metricAggsApprox(col("latency_ms"))
+    val row = batchDf.agg(aggs.head, aggs.tail: _*).head()
+    if (row.getLong(0) == 0L) None else Some(row)
+  }
+
+  /** The foreachBatch sink body (T2+S3): metrics row → 1-row DataFrame →
+    * single-file CSV append under `outDir` + console progress line.
+    */
+  def writeBatch(spark: SparkSession, outDir: String)(batchDf: DataFrame, batchId: Long): Unit =
+    batchMetricsRow(batchDf).foreach { r =>
+      import spark.implicits._
+      val epochSec = System.currentTimeMillis() / 1000L
+      val out = Seq((batchId, epochSec, r.getLong(0),
+        Option(r.get(1)).fold(Double.NaN)(_ => r.getDouble(1)),
+        Option(r.get(2)).fold(Double.NaN)(_ => r.getDouble(2)),
+        Option(r.get(3)).fold(Double.NaN)(_ => r.getDouble(3)),
+        Option(r.get(4)).fold(Double.NaN)(_ => r.getDouble(4))))
+        .toDF("batch_id", "epoch_sec", "batch_events", "mean_latency_ms",
+          "p50_latency_ms", "p95_latency_ms", "p99_latency_ms")
+      out.coalesce(1).write.mode("append").option("header", "true").csv(outDir)
+      // Console progress (S7) — one line per batch, like the reference's print.
+      println(s"[metrics] batch=$batchId events=${r.getLong(0)} mean=${r.get(1)} " +
+        s"p50=${r.get(2)} p95=${r.get(3)} p99=${r.get(4)}")
+    }
+
+  /** Kafka source (S1) — identical options to the reference. Not runnable
+    * in the offline harness (no broker); the parse→metrics path is shared
+    * with the MemoryStream tests, so this is config glue only.
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Wire any value-column streaming frame through the full pipeline
+    * (T1-T5): parse → latency → foreachBatch metrics/CSV, with checkpoint
+    * and processing-time trigger.
+    */
+  def start(spark: SparkSession, raw: DataFrame, outDir: String,
+      checkpointDir: String, triggerSec: Int = 5,
+      nowMs: Option[Long] = None): StreamingQuery =
+    withLatency(parse(raw), nowMs)
+      .writeStream
+      .foreachBatch(writeBatch(spark, outDir) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))
+      .start()
+
+  /** Event-time windowed aggregation with watermark — the streaming
+    * extension beyond reference parity (SURVEY §2.6 "absent features"):
+    * tumbling windows over `created_ts`, late data bounded by the
+    * watermark, partial aggregation before the stateful shuffle.
+    */
+  def windowedCounts(parsed: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    parsed
+      .withColumn("event_time", timestamp_millis(col("created_ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+}

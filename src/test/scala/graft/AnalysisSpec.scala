@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import graft.analysis.Analysis
+
+/** Offline-analysis semantics vs hand-computed expectations (SURVEY
+  * §5.2.4): windowing with fallback, summaries, gap/recovery detection,
+  * and the defensive CSV scan.
+  */
+class AnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (batch_id, epoch_sec, batch_events, mean, p50, p95, p99)
+  private def metricsDf(rows: Seq[(Long, Long, Long, Double, Double, Double, Double)]) =
+    rows.toDF("batch_id", "epoch_sec", "batch_events", "mean_latency_ms",
+      "p50_latency_ms", "p95_latency_ms", "p99_latency_ms")
+      .withColumn("run_label", org.apache.spark.sql.functions.lit("r1"))
+
+  test("measurementWindow keeps [min+warmup, min+warmup+measure) when enough rows") {
+    val m = metricsDf((0L until 10L).map(i => (i, 100L + i * 10, 50L, 1.0, 1.0, 2.0, 3.0)))
+    // min=100, warmup=20 -> t0=120; measure=40 -> [120, 160): epochs 120,130,140,150
+    val kept = Analysis.measurementWindow(m, "run_label", 20, 40, minRows = 3)
+      .select($"epoch_sec").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(120L, 130L, 140L, 150L))
+  }
+
+  test("measurementWindow falls back to >= t0 when strict window is thin") {
+    val m = metricsDf(Seq(
+      (0L, 100L, 1L, 1, 1, 1, 1), (1L, 120L, 1L, 1, 1, 1, 1),
+      (2L, 500L, 1L, 1, 1, 1, 1), (3L, 600L, 1L, 1, 1, 1, 1)).map {
+      case (a, b, c, d, e, f, g) => (a, b, c, d.toDouble, e.toDouble, f.toDouble, g.toDouble) })
+    // t0 = 100+20 = 120; strict [120,160) has 1 row < minRows=2 -> keep all >= 120
+    val kept = Analysis.measurementWindow(m, "run_label", 20, 40, minRows = 2)
+      .select($"epoch_sec").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(120L, 500L, 600L))
+  }
+
+  test("summarize computes the 8 reference aggregates per run") {
+    val m = Analysis.withThroughput(metricsDf(Seq(
+      (0L, 100L, 10L, 100.0, 90.0, 200.0, 300.0),
+      (1L, 105L, 20L, 200.0, 190.0, 400.0, 500.0))), triggerSec = 5)
+    val r = Analysis.summarize(m, "run_label").head()
+    assert(r.getAs[Long]("n_batches") == 2L)
+    assert(r.getAs[Double]("mean_throughput_eps") == 3.0)   // (2+4)/2
+    assert(r.getAs[Double]("p95_throughput_eps") == 3.9)    // exact interpolation
+    assert(r.getAs[Double]("mean_latency_ms") == 150.0)
+    assert(r.getAs[Double]("max_p95_latency_ms") == 400.0)
+  }
+
+  test("recoveryEvent finds the row after the largest gap") {
+    val m = metricsDf(Seq(
+      (0L, 100L, 1L, 1.0, 1.0, 5.0, 1.0), (1L, 105L, 1L, 1.0, 1.0, 6.0, 1.0),
+      (2L, 200L, 1L, 1.0, 1.0, 7.0, 1.0), // 95 s gap = the recovery point
+      (3L, 205L, 1L, 1.0, 1.0, 8.0, 1.0)))
+    val r = Analysis.recoveryEvent(m, "run_label").head()
+    assert(r.getAs[Long]("epoch_sec") == 200L)
+    assert(r.getAs[Long]("gap_sec") == 95L)
+    assert(r.getAs[Long]("batch_id") == 2L)
+    assert(r.getAs[Double]("p95_latency_ms") == 7.0)
+  }
+
+  test("readMetricsCsv scans recursively with declared schema and drops bad rows") {
+    val dir = Files.createTempDirectory("metrics_csv")
+    val sub = Files.createDirectories(dir.resolve("run_a/part0"))
+    Files.writeString(sub.resolve("m1.csv"),
+      "batch_id,epoch_sec,batch_events,mean_latency_ms,p50_latency_ms,p95_latency_ms,p99_latency_ms\n" +
+        "1,100,50,10.5,9.0,20.0,30.0\n" +
+        "garbage,row,not,numeric,at,all,x\n" +
+        "2,105,60,11.5,10.0,21.0,31.0\n")
+    val got = Analysis.readMetricsCsv(spark, dir.toString)
+    assert(got.count() == 2)
+    assert(got.schema.fieldNames.toSeq == graft.model.BatchMetrics.schema.fieldNames.toSeq)
+  }
+
+  test("driver contract: entry returns rows and every query has unique name") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val q = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
+    assert(q.size >= 30)
+  }
+}

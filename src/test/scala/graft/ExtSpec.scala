@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Extension-operator semantics: dedup finds real duplicates, ANN agrees
+  * with brute force, text ops are deterministic, multimodal decode is
+  * stable.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup (1 token)
+    (4L, "completely different content about spark engines"),
+    (5L, "spark engines about completely different content"))   // same token set as 4
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select($"keep_id", $"copies").as[(Long, Long)].collect().toMap
+    assert(kept(1L) == 2L) // docs 1+2 collapse
+    assert(kept.values.sum == 5L)
+    assert(!kept.contains(2L))
+  }
+
+  test("identical docs have identical minhash signatures; near-dups collide on a band") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    // doc 4 vs 5: same token SET -> identical signatures (minhash is set-based)
+    assert(sigs(4L) == sigs(5L))
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)) && cand.contains((4L, 5L)))
+  }
+
+  test("jaccard: exact dup = 1.0, near dup high, unrelated low") {
+    val t = docs.select($"doc_id", array_distinct(TextOps.tokens($"text")).as("toks"))
+    val pairs = t.as("a").join(t.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        Dedup.jaccard($"a.toks", $"b.toks").as("jac"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7)   // 8 of 9 distinct tokens shared
+    assert(pairs((1L, 4L)) < 0.1)
+    assert(pairs((4L, 5L)) == 1.0)  // set semantics ignore order
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = docs.select($"doc_id", Dedup.simhash32(TextOps.tokens($"text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val dist13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val dist14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(dist13 < dist14, s"near-dup hamming $dist13 should be < unrelated $dist14")
+  }
+
+  test("ANN candidate pairs: identical vectors always share a bucket with cos 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)),     // identical
+      (3L, Array(0.99f, 0.01f, 0.5f, 0.2f)),   // near
+      (4L, Array(-1.0f, 0.3f, -0.5f, -0.2f)))  // far
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.annPairs(vecs, "vec_id", "embedding",
+      dims = 4, planes = 6, minCos = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("brute-force top-k cosine ranks the query vector itself first") {
+    val e = Tables.embeddings(spark, sf0001)
+    val top = Similarity.topKCosine(e, "vec_id", "embedding",
+      e.where($"vec_id" === 0), "embedding", 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && top.head._2 == 1.0)
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("langId picks the language with most stopword overlap") {
+    val d = Seq(
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "the cat and the dog is here with us"),
+      (3L, "el perro y la casa de los gatos"),
+      (4L, "xyzzy qwerty asdf")) // no stopwords -> und
+      .toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextOps.langId(TextOps.tokens($"text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "und"))
+  }
+
+  test("fingerprint is order-sensitive where minhash is not") {
+    val d = Seq((4L, "completely different content about spark engines"),
+      (5L, "spark engines about completely different content"))
+      .toDF("doc_id", "text")
+    val fp = d.select($"doc_id", TextOps.fingerprint(TextOps.tokens($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(4L) != fp(5L)) // same set, different order -> different fingerprint
+  }
+
+  test("multimodal decode is deterministic and byte-accurate") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == "the quick brown fox jumps over the lazy dog".length)
+    assert(feats(1L) == feats(2L).copy(doc_id = 1L)) // same bytes -> same features
+    assert(feats(1L).width >= 1 && feats(1L).height >= 1)
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(again == feats)
+  }
+}

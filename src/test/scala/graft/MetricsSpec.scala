@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Metrics
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf = Seq(
+    ("a", 1000L), ("b", 2000L), ("c", 3000L), ("d", 4000L), ("e", 5000L))
+    .toDF("event_id", "ts_ms")
+    .withColumn("ts", timestamp_millis($"ts_ms"))
+
+  test("withLatency computes now - ts in ms with injected clock") {
+    val lat = Metrics.withLatency(eventsDf, $"ts", Some(10000L))
+      .select($"event_id", $"latency_ms").as[(String, Long)].collect().toMap
+    assert(lat == Map("a" -> 9000L, "b" -> 8000L, "c" -> 7000L, "d" -> 6000L, "e" -> 5000L))
+  }
+
+  test("batchMetrics is a single-pass record with exact percentiles") {
+    val row = Metrics.batchMetrics(eventsDf, $"ts", 10000L).head()
+    assert(row.getAs[Long]("batch_events") == 5L)
+    assert(row.getAs[Double]("mean_latency_ms") == 7000.0)
+    assert(row.getAs[Double]("p50_latency_ms") == 7000.0)
+    // exact percentile: p95 over [5000..9000] = 8800 (linear interpolation)
+    assert(row.getAs[Double]("p95_latency_ms") == 8800.0)
+    assert(row.getAs[Double]("p99_latency_ms") == 8960.0)
+  }
+
+  test("percentiles are monotone p50 <= p95 <= p99 on fixture data") {
+    val ev = Tables.events(spark, sf0001)
+    val row = Metrics.batchMetrics(ev, col("ts"), 1706745600000L).head()
+    val (p50, p95, p99) = (row.getAs[Double]("p50_latency_ms"),
+      row.getAs[Double]("p95_latency_ms"), row.getAs[Double]("p99_latency_ms"))
+    assert(p50 <= p95 && p95 <= p99)
+  }
+
+  test("bucketedMetrics partitions by event-time bucket") {
+    val m = Metrics.bucketedMetrics(eventsDf, $"ts", 10000L, triggerSec = 2)
+      .orderBy("batch_epoch_sec")
+      .select($"batch_epoch_sec", $"batch_events").as[(Long, Long)].collect()
+    // ts seconds: 1,2,3,4,5 -> buckets 0(1), 2(2,3), 4(4,5)
+    assert(m.toSeq == Seq((0L, 1L), (2L, 2L), (4L, 2L)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.stream.MetricsJob
+
+/** Streaming-semantics tests (SURVEY §5.2.2): MemoryStream drives the same
+  * parse→latency→foreachBatch path the Kafka source uses.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jsonEvent(id: String, ts: Long): String =
+    s"""{"event_id":"$id","created_ts":$ts,"user_id":1,"event_type":"click","value":1.5,"payload":"x"}"""
+
+  test("pipeline emits one metrics row per non-empty batch, skips empty") {
+    val input = MemoryStream[String](spark)
+    val outDir = Files.createTempDirectory("metrics_out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(100000L))
+      .writeStream
+      .foreachBatch(MetricsJob.writeBatch(spark, outDir) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(jsonEvent("a", 40000L), jsonEvent("b", 60000L))
+      q.processAllAvailable()
+      input.addData() // empty batch — must not emit
+      q.processAllAvailable()
+      input.addData(jsonEvent("c", 70000L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.option("header", "true").csv(outDir)
+      .select($"batch_events".cast("long"), $"mean_latency_ms".cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._2)
+    assert(rows.length == 2, s"expected 2 metric rows, got ${rows.mkString(",")}")
+    assert(rows.map(_._1).toSeq == Seq(2L, 1L) || rows.map(_._1).toSeq == Seq(1L, 2L))
+    // batch 1: latencies 60000, 40000 -> mean 50000; batch 2: 30000
+    assert(rows.map(_._2).toSet == Set(50000.0, 30000.0))
+  }
+
+  test("malformed JSON yields NULL struct (PERMISSIVE) and still counts") {
+    val input = MemoryStream[String](spark)
+    val outDir = Files.createTempDirectory("metrics_out2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val q = MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(100000L))
+      .writeStream
+      .foreachBatch(MetricsJob.writeBatch(spark, outDir) _)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(jsonEvent("a", 40000L), "{not valid json", jsonEvent("b", 60000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.read.option("header", "true").csv(outDir)
+      .select($"batch_events".cast("long"), $"mean_latency_ms".cast("double")).head()
+    assert(row.getLong(0) == 3L)      // reference counts all rows (count before latency)
+    assert(row.getDouble(1) == 50000.0) // mean over the 2 parseable latencies
+  }
+
+  test("windowed aggregation with watermark produces per-window counts") {
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("windowed")
+      .start()
+    try {
+      input.addData(
+        jsonEvent("a", 0L), jsonEvent("b", 30000L),  // window [0, 60s)
+        jsonEvent("c", 61000L))                      // window [60s, 120s)
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("windowed")
+      .select(unix_millis($"window.start").as("w"), $"n")
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 2L, 60000L -> 1L))
+  }
+
+  test("checkpoint restart does not re-emit committed batches") {
+    val input = MemoryStream[String](spark)
+    val outDir = Files.createTempDirectory("metrics_out3").toString
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    def run(data: Seq[String]): Unit = {
+      val q = MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(100000L))
+        .writeStream
+        .foreachBatch(MetricsJob.writeBatch(spark, outDir) _)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { if (data.nonEmpty) input.addData(data: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(Seq(jsonEvent("a", 40000L)))
+    run(Seq(jsonEvent("b", 60000L))) // restart from same checkpoint
+    val n = spark.read.option("header", "true").csv(outDir).count()
+    assert(n == 2L, s"restart must append exactly one new row, got $n total")
+  }
+}
