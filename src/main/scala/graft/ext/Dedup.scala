@@ -28,20 +28,37 @@ object Dedup {
     */
   val MinhashK = 8
   val MinhashP = 2147483647L // 2^31 - 1, prime
+  val ShingleN = 3
   def minhashA(i: Int): Long = 100003L + 7919L * i
   def minhashB(i: Int): Long = 7L + 11117L * i
 
-  /** One MinHash signature component over a token-array column. */
-  def minhashSig(toks: Column, i: Int): Column =
-    array_min(transform(array_distinct(toks),
+  /** One MinHash signature component over a distinct-element set column. */
+  def minhashSig(set: Column, i: Int): Column =
+    array_min(transform(set,
       t => pmod(lit(minhashA(i)) * hash32(t) + lit(minhashB(i)), lit(MinhashP))))
 
-  /** doc frame -> (id, sig_0..sig_{k-1}) — the per-document sketch. */
+  /** doc frame -> (id, sig_0..sig_{k-1}) — the per-document sketch over
+    * word-ShingleN shingles (unigram minhash is degenerate under a small
+    * vocabulary: every band bucket collides and LSH stops pruning).
+    *
+    * STAGED projections matter here: tokens, shingles, and hashes each
+    * become an attribute before reuse. Inlining them instead re-evaluates
+    * the regex split inside every `element_at` lambda access (~180 splits
+    * per document) and the md5 per signature component — a >100x
+    * per-row slowdown measured at sf0.1. Catalyst's CollapseProject keeps
+    * the stages because the aliases are referenced more than once.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = MinhashK): DataFrame = {
-    val toks = tokens(col(textCol))
-    val sigs = (0 until k).map(i => minhashSig(toks, i).as(s"sig_$i"))
-    docs.select(col(idCol) +: sigs: _*)
+    val staged = docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), shingleSet(col("_toks"), ShingleN).as("_shingles"))
+      .select(col(idCol), transform(col("_shingles"), hash32(_)).as("_hashes"))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("_hashes"),
+        h => pmod(lit(minhashA(i)) * h + lit(minhashB(i)), lit(MinhashP)))).as(s"sig_$i")
+    }
+    staged.select(col(idCol) +: sigs: _*)
   }
 
   /** LSH banding: group the k signature components into `bands` bands and
@@ -84,17 +101,19 @@ object Dedup {
     * (h < 2^32 << 2^53, so the division is exact), because neither engine
     * shifts by a column-valued amount.
     */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, hash32(_))
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, j) => {
-        val bit = (h: Column) => pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
-        val bitSum = aggregate(hashes, lit(0L), (a, h) => a + bit(h) * 2L - 1L)
-        acc + when(bitSum >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
-      })
-  }
+  def simhash32(toks: Column): Column = simhash32FromHashes(transform(toks, hash32(_)))
+
+  /** SimHash over a PRE-STAGED hash-array column — pass an attribute, not
+    * an inline expression: the hash array is referenced once per bit (32x).
+    * The bit loop is unrolled in Scala so each bit extraction is a literal
+    * shift (codegen'd integer ops, no per-element pow()).
+    */
+  def simhash32FromHashes(hashes: Column): Column =
+    (0 until 32).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (a, h) => a + shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L)
+      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Hamming distance between two simhash sketches (bit-count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -59,17 +59,28 @@ object Similarity {
     concat_ws("", sigBits.map(_.cast("string")): _*)
   }
 
-  /** ANN candidate pairs: same LSH bucket, verified by exact cosine. */
+  /** ANN candidate pairs: same LSH bucket, verified by exact cosine.
+    *
+    * The per-vector work (float→double cast, L2 norm, bucket signature) is
+    * staged BEFORE the self-join so the pairwise loop evaluates exactly one
+    * dot-product fold per candidate — not three folds plus six casts
+    * (higher-order functions are interpreted, so per-pair expression count
+    * dominates at scale).
+    */
   def annPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       dims: Int, planes: Int, minCos: Double): DataFrame = {
-    val sig = embeddings.select(col(idCol), col(vecCol),
-      lshSignature(col(vecCol), dims, planes).as("bucket"))
-    val l = sig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val r = sig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val sig = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .select(col(idCol), col("vecd"), norm(col("vecd")).as("nrm"),
+        lshSignature(col("vecd"), dims, planes).as("bucket"))
+    val l = sig.select(col("bucket"), col(idCol).as("id_a"),
+      col("vecd").as("vec_a"), col("nrm").as("nrm_a"))
+    val r = sig.select(col("bucket"), col(idCol).as("id_b"),
+      col("vecd").as("vec_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(asDouble(col("vec_a")), asDouble(col("vec_b"))), 6).as("cos_sim"))
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
       .where(col("cos_sim") >= minCos)
   }
 }

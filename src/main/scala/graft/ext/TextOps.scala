@@ -27,6 +27,17 @@ object TextOps {
     transform(sequence(lit(1), size(toks) - 1),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
 
+  /** Distinct word n-gram shingle set; documents shorter than n fall back
+    * to their distinct tokens. MinHash over shingles (not unigrams) is what
+    * keeps LSH selective when the corpus vocabulary is small — unigram sets
+    * collide pervasively, shingle sets only for genuine near-dups.
+    */
+  def shingleSet(toks: Column, n: Int): Column = {
+    val shingles = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) < n, array_distinct(toks)).otherwise(array_distinct(shingles))
+  }
+
   /** Quality features: token/char counts, mean token length, punctuation
     * ratio, stopword ratio — the classic cheap quality-score inputs.
     */

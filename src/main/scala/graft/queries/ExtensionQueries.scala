@@ -33,12 +33,14 @@ object ExtensionQueries extends QueryPack {
       Dedup.minhashSignatures(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // LSH candidate pairs + exact-Jaccard verification.
+    // LSH candidate pairs + exact-Jaccard verification in shingle space
+    // (the space the signatures sketch).
     "dedup_minhash_pairs" -> ((s, d) => {
       val docs = documents(s, d)
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-      val toks = docs.select(col("doc_id"),
-        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val toks = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("toks"))
       cand
         .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
         .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
@@ -48,18 +50,23 @@ object ExtensionQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash sketch per document.
+    // SimHash sketch per document (tokens/hashes staged as attributes so
+    // the 32-bit loop doesn't re-split/re-hash per bit).
     "dedup_simhash" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"),
-          Dedup.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), transform(col("_toks"), TextOps.hash32(_)).as("_hashes"))
+        .select(col("doc_id"), Dedup.simhash32FromHashes(col("_hashes")).as("simhash"))
         .orderBy("doc_id")),
 
     // Blocked n-gram (unigram-set) Jaccard near-dup pairs: block on
     // (lang, source) so the pairwise work is per-key, never global.
     "ngram_jaccard_pairs" -> ((s, d) => {
-      val t = documents(s, d).select(col("lang"), col("source"), col("doc_id"),
-        array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val t = documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          TextOps.tokens(col("text")).as("_t"))
+        .select(col("lang"), col("source"), col("doc_id"),
+          array_distinct(col("_t")).as("toks"))
       val l = t.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
       val r = t.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
       l.join(r, Seq("lang", "source"))
@@ -91,24 +98,26 @@ object ExtensionQueries extends QueryPack {
           dims = 64, planes = 8, minCos = 0.7)
         .orderBy("id_a", "id_b")),
 
-    // Text quality statistics (tokens, chars, punctuation, stopwords).
-    "text_stats" -> ((s, d) => {
-      val toks = TextOps.tokens(col("text"))
-      documents(s, d).select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("n_chars_calc"),
-        TextOps.punctCount(col("text")).as("n_punct"),
-        TextOps.stopwordCount(toks).as("n_stopwords"),
-        round(aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
-          (acc, x) => acc + x).cast("double") / size(toks), 6).as("avg_token_len"))
-        .orderBy("doc_id")
-    }),
+    // Text quality statistics (tokens, chars, punctuation, stopwords);
+    // the token array is staged once and reused by every feature.
+    "text_stats" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          size(col("_toks")).as("n_tokens"),
+          length(col("text")).as("n_chars_calc"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.stopwordCount(col("_toks")).as("n_stopwords"),
+          round(aggregate(transform(col("_toks"), t => length(t).cast("long")), lit(0L),
+            (acc, x) => acc + x).cast("double") / size(col("_toks")), 6).as("avg_token_len"))
+        .orderBy("doc_id")),
 
-    // Language-ID heuristic (stopword-overlap argmax).
+    // Language-ID heuristic (stopword-overlap argmax) over staged tokens.
     "text_langid" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), TextOps.langId(col("_toks")).as("lang_pred"))
         .orderBy("doc_id")),
 
     // Order-sensitive rolling-hash fingerprint.
@@ -126,9 +135,15 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = {
+    // Word-3-shingle set (mirrors TextOps.shingleSet).
+    val duckShingles =
+      s"""CASE WHEN len($duckToks) < ${Dedup.ShingleN} THEN list_distinct($duckToks)
+         |     ELSE list_distinct(list_transform(
+         |       generate_series(1, len($duckToks) - ${Dedup.ShingleN - 1}),
+         |       i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) END""".stripMargin
     // MinHash signature column list, shared by two oracles.
     val sigCols = (0 until Dedup.MinhashK).map { i =>
-      s"list_min(list_transform(list_distinct($duckToks), t -> " +
+      s"list_min(list_transform($duckShingles, t -> " +
         s"(${Dedup.minhashA(i)} * ${duckH32("t")} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS sig_$i"
     }.mkString(",\n  ")
     val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
@@ -152,7 +167,7 @@ object ExtensionQueries extends QueryPack {
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bands a JOIN bands b USING (band_ix, band_key)
            |  WHERE a.doc_id < b.doc_id),
-           |toks AS (SELECT doc_id, list_distinct($duckToks) AS t FROM documents)
+           |toks AS (SELECT doc_id, $duckShingles AS t FROM documents)
            |SELECT id_a, id_b,
            |  round(len(list_intersect(ta.t, tb.t)) /
            |        len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jac
