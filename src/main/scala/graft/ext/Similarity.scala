@@ -43,6 +43,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact embedding-cosine near-duplicate pairs, blocked on a partition
+    * column (e.g. a cluster/label id) so the pairwise join is per-key.
+    * The scale pattern for "find near-identical embeddings": block (or
+    * pre-cluster) first, verify cosine only within blocks.
+    */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCos: Double): DataFrame = {
+    val staged = embeddings
+      .select(col(blockCol), col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .select(col(blockCol), col(idCol), col("vecd"), norm(col("vecd")).as("nrm"))
+    val l = staged.select(col(blockCol), col(idCol).as("id_a"),
+      col("vecd").as("vec_a"), col("nrm").as("nrm_a"))
+    val r = staged.select(col(blockCol), col(idCol).as("id_b"),
+      col("vecd").as("vec_b"), col("nrm").as("nrm_b"))
+    l.join(r, Seq(blockCol))
+      .where(col("id_a") < col("id_b"))
+      .select(col(blockCol), col("id_a"), col("id_b"),
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+  }
+
   /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose
     * components are derived deterministically from hash32(plane:dim) mapped
     * to [-1, 1); the signature is the concatenation of dot-product signs.

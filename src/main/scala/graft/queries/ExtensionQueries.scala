@@ -91,6 +91,12 @@ object ExtensionQueries extends QueryPack {
           round(Similarity.norm(Similarity.asDouble(col("embedding"))), 6).as("l2_norm"))
         .orderBy("vec_id")),
 
+    // Embedding-cosine near-duplicate pairs, exact, blocked by label.
+    "dedup_embed_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(embeddings(s, d), "vec_id", "embedding",
+          "label", minCos = 0.995)
+        .orderBy("id_a", "id_b")),
+
     // ANN scale path: sign-LSH bucketed candidate pairs (no oracle —
     // validated against brute force in ScalaTest).
     "sim_ann_pairs" -> ((s, d) =>
@@ -195,6 +201,18 @@ object ExtensionQueries extends QueryPack {
            |               AND a.doc_id < b.doc_id
            |WHERE jac >= $JaccardThreshold
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_embed_pairs" ->
+        """WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |           FROM embeddings),
+          |n AS (SELECT label, vec_id, v,
+          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+          |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          |        / (a.nrm * b.nrm), 6) AS cos_sim
+          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          |WHERE cos_sim >= 0.995
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "sim_topk_cosine" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -133,6 +133,20 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
+    // As-of (backward) join — per event, the most recent preceding 'error'
+    // event of the same user ("time since last error" feature). Spark has
+    // no native as-of join; graft.ops.AsOfJoin provides the union-and-fill
+    // plan (one key shuffle + in-partition sort).
+    "asof_last_error" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        tsMillis(col("ts")).as("ts_ms"))
+      val errors = events(s, d).where(col("event_type") === "error")
+        .select(col("user_id"), tsMillis(col("ts")).as("err_ts_ms"))
+      graft.ops.AsOfJoin.backward(ev, errors, Seq("user_id"), "ts_ms", "err_ts_ms")
+        .select(col("event_id"), (col("ts_ms") - col("err_ts_ms")).as("ms_since_error"))
+        .orderBy("event_id")
+    }),
+
     // Event-time bucketing via the native `window()` — the batch twin of a
     // streaming tumbling-window aggregation.
     "time_window_5m" -> ((s, d) =>
@@ -230,6 +244,13 @@ object RelationalQueries extends QueryPack {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "asof_last_error" ->
+      """SELECT e.event_id, epoch_ms(e.ts) - epoch_ms(err.ts) AS ms_since_error
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
+        |  ON e.user_id = err.user_id AND e.ts >= err.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "time_window_5m" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_ms,

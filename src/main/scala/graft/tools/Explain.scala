@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.queries.{RelationalQueries, ExtensionQueries}
+
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- args) {
+      println(s"======== $name ========")
+      val fn = RelationalQueries.queries.get(name)
+        .orElse(ExtensionQueries.queries.get(name))
+        .getOrElse(graft.queries.ParityQueries.queries(name))
+      fn(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}
