@@ -22,8 +22,12 @@ object Similarity {
   /** Cast a float array to double for exact, portable arithmetic. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Dot product via the native codegen expression (graft.functions
+    * .VectorDot) — same left-to-right summation as the zip_with+aggregate
+    * fold it replaces, minus the interpreted-lambda overhead per element.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vector_dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -80,6 +80,17 @@ object MetricsJob {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** Kafka producer sink (S2): JSON-serialized frame → topic. Batch
+    * flavor; `ds.writeStream.format("kafka")` is the streaming twin. Like
+    * the source, config glue only in the offline harness (no broker).
+    */
+  def publishKafka(jsonValueDf: DataFrame, bootstrap: String, topic: String): Unit =
+    jsonValueDf
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+
   /** Wire any value-column streaming frame through the full pipeline
     * (T1-T5): parse → latency → foreachBatch metrics/CSV, with checkpoint
     * and processing-time trigger.

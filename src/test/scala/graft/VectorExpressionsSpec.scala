@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.functions.VectorExpressions.vector_dot
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("VectorDot matches the higher-order-function fold bit-for-bit") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(Similarity.asDouble($"embedding").as("v"))
+    val hof = e.select(
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x).as("d"))
+      .as[Double].collect()
+    val native = e.select(vector_dot($"v", $"v").as("d")).as[Double].collect()
+    assert(hof.toSeq == native.toSeq) // bit-for-bit: same summation order
+  }
+
+  test("VectorDot handles nulls and mismatched lengths") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0))), // min-length semantics
+      (None, Some(Seq(1.0))),                           // null input -> null
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+    val got = df.select(vector_dot($"a", $"b")).as[Option[Double]].collect()
+    assert(got.toSeq == Seq(Some(14.0), None, Some(0.0)))
+  }
+
+  test("vector_dot is SQL-registered through GraftExtensions") {
+    // Verify the injection path on a derived session with the extension.
+    val s2 = spark.newSession()
+    graft.functions.VectorExpressions.functions.foreach { case (id, info, builder) =>
+      s2.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val r = s2.sql("SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+}
