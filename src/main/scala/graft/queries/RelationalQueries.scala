@@ -133,6 +133,46 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
+    // PIVOT: per-user-bucket value sums spread across event types
+    // (explicit value list keeps the schema deterministic — no extra pass).
+    "pivot_event_type" -> ((s, d) =>
+      events(s, d)
+        .groupBy((col("user_id") % 100).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 6))
+        .orderBy("user_bucket")),
+
+    // Exact distinct-count per group (two-phase distinct aggregation).
+    "count_distinct_users" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // Scalar string-function surface (projection-only, codegen'd).
+    "string_funcs" -> ((s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("name_prefix"),
+        lpad(col("c_nationkey").cast("string"), 4, "0").as("nation_padded"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_key"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("B")).as("seg_or_b"))
+        .orderBy("c_custkey")),
+
+    // Scalar date/time-function surface.
+    "date_funcs" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        tsMillis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"))
+        .orderBy("o_orderkey")),
+
     // As-of (backward) join — per event, the most recent preceding 'error'
     // event of the same user ("time since last error" feature). Spark has
     // no native as-of join; graft.ops.AsOfJoin provides the union-and-fill
@@ -244,6 +284,33 @@ object RelationalQueries extends QueryPack {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "pivot_event_type" ->
+      """SELECT user_id % 100 AS user_bucket,
+        |  round(sum(value) FILTER (event_type = 'click'), 6) AS click,
+        |  round(sum(value) FILTER (event_type = 'error'), 6) AS error,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 6) AS signup,
+        |  round(sum(value) FILTER (event_type = 'view'), 6) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+
+    "count_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
+        |  substring(c_name, 1, 5) AS name_prefix,
+        |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+        |  concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'B') AS seg_or_b
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  quarter(o_orderdate) AS q, dayofweek(o_orderdate) AS dow,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "asof_last_error" ->
       """SELECT e.event_id, epoch_ms(e.ts) - epoch_ms(err.ts) AS ms_since_error
