@@ -187,6 +187,23 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Sessionization (batch twin of the stateful streaming operator):
+    // 30-minute inactivity gap, lag + cumulative-sum session ids.
+    "sessionize_30m" -> ((s, d) =>
+      graft.stream.Sessionize.batch(
+          events(s, d).select(col("user_id"), tsMillis(col("ts")).as("ts_ms"),
+            col("event_id")),
+          gapMs = 1800000L)
+        .orderBy("user_id", "session_start_ms")),
+
+    // Two-phase salted aggregation (skew pattern) — result identical to
+    // the direct groupBy, verified by the plain-SQL oracle.
+    "salted_agg_by_type" -> ((s, d) =>
+      graft.ops.Salt.saltedAgg(events(s, d), Seq("event_type"), col("event_id"),
+          buckets = 16, sums = Seq("value"))
+        .select(col("event_type"), round(col("sum_value"), 6).as("sum_value"), col("n"))
+        .orderBy("event_type")),
+
     // Event-time bucketing via the native `window()` — the batch twin of a
     // streaming tumbling-window aggregation.
     "time_window_5m" -> ((s, d) =>
@@ -318,6 +335,27 @@ object RelationalQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "sessionize_30m" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |marked AS (
+        |  SELECT user_id, ts_ms, event_id,
+        |    CASE WHEN lag(ts_ms) OVER w IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "salted_agg_by_type" ->
+      """SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "time_window_5m" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_ms,

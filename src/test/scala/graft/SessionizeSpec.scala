@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.Salt
+import graft.stream.Sessionize
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gap = 1000L // 1 s inactivity gap for tests
+
+  test("batch sessionization splits on gaps per user") {
+    val ev = Seq(
+      (1L, 100L, "a"), (1L, 500L, "b"), (1L, 5000L, "c"), // user 1: 2 sessions
+      (2L, 100L, "d"))                                    // user 2: 1 session
+      .toDF("user_id", "ts_ms", "event_id")
+    val got = Sessionize.batch(ev, gap)
+      .orderBy("user_id", "session_start_ms")
+      .select($"user_id", $"session_start_ms", $"session_end_ms", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100L, 500L, 2L), (1L, 5000L, 5000L, 1L), (2L, 100L, 100L, 1L)))
+  }
+
+  test("streaming sessionization with flatMapGroupsWithState matches batch semantics") {
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Sessionize.stream(input.toDS(), gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    try {
+      input.addData((1L, 100L), (1L, 500L))
+      q.processAllAvailable()
+      input.addData((1L, 5000L)) // opens session 2 -> closes session 1
+      q.processAllAvailable()
+      input.addData((1L, 9000L)) // opens session 3 -> closes session 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions")
+      .as[Sessionize.Session].collect().sortBy(_.session_start_ms).toSeq
+    assert(got == Seq(
+      Sessionize.Session(1L, 100L, 500L, 2L),
+      Sessionize.Session(1L, 5000L, 5000L, 1L)))
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val ev = Tables.events(spark, sf0001)
+    val direct = ev.groupBy($"event_type")
+      .agg(round(sum($"value"), 6).as("s"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s, n) => k -> ((s, n)) }.toMap
+    val salted = Salt.saltedAgg(ev, Seq("event_type"), $"event_id", 16, sums = Seq("value"))
+      .select($"event_type", round($"sum_value", 6), $"n")
+      .as[(String, Double, Long)].collect()
+    assert(salted.length == direct.size)
+    salted.foreach { case (k, s, n) =>
+      assert(direct(k) == ((s, n)), s"mismatch for $k")
+    }
+  }
+}
