@@ -81,7 +81,12 @@ object Dedup {
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = MinhashK, bands: Int = 2): DataFrame = {
+    // localCheckpoint: both self-join branches read ONE materialization of
+    // the (id, band) frame instead of re-tokenizing + re-hashing the corpus
+    // per branch. The frame is sketch-sized (id + band keys), never
+    // corpus-sized, so this holds at any scale.
     val b = minhashBands(minhashSignatures(docs, idCol, textCol, k), idCol, bands)
+      .localCheckpoint(false)
     val l = b.select(col("band_ix"), col("band_key"), col(idCol).as("id_a"))
     val r = b.select(col("band_ix"), col("band_key"), col(idCol).as("id_b"))
     l.join(r, Seq("band_ix", "band_key"))

@@ -38,9 +38,11 @@ object ExtensionQueries extends QueryPack {
     "dedup_minhash_pairs" -> ((s, d) => {
       val docs = documents(s, d)
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      // One materialization of the shingle sets serves both join sides.
       val toks = docs
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
         .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("toks"))
+        .localCheckpoint(false)
       cand
         .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
         .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
