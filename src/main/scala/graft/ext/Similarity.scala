@@ -68,6 +68,57 @@ object Similarity {
       .where(col("cos_sim") >= minCos)
   }
 
+  /** IVF (inverted-file) ANN: partition vectors into `numCells` Voronoi
+    * cells around deterministic seed centroids (the first `numCells` ids —
+    * a k-means iteration would refine them, the plan shape is identical),
+    * then answer a query by probing only the `nprobe` cells nearest to it.
+    * At scale: assignment is a broadcast of `numCells` centroids + one
+    * argmax per row (no shuffle); the probe prunes the search to
+    * nprobe/numCells of the data. Cell choice rounds cosine to 6 before
+    * the argmax so cross-engine ulp noise can't flip assignments.
+    */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCells: Int): DataFrame = {
+    val staged = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .select(col(idCol), col("vecd"), norm(col("vecd")).as("nrm"))
+    val cents = broadcast(staged.where(col(idCol) < numCells)
+      .select(col(idCol).as("cell_id"), col("vecd").as("cvec"), col("nrm").as("cnrm")))
+    val scored = staged.crossJoin(cents)
+      .withColumn("ccos",
+        round(dot(col("vecd"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col(idCol), col("vecd"), col("nrm"), col("cell_id").as("cell"))
+  }
+
+  /** IVF top-k cosine search for one query vector. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, numCells: Int, nprobe: Int, k: Int): DataFrame = {
+    val assign = ivfAssign(embeddings, idCol, vecCol, numCells)
+    val q = broadcast(assign.where(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("nrm").as("qnrm")))
+    // nearest nprobe cells to the query, by centroid cosine
+    val probeCells = broadcast(
+      embeddings
+        .select(col(idCol), asDouble(col(vecCol)).as("cvec"))
+        .where(col(idCol) < numCells)
+        .withColumn("cnrm", norm(col("cvec")))
+        .crossJoin(q)
+        .select(col(idCol).as("cell"),
+          round(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")), 6).as("qcos"))
+        .orderBy(col("qcos").desc, col("cell"))
+        .limit(nprobe)
+        .select(col("cell")))
+    assign.join(probeCells, Seq("cell"))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(dot(col("vecd"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose
     * components are derived deterministically from hash32(plane:dim) mapped
     * to [-1, 1); the signature is the concatenation of dot-product signs.

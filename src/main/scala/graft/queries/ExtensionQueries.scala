@@ -99,6 +99,11 @@ object ExtensionQueries extends QueryPack {
           "label", minCos = 0.995)
         .orderBy("id_a", "id_b")),
 
+    // IVF ANN: probe the 4 nearest of 16 Voronoi cells for the query.
+    "sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, numCells = 16, nprobe = 4, k = 10)),
+
     // ANN scale path: sign-LSH bucketed candidate pairs (no oracle —
     // validated against brute force in ScalaTest).
     "sim_ann_pairs" -> ((s, d) =>
@@ -215,6 +220,31 @@ object ExtensionQueries extends QueryPack {
           |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
           |WHERE cos_sim >= 0.995
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "sim_ivf_topk" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+          |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+          |scored AS (
+          |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
+          |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
+          |          / (a.nrm * c.cnrm), 6) AS ccos
+          |  FROM n a, cent c),
+          |assign AS (
+          |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1),
+          |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+          |probe AS (
+          |  SELECT cell_id AS cell FROM cent, q
+          |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
+          |                 / (cnrm * qnrm), 6) DESC, cell_id
+          |  LIMIT 4)
+          |SELECT a.vec_id,
+          |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i]))
+          |        / (a.nrm * qnrm), 6) AS cos_sim
+          |FROM assign a JOIN probe USING (cell), q
+          |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
 
       "sim_topk_cosine" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

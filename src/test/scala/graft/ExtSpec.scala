@@ -74,6 +74,19 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("IVF top-k finds the query itself and good overlap with brute force") {
+    val e = Tables.embeddings(spark, sf0001)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+      queryId = 0L, numCells = 16, nprobe = 4, k = 10)
+      .as[(Long, Double)].collect()
+    assert(ivf.head._1 == 0L && ivf.head._2 == 1.0) // query in its own cell
+    val brute = Similarity.topKCosine(e, "vec_id", "embedding",
+      e.where($"vec_id" === 0), "embedding", 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val overlap = ivf.map(_._1).count(brute.contains)
+    assert(overlap >= 5, s"IVF recall too low: $overlap/10 vs brute force")
+  }
+
   test("brute-force top-k cosine ranks the query vector itself first") {
     val e = Tables.embeddings(spark, sf0001)
     val top = Similarity.topKCosine(e, "vec_id", "embedding",
