@@ -126,6 +126,23 @@ object ExtensionQueries extends QueryPack {
             (acc, x) => acc + x).cast("double") / size(col("_toks")), 6).as("avg_token_len"))
         .orderBy("doc_id")),
 
+    // Composite quality score: bounded linear blend of length, cleanliness
+    // (1 - punctuation ratio) and stopword naturalness — the cheap
+    // pre-filter a training-data pipeline runs before expensive scoring.
+    "text_quality_score" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("double").as("_nt"),
+          length(col("text")).cast("double").as("_nc"),
+          TextOps.punctCount(col("text")).cast("double").as("_np"),
+          TextOps.stopwordCount(col("_toks")).cast("double").as("_ns"))
+        .select(col("doc_id"),
+          round(least(col("_nt") / 100.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - col("_np") / col("_nc")) * 0.4 +
+            (col("_ns") / col("_nt")) * 0.3, 6).as("quality"))
+        .orderBy("doc_id")),
+
     // Language-ID heuristic (stopword-overlap argmax) over staged tokens.
     "text_langid" -> ((s, d) =>
       documents(s, d)
@@ -270,6 +287,17 @@ object ExtensionQueries extends QueryPack {
            |  len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS n_stopwords,
            |  round(list_sum(list_transform(toks, x -> len(x))) / len(toks), 6) AS avg_token_len
            |FROM t ORDER BY doc_id""".stripMargin,
+
+      "text_quality_score" ->
+        s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+           |f AS (SELECT doc_id,
+           |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
+           |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+           |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
+           |FROM t)
+           |SELECT doc_id,
+           |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
+           |FROM f ORDER BY doc_id""".stripMargin,
 
       "text_langid" -> {
         val scoreCols = TextOps.langStopwords.map { case (lang, words) =>

@@ -187,6 +187,34 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Generator/flatten: explode the token array (LATERAL/unnest twin),
+    // then a grouped count over the generated rows.
+    "explode_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("token")),
+
+    // JSON extraction from the props column (schema-on-read).
+    "json_extract_props" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // Set operations: INTERSECT and EXCEPT (distinct semantics).
+    "set_ops" -> ((s, d) => {
+      val urgent = orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val open = orders(s, d).where(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      urgent.intersect(open)
+        .except(customer(s, d).where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
     // Sessionization (batch twin of the stateful streaming operator):
     // 30-minute inactivity gap, lag + cumulative-sum session ids.
     "sessionize_30m" -> ((s, d) =>
@@ -335,6 +363,23 @@ object RelationalQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "explode_tokens" ->
+      """SELECT t.token, count(*) AS n, count(DISTINCT d.doc_id) AS n_docs
+        |FROM documents d, unnest(string_split_regex(lower(d.text), '\s+')) AS t(token)
+        |GROUP BY t.token ORDER BY t.token""".stripMargin,
+
+    "json_extract_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_custkey""".stripMargin,
 
     "sessionize_30m" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),

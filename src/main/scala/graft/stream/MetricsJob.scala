@@ -80,6 +80,29 @@ object MetricsJob {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** Idempotent variant of the metrics sink: each batch writes
+    * `outDir/batch_id=N/` with overwrite, so a batch re-processed after
+    * checkpoint recovery replaces its own output instead of appending a
+    * duplicate — upgrading the reference's at-least-once CSV semantics
+    * (SURVEY §7.4.3) to effectively-once. Readers get `batch_id` back via
+    * partition discovery.
+    */
+  def writeBatchIdempotent(spark: SparkSession, outDir: String)(
+      batchDf: DataFrame, batchId: Long): Unit =
+    batchMetricsRow(batchDf).foreach { r =>
+      import spark.implicits._
+      val epochSec = System.currentTimeMillis() / 1000L
+      Seq((epochSec, r.getLong(0),
+        Option(r.get(1)).fold(Double.NaN)(_ => r.getDouble(1)),
+        Option(r.get(2)).fold(Double.NaN)(_ => r.getDouble(2)),
+        Option(r.get(3)).fold(Double.NaN)(_ => r.getDouble(3)),
+        Option(r.get(4)).fold(Double.NaN)(_ => r.getDouble(4))))
+        .toDF("epoch_sec", "batch_events", "mean_latency_ms",
+          "p50_latency_ms", "p95_latency_ms", "p99_latency_ms")
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/batch_id=$batchId")
+    }
+
   /** Kafka producer sink (S2): JSON-serialized frame → topic. Batch
     * flavor; `ds.writeStream.format("kafka")` is the streaming twin. Like
     * the source, config glue only in the offline harness (no broker).

@@ -78,6 +78,18 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map(0L -> 2L, 60000L -> 1L))
   }
 
+  test("idempotent sink: re-processed batch replaces, never duplicates") {
+    val outDir = Files.createTempDirectory("metrics_idem").toString
+    val df = MetricsJob.withLatency(MetricsJob.parse(
+      Seq(jsonEvent("a", 40000L), jsonEvent("b", 60000L)).toDF("value")), Some(100000L))
+    MetricsJob.writeBatchIdempotent(spark, outDir)(df, 7L)
+    MetricsJob.writeBatchIdempotent(spark, outDir)(df, 7L) // recovery replay
+    val rows = spark.read.option("header", "true")
+      .option("recursiveFileLookup", "false").csv(outDir)
+    assert(rows.count() == 1L, "replayed batch must overwrite, not append")
+    assert(rows.columns.contains("batch_id")) // partition-discovered column
+  }
+
   test("checkpoint restart does not re-emit committed batches") {
     val input = MemoryStream[String](spark)
     val outDir = Files.createTempDirectory("metrics_out3").toString
