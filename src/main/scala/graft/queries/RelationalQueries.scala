@@ -187,6 +187,28 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Statistical aggregates (Welford-style variance, correlation).
+    "stats_aggs" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // Deterministic argmax row per group (row_number form — portable).
+    "argmax_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Generator/flatten: explode the token array (LATERAL/unnest twin),
     // then a grouped count over the generated rows.
     "explode_tokens" -> ((s, d) =>
@@ -363,6 +385,22 @@ object RelationalQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "stats_aggs" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "argmax_customer" ->
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
 
     "explode_tokens" ->
       """SELECT t.token, count(*) AS n, count(DISTINCT d.doc_id) AS n_docs
