@@ -58,4 +58,45 @@ object Multimodal {
         rows.map { case (id, bytes) => fakeDecode(id, bytes) }
       }
   }
+
+  /** One sampled "frame" of a media payload (video frame-sampling shape). */
+  case class Frame(doc_id: Long, frame_ix: Int, offset: Long, n_bytes: Int,
+      checksum: Long)
+
+  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
+    * payload — the plan shape of video frame extraction (one row in, many
+    * rows out, still a narrow per-partition flatMap; a real codec would
+    * seek keyframes instead of fixed offsets). Output rows carry offsets
+    * so downstream ops can re-fetch regions lazily.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val frames = bytes.grouped(frameBytes).zipWithIndex
+        frames.collect { case (chunk, ix) if ix % stride == 0 =>
+          var acc = 0L
+          chunk.foreach(b => acc = (acc * 31 + (b & 0xff)) % 2147483647L)
+          Frame(id, ix, ix.toLong * frameBytes, chunk.length, acc)
+        }
+      }
+  }
+
+  /** Resize stub: a real implementation would rescale pixel buffers; the
+    * stub derives the target-size "thumbnail" bytes deterministically by
+    * striding the source. The signature (bytes -> bytes, per partition, no
+    * shuffle) is what matters for the pipeline shape.
+    */
+  def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val step = math.max(1, bytes.length / math.max(1, targetBytes))
+          (id, bytes.indices.by(step).take(targetBytes).map(bytes).toArray)
+        }
+      }
+      .toDF("doc_id", "thumb")
+  }
 }

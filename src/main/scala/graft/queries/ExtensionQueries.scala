@@ -162,7 +162,15 @@ object ExtensionQueries extends QueryPack {
       Multimodal.decodeFeatures(s,
           Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))
         .toDF()
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Multimodal frame sampling: 1 row in -> N frame rows out (flatMap,
+    // no shuffle). Rows-only check + ScalaTest.
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))
+        .toDF()
+        .orderBy("doc_id", "frame_ix")))
 
   def oracleSql: Map[String, String] = {
     // Word-3-shingle set (mirrors TextOps.shingleSet).

@@ -9,11 +9,13 @@ import graft.Tables._
   * broadcast of dimension tables), semi/anti joins, window ranking, running
   * aggregates, rollup/cube, set ops, event-time bucketing.
   *
-  * Scale notes baked into each plan: dimension tables (customer, supplier,
-  * part, nation, region) are explicitly `broadcast()` — at 100 TB the fact
-  * tables shuffle only for fact-fact joins (orders⋈lineitem on the order
-  * key) where co-partitioning is the right strategy and AQE handles skew.
-  * Filters sit directly on the scans so Catalyst pushes them into parquet.
+  * Scale notes baked into each plan: only CONSTANT-cardinality dimensions
+  * (nation, region — 25/5 rows at any SF) carry explicit `broadcast()`
+  * hints; tables that scale with the data (customer, supplier, orders)
+  * leave join strategy to AQE, which broadcasts under the size threshold
+  * at small SF and falls back to shuffle joins with skew splitting at
+  * 100 TB. Filters sit directly on the scans so Catalyst pushes them into
+  * parquet.
   */
 object RelationalQueries extends QueryPack {
 
@@ -37,14 +39,16 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // TPC-H Q3 shape: broadcast the filtered dim, shuffle only the two
-    // facts; top-10 by a deterministic (rounded revenue, key) order.
+    // TPC-H Q3 shape: no forced broadcast — customer scales with the data,
+    // so join strategy is left to AQE (auto-broadcasts under the threshold
+    // at small SF, sort-merge with skew handling at 100 TB); top-10 by a
+    // deterministic (rounded revenue, key) order.
     "q3_shipping_priority" -> ((s, d) => {
       val c = customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val o = orders(s, d).where(col("o_orderdate") < to_timestamp(lit(CutTs)))
       val l = lineitem(s, d).where(col("l_shipdate") > to_timestamp(lit(CutTs)))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
@@ -53,7 +57,10 @@ object RelationalQueries extends QueryPack {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: five joins, all dims broadcast, one fact shuffle.
+    // TPC-H Q5 shape: five joins. Only the CONSTANT-cardinality dims
+    // (nation: 25 rows, region: 5 rows at any SF) get broadcast hints;
+    // customer/supplier scale with the data, so their strategy is AQE's
+    // call (broadcast at small SF, shuffle at 100 TB).
     "q5_nation_revenue" -> ((s, d) => {
       val r = region(s, d).where(col("r_name") === "ASIA")
       val o = orders(s, d)
@@ -61,8 +68,8 @@ object RelationalQueries extends QueryPack {
                col("o_orderdate") <  to_timestamp(lit("1997-01-01 00:00:00")))
       lineitem(s, d)
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supplier(s, d)),
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -117,6 +117,20 @@ class ExtSpec extends SparkSpec {
     assert(fp(4L) != fp(5L)) // same set, different order -> different fingerprint
   }
 
+  test("multimodal frame sampling emits every stride-th chunk with offsets") {
+    val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 8, stride = 2)
+      .collect().filter(_.doc_id == 1L).sortBy(_.frame_ix)
+    val textLen = "the quick brown fox jumps over the lazy dog".length // 43
+    assert(frames.map(_.frame_ix).toSeq == Seq(0, 2, 4)) // ceil(43/8)=6 chunks, every 2nd
+    assert(frames.forall(f => f.offset == f.frame_ix.toLong * 8))
+    assert(frames.take(2).forall(_.n_bytes == 8))
+    val thumbs = Multimodal.resize(spark, media, targetBytes = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("thumb")).toMap
+    assert(thumbs(1L).length <= 10 && thumbs(1L).nonEmpty)
+    assert(thumbs(1L).toSeq == thumbs(2L).toSeq) // deterministic
+  }
+
   test("multimodal decode is deterministic and byte-accurate") {
     val media = Multimodal.withBinaryPayload(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(spark, media).collect()
