@@ -27,6 +27,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(14.0), None, Some(0.0)))
   }
 
+  test("Sessions factories build with graft extensions configured") {
+    // clusterBuilder must compose without side effects; local() on a JVM
+    // with an active session returns it via getOrCreate.
+    val b = Sessions.clusterBuilder("graft-test-cluster")
+    assert(b != null)
+    val s = Sessions.local(2)
+    assert(s.sparkContext.appName.nonEmpty)
+  }
+
   test("vector_dot is SQL-registered through GraftExtensions") {
     // Verify the injection path on a derived session with the extension.
     val s2 = spark.newSession()
