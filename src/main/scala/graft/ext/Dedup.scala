@@ -32,11 +32,6 @@ object Dedup {
   def minhashA(i: Int): Long = 100003L + 7919L * i
   def minhashB(i: Int): Long = 7L + 11117L * i
 
-  /** One MinHash signature component over a distinct-element set column. */
-  def minhashSig(set: Column, i: Int): Column =
-    array_min(transform(set,
-      t => pmod(lit(minhashA(i)) * hash32(t) + lit(minhashB(i)), lit(MinhashP))))
-
   /** doc frame -> (id, sig_0..sig_{k-1}) — the per-document sketch over
     * word-ShingleN shingles (unigram minhash is degenerate under a small
     * vocabulary: every band bucket collides and LSH stops pruning).

@@ -35,6 +35,23 @@ class MetricsSpec extends SparkSpec {
     assert(p50 <= p95 && p95 <= p99)
   }
 
+  test("approx percentiles land within the sketch's relative error of exact") {
+    val ev = Metrics.withLatency(Tables.events(spark, sf0001), col("ts"),
+      Some(1706745600000L))
+    val approxAggs = Metrics.metricAggsApprox(col("latency_ms")) // accuracy=100
+    val exactAggs = Metrics.metricAggsExact(col("latency_ms"))
+    val a = ev.agg(approxAggs.head, approxAggs.tail: _*).head()
+    val e = ev.agg(exactAggs.head, exactAggs.tail: _*).head()
+    // GK sketch guarantees rank error <= 1/accuracy; translate to a loose
+    // value tolerance via the observed spread.
+    val spread = e.getAs[Double]("p99_latency_ms") - e.getAs[Double]("p50_latency_ms")
+    Seq("p50_latency_ms", "p95_latency_ms", "p99_latency_ms").foreach { c =>
+      val diff = math.abs(a.getAs[Double](c) - e.getAs[Double](c))
+      assert(diff <= math.max(spread * 0.05, 1000.0),
+        s"$c approx=${a.getAs[Double](c)} exact=${e.getAs[Double](c)}")
+    }
+  }
+
   test("bucketedMetrics partitions by event-time bucket") {
     val m = Metrics.bucketedMetrics(eventsDf, $"ts", 10000L, triggerSec = 2)
       .orderBy("batch_epoch_sec")
