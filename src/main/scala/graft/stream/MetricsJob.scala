@@ -128,6 +128,25 @@ object MetricsJob {
       .trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))
       .start()
 
+  /** Stream-static enrichment join: the streaming frame joins a static
+    * dimension (e.g. a user/account table) — Spark re-plans the static
+    * side per micro-batch, broadcasting it when small. The standard
+    * "enrich events before aggregation" shape.
+    */
+  def enrich(parsed: DataFrame, dim: DataFrame, key: String): DataFrame =
+    parsed.join(dim, Seq(key), "left")
+
+  /** Streaming deduplication bounded by watermark: duplicates of the same
+    * event id arriving within the watermark horizon are dropped; state is
+    * purged as the watermark advances, so it stays bounded on an unbounded
+    * stream.
+    */
+  def dedupEvents(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    parsed
+      .withColumn("event_time", timestamp_millis(col("created_ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Event-time windowed aggregation with watermark — the streaming
     * extension beyond reference parity (SURVEY §2.6 "absent features"):
     * tumbling windows over `created_ts`, late data bounded by the

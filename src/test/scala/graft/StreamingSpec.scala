@@ -78,6 +78,36 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map(0L -> 2L, 60000L -> 1L))
   }
 
+  test("stream-static enrichment join attaches dimension columns per batch") {
+    val input = MemoryStream[String](spark)
+    val dim = Seq((1, "gold"), (2, "basic")).toDF("user_id", "tier")
+    val q = MetricsJob.enrich(MetricsJob.parse(input.toDF()), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      input.addData(jsonEvent("a", 1000L),
+        """{"event_id":"b","created_ts":2000,"user_id":99,"event_type":"view","value":1.0,"payload":"x"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enriched").select($"event_id", $"tier")
+      .as[(String, Option[String])].collect().toMap
+    assert(got("a").contains("gold"))
+    assert(got("b").isEmpty) // left join keeps unmatched stream rows
+  }
+
+  test("streaming dedup within watermark drops repeated event ids") {
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.dedupEvents(MetricsJob.parse(input.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try {
+      input.addData(jsonEvent("a", 1000L), jsonEvent("a", 1000L), jsonEvent("b", 2000L))
+      q.processAllAvailable()
+      input.addData(jsonEvent("a", 3000L)) // same id, still inside watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("deduped").select($"event_id").as[String].collect().toSeq
+    assert(ids.sorted == Seq("a", "b"))
+  }
+
   test("idempotent sink: re-processed batch replaces, never duplicates") {
     val outDir = Files.createTempDirectory("metrics_idem").toString
     val df = MetricsJob.withLatency(MetricsJob.parse(
