@@ -4,11 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ext.TextOps._
 
-/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, and n-gram Jaccard — each expressed as declarative Spark plans
-  * (hash-partitioned groupBys and key-equi joins) that scale by key, never
-  * by pairwise row count, except the final candidate-verification join
-  * whose input LSH has already pruned.
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * (Broder, "On the resemblance and containment of documents", 1997; LSH
+  * banding per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002), and n-gram Jaccard — each expressed as
+  * declarative Spark plans (hash-partitioned groupBys and key-equi joins)
+  * that scale by key, never by pairwise row count, except the final
+  * candidate-verification join whose input LSH has already pruned.
   *
   * Hashing is the portable md5-derived 32-bit hash (TextOps.hash32) so the
   * signatures have exact DuckDB oracles.

@@ -39,6 +39,17 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q6 shape: pure filter + global aggregate — the pushdown
+    // showcase (all three predicates reach the parquet scan).
+    "q6_forecast_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+               col("l_shipdate") <  to_timestamp(lit("1997-01-01 00:00:00")) &&
+               col("l_discount").between(0.02, 0.04) &&
+               col("l_quantity") < 10)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // TPC-H Q3 shape: no forced broadcast — customer scales with the data,
     // so join strategy is left to AQE (auto-broadcasts under the threshold
     // at small SF, sort-merge with skew handling at 100 TB); top-10 by a
@@ -358,6 +369,14 @@ object RelationalQueries extends QueryPack {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 10""".stripMargin,
 
     "pivot_event_type" ->
       """SELECT user_id % 100 AS user_bucket,
