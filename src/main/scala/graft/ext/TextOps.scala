@@ -38,6 +38,14 @@ object TextOps {
     when(size(toks) < n, array_distinct(toks)).otherwise(array_distinct(shingles))
   }
 
+  /** Canonical text normalization for normalized-exact dedup: lowercase,
+    * strip non-alphanumerics, collapse runs of whitespace, trim. Catches
+    * trivial near-dups (case/punctuation/spacing variants) before any
+    * sketching.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** Quality features: token/char counts, mean token length, punctuation
     * ratio, stopword ratio — the classic cheap quality-score inputs.
     */

@@ -28,6 +28,14 @@ object ExtensionQueries extends QueryPack {
       Dedup.exact(documents(s, d), "doc_id", "text")
         .orderBy("keep_id")),
 
+    // Normalized-exact dedup: canonicalize (case/punct/whitespace) first,
+    // then group — catches trivial variants exact dedup misses.
+    "dedup_normalized" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(TextOps.normalize(col("text"))).as("norm_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .orderBy("keep_id")),
+
     // MinHash sketch per document (k=8 portable permutations).
     "dedup_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(documents(s, d), "doc_id", "text")
@@ -190,6 +198,12 @@ object ExtensionQueries extends QueryPack {
     Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
+          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+      "dedup_normalized" ->
+        """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+          |                               '\s+', ' ', 'g'))) AS norm_md5,
+          |  min(doc_id) AS keep_id, count(*) AS copies
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
       "dedup_minhash_sig" ->
