@@ -55,6 +55,19 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape, simplified
+    * to an engine-portable character-class regex): letter runs, digit
+    * runs, and punctuation runs are separate tokens. The resulting count
+    * approximates LLM token counts far better than whitespace splitting
+    * on punctuation-heavy or code-like text.
+    */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
 

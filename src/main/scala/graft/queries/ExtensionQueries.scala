@@ -151,6 +151,14 @@ object ExtensionQueries extends QueryPack {
             (col("_ns") / col("_nt")) * 0.3, 6).as("quality"))
         .orderBy("doc_id")),
 
+    // Token counting both ways: whitespace and BPE-ish regex runs.
+    "text_token_counts" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // Language-ID heuristic (stopword-overlap argmax) over staged tokens.
     "text_langid" -> ((s, d) =>
       documents(s, d)
@@ -320,6 +328,11 @@ object ExtensionQueries extends QueryPack {
            |SELECT doc_id,
            |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
            |FROM f ORDER BY doc_id""".stripMargin,
+
+      "text_token_counts" ->
+        s"""SELECT doc_id, len($duckToks) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '${TextOps.bpePattern}')) AS n_bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "text_langid" -> {
         val scoreCols = TextOps.langStopwords.map { case (lang, words) =>
