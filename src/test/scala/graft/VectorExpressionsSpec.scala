@@ -27,6 +27,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(14.0), None, Some(0.0)))
   }
 
+  test("Welford typed Aggregator matches built-in var_samp") {
+    import graft.functions.WelfordVariance
+    val ds = Tables.lineitem(spark, sf0001)
+      .select($"l_quantity").as[Double]
+    val typed = ds.select(WelfordVariance.toColumn).head()
+    val builtin = Tables.lineitem(spark, sf0001)
+      .agg(var_samp($"l_quantity")).head().getDouble(0)
+    assert(math.abs(typed - builtin) < 1e-6, s"$typed vs $builtin")
+  }
+
   test("Sessions factories build with graft extensions configured") {
     // clusterBuilder must compose without side effects; local() on a JVM
     // with an active session returns it via getOrCreate.
