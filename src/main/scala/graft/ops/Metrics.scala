@@ -31,17 +31,41 @@ object Metrics {
     df.withColumn("latency_ms", (now - tsMillis(tsCol)).cast("long"))
   }
 
-  /** The five metric aggregates of a batch, exact-percentile flavor
-    * (oracle-comparable: Spark `percentile` and DuckDB `quantile_cont` are
-    * both linear-interpolation). One pass; doubles rounded to 6 so
-    * last-ulp summation-order differences can't break hash compares.
+  /** The five metric aggregates of a batch, INTEGER-exact flavor for oracle
+    * hash-matching. Latency is integral ms at ~1e9 magnitude, where a
+    * 6-decimal rounding of a double sits below one ulp — cross-engine
+    * differences in summation/division order flip the last digit (observed
+    * r1: Spark `avg` vs DuckDB `avg` disagree in the 16th significant
+    * digit). So every compared column is an exact integer:
+    *
+    *  - `mean_latency_us = sum(lat)*1000 div n` — long arithmetic, exact in
+    *    both engines (DuckDB sums BIGINT into HUGEINT; `div`/`//` truncate
+    *    identically for positives).
+    *  - `pXX_latency_ms_x100 = round(percentile * 100)` — the linear
+    *    interpolation `a + (b-a) * (k(n-1) mod 100)/100` over integers is
+    *    mathematically an integer when scaled by 100; fp evaluation is off
+    *    by ≲1e-4, far inside round-to-nearest's 0.5 margin, so BOTH engines
+    *    snap to the same integer regardless of interpolation formula.
+    *
+    * Raw aggregates; callers derive `mean_latency_us` via [[derivedMetrics]]
+    * (the div needs sum and count as named columns).
     */
   def metricAggsExact(lat: Column): Seq[Column] = Seq(
     count(lit(1)).as("batch_events"),
-    round(avg(lat), 6).as("mean_latency_ms"),
-    round(percentile(lat, lit(0.50)), 6).as("p50_latency_ms"),
-    round(percentile(lat, lit(0.95)), 6).as("p95_latency_ms"),
-    round(percentile(lat, lit(0.99)), 6).as("p99_latency_ms"))
+    sum(lat).as("_lat_sum"),
+    round(percentile(lat, lit(0.50)) * 100, 0).cast("long").as("p50_latency_ms_x100"),
+    round(percentile(lat, lit(0.95)) * 100, 0).cast("long").as("p95_latency_ms_x100"),
+    round(percentile(lat, lit(0.99)) * 100, 0).cast("long").as("p99_latency_ms_x100"))
+
+  /** Final projection over [[metricAggsExact]] output: exact integer mean
+    * in µs via integral division.
+    */
+  val derivedMetrics: Seq[Column] = Seq(
+    col("batch_events"),
+    expr("_lat_sum * 1000 div batch_events").as("mean_latency_us"),
+    col("p50_latency_ms_x100"),
+    col("p95_latency_ms_x100"),
+    col("p99_latency_ms_x100"))
 
   /** Production flavor: Greenwald-Khanna sketch (`percentile_approx`),
     * mergeable and O(1/accuracy) state per partition — the right choice on
@@ -66,6 +90,7 @@ object Metrics {
   def batchMetrics(events: DataFrame, tsCol: Column, nowMs: Long): DataFrame =
     withLatency(events, tsCol, Some(nowMs))
       .agg(metricAggsExact(col("latency_ms")).head, metricAggsExact(col("latency_ms")).tail: _*)
+      .select(derivedMetrics: _*)
 
   /** Batch-replay of the streaming pipeline: bucket events into
     * trigger-sized micro-batches by event time and compute the per-batch
@@ -79,5 +104,6 @@ object Metrics {
     withLatency(events, tsCol, Some(nowMs))
       .groupBy(bucket)
       .agg(metricAggsExact(col("latency_ms")).head, metricAggsExact(col("latency_ms")).tail: _*)
+      .select(col("batch_epoch_sec") +: derivedMetrics: _*)
   }
 }

@@ -96,13 +96,16 @@ object ParityQueries extends QueryPack {
       val w = Window.orderBy(col("batch_epoch_sec"))
       m.withColumn("gap_sec", col("batch_epoch_sec") - lag(col("batch_epoch_sec"), 1).over(w))
         .where(col("gap_sec").isNotNull)
-        .select(col("batch_id"), col("batch_epoch_sec"), col("gap_sec"), col("p95_latency_ms"))
+        .select(col("batch_id"), col("batch_epoch_sec"), col("gap_sec"), col("p95_latency_ms_x100"))
         .orderBy(col("gap_sec").desc, col("batch_epoch_sec"))
         .limit(1)
     }),
 
     // A4/A5 + P5-P7 composite: the full exp1 offline analysis — per-run
     // (event_type) windowed summary over the emulated metrics table.
+    // Integer-exact flavor of Analysis.summarize (which mirrors the pandas
+    // double math for the product path): every compared column is a long
+    // (sums + `div`), so summation order can't move a hash.
     "exp1_summary" -> ((s, d) => {
       val lat = Metrics.withLatency(events(s, d), col("ts"), Some(NowMs))
       val m = lat
@@ -110,7 +113,28 @@ object ParityQueries extends QueryPack {
           (floor(tsMillis(col("ts")) / (TriggerSec * 1000L)) * TriggerSec).as("epoch_sec"))
         .agg(Metrics.metricAggsExact(col("latency_ms")).head,
           Metrics.metricAggsExact(col("latency_ms")).tail: _*)
-      Analysis.exp1Summary(m, "run_label", WarmupSec, MeasureSec, TriggerSec)
+        .select(col("run_label") +: col("epoch_sec") +: Metrics.derivedMetrics: _*)
+      Analysis.measurementWindow(m, "run_label", WarmupSec, MeasureSec)
+        .groupBy(col("run_label"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("batch_events")).as("_ev_sum"),
+          round(percentile(col("batch_events"), lit(0.95)) * 100, 0).cast("long")
+            .as("p95_batch_events_x100"),
+          sum(col("mean_latency_us")).as("_mlu_sum"),
+          sum(col("p50_latency_ms_x100")).as("_p50_sum"),
+          sum(col("p95_latency_ms_x100")).as("_p95_sum"),
+          sum(col("p99_latency_ms_x100")).as("_p99_sum"),
+          max(col("p95_latency_ms_x100")).as("max_p95_latency_ms_x100"))
+        .select(col("run_label"), col("n_batches"),
+          expr(s"_ev_sum * 1000000 div (n_batches * $TriggerSec)").as("mean_throughput_eps_x1e6"),
+          col("p95_batch_events_x100"),
+          expr("_mlu_sum div n_batches").as("mean_latency_us"),
+          expr("_p50_sum div n_batches").as("mean_p50_latency_ms_x100"),
+          expr("_p95_sum div n_batches").as("mean_p95_latency_ms_x100"),
+          expr("_p99_sum div n_batches").as("mean_p99_latency_ms_x100"),
+          col("max_p95_latency_ms_x100"))
+        .orderBy("run_label")
     }),
 
     // A4 (direct): grouped summary statistics by event type.
@@ -128,13 +152,18 @@ object ParityQueries extends QueryPack {
     val lat = s"($NowMs - epoch_ms(ts))"
     val bucket = s"(epoch_ms(ts) // ${TriggerSec}000) * $TriggerSec"
     // Per-bucket metrics subquery shared by several oracles (mirrors
-    // Metrics.bucketedMetrics + metricAggsExact incl. rounding).
+    // Metrics.bucketedMetrics + metricAggsExact: integer-exact columns —
+    // long sums with `//`, percentiles snapped to x100 integers; see
+    // Metrics.metricAggsExact scaladoc for why doubles can't be hashed at
+    // this magnitude).
+    val metricCols =
+      s"""count(*) AS batch_events,
+         |  CAST(sum($lat) * 1000 // count(*) AS BIGINT) AS mean_latency_us,
+         |  CAST(round(quantile_cont($lat, 0.50) * 100, 0) AS BIGINT) AS p50_latency_ms_x100,
+         |  CAST(round(quantile_cont($lat, 0.95) * 100, 0) AS BIGINT) AS p95_latency_ms_x100,
+         |  CAST(round(quantile_cont($lat, 0.99) * 100, 0) AS BIGINT) AS p99_latency_ms_x100""".stripMargin
     val bucketedMetrics =
-      s"""SELECT $bucket AS batch_epoch_sec, count(*) AS batch_events,
-         |  round(avg($lat), 6) AS mean_latency_ms,
-         |  round(quantile_cont($lat, 0.50), 6) AS p50_latency_ms,
-         |  round(quantile_cont($lat, 0.95), 6) AS p95_latency_ms,
-         |  round(quantile_cont($lat, 0.99), 6) AS p99_latency_ms
+      s"""SELECT $bucket AS batch_epoch_sec, $metricCols
          |FROM events GROUP BY 1""".stripMargin
 
     Map(
@@ -142,11 +171,7 @@ object ParityQueries extends QueryPack {
         s"SELECT event_id, $lat AS latency_ms FROM events ORDER BY event_id",
 
       "a6_batch_metrics" ->
-        s"""SELECT count(*) AS batch_events, round(avg($lat), 6) AS mean_latency_ms,
-           |  round(quantile_cont($lat, 0.50), 6) AS p50_latency_ms,
-           |  round(quantile_cont($lat, 0.95), 6) AS p95_latency_ms,
-           |  round(quantile_cont($lat, 0.99), 6) AS p99_latency_ms
-           |FROM events""".stripMargin,
+        s"SELECT $metricCols\nFROM events",
 
       "batch_metrics_bucketed" ->
         s"SELECT * FROM ($bucketedMetrics) ORDER BY batch_epoch_sec",
@@ -176,22 +201,17 @@ object ParityQueries extends QueryPack {
       "exp3_recovery" ->
         s"""SELECT CAST(batch_epoch_sec / $TriggerSec AS BIGINT) AS batch_id, batch_epoch_sec,
            |  batch_epoch_sec - lag(batch_epoch_sec, 1) OVER (ORDER BY batch_epoch_sec) AS gap_sec,
-           |  p95_latency_ms
+           |  p95_latency_ms_x100
            |FROM ($bucketedMetrics)
            |QUALIFY gap_sec IS NOT NULL
            |ORDER BY gap_sec DESC, batch_epoch_sec LIMIT 1""".stripMargin,
 
       "exp1_summary" ->
         s"""WITH m AS (
-           |  SELECT event_type AS run_label, $bucket AS epoch_sec, count(*) AS batch_events,
-           |    round(avg($lat), 6) AS mean_latency_ms,
-           |    round(quantile_cont($lat, 0.50), 6) AS p50_latency_ms,
-           |    round(quantile_cont($lat, 0.95), 6) AS p95_latency_ms,
-           |    round(quantile_cont($lat, 0.99), 6) AS p99_latency_ms
+           |  SELECT event_type AS run_label, $bucket AS epoch_sec, $metricCols
            |  FROM events GROUP BY 1, 2),
            |w AS (
-           |  SELECT *, batch_events / $TriggerSec.0 AS throughput_eps,
-           |    min(epoch_sec) OVER (PARTITION BY run_label) + $WarmupSec AS t0
+           |  SELECT *, min(epoch_sec) OVER (PARTITION BY run_label) + $WarmupSec AS t0
            |  FROM m),
            |f AS (
            |  SELECT *,
@@ -202,13 +222,15 @@ object ParityQueries extends QueryPack {
            |g AS (SELECT * FROM f
            |      WHERE CASE WHEN strict_n >= 5 THEN in_strict ELSE epoch_sec >= t0 END)
            |SELECT run_label, count(*) AS n_batches,
-           |  round(avg(throughput_eps), 6) AS mean_throughput_eps,
-           |  round(quantile_cont(throughput_eps, 0.95), 6) AS p95_throughput_eps,
-           |  round(avg(mean_latency_ms), 6) AS mean_latency_ms,
-           |  round(avg(p50_latency_ms), 6) AS mean_p50_latency_ms,
-           |  round(avg(p95_latency_ms), 6) AS mean_p95_latency_ms,
-           |  round(avg(p99_latency_ms), 6) AS mean_p99_latency_ms,
-           |  round(max(p95_latency_ms), 6) AS max_p95_latency_ms
+           |  CAST(sum(batch_events) * 1000000 // (count(*) * $TriggerSec) AS BIGINT)
+           |    AS mean_throughput_eps_x1e6,
+           |  CAST(round(quantile_cont(batch_events, 0.95) * 100, 0) AS BIGINT)
+           |    AS p95_batch_events_x100,
+           |  CAST(sum(mean_latency_us) // count(*) AS BIGINT) AS mean_latency_us,
+           |  CAST(sum(p50_latency_ms_x100) // count(*) AS BIGINT) AS mean_p50_latency_ms_x100,
+           |  CAST(sum(p95_latency_ms_x100) // count(*) AS BIGINT) AS mean_p95_latency_ms_x100,
+           |  CAST(sum(p99_latency_ms_x100) // count(*) AS BIGINT) AS mean_p99_latency_ms_x100,
+           |  max(p95_latency_ms_x100) AS max_p95_latency_ms_x100
            |FROM g GROUP BY run_label ORDER BY run_label""".stripMargin,
 
       "a4_summary_by_type" ->

@@ -17,21 +17,22 @@ class MetricsSpec extends SparkSpec {
     assert(lat == Map("a" -> 9000L, "b" -> 8000L, "c" -> 7000L, "d" -> 6000L, "e" -> 5000L))
   }
 
-  test("batchMetrics is a single-pass record with exact percentiles") {
+  test("batchMetrics is a single-pass integer-exact record") {
     val row = Metrics.batchMetrics(eventsDf, $"ts", 10000L).head()
     assert(row.getAs[Long]("batch_events") == 5L)
-    assert(row.getAs[Double]("mean_latency_ms") == 7000.0)
-    assert(row.getAs[Double]("p50_latency_ms") == 7000.0)
+    // mean = (9000+8000+7000+6000+5000)*1000 div 5 = 7_000_000 us
+    assert(row.getAs[Long]("mean_latency_us") == 7000000L)
+    assert(row.getAs[Long]("p50_latency_ms_x100") == 700000L)
     // exact percentile: p95 over [5000..9000] = 8800 (linear interpolation)
-    assert(row.getAs[Double]("p95_latency_ms") == 8800.0)
-    assert(row.getAs[Double]("p99_latency_ms") == 8960.0)
+    assert(row.getAs[Long]("p95_latency_ms_x100") == 880000L)
+    assert(row.getAs[Long]("p99_latency_ms_x100") == 896000L)
   }
 
   test("percentiles are monotone p50 <= p95 <= p99 on fixture data") {
     val ev = Tables.events(spark, sf0001)
     val row = Metrics.batchMetrics(ev, col("ts"), 1706745600000L).head()
-    val (p50, p95, p99) = (row.getAs[Double]("p50_latency_ms"),
-      row.getAs[Double]("p95_latency_ms"), row.getAs[Double]("p99_latency_ms"))
+    val (p50, p95, p99) = (row.getAs[Long]("p50_latency_ms_x100"),
+      row.getAs[Long]("p95_latency_ms_x100"), row.getAs[Long]("p99_latency_ms_x100"))
     assert(p50 <= p95 && p95 <= p99)
   }
 
@@ -42,13 +43,15 @@ class MetricsSpec extends SparkSpec {
     val exactAggs = Metrics.metricAggsExact(col("latency_ms"))
     val a = ev.agg(approxAggs.head, approxAggs.tail: _*).head()
     val e = ev.agg(exactAggs.head, exactAggs.tail: _*).head()
+      .getValuesMap[Long](Seq("p50_latency_ms_x100", "p95_latency_ms_x100", "p99_latency_ms_x100"))
+      .map { case (k, v) => k.stripSuffix("_x100") -> v / 100.0 }
     // GK sketch guarantees rank error <= 1/accuracy; translate to a loose
     // value tolerance via the observed spread.
-    val spread = e.getAs[Double]("p99_latency_ms") - e.getAs[Double]("p50_latency_ms")
+    val spread = e("p99_latency_ms") - e("p50_latency_ms")
     Seq("p50_latency_ms", "p95_latency_ms", "p99_latency_ms").foreach { c =>
-      val diff = math.abs(a.getAs[Double](c) - e.getAs[Double](c))
+      val diff = math.abs(a.getAs[Double](c) - e(c))
       assert(diff <= math.max(spread * 0.05, 1000.0),
-        s"$c approx=${a.getAs[Double](c)} exact=${e.getAs[Double](c)}")
+        s"$c approx=${a.getAs[Double](c)} exact=${e(c)}")
     }
   }
 

@@ -16,7 +16,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # Shortest round-trip repr: any cross-engine ulp difference shows.
+        # (The driver's hash compare is at least this strict — r1 proved
+        # %.9g too lenient: it hid sub-integer diffs on 1e9-magnitude
+        # doubles in batch_metrics_bucketed / exp1_summary.)
+        return repr(v)
     return str(v)
 
 
