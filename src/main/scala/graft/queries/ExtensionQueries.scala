@@ -18,6 +18,13 @@ object ExtensionQueries extends QueryPack {
 
   private val JaccardThreshold = 0.5
 
+  /** Cosine floor for the sign-LSH ANN pair query. The fixture embeddings
+    * carry no planted near-duplicates (max pairwise cosine ≈ 0.51 at
+    * sf0.01), so a "near-dup" threshold would make the query vacuously
+    * empty; 0.3 exercises the bucket-join + verify path on real output.
+    */
+  private val AnnMinCos = 0.3
+
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
@@ -112,11 +119,12 @@ object ExtensionQueries extends QueryPack {
       Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, numCells = 16, nprobe = 4, k = 10)),
 
-    // ANN scale path: sign-LSH bucketed candidate pairs (no oracle —
-    // validated against brute force in ScalaTest).
+    // ANN scale path: sign-LSH bucketed candidate pairs, verified by exact
+    // cosine (oracle mirrors the md5-derived hyperplanes; recall vs brute
+    // force additionally tested in ScalaTest).
     "sim_ann_pairs" -> ((s, d) =>
       Similarity.annPairs(embeddings(s, d), "vec_id", "embedding",
-          dims = 64, planes = 8, minCos = 0.7)
+          dims = 64, planes = 8, minCos = AnnMinCos)
         .orderBy("id_a", "id_b")),
 
     // Text quality statistics (tokens, chars, punctuation, stopwords);
@@ -292,6 +300,22 @@ object ExtensionQueries extends QueryPack {
           |        / (a.nrm * qnrm), 6) AS cos_sim
           |FROM assign a JOIN probe USING (cell), q
           |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+      "sim_ann_pairs" ->
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings),
+           |s AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+           |  concat_ws('', list_transform(generate_series(0, 7), pl ->
+           |    CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+           |      v[i] * ((('0x' || substr(md5(pl::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8))::BIGINT
+           |              / 2147483648.0) - 1.0))) >= 0 THEN '1' ELSE '0' END)) AS bucket
+           |  FROM e)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+           |        / (a.nrm * b.nrm), 6) AS cos_sim
+           |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE cos_sim >= $AnnMinCos
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "sim_topk_cosine" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
