@@ -98,6 +98,24 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Token/shingle set as a SORTED array of portable 32-bit hashes — the
+    * staging for [[jaccardHashed]]. Distinct-before-hash keeps the md5
+    * count at one per distinct token; distinct-after-hash makes the result
+    * a true set even under (rare, engine-identical) hash collisions.
+    */
+  def hashSet(toks: Column): Column =
+    sort_array(array_distinct(transform(array_distinct(toks), hash32(_))))
+
+  /** Jaccard over two [[hashSet]] columns via the native two-pointer merge
+    * (`sorted_overlap`) + inclusion-exclusion — no per-pair hash-set
+    * allocation, stays in whole-stage codegen. Evaluated per candidate
+    * pair after LSH/blocking, this is the pairwise hot path at scale.
+    */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val ov = graft.functions.VectorExpressions.sorted_overlap(a, b)
+    ov.cast("double") / (size(a) + size(b) - ov)
+  }
+
   /** SimHash-32 over unigram token hashes: for each bit j, sum +-1 over
     * tokens by bit j of hash32(token); bit j of the sketch is the sign.
     * Bit extraction is floor(h / 2^j) % 2 — 2^j as an exact double power

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector-math hot path.
   *
@@ -66,17 +66,92 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED, de-duplicated `array<long>` columns —
+  * the set-similarity hot path (Jaccard over hashed token/shingle sets).
+  *
+  * `array_intersect`/`array_union` build a hash set per evaluation and
+  * box every element; evaluated once per candidate pair after an LSH or
+  * blocking join, that allocation dominates the query. A two-pointer merge
+  * over pre-sorted primitive arrays is O(n+m) with zero allocation, and
+  * `doGenCode` keeps it inside whole-stage codegen. Callers get Jaccard by
+  * inclusion-exclusion: `ov / (|a| + |b| - ov)` — no union materialized.
+  *
+  * Inputs must be sorted ascending with distinct, non-null elements
+  * (`sort_array(array_distinct(...))` staging); behavior on unsorted input
+  * is unspecified.
+  */
+case class SortedOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (na, nb) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u < v) i += 1
+      else if (u > v) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u < $v) $i++;
+         |  else if ($u > $v) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Column API: dot product of two array<double> columns. */
   def vector_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
 
-  /** SQL registration: `SELECT vector_dot(a, b)`. */
+  /** Column API: intersection size of two sorted-distinct array<long>. */
+  def sorted_overlap(a: Column, b: Column): Column =
+    Bridge.column(SortedOverlapCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQL registration: `SELECT vector_dot(a, b)`, `sorted_overlap(a, b)`. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapCount].getName, "sorted_overlap"),
+      (exprs: Seq[Expression]) => SortedOverlapCount(exprs(0), exprs(1))))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`

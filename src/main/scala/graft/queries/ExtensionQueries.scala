@@ -53,16 +53,18 @@ object ExtensionQueries extends QueryPack {
     "dedup_minhash_pairs" -> ((s, d) => {
       val docs = documents(s, d)
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-      // One materialization of the shingle sets serves both join sides.
+      // One materialization of the sorted shingle-hash sets serves both
+      // join sides; verification is the native sorted-merge Jaccard.
       val toks = docs
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-        .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("toks"))
+        .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("_sh"))
+        .select(col("doc_id"), Dedup.hashSet(col("_sh")).as("toks"))
         .localCheckpoint(false)
       cand
         .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
         .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jac"))
+          round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
         .where(col("jac") >= JaccardThreshold)
         .orderBy("id_a", "id_b")
     }),
@@ -83,13 +85,13 @@ object ExtensionQueries extends QueryPack {
         .select(col("lang"), col("source"), col("doc_id"),
           TextOps.tokens(col("text")).as("_t"))
         .select(col("lang"), col("source"), col("doc_id"),
-          array_distinct(col("_t")).as("toks"))
+          Dedup.hashSet(col("_t")).as("toks"))
       val l = t.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
       val r = t.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
       l.join(r, Seq("lang", "source"))
         .where(col("id_a") < col("id_b"))
         .select(col("lang"), col("source"), col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("toks_a"), col("toks_b")), 6).as("jac"))
+          round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
         .where(col("jac") >= JaccardThreshold)
         .orderBy("id_a", "id_b")
     }),
@@ -235,12 +237,15 @@ object ExtensionQueries extends QueryPack {
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bands a JOIN bands b USING (band_ix, band_key)
            |  WHERE a.doc_id < b.doc_id),
-           |toks AS (SELECT doc_id, $duckShingles AS t FROM documents)
-           |SELECT id_a, id_b,
-           |  round(len(list_intersect(ta.t, tb.t)) /
-           |        len(list_distinct(list_concat(ta.t, tb.t))), 6) AS jac
-           |FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b
-           |WHERE jac >= $JaccardThreshold
+           |toks AS (SELECT doc_id,
+           |         list_distinct(list_transform($duckShingles, t -> ${duckH32("t")})) AS t
+           |         FROM documents),
+           |ov AS (
+           |  SELECT id_a, id_b, len(list_intersect(ta.t, tb.t)) AS o,
+           |         len(ta.t) AS na, len(tb.t) AS nb
+           |  FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b)
+           |SELECT id_a, id_b, round(o / (na + nb - o), 6) AS jac
+           |FROM ov WHERE jac >= $JaccardThreshold
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_simhash" ->
@@ -254,14 +259,18 @@ object ExtensionQueries extends QueryPack {
            |ORDER BY doc_id""".stripMargin,
 
       "ngram_jaccard_pairs" ->
-        s"""WITH t AS (SELECT lang, source, doc_id, list_distinct($duckToks) AS toks
-           |           FROM documents)
-           |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-           |  round(len(list_intersect(a.toks, b.toks)) /
-           |        len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
-           |FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
-           |               AND a.doc_id < b.doc_id
-           |WHERE jac >= $JaccardThreshold
+        s"""WITH t AS (SELECT lang, source, doc_id,
+           |             list_distinct(list_transform(list_distinct($duckToks),
+           |                                          t -> ${duckH32("t")})) AS toks
+           |           FROM documents),
+           |ov AS (
+           |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           |    len(list_intersect(a.toks, b.toks)) AS o,
+           |    len(a.toks) AS na, len(b.toks) AS nb
+           |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+           |                 AND a.doc_id < b.doc_id)
+           |SELECT lang, source, id_a, id_b, round(o / (na + nb - o), 6) AS jac
+           |FROM ov WHERE jac >= $JaccardThreshold
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_embed_pairs" ->

@@ -27,6 +27,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(14.0), None, Some(0.0)))
   }
 
+  test("SortedOverlapCount matches array_intersect size on hashed token sets") {
+    import graft.functions.VectorExpressions.sorted_overlap
+    import graft.ext.{Dedup, TextOps}
+    val t = Tables.documents(spark, sf0001)
+      .select($"doc_id", Dedup.hashSet(TextOps.tokens($"text")).as("h"))
+    val pairs = t.select($"doc_id".as("id_a"), $"h".as("ha"))
+      .crossJoin(t.select($"doc_id".as("id_b"), $"h".as("hb")))
+      .where($"id_a" < $"id_b").limit(500)
+    val diff = pairs.select(
+      (sorted_overlap($"ha", $"hb") =!= size(array_intersect($"ha", $"hb")))
+        .as("bad")).where($"bad").count()
+    assert(diff == 0L)
+  }
+
+  test("SortedOverlapCount null and empty semantics") {
+    import graft.functions.VectorExpressions.sorted_overlap
+    val df = Seq(
+      (Some(Seq(1L, 3L, 5L)), Some(Seq(2L, 3L, 5L, 9L))),
+      (None, Some(Seq(1L))),
+      (Some(Seq.empty[Long]), Some(Seq(1L, 2L))))
+      .toDF("a", "b")
+    val got = df.select(sorted_overlap($"a", $"b")).as[Option[Int]].collect()
+    assert(got.toSeq == Seq(Some(2), None, Some(0)))
+  }
+
   test("Welford typed Aggregator matches built-in var_samp") {
     import graft.functions.WelfordVariance
     val ds = Tables.lineitem(spark, sf0001)
