@@ -79,15 +79,14 @@ object ParityQueries extends QueryPack {
         .orderBy(col("ts_ms"), col("event_id"))),
 
     // W3: lag-gap between consecutive events (the reference's one window
-    // function, analyze_recovery.py:15).
-    "w3_lag_gap" -> ((s, d) => {
-      val w = Window.orderBy(col("ts_ms"), col("event_id"))
-      events(s, d)
-        .select(col("event_id"), tsMillis(col("ts")).as("ts_ms"))
-        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+    // function, analyze_recovery.py:15) — banded implementation: no global
+    // window touches the event table (ops/TimeSeries.lagOverTime).
+    "w3_lag_gap" -> ((s, d) =>
+      graft.ops.TimeSeries.gapToPrev(
+          events(s, d).select(col("event_id"), tsMillis(col("ts")).as("ts_ms")),
+          col("ts_ms"), col("event_id"), width = 3600L * 1000)
         .select(col("event_id"), col("gap_ms"))
-        .orderBy("event_id")
-    }),
+        .orderBy("event_id")),
 
     // A7/W4: argmax row — largest inter-batch gap = the recovery event.
     "exp3_recovery" -> ((s, d) => {

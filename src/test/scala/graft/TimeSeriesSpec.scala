@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banded lagOverTime matches the global window exactly (incl. ties)") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", unix_millis($"ts").as("ts_ms"))
+    val global = ev
+      .withColumn("prev", lag($"ts_ms", 1).over(Window.orderBy($"ts_ms", $"event_id")))
+      .select($"event_id", $"prev").as[(String, Option[Long])].collect().toMap
+    // narrow bands on purpose: many boundary rows exercise the fill path
+    val banded = TimeSeries.lagOverTime(ev, $"ts_ms", $"event_id", width = 60L * 1000)
+      .select($"event_id", $"_prev_ts").as[(String, Option[Long])].collect().toMap
+    assert(banded == global)
+  }
+
+  test("gapToPrev: single null gap for the first event, rest non-negative") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", unix_millis($"ts").as("ts_ms"))
+    val gaps = TimeSeries.gapToPrev(ev, $"ts_ms", $"event_id", width = 3600L * 1000)
+      .select($"gap_ms").as[Option[Long]].collect()
+    assert(gaps.count(_.isEmpty) == 1)
+    assert(gaps.flatten.forall(_ >= 0))
+  }
+}
