@@ -138,4 +138,47 @@ object Dedup {
 
   /** Hamming distance between two simhash sketches (bit-count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected near-duplicate edge list:
+    * the step that turns verified pairs into dedup CLUSTERS (keep one doc
+    * per component). Iterative min-label propagation with pointer jumping
+    * (label ← label(label)), the alternating-star idea of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC 2014): each
+    * round is two key-equi joins + a min-aggregate — all hash-shuffles on
+    * ids, no global structure — and pointer jumping makes convergence
+    * O(log diameter) rounds, so chain-shaped clusters don't serialize.
+    * Near-dup graphs are almost all tiny cliques: 2-4 rounds in practice.
+    *
+    * Returns (node, label) with label = min node id of the component —
+    * deterministic. Driver only orchestrates the loop (a `limit(1)` probe
+    * per round); per-round state is localCheckpointed to cut lineage.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(false)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(false)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val propagated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: label <- label(label); every label is a node id,
+      // so the self-join always resolves.
+      val jumped = propagated.as("x")
+        .join(propagated.as("y"), col("x.label") === col("y.node"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("y.label"), col("x.label")).as("label"))
+        .localCheckpoint(false)
+      converged = jumped.join(labels.withColumnRenamed("label", "_old"), "node")
+        .where(col("label") =!= col("_old")).limit(1).isEmpty
+      labels = jumped
+      it += 1
+    }
+    labels
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
@@ -29,6 +30,27 @@ object ExtensionQueries extends QueryPack {
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** MinHash-LSH candidates verified by exact (hashed-shingle-set) Jaccard
+    * — shared by the pair query and the clustering query. One
+    * materialization of the sorted shingle-hash sets serves both join
+    * sides; verification is the native sorted-merge Jaccard.
+    */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("_sh"))
+      .select(col("doc_id"), Dedup.hashSet(col("_sh")).as("toks"))
+      .localCheckpoint(false)
+    cand
+      .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
+      .where(col("jac") >= JaccardThreshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via md5 grouping — shuffles 16-byte keys, not documents.
     "dedup_exact" -> ((s, d) =>
@@ -50,24 +72,15 @@ object ExtensionQueries extends QueryPack {
 
     // LSH candidate pairs + exact-Jaccard verification in shingle space
     // (the space the signatures sketch).
-    "dedup_minhash_pairs" -> ((s, d) => {
-      val docs = documents(s, d)
-      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-      // One materialization of the sorted shingle-hash sets serves both
-      // join sides; verification is the native sorted-merge Jaccard.
-      val toks = docs
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-        .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("_sh"))
-        .select(col("doc_id"), Dedup.hashSet(col("_sh")).as("toks"))
-        .localCheckpoint(false)
-      cand
-        .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-        .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
-        .where(col("jac") >= JaccardThreshold)
-        .orderBy("id_a", "id_b")
-    }),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      minhashVerifiedPairs(s, d).orderBy("id_a", "id_b")),
+
+    // Pairs -> dedup clusters: connected components by min-label
+    // propagation + pointer jumping (Dedup.connectedComponents).
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(minhashVerifiedPairs(s, d), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")),
 
     // SimHash sketch per document (tokens/hashes staged as attributes so
     // the 32-bit loop doesn't re-split/re-hash per bit).
@@ -128,6 +141,37 @@ object ExtensionQueries extends QueryPack {
       Similarity.annPairs(embeddings(s, d), "vec_id", "embedding",
           dims = 64, planes = 8, minCos = AnnMinCos)
         .orderBy("id_a", "id_b")),
+
+    // Deterministic stratified sampling: fixed-n per stratum, ordered by a
+    // portable content-independent hash of the key — reproducible across
+    // runs/engines, no RNG state. Per-stratum windows partition cleanly;
+    // no global ordering anywhere.
+    "sample_stratified" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          TextOps.hash32(col("doc_id").cast("string")).as("_h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("_h"), col("doc_id"))))
+        .where(col("rn") <= 50)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "doc_id")),
+
+    // Quantile bucketing (token-count deciles): boundaries from ONE global
+    // aggregate (a 9-element array), broadcast, assignment by comparison —
+    // the scale-correct alternative to ntile's global window. Boundaries
+    // are snapped to x100 integers so cross-engine interpolation noise
+    // can't move a document across a decile edge.
+    "quantile_bucket_tokens" -> ((s, d) => {
+      val nt = documents(s, d)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val bounds = nt
+        .agg(percentile(col("n_tokens"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("_q"))
+        .select(transform(col("_q"), q => round(q * 100, 0).cast("long")).as("_qx"))
+      nt.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(col("_qx"), b => col("n_tokens").cast("long") * 100 >= b)).as("decile"))
+        .orderBy("doc_id")
+    }),
 
     // Text quality statistics (tokens, chars, punctuation, stopwords);
     // the token array is staged once and reused by every feature.
@@ -212,6 +256,29 @@ object ExtensionQueries extends QueryPack {
     }.mkString(",\n  ")
     val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
     val bandKey1 = "concat_ws(':', sig_4, sig_5, sig_6, sig_7)"
+    // CTE chain ending in `pairs` = LSH candidates verified by
+    // hashed-shingle-set Jaccard (mirrors minhashVerifiedPairs); shared by
+    // the pair and clustering oracles.
+    val minhashPairCtes =
+      s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM documents),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_ix, $bandKey0 AS band_key FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_ix, $bandKey1 AS band_key FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_ix, band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |toks AS (SELECT doc_id,
+         |         list_distinct(list_transform($duckShingles, t -> ${duckH32("t")})) AS t
+         |         FROM documents),
+         |ov AS (
+         |  SELECT id_a, id_b, len(list_intersect(ta.t, tb.t)) AS o,
+         |         len(ta.t) AS na, len(tb.t) AS nb
+         |  FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b),
+         |pairs AS (
+         |  SELECT id_a, id_b, round(o / (na + nb - o), 6) AS jac
+         |  FROM ov WHERE round(o / (na + nb - o), 6) >= $JaccardThreshold)""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -228,25 +295,20 @@ object ExtensionQueries extends QueryPack {
         s"SELECT doc_id,\n  $sigCols\nFROM documents ORDER BY doc_id",
 
       "dedup_minhash_pairs" ->
-        s"""WITH sig AS (SELECT doc_id,\n  $sigCols\nFROM documents),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band_ix, $bandKey0 AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, 1 AS band_ix, $bandKey1 AS band_key FROM sig),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b USING (band_ix, band_key)
-           |  WHERE a.doc_id < b.doc_id),
-           |toks AS (SELECT doc_id,
-           |         list_distinct(list_transform($duckShingles, t -> ${duckH32("t")})) AS t
-           |         FROM documents),
-           |ov AS (
-           |  SELECT id_a, id_b, len(list_intersect(ta.t, tb.t)) AS o,
-           |         len(ta.t) AS na, len(tb.t) AS nb
-           |  FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b)
-           |SELECT id_a, id_b, round(o / (na + nb - o), 6) AS jac
-           |FROM ov WHERE jac >= $JaccardThreshold
+        s"""WITH $minhashPairCtes
+           |SELECT id_a, id_b, jac FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(n, m) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
+           |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
 
       "dedup_simhash" ->
         s"""SELECT doc_id,
@@ -342,6 +404,23 @@ object ExtensionQueries extends QueryPack {
         """SELECT vec_id,
           |  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "sample_stratified" ->
+        s"""SELECT lang, doc_id, rn FROM (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY ${duckH32("doc_id::VARCHAR")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+      "quantile_bucket_tokens" ->
+        s"""WITH nt AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),
+           |q AS (SELECT list_transform(
+           |        quantile_cont(n_tokens, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           |        x -> CAST(round(x * 100, 0) AS BIGINT)) AS qx FROM nt)
+           |SELECT doc_id, n_tokens,
+           |  len(list_filter(qx, b -> n_tokens * 100 >= b)) AS decile
+           |FROM nt, q ORDER BY doc_id""".stripMargin,
 
       "text_stats" ->
         s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)

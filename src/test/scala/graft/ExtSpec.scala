@@ -142,4 +142,23 @@ class ExtSpec extends SparkSpec {
       .map(f => f.doc_id -> f).toMap
     assert(again == feats)
   }
+
+  test("connectedComponents: chain, clique, and pair resolve to min-id labels") {
+    // chain 1-2-3-4 (diameter 3 exercises pointer jumping), clique {10,11,12},
+    // isolated pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles a long chain within maxIter (log-diameter)") {
+    val n = 64
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
 }
