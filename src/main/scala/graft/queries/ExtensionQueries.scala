@@ -220,6 +220,48 @@ object ExtensionQueries extends QueryPack {
         .select(col("doc_id"), TextOps.langId(col("_toks")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // TF-IDF: the classic term-weighting pipeline — explode, two grouped
+    // aggregates (term frequency, document frequency), a broadcast corpus
+    // count, and a per-document top-3 by the ROUNDED score (rounding
+    // before ranking keeps cross-engine ln() ulp noise out of the order).
+    // All shuffles are keyed by doc/term — no global structure.
+    "text_tfidf_top_terms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dlen"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(dlen, Seq("doc_id"))
+        .join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round((col("cnt").cast("double") / col("dlen")) *
+            log(col("n_docs").cast("double") / col("dfreq")), 6).as("tfidf"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Corpus n-gram statistics: top-5 word bigrams per language — pure
+    // integer counts, grouped + per-key ranked (no global ordering).
+    "ngram_top_bigrams" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("lang"),
+          explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bigram"))
+        .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      bg.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))))
+        .where(col("rk") <= 5)
+        .select(col("lang"), col("bigram"), col("n"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // Order-sensitive rolling-hash fingerprint.
     "text_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -458,6 +500,34 @@ object ExtensionQueries extends QueryPack {
            |SELECT doc_id, CASE\n    $cases\n    ELSE 'und' END AS lang_pred
            |FROM s ORDER BY doc_id""".stripMargin
       },
+
+      "text_tfidf_top_terms" ->
+        s"""WITH tf AS (
+           |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+           |tfc AS (SELECT doc_id, term, count(*) AS cnt FROM tf GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, sum(cnt) AS dlen FROM tfc GROUP BY 1),
+           |dfreq AS (SELECT term, count(*) AS dfreq FROM tfc GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tfc.doc_id, tfc.term,
+           |    round((cnt::DOUBLE / dlen) * ln(n_docs::DOUBLE / dfreq), 6) AS tfidf
+           |  FROM tfc JOIN dlen USING (doc_id) JOIN dfreq USING (term), n)
+           |SELECT doc_id, term, tfidf, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY tfidf DESC, term) AS rk FROM scored)
+           |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+      "ngram_top_bigrams" ->
+        s"""WITH t AS (SELECT lang, $duckToks AS toks FROM documents),
+           |bg AS (
+           |  SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           |  FROM t),
+           |c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+           |SELECT lang, bigram, n, rk FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY n DESC, bigram) AS rk FROM c)
+           |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,

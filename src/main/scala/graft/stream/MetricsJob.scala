@@ -147,6 +147,29 @@ object MetricsJob {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — the remaining §2.6 "absent feature":
+    * correlate two event streams on a key within a bounded event-time
+    * interval (right event in `[left_time, left_time + windowSec]`).
+    * BOTH sides are watermarked and the join condition bounds their
+    * event-time distance — the only shape under which Spark can purge
+    * join state as watermarks advance; an unbounded-condition
+    * stream-stream join would grow state forever. Column names are
+    * prefixed per side so the join output is unambiguous.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+      watermark: String = "10 minutes", windowSec: Long = 300L): DataFrame = {
+    val l = left.select(left.columns.map(c => col(c).as(s"l_$c")): _*)
+      .withColumn("l_time", timestamp_millis(col(s"l_created_ts")))
+      .withWatermark("l_time", watermark)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .withColumn("r_time", timestamp_millis(col(s"r_created_ts")))
+      .withWatermark("r_time", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_time") >= col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   /** Event-time windowed aggregation with watermark — the streaming
     * extension beyond reference parity (SURVEY §2.6 "absent features"):
     * tumbling windows over `created_ts`, late data bounded by the

@@ -138,4 +138,27 @@ class StreamingSpec extends SparkSpec {
     val n = spark.read.option("header", "true").csv(outDir).count()
     assert(n == 2L, s"restart must append exactly one new row, got $n total")
   }
+
+  test("stream-stream interval join correlates within the time bound only") {
+    val clicks = MemoryStream[String](spark)
+    val errors = MemoryStream[String](spark)
+    val joined = MetricsJob.correlate(
+      MetricsJob.parse(clicks.toDF()), MetricsJob.parse(errors.toDF()),
+      key = "user_id", windowSec = 60L)
+    val q = joined
+      .select($"l_event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    try {
+      // click at t=100s; errors at t=130s (in window), t=200s (outside),
+      // and t=130s for another user (key mismatch)
+      clicks.addData(jsonEvent("c1", 100000L))
+      errors.addData(jsonEvent("e_in", 130000L),
+        jsonEvent("e_late", 200000L),
+        s"""{"event_id":"e_other","created_ts":130000,"user_id":2,"event_type":"error","value":0,"payload":"x"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("correlated").as[(String, String)].collect().toSet
+    assert(got == Set(("c1", "e_in")))
+  }
 }
