@@ -251,9 +251,12 @@ object ExtensionQueries extends QueryPack {
     // Corpus n-gram statistics: top-5 word bigrams per language — pure
     // integer counts, grouped + per-key ranked (no global ordering).
     "ngram_top_bigrams" -> ((s, d) => {
+      // tokens staged as an attribute: inlining them into the bigram
+      // lambda re-runs the regex split per element_at access (the HOF
+      // staging pitfall — lambdas re-evaluate inlined children).
       val bg = documents(s, d)
-        .select(col("lang"),
-          explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("bigram"))
+        .select(col("lang"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("lang"), explode(TextOps.bigrams(col("_t"))).as("bigram"))
         .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
       bg.withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))))
