@@ -532,6 +532,42 @@ object ExtensionQueries extends QueryPack {
            |    ORDER BY n DESC, bigram) AS rk FROM c)
            |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
+      // The multimodal stub codec is exact byte arithmetic over the UTF-8
+      // payload (ASCII fixture text ⇒ ascii(char) == byte), so even the
+      // "decode" path oracle-checks: every query in the engine now has an
+      // exact DuckDB twin.
+      "multimodal_decode" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    octet_length(encode(text)) AS n_bytes,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(generate_series(1, length(text)),
+          |                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          |      (a, c) -> (a * 31 + c) % 2147483647) AS checksum
+          |  FROM documents)
+          |SELECT doc_id, n_bytes,
+          |  CAST(checksum % 1920 + 1 AS INT) AS width,
+          |  CAST((checksum // 1920) % 1080 + 1 AS INT) AS height,
+          |  CAST(checksum % 3 + 1 AS INT) AS channels,
+          |  checksum
+          |FROM f ORDER BY doc_id""".stripMargin,
+
+      "multimodal_frames" ->
+        """WITH f AS (
+          |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+          |fr AS (
+          |  SELECT doc_id, text, n,
+          |    unnest(list_filter(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1),
+          |                       ix -> ix % 4 = 0)) AS frame_ix
+          |  FROM f WHERE n > 0)
+          |SELECT doc_id, CAST(frame_ix AS INT) AS frame_ix, frame_ix * 64 AS offset,
+          |  CAST(least(CAST(64 AS BIGINT), n - frame_ix * 64) AS INT) AS n_bytes,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(generate_series(1, CAST(least(CAST(64 AS BIGINT), n - frame_ix * 64) AS INT)),
+          |      i -> CAST(ascii(substr(text, CAST(frame_ix * 64 + i AS INT), 1)) AS BIGINT))),
+          |    (a, c) -> (a * 31 + c) % 2147483647) AS checksum
+          |FROM fr ORDER BY doc_id, frame_ix""".stripMargin,
+
       "text_fingerprint" ->
         s"""SELECT doc_id,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
