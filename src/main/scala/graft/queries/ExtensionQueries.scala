@@ -294,18 +294,30 @@ object ExtensionQueries extends QueryPack {
          |     ELSE list_distinct(list_transform(
          |       generate_series(1, len($duckToks) - ${Dedup.ShingleN - 1}),
          |       i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) END""".stripMargin
-    // MinHash signature column list, shared by two oracles.
+    // MinHash signature columns over a PRE-HASHED shingle set `t` (computed
+    // once in a CTE — inlining $duckShingles into all 8 signatures re-runs
+    // the tokenize+shingle+md5 pipeline 8x; min over the distinct set
+    // equals min over the raw multiset, so results are unchanged).
     val sigCols = (0 until Dedup.MinhashK).map { i =>
-      s"list_min(list_transform($duckShingles, t -> " +
-        s"(${Dedup.minhashA(i)} * ${duckH32("t")} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS sig_$i"
+      s"list_min(list_transform(t, x -> " +
+        s"(${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS sig_$i"
     }.mkString(",\n  ")
+    // doc_id -> hashed shingle set, shared by signatures and Jaccard.
+    // MATERIALIZED: referenced 3x (and from a recursive CTE in the
+    // clustering oracle, where un-materialized CTEs re-evaluate per
+    // reference — measured 13x slower).
+    val duckShingleHashes =
+      s"""sh AS MATERIALIZED (SELECT doc_id,
+         |       list_distinct(list_transform($duckShingles, s -> ${duckH32("s")})) AS t
+         |       FROM documents)""".stripMargin
     val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
     val bandKey1 = "concat_ws(':', sig_4, sig_5, sig_6, sig_7)"
     // CTE chain ending in `pairs` = LSH candidates verified by
     // hashed-shingle-set Jaccard (mirrors minhashVerifiedPairs); shared by
     // the pair and clustering oracles.
     val minhashPairCtes =
-      s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM documents),
+      s"""$duckShingleHashes,
+         |sig AS (SELECT doc_id,\n  $sigCols\nFROM sh),
          |bands AS (
          |  SELECT doc_id, 0 AS band_ix, $bandKey0 AS band_key FROM sig
          |  UNION ALL
@@ -314,14 +326,11 @@ object ExtensionQueries extends QueryPack {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b USING (band_ix, band_key)
          |  WHERE a.doc_id < b.doc_id),
-         |toks AS (SELECT doc_id,
-         |         list_distinct(list_transform($duckShingles, t -> ${duckH32("t")})) AS t
-         |         FROM documents),
          |ov AS (
          |  SELECT id_a, id_b, len(list_intersect(ta.t, tb.t)) AS o,
          |         len(ta.t) AS na, len(tb.t) AS nb
-         |  FROM cand JOIN toks ta ON ta.doc_id = id_a JOIN toks tb ON tb.doc_id = id_b),
-         |pairs AS (
+         |  FROM cand JOIN sh ta ON ta.doc_id = id_a JOIN sh tb ON tb.doc_id = id_b),
+         |pairs AS MATERIALIZED (
          |  SELECT id_a, id_b, round(o / (na + nb - o), 6) AS jac
          |  FROM ov WHERE round(o / (na + nb - o), 6) >= $JaccardThreshold)""".stripMargin
 
@@ -337,7 +346,7 @@ object ExtensionQueries extends QueryPack {
           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
       "dedup_minhash_sig" ->
-        s"SELECT doc_id,\n  $sigCols\nFROM documents ORDER BY doc_id",
+        s"WITH $duckShingleHashes\nSELECT doc_id,\n  $sigCols\nFROM sh ORDER BY doc_id",
 
       "dedup_minhash_pairs" ->
         s"""WITH $minhashPairCtes
@@ -346,7 +355,7 @@ object ExtensionQueries extends QueryPack {
 
       "dedup_clusters" ->
         s"""WITH RECURSIVE $minhashPairCtes,
-           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
            |        UNION SELECT id_b, id_a FROM pairs),
            |reach(n, m) AS (
            |  SELECT a, b FROM sym
