@@ -119,6 +119,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd (k-means) refinement iteration over an IVF assignment:
+    * new centroid = per-cell mean of member vectors, computed as a
+    * grouped aggregate over (cell, dimension) rows — posexplode turns the
+    * vector column into rows so the mean is a plain partial-aggregated
+    * `avg`, shuffling only (cell, dim) keys. At scale this is the
+    * canonical iterative-ML shape: assignment (broadcast centroids, no
+    * shuffle) + refinement (one keyed shuffle per iteration).
+    * Output: (cell, dim, centroid) rounded to 6 (O(1) magnitude).
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCells: Int): DataFrame = {
+    val assign = ivfAssign(embeddings, idCol, vecCol, numCells)
+    assign
+      .select(col("cell"), posexplode(col("vecd")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("centroid"))
+  }
+
   /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose
     * components are derived deterministically from hash32(plane:dim) mapped
     * to [-1, 1); the signature is the concatenation of dot-product signs.

@@ -134,6 +134,13 @@ object ExtensionQueries extends QueryPack {
       Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, numCells = 16, nprobe = 4, k = 10)),
 
+    // One Lloyd iteration refining the IVF centroids — the iterative-ML
+    // plan shape (broadcast assignment + one keyed shuffle).
+    "sim_kmeans_centroids" -> ((s, d) =>
+      Similarity.kmeansCentroids(embeddings(s, d), "vec_id", "embedding",
+          numCells = 16)
+        .orderBy("cell", "dim")),
+
     // ANN scale path: sign-LSH bucketed candidate pairs, verified by exact
     // cosine (oracle mirrors the md5-derived hyperplanes; recall vs brute
     // force additionally tested in ScalaTest).
@@ -310,6 +317,21 @@ object ExtensionQueries extends QueryPack {
       s"""sh AS MATERIALIZED (SELECT doc_id,
          |       list_distinct(list_transform($duckShingles, s -> ${duckH32("s")})) AS t
          |       FROM documents)""".stripMargin
+    // IVF assignment CTEs (mirrors Similarity.ivfAssign), shared by the
+    // topk and kmeans oracles.
+    val duckIvfAssign =
+      """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
+        |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
+        |          / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM n a, cent c),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
     val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
     val bandKey1 = "concat_ws(':', sig_4, sig_5, sig_6, sig_7)"
     // CTE chain ending in `pairs` = LSH candidates verified by
@@ -402,18 +424,7 @@ object ExtensionQueries extends QueryPack {
           |ORDER BY id_a, id_b""".stripMargin,
 
       "sim_ivf_topk" ->
-        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |           FROM embeddings),
-          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-          |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-          |scored AS (
-          |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
-          |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
-          |          / (a.nrm * c.cnrm), 6) AS ccos
-          |  FROM n a, cent c),
-          |assign AS (
-          |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
-          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1),
+        s"""WITH $duckIvfAssign,
           |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
           |probe AS (
           |  SELECT cell_id AS cell FROM cent, q
@@ -441,6 +452,13 @@ object ExtensionQueries extends QueryPack {
            |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE cos_sim >= $AnnMinCos
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "sim_kmeans_centroids" ->
+        s"""WITH $duckIvfAssign,
+           |x AS (SELECT cell, unnest(generate_series(1, len(v))) AS d, unnest(v) AS val
+           |      FROM assign)
+           |SELECT cell, d - 1 AS dim, round(avg(val), 6) AS centroid
+           |FROM x GROUP BY cell, d ORDER BY cell, dim""".stripMargin,
 
       "sim_topk_cosine" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
