@@ -34,6 +34,11 @@ object Sessions {
     *    100 TB (400k splits instead of 800k at the 128m default).
     *  - broadcast threshold stays default (10m): constant-size dims
     *    (nation/region) broadcast; anything scaling with data must not.
+    *  - runtime bloom-filter join reduction ON: a selective dim filter
+    *    (q3/q5-shaped joins) becomes a bloom filter pushed into the fact
+    *    scan, dropping non-joining rows before the shuffle — at 100 TB
+    *    that is the difference between shuffling the table and shuffling
+    *    the match set.
     *  - session TZ pinned UTC for deterministic time semantics.
     */
   def clusterBuilder(appName: String = "graft"): SparkSession.Builder =
@@ -43,6 +48,7 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.functions.GraftExtensions)
 }
