@@ -52,12 +52,19 @@ object Dedup {
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), shingleSet(col("_toks"), ShingleN).as("_shingles"))
       .select(col(idCol), transform(col("_shingles"), hash32(_)).as("_hashes"))
-    val sigs = (0 until k).map { i =>
-      array_min(transform(col("_hashes"),
+    staged.select(col(idCol) +: signaturesFromHashes(col("_hashes"), k): _*)
+  }
+
+  /** Signature columns over a pre-staged shingle-hash array. `array_min`
+    * of an affine map is identical over the raw hash multiset and its
+    * distinct set, so a [[hashSet]] staging (already needed for Jaccard
+    * verification) can feed the signatures too — one md5 pass serves both.
+    */
+  def signaturesFromHashes(hashes: Column, k: Int = MinhashK): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(hashes,
         h => pmod(lit(minhashA(i)) * h + lit(minhashB(i)), lit(MinhashP)))).as(s"sig_$i")
     }
-    staged.select(col(idCol) +: sigs: _*)
-  }
 
   /** LSH banding: group the k signature components into `bands` bands and
     * emit (band_index, band_key, id). Near-duplicates agree on at least one

@@ -36,13 +36,23 @@ object ExtensionQueries extends QueryPack {
     * sides; verification is the native sorted-merge Jaccard.
     */
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
-    val toks = docs
+    // ONE tokenize+shingle+md5 pass: the sorted hash set feeds both the
+    // minhash signatures (min over the distinct set == min over the raw
+    // multiset) and the Jaccard verification join.
+    val toks = documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
       .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("_sh"))
       .select(col("doc_id"), Dedup.hashSet(col("_sh")).as("toks"))
       .localCheckpoint(false)
+    val sigs = toks.select(col("doc_id") +: Dedup.signaturesFromHashes(col("toks")): _*)
+    val cand = {
+      val b = Dedup.minhashBands(sigs, "doc_id")
+      val l = b.select(col("band_ix"), col("band_key"), col("doc_id").as("id_a"))
+      val r = b.select(col("band_ix"), col("band_key"), col("doc_id").as("id_b"))
+      l.join(r, Seq("band_ix", "band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     cand
       .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
@@ -50,6 +60,22 @@ object ExtensionQueries extends QueryPack {
         round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
       .where(col("jac") >= JaccardThreshold)
   }
+
+  /** (doc_id, quality) — the composite quality score, shared by the score
+    * query and the dedup survivor selection.
+    */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("double").as("_nt"),
+        length(col("text")).cast("double").as("_nc"),
+        TextOps.punctCount(col("text")).cast("double").as("_np"),
+        TextOps.stopwordCount(col("_toks")).cast("double").as("_ns"))
+      .select(col("doc_id"),
+        round(least(col("_nt") / 100.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - col("_np") / col("_nc")) * 0.4 +
+          (col("_ns") / col("_nt")) * 0.3, 6).as("quality"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via md5 grouping — shuffles 16-byte keys, not documents.
@@ -199,18 +225,22 @@ object ExtensionQueries extends QueryPack {
     // (1 - punctuation ratio) and stopword naturalness — the cheap
     // pre-filter a training-data pipeline runs before expensive scoring.
     "text_quality_score" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"),
-          size(col("_toks")).cast("double").as("_nt"),
-          length(col("text")).cast("double").as("_nc"),
-          TextOps.punctCount(col("text")).cast("double").as("_np"),
-          TextOps.stopwordCount(col("_toks")).cast("double").as("_ns"))
-        .select(col("doc_id"),
-          round(least(col("_nt") / 100.0, lit(1.0)) * 0.3 +
-            (lit(1.0) - col("_np") / col("_nc")) * 0.4 +
-            (col("_ns") / col("_nt")) * 0.3, 6).as("quality"))
-        .orderBy("doc_id")),
+      qualityScored(s, d).orderBy("doc_id")),
+
+    // The full dedup pipeline end-to-end: LSH pairs -> connected-component
+    // clusters -> ONE survivor per cluster, chosen by (quality desc,
+    // doc_id) — per-cluster windows only, every stage a keyed join/agg.
+    "dedup_survivors" -> ((s, d) => {
+      val clusters = Dedup.connectedComponents(minhashVerifiedPairs(s, d), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      clusters.join(qualityScored(s, d), Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"), col("quality"))
+        .orderBy("cluster_id")
+    }),
 
     // Token counting both ways: whitespace and BPE-ish regex runs.
     "text_token_counts" -> ((s, d) =>
@@ -332,6 +362,18 @@ object ExtensionQueries extends QueryPack {
         |assign AS (
         |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
+    // Quality-score CTE chain ending in `quality` (mirrors qualityScored),
+    // shared by the score and dedup-survivor oracles.
+    val duckQualityCtes =
+      s"""tq AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |fq AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+         |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
+         |FROM tq),
+         |quality AS (SELECT doc_id,
+         |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
+         |FROM fq)""".stripMargin
     val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
     val bandKey1 = "concat_ws(':', sig_4, sig_5, sig_6, sig_7)"
     // CTE chain ending in `pairs` = LSH candidates verified by
@@ -503,15 +545,26 @@ object ExtensionQueries extends QueryPack {
            |FROM t ORDER BY doc_id""".stripMargin,
 
       "text_quality_score" ->
-        s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
-           |f AS (SELECT doc_id,
-           |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
-           |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
-           |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
-           |FROM t)
-           |SELECT doc_id,
-           |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
-           |FROM f ORDER BY doc_id""".stripMargin,
+        s"""WITH $duckQualityCtes
+           |SELECT doc_id, quality FROM quality ORDER BY doc_id""".stripMargin,
+
+      "dedup_survivors" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(n, m) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+           |clusters AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |             FROM reach GROUP BY n),
+           |$duckQualityCtes
+           |SELECT cluster_id, doc_id AS keep_id, quality FROM (
+           |  SELECT c.cluster_id, c.doc_id, q.quality,
+           |    row_number() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.quality DESC, c.doc_id) AS rk
+           |  FROM clusters c JOIN quality q USING (doc_id))
+           |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
       "text_token_counts" ->
         s"""SELECT doc_id, len($duckToks) AS n_ws_tokens,
