@@ -165,25 +165,31 @@ object Dedup {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(false)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(false)
+    // Seed label = min(node, direct neighbors) — one aggregate, no join:
+    // a free first propagation round. Cliques and pairs (the typical
+    // near-dup cluster shapes) are already converged here.
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .localCheckpoint(false)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // `_old` rides along so the convergence probe is a scan of the
+      // checkpointed frame, not another join.
       val propagated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("node"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jumping: label <- label(label); every label is a node id,
       // so the self-join always resolves.
       val jumped = propagated.as("x")
         .join(propagated.as("y"), col("x.label") === col("y.node"), "left")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x._old").as("_old"),
           coalesce(col("y.label"), col("x.label")).as("label"))
         .localCheckpoint(false)
-      converged = jumped.join(labels.withColumnRenamed("label", "_old"), "node")
-        .where(col("label") =!= col("_old")).limit(1).isEmpty
-      labels = jumped
+      converged = jumped.where(col("label") =!= col("_old")).limit(1).isEmpty
+      labels = jumped.drop("_old")
       it += 1
     }
     labels
