@@ -264,9 +264,12 @@ object ExtensionQueries extends QueryPack {
     // All shuffles are keyed by doc/term — no global structure.
     "text_tfidf_top_terms" -> ((s, d) => {
       val docs = documents(s, d)
+      // tf feeds three consumers (dlen, dfreq, the score join) — one
+      // materialization instead of three explode+aggregate passes.
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
       val dlen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dlen"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
