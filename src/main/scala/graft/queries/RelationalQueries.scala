@@ -137,6 +137,22 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE-frame window: value-based frame bounds (all events within the
+    // trailing 5 minutes of THIS row's time), vs the ROWS frames above —
+    // the sliding-aggregate shape for per-key telemetry. Per-user
+    // partitions keep frames bounded and parallel.
+    "window_range_moving_avg" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), tsMillis(col("ts")).as("ts_ms"),
+          col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-300000L, Window.currentRow)
+      ev.withColumn("moving_avg", round(avg(col("value")).over(w), 6))
+        .withColumn("n_in_window", count(lit(1)).over(w))
+        .select(col("event_id"), col("moving_avg"), col("n_in_window"))
+        .orderBy("event_id")
+    }),
+
     // ROLLUP: hierarchical subtotals (grand total included).
     "rollup_pricing" -> ((s, d) =>
       lineitem(s, d)
@@ -357,6 +373,15 @@ object RelationalQueries extends QueryPack {
         |                                ORDER BY o_orderdate, o_orderkey
         |                                ROWS UNBOUNDED PRECEDING), 2) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_range_moving_avg" ->
+      """SELECT event_id,
+        |  round(avg(value) OVER w, 6) AS moving_avg,
+        |  count(*) OVER w AS n_in_window
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
