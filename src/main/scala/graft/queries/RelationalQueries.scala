@@ -221,6 +221,37 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // FULL OUTER join: per-nation customer vs supplier counts — either
+    // side may be missing; keys coalesced. (Two pre-aggregated inputs, so
+    // the outer join runs on nation-sized frames, not fact tables.)
+    "full_outer_nation_counts" -> ((s, d) => {
+      val c = customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sup = supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    }),
+
+    // The full ranking family over one deterministic total order:
+    // ntile (depends on row order — the custkey tiebreak makes it
+    // engine-stable), dense_rank, percent_rank, cume_dist.
+    "window_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Statistical aggregates (Welford-style variance, correlation).
     "stats_aggs" -> ((s, d) =>
       lineitem(s, d)
@@ -436,6 +467,27 @@ object RelationalQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "full_outer_nation_counts" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "window_rank_family" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  dense_rank() OVER w AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "stats_aggs" ->
       """SELECT l_returnflag,
