@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries}
+
+/** Executable plan audits: the scale claims in SURVEY §8 as assertions,
+  * so a refactor that silently de-broadcasts a dim, un-prunes a scan, or
+  * drops the native expression from a hot path fails CI instead of only
+  * showing up in a bench regression.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(pack: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame],
+      name: String): (String, DataFrame) = {
+    val df = pack(name)(spark, sf0001)
+    (df.queryExecution.executedPlan.toString, df)
+  }
+
+  test("q5: dims broadcast, no dim-side shuffle join") {
+    val (p, _) = plan(RelationalQueries.queries, "q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("q1: aggregation is partial before the shuffle") {
+    val (p, _) = plan(RelationalQueries.queries, "q1_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      "expected map-side partial aggregation")
+  }
+
+  test("p3: parquet scan prunes to the referenced columns") {
+    val (p, _) = plan(ParityQueries.queries, "p3_latency")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail(s"no scan in plan:\n$p"))
+    // events has 6+ columns; only the two referenced ones may be read
+    assert(readSchema.contains("event_id") && readSchema.contains("ts"),
+      readSchema)
+    assert(!readSchema.contains("event_type") && !readSchema.contains("user_id"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("jaccard pair queries verify with the native sorted_overlap") {
+    for (q <- Seq("ngram_jaccard_pairs", "dedup_minhash_pairs")) {
+      val (p, _) = plan(ExtensionQueries.queries, q)
+      assert(p.contains("sorted_overlap"), s"$q lost the native merge expression")
+    }
+  }
+
+  test("similarity queries use the native vector_dot, not interpreted folds") {
+    for (q <- Seq("sim_topk_cosine", "sim_ann_pairs")) {
+      val (p, _) = plan(ExtensionQueries.queries, q)
+      assert(p.contains("vector_dot"), s"$q lost the native dot product")
+    }
+  }
+
+  test("w3 banded lag: every data-side window is partitioned") {
+    val (p, _) = plan(ParityQueries.queries, "w3_lag_gap")
+    // the band-level boundary window is the only global one, and it runs
+    // over the one-row-per-band frame produced by the aggregate
+    assert(p.linesIterator.exists(_.contains("Window ")))
+    assert(p.contains("hashpartitioning(_band"),
+      "data-side lag must partition by the time band")
+  }
+
+  test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.stream.Sessionize.batch(
+      Tables.events(spark, sf0001)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id")),
+      gapMs = 1800 * 1000L)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$p")
+  }
+}
