@@ -153,6 +153,20 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // GROUPING SETS: arbitrary grouping combinations in one pass (the
+    // general form behind cube/rollup), with grouping_id disambiguating
+    // which set produced each row — Spark expands to a single shuffle.
+    "grouping_sets_orders" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderpriority, o_orderstatus,
+              |  grouping_id(o_orderpriority, o_orderstatus) AS gid,
+              |  count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+              |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+              |""".stripMargin)
+    }),
+
     // ROLLUP: hierarchical subtotals (grand total included).
     "rollup_pricing" -> ((s, d) =>
       lineitem(s, d)
@@ -413,6 +427,14 @@ object RelationalQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |             RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "grouping_sets_orders" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  grouping_id(o_orderpriority, o_orderstatus) AS gid,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
