@@ -36,13 +36,15 @@ object ExtensionQueries extends QueryPack {
     * sides; verification is the native sorted-merge Jaccard.
     */
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    // ONE tokenize+shingle+md5 pass: the sorted hash set feeds both the
-    // minhash signatures (min over the distinct set == min over the raw
-    // multiset) and the Jaccard verification join.
+    // ONE md5 pass (per token, combined arithmetically into shingle
+    // hashes): the sorted hash set feeds both the minhash signatures (min
+    // over the distinct set == min over the raw multiset) and the Jaccard
+    // verification join.
     val toks = documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-      .select(col("doc_id"), TextOps.shingleSet(col("_t"), Dedup.ShingleN).as("_sh"))
-      .select(col("doc_id"), Dedup.hashSet(col("_sh")).as("toks"))
+      .select(col("doc_id"), transform(col("_t"), TextOps.hash32(_)).as("_th"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(Dedup.shingleHashes(col("_th")))).as("toks"))
       .localCheckpoint(false)
     val sigs = toks.select(col("doc_id") +: Dedup.signaturesFromHashes(col("toks")): _*)
     val cand = {
@@ -328,28 +330,27 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id", "frame_ix")))
 
   def oracleSql: Map[String, String] = {
-    // Word-3-shingle set (mirrors TextOps.shingleSet).
-    val duckShingles =
-      s"""CASE WHEN len($duckToks) < ${Dedup.ShingleN} THEN list_distinct($duckToks)
-         |     ELSE list_distinct(list_transform(
-         |       generate_series(1, len($duckToks) - ${Dedup.ShingleN - 1}),
-         |       i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) END""".stripMargin
-    // MinHash signature columns over a PRE-HASHED shingle set `t` (computed
-    // once in a CTE — inlining $duckShingles into all 8 signatures re-runs
-    // the tokenize+shingle+md5 pipeline 8x; min over the distinct set
-    // equals min over the raw multiset, so results are unchanged).
+    // MinHash signature columns over the pre-hashed shingle set `t`
+    // (computed once in the `sh` CTE; min over the distinct set equals
+    // min over the raw multiset, so results are unchanged).
     val sigCols = (0 until Dedup.MinhashK).map { i =>
       s"list_min(list_transform(t, x -> " +
         s"(${Dedup.minhashA(i)} * x + ${Dedup.minhashB(i)}) % ${Dedup.MinhashP})) AS sig_$i"
     }.mkString(",\n  ")
-    // doc_id -> hashed shingle set, shared by signatures and Jaccard.
+    // doc_id -> hashed shingle set, shared by signatures and Jaccard:
+    // per-token md5 combined arithmetically into word-3-shingle hashes
+    // (mirrors Dedup.shingleHashes incl. the <3-token fallback).
     // MATERIALIZED: referenced 3x (and from a recursive CTE in the
     // clustering oracle, where un-materialized CTEs re-evaluate per
     // reference — measured 13x slower).
     val duckShingleHashes =
       s"""sh AS MATERIALIZED (SELECT doc_id,
-         |       list_distinct(list_transform($duckShingles, s -> ${duckH32("s")})) AS t
-         |       FROM documents)""".stripMargin
+         |  list_distinct(CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
+         |    ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
+         |      i -> (th[i] * ${Dedup.ShingleA} + th[i+1] * ${Dedup.ShingleB} + th[i+2])
+         |           % ${Dedup.MinhashP}) END) AS t
+         |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+         |        FROM documents))""".stripMargin
     // IVF assignment CTEs (mirrors Similarity.ivfAssign), shared by the
     // topk and kmeans oracles.
     val duckIvfAssign =
