@@ -208,6 +208,27 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: assign documents to fixed token-budget training
+    // sequences (concat-and-chunk semantics — a doc starts at the running
+    // token offset; seq_id/offset fall out of an integer prefix sum).
+    // Partitioned by (lang, source) so the cumulative window is per-key;
+    // for one giant key the banded prefix-sum of ops/TimeSeries is the
+    // same pattern. Every output is exact integer arithmetic.
+    "pack_sequences" -> ((s, d) => {
+      val budget = 2048L
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("_cum", sum(col("n_tokens")).over(w))
+        .select(col("lang"), col("source"), col("doc_id"), col("n_tokens"),
+          expr(s"(_cum - n_tokens) div $budget").as("seq_id"),
+          pmod(col("_cum") - col("n_tokens"), lit(budget)).as("seq_offset"))
+        .orderBy("doc_id")
+    }),
+
     // Text quality statistics (tokens, chars, punctuation, stopwords);
     // the token array is staged once and reused by every feature.
     "text_stats" -> ((s, d) =>
@@ -539,6 +560,18 @@ object ExtensionQueries extends QueryPack {
            |SELECT doc_id, n_tokens,
            |  len(list_filter(qx, b -> n_tokens * 100 >= b)) AS decile
            |FROM nt, q ORDER BY doc_id""".stripMargin,
+
+      "pack_sequences" ->
+        s"""SELECT lang, source, doc_id, n_tokens,
+           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+           |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+           |FROM (
+           |  SELECT lang, source, doc_id, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+           |                        ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM (SELECT lang, source, doc_id,
+           |          CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents))
+           |ORDER BY doc_id""".stripMargin,
 
       "text_stats" ->
         s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
