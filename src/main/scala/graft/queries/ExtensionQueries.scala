@@ -229,6 +229,25 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: flag training documents sharing any
+    // word-3-gram with a holdout set (here: doc_id % 97 == 0 stands in
+    // for the benchmark corpus). Shingle hashes explode to (doc, h) rows;
+    // the holdout's distinct hash set broadcasts into a semi-join, so the
+    // contamination check is one keyed probe per shingle — no pairwise
+    // document comparison anywhere.
+    "decontaminate_ngrams" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), transform(col("_t"), TextOps.hash32(_)).as("_th"))
+        .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+      val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      sh.where(col("doc_id") % 97 =!= 0)
+        .join(holdout, Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    }),
+
     // Text quality statistics (tokens, chars, punctuation, stopwords);
     // the token array is staged once and reused by every feature.
     "text_stats" -> ((s, d) =>
@@ -560,6 +579,21 @@ object ExtensionQueries extends QueryPack {
            |SELECT doc_id, n_tokens,
            |  len(list_filter(qx, b -> n_tokens * 100 >= b)) AS decile
            |FROM nt, q ORDER BY doc_id""".stripMargin,
+
+      "decontaminate_ngrams" ->
+        s"""WITH sh AS MATERIALIZED (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
+           |    ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
+           |      i -> (th[i] * ${Dedup.ShingleA} + th[i+1] * ${Dedup.ShingleB} + th[i+2])
+           |           % ${Dedup.MinhashP}) END) AS h
+           |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+           |        FROM documents)),
+           |holdout AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+           |SELECT doc_id, count(DISTINCT h) AS n_shared_ngrams
+           |FROM sh
+           |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "pack_sequences" ->
         s"""SELECT lang, source, doc_id, n_tokens,
