@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import graft.functions.SortedOverlapCount
+import graft.ext.Dedup
+
+/** ScalaCheck properties over the engine's algorithmic kernels (SURVEY
+  * §5.2.3) — pure expression evaluation, no Spark session, so thousands
+  * of cases run in milliseconds.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private def overlap(a: Seq[Long], b: Seq[Long]): Int =
+    SortedOverlapCount(
+      Literal.create(a, ArrayType(LongType)),
+      Literal.create(b, ArrayType(LongType))
+    ).eval(null).asInstanceOf[Int]
+
+  private val hashSetGen: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, (1L << 32) - 1)).map(_.distinct.sorted)
+
+  property("sorted_overlap == set intersection size") =
+    Prop.forAll(hashSetGen, hashSetGen) { (a, b) =>
+      overlap(a, b) == a.toSet.intersect(b.toSet).size
+    }
+
+  property("sorted_overlap is symmetric and bounded") =
+    Prop.forAll(hashSetGen, hashSetGen) { (a, b) =>
+      val ov = overlap(a, b)
+      ov == overlap(b, a) && ov <= math.min(a.size, b.size) && ov >= 0
+    }
+
+  property("jaccard by inclusion-exclusion is in [0,1], 1 on self") =
+    Prop.forAll(hashSetGen, hashSetGen) { (a, b) =>
+      val ov = overlap(a, b)
+      val denom = a.size + b.size - ov
+      val jac = if (denom == 0) 1.0 else ov.toDouble / denom
+      (jac >= 0.0 && jac <= 1.0) &&
+        (a.isEmpty || overlap(a, a) == a.size)
+    }
+
+  private val h32Gen = Gen.chooseNum(0L, (1L << 32) - 1)
+
+  property("shingle-combination hash is overflow-free and in [0, p)") =
+    Prop.forAll(h32Gen, h32Gen, h32Gen) { (h1, h2, h3) =>
+      // mirrors Dedup.shingleHashes: products must stay inside signed-64
+      val t1 = h1 * Dedup.ShingleA
+      val t2 = h2 * Dedup.ShingleB
+      val sum = t1 + t2 + h3
+      val m = sum % Dedup.MinhashP
+      t1 >= 0 && t2 >= 0 && sum >= 0 && m >= 0 && m < Dedup.MinhashP
+    }
+
+  property("minhash affine sig: min over multiset == min over distinct set") =
+    Prop.forAll(Gen.nonEmptyListOf(h32Gen), Gen.chooseNum(0, Dedup.MinhashK - 1)) {
+      (hs, i) =>
+        def sig(xs: Seq[Long]): Long =
+          xs.map(x => Math.floorMod(Dedup.minhashA(i) * x + Dedup.minhashB(i),
+            Dedup.MinhashP)).min
+        sig(hs) == sig(hs.distinct)
+    }
+}
