@@ -35,15 +35,17 @@ object Dedup {
   def minhashA(i: Int): Long = 100003L + 7919L * i
   def minhashB(i: Int): Long = 7L + 11117L * i
 
-  /** Shingle-combination constants: a word-3-shingle's hash is the
-    * polynomial combination `(h1*SA + h2*SB + h3) mod p` of the PER-TOKEN
+  /** Shingle-combination constant: a word-n-shingle's hash is the Horner
+    * rolling polynomial `acc <- (acc*SA + h_i) mod p` over the PER-TOKEN
     * hashes — one md5 per token instead of one per shingle STRING (~5x
     * fewer md5 evaluations per document, the minhash pipeline's dominant
-    * cost). SA,SB < 2^20 keep every product < 2^52: overflow-free,
-    * portable long arithmetic on both engines.
+    * cost). Every position gets a distinct power of SA mod p, so the hash
+    * is position-sensitive for ANY n (a flat coefficient scheme would
+    * collide leading-token permutations for n>=4). SA < 2^20 and the
+    * per-step mod keep every intermediate < 2^52: overflow-free, portable
+    * long arithmetic on both engines.
     */
   val ShingleA = 1000003L
-  val ShingleB = 10007L
 
   /** Combined shingle hashes from a pre-staged per-token hash array;
     * mirrors shingleSet's <n fallback (documents shorter than n words use
@@ -51,10 +53,8 @@ object Dedup {
     */
   def shingleHashes(tokHashes: Column, n: Int = ShingleN): Column = {
     val combined = transform(sequence(lit(1), size(tokHashes) - (n - 1)),
-      i => pmod((0 until n).map(o =>
-        element_at(tokHashes, i + o) *
-          lit(if (o == n - 1) 1L else if (o == n - 2) ShingleB else ShingleA))
-        .reduce(_ + _), lit(MinhashP)))
+      i => (1 until n).foldLeft(element_at(tokHashes, i): Column)((acc, o) =>
+        pmod(acc * ShingleA + element_at(tokHashes, i + o), lit(MinhashP))))
     when(size(tokHashes) < n, tokHashes).otherwise(combined)
   }
 
@@ -215,6 +215,10 @@ object Dedup {
       labels = jumped.drop("_old")
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "labels would be incorrect — raise maxIter (rounds needed is O(log diameter))")
     labels
   }
 }

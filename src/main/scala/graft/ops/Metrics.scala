@@ -52,7 +52,10 @@ object Metrics {
     */
   def metricAggsExact(lat: Column): Seq[Column] = Seq(
     count(lit(1)).as("batch_events"),
-    sum(lat).as("_lat_sum"),
+    // decimal(38,0) accumulator: a long sum would wrap silently (non-ANSI)
+    // past ~9.2e6 events/batch at ~1e9 ms magnitudes, where the DuckDB
+    // oracle (HUGEINT accumulation) keeps going — 38 digits matches it.
+    sum(lat.cast("decimal(38,0)")).as("_lat_sum"),
     round(percentile(lat, lit(0.50)) * 100, 0).cast("long").as("p50_latency_ms_x100"),
     round(percentile(lat, lit(0.95)) * 100, 0).cast("long").as("p95_latency_ms_x100"),
     round(percentile(lat, lit(0.99)) * 100, 0).cast("long").as("p99_latency_ms_x100"))
@@ -62,7 +65,7 @@ object Metrics {
     */
   val derivedMetrics: Seq[Column] = Seq(
     col("batch_events"),
-    expr("_lat_sum * 1000 div batch_events").as("mean_latency_us"),
+    expr("cast(_lat_sum * 1000 div batch_events as long)").as("mean_latency_us"),
     col("p50_latency_ms_x100"),
     col("p95_latency_ms_x100"),
     col("p99_latency_ms_x100"))

@@ -387,8 +387,8 @@ object ExtensionQueries extends QueryPack {
       s"""sh AS MATERIALIZED (SELECT doc_id,
          |  list_distinct(CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
          |    ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
-         |      i -> (th[i] * ${Dedup.ShingleA} + th[i+1] * ${Dedup.ShingleB} + th[i+2])
-         |           % ${Dedup.MinhashP}) END) AS t
+         |      i -> ((((th[i] * ${Dedup.ShingleA} + th[i+1]) % ${Dedup.MinhashP})
+         |            * ${Dedup.ShingleA} + th[i+2]) % ${Dedup.MinhashP})) END) AS t
          |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
          |        FROM documents))""".stripMargin
     // IVF assignment CTEs (mirrors Similarity.ivfAssign), shared by the
@@ -585,8 +585,8 @@ object ExtensionQueries extends QueryPack {
            |  SELECT doc_id, unnest(
            |    CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
            |    ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
-           |      i -> (th[i] * ${Dedup.ShingleA} + th[i+1] * ${Dedup.ShingleB} + th[i+2])
-           |           % ${Dedup.MinhashP}) END) AS h
+           |      i -> ((((th[i] * ${Dedup.ShingleA} + th[i+1]) % ${Dedup.MinhashP})
+           |            * ${Dedup.ShingleA} + th[i+2]) % ${Dedup.MinhashP})) END) AS h
            |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
            |        FROM documents)),
            |holdout AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)

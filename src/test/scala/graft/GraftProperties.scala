@@ -43,14 +43,27 @@ object GraftProperties extends Properties("graft") {
 
   private val h32Gen = Gen.chooseNum(0L, (1L << 32) - 1)
 
+  // mirrors Dedup.shingleHashes: Horner rolling polynomial, mod each step
+  private def horner(hs: Seq[Long]): Long =
+    hs.tail.foldLeft(hs.head) { (acc, h) =>
+      val step = acc * Dedup.ShingleA + h
+      assert(step >= 0, s"overflow: $acc * ShingleA + $h")
+      step % Dedup.MinhashP
+    }
+
   property("shingle-combination hash is overflow-free and in [0, p)") =
     Prop.forAll(h32Gen, h32Gen, h32Gen) { (h1, h2, h3) =>
-      // mirrors Dedup.shingleHashes: products must stay inside signed-64
-      val t1 = h1 * Dedup.ShingleA
-      val t2 = h2 * Dedup.ShingleB
-      val sum = t1 + t2 + h3
-      val m = sum % Dedup.MinhashP
-      t1 >= 0 && t2 >= 0 && sum >= 0 && m >= 0 && m < Dedup.MinhashP
+      val m = horner(Seq(h1, h2, h3))
+      m >= 0 && m < Dedup.MinhashP
+    }
+
+  property("shingle hash is position-distinct for n=4 (leading-pair swap)") =
+    Prop.forAll(h32Gen, h32Gen, h32Gen, h32Gen) { (h1, h2, h3, h4) =>
+      // swapping the two LEADING tokens must change the hash (the failure
+      // mode of a flat-coefficient scheme); collisions only when the token
+      // hashes are congruent mod p
+      (h1 - h2) % Dedup.MinhashP == 0 ||
+        horner(Seq(h1, h2, h3, h4)) != horner(Seq(h2, h1, h3, h4))
     }
 
   property("minhash affine sig: min over multiset == min over distinct set") =

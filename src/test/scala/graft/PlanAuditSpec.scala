@@ -68,8 +68,6 @@ class PlanAuditSpec extends SparkSpec {
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id")),
       gapMs = 1800 * 1000L)
     val p = df.queryExecution.executedPlan.toString
-    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      p.linesIterator.count(_.trim.startsWith(":- Exchange"))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$p")
   }
