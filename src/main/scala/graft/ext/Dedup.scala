@@ -73,7 +73,7 @@ object Dedup {
       k: Int = MinhashK): DataFrame = {
     val staged = docs
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), transform(col("_toks"), hash32(_)).as("_th"))
+      .select(col(idCol), hashAll(col("_toks")).as("_th"))
       .select(col(idCol), shingleHashes(col("_th")).as("_hashes"))
     staged.select(col(idCol) +: signaturesFromHashes(col("_hashes"), k): _*)
   }
@@ -134,7 +134,7 @@ object Dedup {
     * a true set even under (rare, engine-identical) hash collisions.
     */
   def hashSet(toks: Column): Column =
-    sort_array(array_distinct(transform(array_distinct(toks), hash32(_))))
+    sort_array(array_distinct(hashAll(array_distinct(toks))))
 
   /** Jaccard over two [[hashSet]] columns via the native two-pointer merge
     * (`sorted_overlap`) + inclusion-exclusion — no per-pair hash-set
@@ -152,7 +152,7 @@ object Dedup {
     * (h < 2^32 << 2^53, so the division is exact), because neither engine
     * shifts by a column-valued amount.
     */
-  def simhash32(toks: Column): Column = simhash32FromHashes(transform(toks, hash32(_)))
+  def simhash32(toks: Column): Column = simhash32FromHashes(hashAll(toks))
 
   /** SimHash over a PRE-STAGED hash-array column — pass an attribute, not
     * an inline expression: the hash array is referenced once per bit (32x).

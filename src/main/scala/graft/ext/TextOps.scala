@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Portable unsigned-32-bit token hash: both Spark (`conv(substr(md5,1,8),
-    * 16,10)`) and DuckDB (`('0x'||substr(md5,1,8))::BIGINT`) produce the
-    * same value, unlike engine-native hashes (xxhash64 vs DuckDB hash).
+  /** Portable unsigned-32-bit token hash: both Spark and DuckDB
+    * (`('0x'||substr(md5,1,8))::BIGINT`) produce the same value, unlike
+    * engine-native hashes (xxhash64 vs DuckDB hash). Implemented as the
+    * native [[graft.functions.Md5Hash32]] — bit-identical to the composed
+    * `conv(substr(md5(c),1,8),16,10)` (proven in `VectorExpressionsSpec`)
+    * without its per-call hex-string/substr/parse allocations.
     */
-  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = graft.functions.HashExpressions.md5_hash32(c)
+
+  /** Element-wise [[hash32]] over an array<string> column as ONE native
+    * expression. Use this instead of `transform(arr, hash32(_))` on hot
+    * paths: `transform` is CodegenFallback, so the lambda dispatch is
+    * interpreted per token and the stage loses whole-stage codegen.
+    */
+  def hashAll(arr: Column): Column = graft.functions.HashExpressions.md5_hash32_array(arr)
 
   /** Whitespace tokenization, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
@@ -106,6 +116,6 @@ object TextOps {
     * (< 2^36 + 2^32) never overflows a long.
     */
   def fingerprint(toks: Column): Column =
-    aggregate(transform(toks, hash32(_)), lit(0L),
+    aggregate(hashAll(toks), lit(0L),
       (acc, h) => pmod(acc * 31 + h, lit(2147483647L)))
 }

@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native implementations of the engine's portable 32-bit hash:
+  * `hash32(s)` = first 4 bytes of md5(s) as an unsigned big-endian int —
+  * definitionally identical to `conv(substr(md5(s),1,8),16,10)` (and to
+  * DuckDB's `('0x'||substr(md5(s),1,8))::BIGINT`), but computed without
+  * the 32-char hex string, the substring, or the base-16 re-parse that the
+  * composed form allocates per call.
+  *
+  * Why it matters: the hash is evaluated once per TOKEN across the whole
+  * dedup/text family (minhash signatures, shingle hashing, Jaccard hash
+  * sets, fingerprints) — at 100 TB that is the single hottest scalar in
+  * the engine. The composed form costs ~4 allocations per call; this one
+  * costs a digest over a reused [[MessageDigest]] instance.
+  */
+object Md5Hash32Util {
+  // MessageDigest is stateful; expressions are deserialized per task but
+  // interpreted HOF lambdas may share an instance across partitions of the
+  // same thread pool — ThreadLocal keeps reuse safe either way.
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Full 16-byte md5 digest of the UTF-8 encoding (codegen entry point —
+    * generated Java assembles the first 4 bytes inline).
+    */
+  def hash8(s: UTF8String): Array[Byte] = md.get().digest(s.getBytes)
+
+  /** First 4 md5 bytes of the UTF-8 encoding, as unsigned big-endian. */
+  def hash(s: UTF8String): Long = {
+    val d = hash8(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** ArrayData constructor for generated code: primitive (UnsafeArrayData)
+    * when null-free, generic otherwise.
+    */
+  def arrayOf(vals: Array[Long], nulls: Array[Boolean]): ArrayData = {
+    var hasNull = false
+    var i = 0
+    while (i < nulls.length && !hasNull) { hasNull = nulls(i); i += 1 }
+    if (!hasNull) UnsafeArrayData.fromPrimitiveArray(vals)
+    else {
+      val out = new Array[Any](vals.length)
+      var j = 0
+      while (j < vals.length) { if (!nulls(j)) out(j) = vals(j); j += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `md5_hash32(string) -> bigint` — scalar portable hash. */
+case class Md5Hash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash32"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32Util.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("digest")
+      s"""
+         |byte[] $d = graft.functions.Md5Hash32Util.hash8($c);
+         |${ev.value} = (((long)($d[0] & 0xff)) << 24) | (($d[1] & 0xff) << 16)
+         |    | (($d[2] & 0xff) << 8) | ($d[3] & 0xff);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash32 =
+    copy(child = newChild)
+}
+
+/** `md5_hash32_array(array<string>) -> array<bigint>` — the per-token map
+  * as ONE codegen-friendly expression. The equivalent
+  * `transform(arr, t -> md5_hash32(t))` routes through `ArrayTransform`,
+  * which is CodegenFallback: the lambda is interpreted per element and the
+  * whole projection drops out of whole-stage codegen. This expression
+  * keeps the loop primitive and the stage fused — on the minhash pipeline
+  * the map runs over every token of every document, so the dispatch
+  * overhead is corpus-sized. Null elements map to null (as transform
+  * does).
+  */
+case class Md5Hash32Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "md5_hash32_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = Md5Hash32Util.hash(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("digest")
+      val vals = ctx.freshName("vals")
+      val nulls = ctx.freshName("nulls")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $vals = new long[$n];
+         |boolean[] $nulls = new boolean[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) { $nulls[$i] = true; } else {
+         |    byte[] $d = graft.functions.Md5Hash32Util.hash8($c.getUTF8String($i));
+         |    $vals[$i] = (((long)($d[0] & 0xff)) << 24) | (($d[1] & 0xff) << 16)
+         |        | (($d[2] & 0xff) << 8) | ($d[3] & 0xff);
+         |  }
+         |}
+         |${ev.value} = graft.functions.Md5Hash32Util.arrayOf($vals, $nulls);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash32Array =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+
+  /** Column API: portable 32-bit hash of a string column. */
+  def md5_hash32(c: Column): Column = Bridge.column(Md5Hash32(Bridge.expression(c)))
+
+  /** Column API: element-wise portable hash of an array<string> column. */
+  def md5_hash32_array(c: Column): Column =
+    Bridge.column(Md5Hash32Array(Bridge.expression(c)))
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("md5_hash32"),
+      new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32"),
+      (exprs: Seq[Expression]) => Md5Hash32(exprs.head)),
+    (FunctionIdentifier("md5_hash32_array"),
+      new ExpressionInfo(classOf[Md5Hash32Array].getName, "md5_hash32_array"),
+      (exprs: Seq[Expression]) => Md5Hash32Array(exprs.head)))
+}

@@ -160,5 +160,5 @@ object VectorExpressions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    VectorExpressions.functions.foreach(e.injectFunction)
+    (VectorExpressions.functions ++ HashExpressions.functions).foreach(e.injectFunction)
 }

@@ -42,7 +42,7 @@ object ExtensionQueries extends QueryPack {
     // verification join.
     val toks = documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-      .select(col("doc_id"), transform(col("_t"), TextOps.hash32(_)).as("_th"))
+      .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
       .select(col("doc_id"),
         sort_array(array_distinct(Dedup.shingleHashes(col("_th")))).as("toks"))
       .localCheckpoint(false)
@@ -115,7 +115,7 @@ object ExtensionQueries extends QueryPack {
     "dedup_simhash" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"), transform(col("_toks"), TextOps.hash32(_)).as("_hashes"))
+        .select(col("doc_id"), TextOps.hashAll(col("_toks")).as("_hashes"))
         .select(col("doc_id"), Dedup.simhash32FromHashes(col("_hashes")).as("simhash"))
         .orderBy("doc_id")),
 
@@ -238,7 +238,7 @@ object ExtensionQueries extends QueryPack {
     "decontaminate_ngrams" -> ((s, d) => {
       val sh = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-        .select(col("doc_id"), transform(col("_t"), TextOps.hash32(_)).as("_th"))
+        .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
         .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
       val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
       sh.where(col("doc_id") % 97 =!= 0)

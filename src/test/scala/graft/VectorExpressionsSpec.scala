@@ -71,6 +71,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(s.sparkContext.appName.nonEmpty)
   }
 
+  test("Md5Hash32 matches the composed conv(substr(md5))) formula bit-for-bit") {
+    import graft.functions.HashExpressions.{md5_hash32, md5_hash32_array}
+    val docs = Tables.documents(spark, sf0001)
+      .select(explode(graft.ext.TextOps.tokens($"text")).as("tok"))
+      .union(Seq("", "x", "ünïcode-Ω", "a b", "\t").toDF("tok"))
+    val mismatch = docs.select(
+      (md5_hash32($"tok") =!= conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+        .as("bad")).where($"bad").count()
+    assert(mismatch == 0L)
+    // array flavor == per-element scalar flavor, nulls preserved
+    val arr = Seq(
+      (Seq[String]("a", "bc", "ünïcode-Ω"), 0),
+      (Seq.empty[String], 1)).toDF("a", "i")
+    val got = arr.select(md5_hash32_array($"a").as("h"),
+        transform($"a", t => md5_hash32(t)).as("e"))
+      .where(not($"h" <=> $"e")).count()
+    assert(got == 0L)
+    val nulls = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS a")
+    val withNull = nulls.select(md5_hash32_array($"a").as("h")).head().getSeq[Any](0)
+    assert(withNull(1) == null && withNull.length == 3)
+  }
+
   test("vector_dot is SQL-registered through GraftExtensions") {
     // Verify the injection path on a derived session with the extension.
     val s2 = spark.newSession()
