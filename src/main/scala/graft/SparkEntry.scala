@@ -17,7 +17,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(ParityQueries, RelationalQueries, ExtensionQueries)
+  private val packs: Seq[QueryPack] =
+    Seq(ParityQueries, RelationalQueries, ExtensionQueries, AnalyticsQueries)
 
   /** Flagship: batch-replay of the streaming metrics pipeline
     * (spark_stream_metrics.py write_batch, single-pass form) on sf0.001.

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Product/behavioral analytics surface over the `events` stream table —
+  * the query family a metrics pipeline grows once per-batch monitoring
+  * (SURVEY §2) is in place: range joins against banded dimensions, CDC
+  * latest-state compaction, histograms, funnel conversion, retention
+  * cohorts, and data-quality profiling.
+  *
+  * Scale shapes: every plan is either a single keyed shuffle or a
+  * broadcast of a constant-size side. No global windows, no driver-side
+  * loops; funnel/retention express the sequential dependency as keyed
+  * self-joins (co-partitioned on user_id) instead of per-user sorted
+  * state, so skewed users split under AQE like any other join key.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** Non-uniform value bands for the range join (a constant dimension —
+    * broadcast side). Covers the fixture's value range with deliberately
+    * irregular edges so the join is a genuine interval lookup, not a
+    * width_bucket in disguise.
+    */
+  val bands: Seq[(String, Double, Double)] = Seq(
+    ("b1_micro", 0.0, 1.0),
+    ("b2_small", 1.0, 10.0),
+    ("b3_mid", 10.0, 50.0),
+    ("b4_large", 50.0, 200.0),
+    ("b5_huge", 200.0, 1000.0))
+
+  private val HistWidth = 25.0
+  private val DayMs = 86400000L
+  private val FunnelWindowMs = 43200000L // 12 h per-step conversion window
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Range (interval) join: events -> constant banded dimension on
+    // lo <= value < hi. The dimension is O(1) rows at any data scale, so
+    // the physical plan is a broadcast nested-loop with a 5-way predicate
+    // — per-row constant work, no shuffle of the fact side at all.
+    "range_join_value_bands" -> ((s, d) => {
+      import s.implicits._
+      val dim = bands.toDF("band", "lo", "hi")
+      events(s, d)
+        .join(broadcast(dim), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("band")
+    }),
+
+    // CDC latest-state compaction: one surviving row per key, newest wins
+    // (ts desc, event_id desc tiebreak) — the merge/upsert read path of a
+    // changelog. One shuffle on the key; per-key window, never global.
+    "cdc_latest_snapshot" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), tsMillis(col("ts")).as("ts_ms"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_ms").desc, col("event_id").desc)))
+        .where(col("rk") === 1).drop("rk")
+        .orderBy("user_id")),
+
+    // Fixed-width histogram: bucket index is pure arithmetic (no lookup
+    // table), so the whole query is one partial-aggregated keyed shuffle
+    // with a constant number of groups.
+    "histogram_value" -> ((s, d) =>
+      events(s, d)
+        .groupBy(floor(col("value") / HistWidth).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("bucket_lo", round(col("bucket") * HistWidth, 2))
+        .select("bucket", "bucket_lo", "n_events", "sum_value")
+        .orderBy("bucket")),
+
+    // Funnel conversion click -> view -> purchase, each step within a
+    // 12 h window of the previous one: each stage is "earliest qualifying
+    // event strictly after (and within FunnelWindowMs of) the previous
+    // stage", expressed as a keyed aggregate + join per stage. All three
+    // joins hash on user_id — co-partitioned, no global state; the final
+    // count is a 1-row rollup.
+    "funnel_conversion" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_type"), tsMillis(col("ts")).as("ts_ms"))
+      val s1 = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+      val s2 = ev.where(col("event_type") === "view")
+        .join(s1, "user_id")
+        .where(col("ts_ms") > col("t1") && col("ts_ms") <= col("t1") + FunnelWindowMs)
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .where(col("ts_ms") > col("t2") && col("ts_ms") <= col("t2") + FunnelWindowMs)
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n_step1_click"),
+          count(col("t2")).as("n_step2_view"),
+          count(col("t3")).as("n_step3_purchase"))
+    }),
+
+    // Retention cohorts: cohort = first-seen day per user; each cell
+    // counts distinct users active at a day offset from their cohort.
+    // Two keyed shuffles (first-seen agg, cohort-cell agg) — the join
+    // back to activity is on user_id, broadcastable only if the user
+    // dimension is small, so it is left to AQE.
+    "retention_cohorts" -> ((s, d) => {
+      val act = events(s, d)
+        .select(col("user_id"), (tsMillis(col("ts")) / DayMs).cast("long").as("day"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      act.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Data-quality profile: per-column completeness + cardinality in ONE
+    // scan (multi-distinct expands internally; at 100 TB swap the exact
+    // count_distinct for approx_count_distinct — same plan shape, sketch
+    // state instead of value shuffle), unpivoted with stack().
+    "dq_profile" -> ((s, d) => {
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val stacked = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      events(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct)")
+        .select("col_name", "n_rows", "n_nonnull", "n_distinct")
+        .orderBy("col_name")
+    }))
+
+  def oracleSql: Map[String, String] = {
+    val bandValues = bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
+    val profileCols = Seq("event_id", "user_id", "event_type", "value", "props")
+    Map(
+      "range_join_value_bands" ->
+        s"""WITH bands(band, lo, hi) AS (VALUES $bandValues)
+           |SELECT band, count(*) AS n_events,
+           |  round(sum(value), 2) AS sum_value,
+           |  round(avg(value), 6) AS avg_value
+           |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+           |GROUP BY band ORDER BY band""".stripMargin,
+
+      "cdc_latest_snapshot" ->
+        """SELECT user_id, event_id, event_type, round(value, 2) AS value,
+          |  epoch_ms(ts) AS ts_ms
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id
+          |                           ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+          |ORDER BY user_id""".stripMargin,
+
+      "histogram_value" ->
+        s"""SELECT CAST(floor(value / $HistWidth) AS BIGINT) AS bucket,
+           |  round(CAST(floor(value / $HistWidth) AS BIGINT) * $HistWidth, 2) AS bucket_lo,
+           |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+      "funnel_conversion" ->
+        s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+          |s1 AS (SELECT user_id, min(ts_ms) AS t1 FROM e
+          |       WHERE event_type = 'click' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(e.ts_ms) AS t2 FROM e JOIN s1 USING (user_id)
+          |       WHERE e.event_type = 'view' AND e.ts_ms > s1.t1
+          |         AND e.ts_ms <= s1.t1 + $FunnelWindowMs GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(e.ts_ms) AS t3 FROM e JOIN s2 USING (user_id)
+          |       WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2
+          |         AND e.ts_ms <= s2.t2 + $FunnelWindowMs GROUP BY e.user_id)
+          |SELECT (SELECT count(*) FROM s1) AS n_step1_click,
+          |       (SELECT count(*) FROM s2) AS n_step2_view,
+          |       (SELECT count(*) FROM s3) AS n_step3_purchase""".stripMargin,
+
+      "retention_cohorts" ->
+        s"""WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // $DayMs AS day FROM events),
+           |first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+           |SELECT cohort_day, day - cohort_day AS day_offset,
+           |  count(DISTINCT act.user_id) AS n_users
+           |FROM act JOIN first USING (user_id)
+           |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+      "dq_profile" -> {
+        val branches = profileCols.map(c =>
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull, " +
+            s"count(DISTINCT $c) AS n_distinct FROM events").mkString("\nUNION ALL\n")
+        s"$branches\nORDER BY col_name"
+      })
+  }
+}

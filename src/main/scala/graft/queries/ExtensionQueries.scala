@@ -284,6 +284,43 @@ object ExtensionQueries extends QueryPack {
         .orderBy("cluster_id")
     }),
 
+    // The END-TO-END training-data prep pipeline as ONE declarative plan:
+    // drop the holdout benchmark docs, drop near-dup cluster losers (LSH
+    // pairs -> connected components -> best-quality survivor), drop
+    // benchmark-contaminated docs (shared word-3-grams), drop low-quality
+    // docs, then report the resulting corpus per language. Every stage is
+    // a keyed join/agg over sketch-sized intermediates — the document text
+    // itself is only scanned, never shuffled.
+    "pipeline_training_corpus" -> ((s, d) => {
+      val docs = documents(s, d)
+      val quality = qualityScored(s, d)
+      val clusters = Dedup.connectedComponents(minhashVerifiedPairs(s, d), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val losers = clusters.join(quality, Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rk") > 1).select(col("doc_id"))
+      val sh = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
+        .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+      val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      val contaminated = sh.where(col("doc_id") % 97 =!= 0)
+        .join(holdout, Seq("h"), "left_semi").select(col("doc_id")).distinct()
+      docs.where(col("doc_id") % 97 =!= 0)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(quality, Seq("doc_id"))
+        .where(col("quality") >= 0.3)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"), col("quality"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
     // Token counting both ways: whitespace and BPE-ish regex runs.
     "text_token_counts" -> ((s, d) =>
       documents(s, d)
@@ -636,6 +673,38 @@ object ExtensionQueries extends QueryPack {
            |      ORDER BY q.quality DESC, c.doc_id) AS rk
            |  FROM clusters c JOIN quality q USING (doc_id))
            |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+      "pipeline_training_corpus" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(n, m) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+           |clusters AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |             FROM reach GROUP BY n),
+           |$duckQualityCtes,
+           |losers AS (SELECT doc_id FROM (
+           |  SELECT c.doc_id,
+           |    row_number() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.quality DESC, c.doc_id) AS rk
+           |  FROM clusters c JOIN quality q USING (doc_id)) WHERE rk > 1),
+           |shx AS (SELECT doc_id, unnest(t) AS h FROM sh),
+           |holdout AS (SELECT DISTINCT h FROM shx WHERE doc_id % 97 = 0),
+           |contaminated AS (SELECT DISTINCT doc_id FROM shx
+           |  WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)),
+           |keep AS (
+           |  SELECT d.lang, len($duckToks) AS n_tokens, q.quality
+           |  FROM documents d JOIN quality q USING (doc_id)
+           |  WHERE d.doc_id % 97 <> 0
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |    AND q.quality >= 0.3)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  round(avg(quality), 6) AS avg_quality
+           |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
 
       "text_token_counts" ->
         s"""SELECT doc_id, len($duckToks) AS n_ws_tokens,
