@@ -121,9 +121,17 @@ object MetricsJob {
   def start(spark: SparkSession, raw: DataFrame, outDir: String,
       checkpointDir: String, triggerSec: Int = 5,
       nowMs: Option[Long] = None): StreamingQuery =
+    startWith(spark, raw, checkpointDir, triggerSec, nowMs, writeBatch(spark, outDir))
+
+  /** [[start]] with a caller-chosen foreachBatch sink (e.g.
+    * [[writeBatchIdempotent]] for effectively-once recovery benchmarks).
+    */
+  def startWith(spark: SparkSession, raw: DataFrame, checkpointDir: String,
+      triggerSec: Int, nowMs: Option[Long],
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     withLatency(parse(raw), nowMs)
       .writeStream
-      .foreachBatch(writeBatch(spark, outDir) _)
+      .foreachBatch(sink)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(s"$triggerSec seconds"))
       .start()

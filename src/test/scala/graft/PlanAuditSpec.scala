@@ -61,6 +61,32 @@ class PlanAuditSpec extends SparkSpec {
       "data-side lag must partition by the time band")
   }
 
+  test("range join: band dimension broadcasts, fact side not shuffled for the join") {
+    val (p, _) = plan(graft.queries.AnalyticsQueries.queries, "range_join_value_bands")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"band dim must broadcast:\n$p")
+  }
+
+  test("cdc snapshot: exactly one hash shuffle (window partitioning on the key)") {
+    val (p, _) = plan(graft.queries.AnalyticsQueries.queries, "cdc_latest_snapshot")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles:\n$p")
+  }
+
+  test("histogram: partial aggregation before the constant-cardinality shuffle") {
+    val (p, _) = plan(graft.queries.AnalyticsQueries.queries, "histogram_value")
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  // The pipeline's pair/cluster stages sit behind localCheckpoints (their
+  // native sorted_overlap path is audited via dedup_minhash_pairs above);
+  // the decontamination branch is live in the final plan and must keep the
+  // native hash.
+  test("pipeline composite: decontamination branch uses the native hash") {
+    val (p, _) = plan(ExtensionQueries.queries, "pipeline_training_corpus")
+    assert(p.contains("md5_hash32"), s"pipeline lost the native hash:\n$p")
+  }
+
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(
