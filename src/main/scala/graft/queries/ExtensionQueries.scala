@@ -35,17 +35,27 @@ object ExtensionQueries extends QueryPack {
     * materialization of the sorted shingle-hash sets serves both join
     * sides; verification is the native sorted-merge Jaccard.
     */
-  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    // ONE md5 pass (per token, combined arithmetically into shingle
-    // hashes): the sorted hash set feeds both the minhash signatures (min
-    // over the distinct set == min over the raw multiset) and the Jaccard
-    // verification join.
-    val toks = documents(s, d)
+  /** (doc_id, toks) — sorted distinct shingle-hash set per document, ONE
+    * md5 pass per token, checkpointed so every consumer (signatures,
+    * Jaccard verification, decontamination explode) reads one sketch-sized
+    * materialization instead of re-tokenizing the corpus.
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
       .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
       .select(col("doc_id"),
         sort_array(array_distinct(Dedup.shingleHashes(col("_th")))).as("toks"))
       .localCheckpoint(false)
+
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairsFrom(shingleSets(s, d))
+
+  /** Pair generation over a pre-staged [[shingleSets]] frame: minhash
+    * signatures (min over the distinct set == min over the raw multiset),
+    * LSH banding, and native sorted-merge Jaccard verification.
+    */
+  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame = {
     val sigs = toks.select(col("doc_id") +: Dedup.signaturesFromHashes(col("toks")): _*)
     val cand = {
       val b = Dedup.minhashBands(sigs, "doc_id")
@@ -294,17 +304,17 @@ object ExtensionQueries extends QueryPack {
     "pipeline_training_corpus" -> ((s, d) => {
       val docs = documents(s, d)
       val quality = qualityScored(s, d)
-      val clusters = Dedup.connectedComponents(minhashVerifiedPairs(s, d), "id_a", "id_b")
+      // ONE shingle staging serves pair generation AND decontamination —
+      // the corpus is tokenized+hashed exactly once in the whole pipeline.
+      val toks = shingleSets(s, d)
+      val clusters = Dedup.connectedComponents(minhashVerifiedPairsFrom(toks), "id_a", "id_b")
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       val losers = clusters.join(quality, Seq("doc_id"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("cluster_id"))
             .orderBy(col("quality").desc, col("doc_id"))))
         .where(col("rk") > 1).select(col("doc_id"))
-      val sh = docs
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
-        .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
-        .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+      val sh = toks.select(col("doc_id"), explode(col("toks")).as("h"))
       val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
       val contaminated = sh.where(col("doc_id") % 97 =!= 0)
         .join(holdout, Seq("h"), "left_semi").select(col("doc_id")).distinct()

@@ -78,13 +78,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "expected map-side partial aggregation")
   }
 
-  // The pipeline's pair/cluster stages sit behind localCheckpoints (their
-  // native sorted_overlap path is audited via dedup_minhash_pairs above);
-  // the decontamination branch is live in the final plan and must keep the
-  // native hash.
-  test("pipeline composite: decontamination branch uses the native hash") {
-    val (p, _) = plan(ExtensionQueries.queries, "pipeline_training_corpus")
-    assert(p.contains("md5_hash32"), s"pipeline lost the native hash:\n$p")
+  // The pipeline composite's corpus-facing stages (shingle staging, pair
+  // verification) sit behind ONE localCheckpoint by design — tokenize+hash
+  // runs once for the whole pipeline. The native expressions are audited
+  // where they are live in a final plan: sorted_overlap via
+  // dedup_minhash_pairs above, the array hash here.
+  test("minhash signatures use the native array hash (one primitive loop per doc)") {
+    val (p, _) = plan(ExtensionQueries.queries, "dedup_minhash_sig")
+    assert(p.contains("md5_hash32_array"), s"signature path lost the native hash:\n$p")
   }
 
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
