@@ -19,6 +19,24 @@ class SketchSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_top_k heavy hitters match exact top-k on a skewed column") {
+    // 5 distinct event types << maxItemsTracked, so the sketch is exact —
+    // the property that makes approx_top_k a drop-in for "top pages /
+    // top errors" dashboards at 100 TB (O(k) mergeable state vs a full
+    // value shuffle for the exact grouped count).
+    val approx = ev.select(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").cast("string"), col("e.count").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = ev.groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type"))
+      .limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx.sortBy(-_._2).map(_._2) == exact.map(_._2),
+      s"approx=$approx exact=$exact")
+    assert(approx.map(_._1).toSet == exact.map(_._1).toSet)
+  }
+
   test("HLL sketches merge: per-type sketch union == global estimate") {
     // Build one sketch per event_type, union them, compare to the global
     // sketch — bit-identical estimates because union of partials IS the
