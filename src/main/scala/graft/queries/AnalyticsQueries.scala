@@ -118,6 +118,51 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Time-series resampling: hourly buckets per type, the MISSING hours
+    // materialized from a per-key sequence (no driver loop), counts
+    // gap-filled with 0 and values carried forward (LOCF) by a per-key
+    // window. The grid side is O(keys x buckets) — bounded by time range,
+    // not row count — and the join is keyed, so the shape survives any
+    // fact-table scale.
+    "resample_gapfill_1h" -> ((s, d) => {
+      val b = events(s, d)
+        .groupBy(col("event_type"),
+          (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+      val grid = b.groupBy(col("event_type"))
+        .agg(min(col("bucket_sec")).as("_lo"), max(col("bucket_sec")).as("_hi"))
+        .select(col("event_type"),
+          explode(sequence(col("_lo"), col("_hi"), lit(3600L))).as("bucket_sec"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(b, Seq("event_type", "bucket_sec"), "left")
+        .select(col("event_type"), col("bucket_sec"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("avg_value"),
+          last(col("avg_value"), ignoreNulls = true).over(w).as("value_locf"))
+        .orderBy("event_type", "bucket_sec")
+    }),
+
+    // Incremental-rollup equivalence (materialized-view maintenance): the
+    // day-partial -> merge path must equal the direct global aggregate for
+    // algebraic functions — the property that lets a 100 TB pipeline
+    // re-aggregate only new partitions and fold them into yesterday's
+    // state. The ORACLE is the direct computation, so the equality is the
+    // correctness gate itself.
+    "incremental_two_level_agg" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          (tsMillis(col("ts")) / DayMs).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      daily.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          round(sum(col("sv")), 2).as("sum_value"),
+          round(min(col("mn")), 2).as("min_value"),
+          round(max(col("mx")), 2).as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // Data-quality profile: per-column completeness + cardinality in ONE
     // scan (multi-distinct expands internally; at 100 TB swap the exact
     // count_distinct for approx_count_distinct — same plan shape, sketch
@@ -184,6 +229,35 @@ object AnalyticsQueries extends QueryPack {
            |  count(DISTINCT act.user_id) AS n_users
            |FROM act JOIN first USING (user_id)
            |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+      "resample_gapfill_1h" ->
+        """WITH b AS (
+          |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
+          |    count(*) AS n_events, round(avg(value), 6) AS avg_value
+          |  FROM events GROUP BY 1, 2),
+          |g AS (
+          |  SELECT event_type, unnest(generate_series(min(bucket_sec), max(bucket_sec), 3600))
+          |    AS bucket_sec
+          |  FROM b GROUP BY event_type),
+          |j AS (
+          |  SELECT g.event_type, g.bucket_sec,
+          |    coalesce(b.n_events, 0) AS n_events, b.avg_value
+          |  FROM g LEFT JOIN b USING (event_type, bucket_sec))
+          |SELECT event_type, bucket_sec, n_events, avg_value,
+          |  last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+          |    ORDER BY bucket_sec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS value_locf
+          |FROM j ORDER BY event_type, bucket_sec""".stripMargin,
+
+      // Deliberately the DIRECT single-level aggregate: hash-equality with
+      // the engine's two-level day-partial merge IS the incremental-rollup
+      // correctness proof.
+      "incremental_two_level_agg" ->
+        """SELECT event_type, count(*) AS n_events,
+          |  round(sum(value), 2) AS sum_value,
+          |  round(min(value), 2) AS min_value,
+          |  round(max(value), 2) AS max_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "dq_profile" -> {
         val branches = profileCols.map(c =>
