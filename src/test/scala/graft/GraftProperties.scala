@@ -66,6 +66,19 @@ object GraftProperties extends Properties("graft") {
         horner(Seq(h1, h2, h3, h4)) != horner(Seq(h2, h1, h3, h4))
     }
 
+  // mirrors Layout.zorder2 (sum of disjoint bit positions == OR)
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map(j => (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1)))
+      .reduce(_ | _)
+
+  property("morton interleave is a bijection on the 16-bit grid") =
+    Prop.forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)) { (x, y) =>
+      val z = morton(x, y, 16)
+      def lane(off: Int): Long =
+        (0 until 16).map(j => ((z >> (2 * j + off)) & 1L) << j).reduce(_ | _)
+      lane(0) == x && lane(1) == y
+    }
+
   property("minhash affine sig: min over multiset == min over distinct set") =
     Prop.forAll(Gen.nonEmptyListOf(h32Gen), Gen.chooseNum(0, Dedup.MinhashK - 1)) {
       (hs, i) =>
