@@ -169,6 +169,31 @@ object Dedup {
   /** Hamming distance between two simhash sketches (bit-count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Exact-recall LSH banding for simhash: split the 32-bit sketch into
+    * `bands` contiguous bit-bands. Two sketches within hamming distance d
+    * differ in at most d bands, so with bands >= d+1 they MUST agree
+    * exactly on at least one band (pigeonhole) — unlike minhash banding,
+    * recall at the radius is guaranteed, not probabilistic. Emits one
+    * (band_ix, band_key, id, sketch) row per band; candidates come from a
+    * key-equi self-join on (band_ix, band_key) — one shuffle on band keys.
+    * Scale knob: the per-band key space here is 2^(32/bands) (256 at the
+    * default 4); for corpora where 8-bit buckets saturate, widen the
+    * sketch (simhash-64 from a 64-bit token hash) and the band width grows
+    * to 16 bits with the identical plan shape.
+    */
+  def simhashBands(sketches: DataFrame, idCol: String, simhashCol: String,
+      bands: Int = 4): DataFrame = {
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_ix"),
+        shiftright(col(simhashCol), b * width).bitwiseAND(lit(mask)).as("band_key"))
+    }
+    sketches.select(col(idCol), col(simhashCol), explode(array(bandCols: _*)).as("_b"))
+      .select(col(idCol), col(simhashCol),
+        col("_b.band_ix").as("band_ix"), col("_b.band_key").as("band_key"))
+  }
+
   /** Connected components over an undirected near-duplicate edge list:
     * the step that turns verified pairs into dedup CLUSTERS (keep one doc
     * per component). Iterative min-label propagation with pointer jumping
@@ -194,31 +219,39 @@ object Dedup {
     var labels = sym.groupBy(col("src").as("node"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(false)
+    // Convergence probe BEFORE each round, not after: labels are correct
+    // iff both endpoints of every edge carry the same label (every label
+    // is a node id ≤ its node from within the component, so a uniform
+    // component label can only be the component min — the min node's own
+    // label can never drop below itself). Probing first means the common
+    // case (clique/pair-shaped near-dup graphs, converged at the seed)
+    // costs two key-equi joins and ZERO propagate/jump rounds, where the
+    // round-then-check shape always paid for a full round (3 joins + an
+    // aggregate + a checkpoint) just to observe no change.
+    def inconsistent(l: DataFrame): Boolean = !sym
+      .join(l.select(col("node").as("_na"), col("label").as("_la")), col("src") === col("_na"))
+      .join(l.select(col("node").as("_nb"), col("label").as("_lb")), col("dst") === col("_nb"))
+      .where(col("_la") =!= col("_lb")).limit(1).isEmpty
     var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
+    while (inconsistent(labels)) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+            "labels would be incorrect — raise maxIter (rounds needed is O(log diameter))")
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // `_old` rides along so the convergence probe is a scan of the
-      // checkpointed frame, not another join.
       val propagated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"), col("label").as("_old"),
+        .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jumping: label <- label(label); every label is a node id,
       // so the self-join always resolves.
-      val jumped = propagated.as("x")
+      labels = propagated.as("x")
         .join(propagated.as("y"), col("x.label") === col("y.node"), "left")
-        .select(col("x.node").as("node"), col("x._old").as("_old"),
+        .select(col("x.node").as("node"),
           coalesce(col("y.label"), col("x.label")).as("label"))
         .localCheckpoint(false)
-      converged = jumped.where(col("label") =!= col("_old")).limit(1).isEmpty
-      labels = jumped.drop("_old")
       it += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
-          "labels would be incorrect — raise maxIter (rounds needed is O(log diameter))")
     labels
   }
 }

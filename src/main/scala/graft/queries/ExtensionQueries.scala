@@ -129,6 +129,32 @@ object ExtensionQueries extends QueryPack {
         .select(col("doc_id"), Dedup.simhash32FromHashes(col("_hashes")).as("simhash"))
         .orderBy("doc_id")),
 
+    // SimHash near-dup PAIRS via exact-recall banding (Dedup.simhashBands):
+    // sketches within hamming distance 3 must share one of the 4 8-bit
+    // bands (pigeonhole), so the candidate join is a key-equi shuffle on
+    // band keys and the hamming verify (codegen bit_count of xor) runs
+    // only on bucket collisions — never a pairwise pass over the corpus.
+    // The 8-byte sketch rides through the band explode, so no join-back.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sk = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), TextOps.hashAll(col("_toks")).as("_hashes"))
+        .select(col("doc_id"), Dedup.simhash32FromHashes(col("_hashes")).as("simhash"))
+        .localCheckpoint(false)
+      val b = Dedup.simhashBands(sk, "doc_id", "simhash")
+      val l = b.select(col("band_ix"), col("band_key"),
+        col("doc_id").as("id_a"), col("simhash").as("_sh_a"))
+      val r = b.select(col("band_ix"), col("band_key"),
+        col("doc_id").as("id_b"), col("simhash").as("_sh_b"))
+      l.join(r, Seq("band_ix", "band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hammingDist(col("_sh_a"), col("_sh_b")).cast("long").as("hd"))
+        .where(col("hd") <= 3)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
     // Blocked n-gram (unigram-set) Jaccard near-dup pairs: block on
     // (lang, source) so the pairwise work is per-key, never global.
     "ngram_jaccard_pairs" -> ((s, d) => {
@@ -331,6 +357,56 @@ object ExtensionQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Per-document token Shannon entropy (nats) — the information-density
+    // quality signal. One explode + two keyed aggregates; the identity
+    // H = ln(n) - (Σ c·ln c)/n turns the per-term probability pass into
+    // plain algebraic aggregates (both partial-aggregable map-side).
+    "text_entropy" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("_n"),
+          sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("_sl"))
+        .select(col("doc_id"),
+          round(log(col("_n").cast("double")) - col("_sl") / col("_n"), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // Within-document repetition (duplicate word-3-gram ratio) — the
+    // Gopher-style repetitiousness filter. Pure per-row array arithmetic
+    // over the staged shingle hashes: no shuffle at all before the final
+    // presentation sort.
+    "text_repetition" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("_th")).as("_sh"))
+        .select(col("doc_id"), size(col("_sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("_sh"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6)
+            .as("dup_ratio"))
+        .orderBy("doc_id")),
+
+    // Corpus token frequency spectrum (Zipf head): global term counts,
+    // top-30 via orderBy+limit — Spark plans TakeOrderedAndProject (per-
+    // partition heaps + a 30-row driver merge), NOT a global sort; the
+    // rank window then runs over the 30 surviving rows only.
+    "zipf_token_freq" -> ((s, d) => {
+      val tc = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val tot = tc.agg(sum(col("n")).as("_tot"))
+      val top = tc.orderBy(col("n").desc, col("term")).limit(30)
+      top.crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("term"))))
+        .select(col("rk"), col("term"), col("n"),
+          round(col("n").cast("double") / col("_tot"), 6).as("freq"))
+        .orderBy("rk")
+    }),
+
     // Token counting both ways: whitespace and BPE-ish regex runs.
     "text_token_counts" -> ((s, d) =>
       documents(s, d)
@@ -465,6 +541,16 @@ object ExtensionQueries extends QueryPack {
          |quality AS (SELECT doc_id,
          |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
          |FROM fq)""".stripMargin
+    // Simhash sketch select (mirrors Dedup.simhash32FromHashes), shared by
+    // the sketch query and the banded-pair query.
+    val duckSimhashSel =
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
+         |    CASE WHEN list_sum(list_transform(hashes, h ->
+         |           ((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)) >= 0
+         |         THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, list_transform($duckToks, t -> ${duckH32("t")}) AS hashes
+         |      FROM documents)""".stripMargin
     val bandKey0 = "concat_ws(':', sig_0, sig_1, sig_2, sig_3)"
     val bandKey1 = "concat_ws(':', sig_4, sig_5, sig_6, sig_7)"
     // CTE chain ending in `pairs` = LSH candidates verified by
@@ -519,15 +605,21 @@ object ExtensionQueries extends QueryPack {
            |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
            |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
 
-      "dedup_simhash" ->
-        s"""SELECT doc_id,
-           |  CAST(list_sum(list_transform(generate_series(0, 31), j ->
-           |    CASE WHEN list_sum(list_transform(hashes, h ->
-           |           ((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)) >= 0
-           |         THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-           |FROM (SELECT doc_id, list_transform($duckToks, t -> ${duckH32("t")}) AS hashes
-           |      FROM documents)
-           |ORDER BY doc_id""".stripMargin,
+      "dedup_simhash" -> s"$duckSimhashSel\nORDER BY doc_id",
+
+      "dedup_simhash_pairs" ->
+        s"""WITH simh AS MATERIALIZED ($duckSimhashSel),
+           |bands AS (
+           |  SELECT doc_id, simhash, band_ix, (simhash >> (band_ix * 8)) & 255 AS band_key
+           |  FROM simh, (SELECT unnest(generate_series(0, 3)) AS band_ix)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         a.simhash AS sa, b.simhash AS sb
+           |  FROM bands a JOIN bands b USING (band_ix, band_key)
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hd
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "ngram_jaccard_pairs" ->
         s"""WITH t AS (SELECT lang, source, doc_id,
@@ -715,6 +807,35 @@ object ExtensionQueries extends QueryPack {
            |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            |  round(avg(quality), 6) AS avg_quality
            |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "text_entropy" ->
+        s"""WITH tf AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+           |c AS (SELECT doc_id, term, count(*) AS cnt FROM tf GROUP BY 1, 2),
+           |a AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * ln(cnt)) AS sl FROM c GROUP BY 1)
+           |SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - sl / CAST(n AS DOUBLE), 6) AS entropy
+           |FROM a ORDER BY doc_id""".stripMargin,
+
+      "text_repetition" ->
+        s"""WITH r AS (SELECT doc_id,
+           |  CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
+           |  ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
+           |    i -> ((((th[i] * ${Dedup.ShingleA} + th[i+1]) % ${Dedup.MinhashP})
+           |          * ${Dedup.ShingleA} + th[i+2]) % ${Dedup.MinhashP})) END AS sh
+           |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+           |        FROM documents))
+           |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+           |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           |  round(1.0 - len(list_distinct(sh)) / len(sh), 6) AS dup_ratio
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "zipf_token_freq" ->
+        s"""WITH tc AS (SELECT term, count(*) AS n
+           |            FROM (SELECT unnest($duckToks) AS term FROM documents) GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tc),
+           |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 30)
+           |SELECT row_number() OVER (ORDER BY n DESC, term) AS rk, term, n,
+           |  round(n / tot, 6) AS freq
+           |FROM top, tot ORDER BY rk""".stripMargin,
 
       "text_token_counts" ->
         s"""SELECT doc_id, len($duckToks) AS n_ws_tokens,
