@@ -154,12 +154,21 @@ object Dedup {
     */
   def simhash32(toks: Column): Column = simhash32FromHashes(hashAll(toks))
 
-  /** SimHash over a PRE-STAGED hash-array column — pass an attribute, not
-    * an inline expression: the hash array is referenced once per bit (32x).
-    * The bit loop is unrolled in Scala so each bit extraction is a literal
-    * shift (codegen'd integer ops, no per-element pow()).
+  /** SimHash over a PRE-STAGED hash-array column: the native one-pass
+    * codegen expression (graft.functions.Simhash32). Bit-identical to
+    * [[simhash32Reference]] (proved in VectorExpressionsSpec) without its
+    * 32 interpreted aggregate passes over the array.
     */
   def simhash32FromHashes(hashes: Column): Column =
+    graft.functions.HashExpressions.simhash32(hashes)
+
+  /** Declarative reference form of the sketch — 32 `aggregate` HOFs, one
+    * per bit, each a full interpreted pass over the hash array. Kept as
+    * the executable spec for the native expression (and as the shape the
+    * DuckDB oracle mirrors). Pass an attribute, not an inline expression:
+    * the hash array is referenced once per bit (32x).
+    */
+  def simhash32Reference(hashes: Column): Column =
     (0 until 32).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (a, h) => a + shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L)

@@ -45,6 +45,28 @@ object Md5Hash32Util {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** One-pass SimHash-32 over an array<long> of token hashes; null when
+    * any element is null (boxed so generated code gets the null signal
+    * without an out-param).
+    */
+  def simhash32(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    val ones = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) { ones(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    var sk = 0L
+    var j = 0
+    // sign of the +-1 bit sum: sum_j = 2*ones[j] - n >= 0
+    while (j < 32) { if (2 * ones(j) >= n) sk |= (1L << j); j += 1 }
+    sk
+  }
+
   /** ArrayData constructor for generated code: primitive (UnsafeArrayData)
     * when null-free, generic otherwise.
     */
@@ -149,6 +171,44 @@ case class Md5Hash32Array(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash32(array<bigint>) -> bigint` — the 32-bit SimHash sketch over
+  * pre-hashed tokens in ONE pass. The declarative form
+  * (`Dedup.simhash32Reference`) evaluates 32 separate `aggregate` HOFs —
+  * 32 interpreted passes over the hash array per document, each lambda
+  * re-dispatched per element. This expression counts all 32 bit positions
+  * in a single primitive loop (bit j of the sketch is set iff ones[j]
+  * makes the +-1 sum non-negative, i.e. 2*ones[j] >= n) and stays inside
+  * whole-stage codegen. Result is bit-identical to the declarative form
+  * for null-free input (proved in VectorExpressionsSpec); a null element
+  * yields a null sketch.
+  */
+case class Simhash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32Util.simhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sk")
+      s"""
+         |java.lang.Long $r = graft.functions.Md5Hash32Util.simhash32($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32 =
+    copy(child = newChild)
+}
+
 object HashExpressions {
 
   /** Column API: portable 32-bit hash of a string column. */
@@ -158,11 +218,17 @@ object HashExpressions {
   def md5_hash32_array(c: Column): Column =
     Bridge.column(Md5Hash32Array(Bridge.expression(c)))
 
+  /** Column API: one-pass SimHash-32 sketch of an array<bigint> column. */
+  def simhash32(c: Column): Column = Bridge.column(Simhash32(Bridge.expression(c)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("md5_hash32"),
       new ExpressionInfo(classOf[Md5Hash32].getName, "md5_hash32"),
       (exprs: Seq[Expression]) => Md5Hash32(exprs.head)),
     (FunctionIdentifier("md5_hash32_array"),
       new ExpressionInfo(classOf[Md5Hash32Array].getName, "md5_hash32_array"),
-      (exprs: Seq[Expression]) => Md5Hash32Array(exprs.head)))
+      (exprs: Seq[Expression]) => Md5Hash32Array(exprs.head)),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => Simhash32(exprs.head)))
 }

@@ -38,6 +38,9 @@ object Profile {
     time("simhash full query") {
       ExtensionQueries.queries("dedup_simhash")(spark, d).agg(sum("simhash")).head()
     }
+    time("simhash_pairs full query") {
+      println("n_sh_pairs=" + ExtensionQueries.queries("dedup_simhash_pairs")(spark, d).count())
+    }
     time("ngram_jaccard full query") {
       println("n_ngram=" + ExtensionQueries.queries("ngram_jaccard_pairs")(spark, d).count())
     }

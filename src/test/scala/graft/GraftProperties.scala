@@ -87,4 +87,26 @@ object GraftProperties extends Properties("graft") {
             Dedup.MinhashP)).min
         sig(hs) == sig(hs.distinct)
     }
+
+  private def simhashNative(hs: Seq[Long]): Long =
+    graft.functions.Simhash32(Literal.create(hs, ArrayType(LongType)))
+      .eval(null).asInstanceOf[Long]
+
+  property("Simhash32 native == sign-of-±1-sum definition") =
+    Prop.forAll(Gen.listOf(h32Gen)) { hs =>
+      val expect = (0 until 32).map { j =>
+        val s = hs.map(h => ((h >> j) & 1L) * 2 - 1).sum
+        if (s >= 0) 1L << j else 0L
+      }.sum
+      simhashNative(hs) == expect
+    }
+
+  property("simhash banding has exact recall at hamming radius 3") =
+    // flip up to 3 random bit positions: the two sketches must still agree
+    // on at least one of the 4 8-bit bands (pigeonhole: 3 flips can touch
+    // at most 3 bands)
+    Prop.forAll(h32Gen, Gen.listOfN(3, Gen.chooseNum(0, 31))) { (sk, flips) =>
+      val other = flips.distinct.foldLeft(sk)((s, j) => s ^ (1L << j))
+      (0 until 4).exists(b => ((sk >> (b * 8)) & 255L) == ((other >> (b * 8)) & 255L))
+    }
 }

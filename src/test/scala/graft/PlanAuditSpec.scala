@@ -52,6 +52,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("zipf head: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val (p, _) = plan(ExtensionQueries.queries, "zipf_token_freq")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan per-partition heaps:\n$p")
+  }
+
+  test("simhash pairs: native one-pass sketch, key-equi band join only") {
+    val (p, df) = plan(ExtensionQueries.queries, "dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must keep the self-join key-equi:\n$p")
+    // the sketch is computed by the native expression (checkpointed branch,
+    // so audit the pre-checkpoint plan via a fresh sketch projection)
+    val sk = graft.ext.Dedup.simhash32FromHashes(
+      graft.ext.TextOps.hashAll(graft.ext.TextOps.tokens(
+        org.apache.spark.sql.functions.col("text"))))
+    val skPlan = Tables.documents(spark, sf0001).select(sk.as("s"))
+      .queryExecution.executedPlan.toString
+    assert(skPlan.contains("simhash32"), s"sketch lost the native expression:\n$skPlan")
+  }
+
   test("w3 banded lag: every data-side window is partitioned") {
     val (p, _) = plan(ParityQueries.queries, "w3_lag_gap")
     // the band-level boundary window is the only global one, and it runs

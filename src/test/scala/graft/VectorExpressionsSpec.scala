@@ -93,6 +93,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull(1) == null && withNull.length == 3)
   }
 
+  test("Simhash32 matches the 32-aggregate declarative form bit-for-bit") {
+    import graft.ext.{Dedup, TextOps}
+    val t = Tables.documents(spark, sf0001)
+      .select($"doc_id", TextOps.hashAll(TextOps.tokens($"text")).as("h"))
+    val diff = t.select(
+        (Dedup.simhash32FromHashes($"h") =!= Dedup.simhash32Reference($"h")).as("bad"))
+      .where($"bad").count()
+    assert(diff == 0L)
+    // empty array: every +-1 bit sum is 0 (>= 0), so all 32 bits set
+    val empty = spark.sql("SELECT CAST(array() AS ARRAY<BIGINT>) AS h")
+      .select(graft.functions.HashExpressions.simhash32($"h")).head().getLong(0)
+    assert(empty == 0xffffffffL)
+    // null element -> null sketch
+    val withNull = spark.sql("SELECT array(CAST(1 AS BIGINT), NULL) AS h")
+      .select(graft.functions.HashExpressions.simhash32($"h")).head()
+    assert(withNull.isNullAt(0))
+  }
+
   test("vector_dot is SQL-registered through GraftExtensions") {
     // Verify the injection path on a derived session with the extension.
     val s2 = spark.newSession()
