@@ -99,4 +99,22 @@ object Multimodal {
       }
       .toDF("doc_id", "thumb")
   }
+
+  /** Thumbnail summary row (size + rolling checksum of the strided bytes)
+    * — the oracle-checkable face of [[resize]].
+    */
+  case class Thumb(doc_id: Long, n_thumb_bytes: Int, thumb_checksum: Long)
+
+  /** [[resize]] → typed features; same rolling checksum as the decode
+    * stub, so the whole thumbnail path is byte-exact against the oracle.
+    */
+  def resizeFeatures(spark: SparkSession, media: DataFrame,
+      targetBytes: Int): Dataset[Thumb] = {
+    import spark.implicits._
+    resize(spark, media, targetBytes).as[(Long, Array[Byte])].map { case (id, b) =>
+      var acc = 0L
+      b.foreach(x => acc = (acc * 31 + (x & 0xff)) % 2147483647L)
+      Thumb(id, b.length, acc)
+    }
+  }
 }

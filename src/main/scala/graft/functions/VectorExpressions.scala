@@ -156,9 +156,13 @@ object VectorExpressions {
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`
   * (or `spark.sql.extensions=graft.functions.GraftExtensions`) exposes the
-  * engine's native functions to SQL users.
+  * engine's native functions to SQL users and installs the optimizer
+  * rewrites that route declarative spellings onto them
+  * ([[graft.plans.NativeHashRewrite]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     (VectorExpressions.functions ++ HashExpressions.functions).foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
+  }
 }

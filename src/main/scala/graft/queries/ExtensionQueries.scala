@@ -490,7 +490,17 @@ object ExtensionQueries extends QueryPack {
       Multimodal.sampleFrames(s,
           Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))
         .toDF()
-        .orderBy("doc_id", "frame_ix")))
+        .orderBy("doc_id", "frame_ix")),
+
+    // Multimodal resize (thumbnail) stub: stride-sampled bytes, same
+    // per-partition map shape as a real rescale — byte-exact checksum
+    // oracle over the strided positions.
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizeFeatures(s,
+          Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"),
+          targetBytes = 64)
+        .toDF()
+        .orderBy("doc_id")))
 
   def oracleSql: Map[String, String] = {
     // MinHash signature columns over the pre-hashed shingle set `t`
@@ -918,6 +928,19 @@ object ExtensionQueries extends QueryPack {
           |      i -> CAST(ascii(substr(text, CAST(frame_ix * 64 + i AS INT), 1)) AS BIGINT))),
           |    (a, c) -> (a * 31 + c) % 2147483647) AS checksum
           |FROM fr ORDER BY doc_id, frame_ix""".stripMargin,
+
+      "multimodal_resize" ->
+        """WITH f AS (
+          |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+          |p AS (SELECT doc_id, text, n, greatest(1, n // 64) AS step FROM f),
+          |s AS (SELECT doc_id,
+          |  list_transform(list_filter(generate_series(0, 63), k -> k * step < n),
+          |                 k -> CAST(ascii(substr(text, CAST(k * step + 1 AS INT), 1)) AS BIGINT)) AS bytes
+          |  FROM p)
+          |SELECT doc_id, CAST(len(bytes) AS INT) AS n_thumb_bytes,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+          |              (a, c) -> (a * 31 + c) % 2147483647) AS thumb_checksum
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,

@@ -72,6 +72,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(skPlan.contains("simhash32"), s"sketch lost the native expression:\n$skPlan")
   }
 
+  test("NativeHashRewrite: transform(arr, md5_hash32) collapses to the native array op") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashExpressions.{md5_hash32, md5_hash32_array}
+    val df = Tables.documents(spark, sf0001)
+      .select(graft.ext.TextOps.tokens(col("text")).as("t"))
+      .select(transform(col("t"), x => md5_hash32(x)).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("md5_hash32_array") && !p.contains("transform("),
+      s"optimizer rule did not fire:\n$p")
+    // and the rewrite is value-preserving vs the explicit native call
+    val direct = Tables.documents(spark, sf0001)
+      .select(md5_hash32_array(graft.ext.TextOps.tokens(col("text"))).as("h"))
+    assert(df.except(direct).count() == 0 && direct.except(df).count() == 0)
+  }
+
   test("w3 banded lag: every data-side window is partitioned") {
     val (p, _) = plan(ParityQueries.queries, "w3_lag_gap")
     // the band-level boundary window is the only global one, and it runs
