@@ -99,6 +99,23 @@ object RelationalQueries extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // Correlated scalar subquery (SQL surface): each customer's best
+    // order(s) via a per-customer max subquery. Catalyst DECORRELATES
+    // this into one aggregate + one key-equi join — no per-row subquery
+    // execution — so the SQL spelling costs the same as the hand-written
+    // argmax plan (plan-audited). The predicate is an exact equality on a
+    // stored double (max picks an element, no accumulation), so there is
+    // no float-boundary hazard in the oracle compare.
+    "correlated_max_order" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey""")
+    }),
+
     // Left-anti join (NOT EXISTS): parts never shipped.
     "anti_join_unsold_parts" -> ((s, d) =>
       part(s, d)
@@ -391,6 +408,13 @@ object RelationalQueries extends QueryPack {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "correlated_max_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "anti_join_unsold_parts" ->
       """SELECT p_brand, count(*) AS n_parts

@@ -52,6 +52,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("correlated scalar subquery decorrelates to one aggregate + key join") {
+    val (p, _) = plan(RelationalQueries.queries, "correlated_max_order")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin")),
+      s"expected decorrelated agg+join plan:\n$p")
+    assert(!p.contains("ScalarSubquery"),
+      s"subquery survived decorrelation (per-row execution):\n$p")
+  }
+
   test("zipf head: top-k plans as TakeOrderedAndProject, not a global sort") {
     val (p, _) = plan(ExtensionQueries.queries, "zipf_token_freq")
     assert(p.contains("TakeOrderedAndProject"),
