@@ -18,6 +18,24 @@ import graft.Tables.tsMillis
   */
 object Metrics {
 
+  /** Order-invariant exact mean of a fixed-2-decimal double column (the
+    * fixture's `value`): sum integer cents (exact, commutative), divide
+    * ONCE — the division of exact integers is the same IEEE double on
+    * every engine and under every partitioning, so the result needs no
+    * rounding at all. The naive `round(avg(x), 6)` is a tie lottery:
+    * partial-sum accumulation order differs between engines by an ulp,
+    * and when the true mean sits exactly on a decimal midpoint (dyadic
+    * group counts make this real — observed at sf0.1 with n=32) the two
+    * engines round opposite ways. The ×100 products sit within ~1e-13 of
+    * an integer, so the inner round is unambiguous.
+    */
+  def meanExact2dp(value: Column): Column =
+    sum(round(value * 100, 0).cast("long")).cast("double") / (count(value) * lit(100.0))
+
+  /** DuckDB spelling of [[meanExact2dp]] for oracle SQL. */
+  def meanExact2dpSql(col: String): String =
+    s"CAST(sum(CAST(round($col * 100) AS BIGINT)) AS DOUBLE) / (count($col) * 100.0)"
+
   /** latency_ms = now - created_ts (reference formula
     * spark_job/spark_stream_metrics.py:49-52).
     *

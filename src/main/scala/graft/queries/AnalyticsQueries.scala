@@ -48,7 +48,7 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"),
-          round(avg(col("value")), 6).as("avg_value"))
+          graft.ops.Metrics.meanExact2dp(col("value")).as("avg_value"))
         .orderBy("band")
     }),
 
@@ -128,7 +128,8 @@ object AnalyticsQueries extends QueryPack {
       val b = events(s, d)
         .groupBy(col("event_type"),
           (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
-        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("avg_value"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.Metrics.meanExact2dp(col("value")).as("avg_value"))
       val grid = b.groupBy(col("event_type"))
         .agg(min(col("bucket_sec")).as("_lo"), max(col("bucket_sec")).as("_hi"))
         .select(col("event_type"),
@@ -190,7 +191,7 @@ object AnalyticsQueries extends QueryPack {
         s"""WITH bands(band, lo, hi) AS (VALUES $bandValues)
            |SELECT band, count(*) AS n_events,
            |  round(sum(value), 2) AS sum_value,
-           |  round(avg(value), 6) AS avg_value
+           |  ${graft.ops.Metrics.meanExact2dpSql("value")} AS avg_value
            |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
            |GROUP BY band ORDER BY band""".stripMargin,
 
@@ -231,9 +232,9 @@ object AnalyticsQueries extends QueryPack {
            |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
       "resample_gapfill_1h" ->
-        """WITH b AS (
+        s"""WITH b AS (
           |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
-          |    count(*) AS n_events, round(avg(value), 6) AS avg_value
+          |    count(*) AS n_events, ${graft.ops.Metrics.meanExact2dpSql("value")} AS avg_value
           |  FROM events GROUP BY 1, 2),
           |g AS (
           |  SELECT event_type, unnest(generate_series(min(bucket_sec), max(bucket_sec), 3600))

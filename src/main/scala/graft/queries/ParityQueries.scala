@@ -141,7 +141,7 @@ object ParityQueries extends QueryPack {
       events(s, d).groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(col("value")), 6).as("mean_value"),
+          graft.ops.Metrics.meanExact2dp(col("value")).as("mean_value"),
           round(percentile(col("value"), lit(0.95)), 6).as("p95_value"),
           round(max(col("value")), 6).as("max_value"),
           round(min(col("value")), 6).as("min_value"))
@@ -233,8 +233,8 @@ object ParityQueries extends QueryPack {
            |FROM g GROUP BY run_label ORDER BY run_label""".stripMargin,
 
       "a4_summary_by_type" ->
-        """SELECT event_type, count(*) AS n,
-          |  round(avg(value), 6) AS mean_value,
+        s"""SELECT event_type, count(*) AS n,
+          |  ${graft.ops.Metrics.meanExact2dpSql("value")} AS mean_value,
           |  round(quantile_cont(value, 0.95), 6) AS p95_value,
           |  round(max(value), 6) AS max_value,
           |  round(min(value), 6) AS min_value
