@@ -29,12 +29,22 @@ object Metrics {
     * engines round opposite ways. The ×100 products sit within ~1e-13 of
     * an integer, so the inner round is unambiguous.
     */
-  def meanExact2dp(value: Column): Column =
-    sum(round(value * 100, 0).cast("long")).cast("double") / (count(value) * lit(100.0))
+  def meanExact2dp(value: Column): Column = meanExactScaled(value, 100L)
+
+  /** [[meanExact2dp]] generalized to any fixed decimal scale (1e6 for the
+    * engine's 6-rounded scores, 100 for the 2-decimal fixture money/value
+    * columns).
+    */
+  def meanExactScaled(value: Column, scale: Long): Column =
+    sum(round(value * scale, 0).cast("long")).cast("double") /
+      (count(value) * lit(scale.toDouble))
 
   /** DuckDB spelling of [[meanExact2dp]] for oracle SQL. */
-  def meanExact2dpSql(col: String): String =
-    s"CAST(sum(CAST(round($col * 100) AS BIGINT)) AS DOUBLE) / (count($col) * 100.0)"
+  def meanExact2dpSql(col: String): String = meanExactScaledSql(col, 100L)
+
+  /** DuckDB spelling of [[meanExactScaled]]. */
+  def meanExactScaledSql(col: String, scale: Long): String =
+    s"CAST(sum(CAST(round($col * $scale) AS BIGINT)) AS DOUBLE) / (count($col) * $scale.0)"
 
   /** latency_ms = now - created_ts (reference formula
     * spark_job/spark_stream_metrics.py:49-52).

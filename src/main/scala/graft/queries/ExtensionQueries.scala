@@ -353,7 +353,8 @@ object ExtensionQueries extends QueryPack {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"), col("quality"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
-          round(avg(col("quality")), 6).as("avg_quality"))
+          // quality is 6-rounded → exact at scale 1e6: order-invariant mean
+          graft.ops.Metrics.meanExactScaled(col("quality"), 1000000L).as("avg_quality"))
         .orderBy("lang")
     }),
 
@@ -815,7 +816,7 @@ object ExtensionQueries extends QueryPack {
            |    AND q.quality >= 0.3)
            |SELECT lang, count(*) AS n_docs,
            |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           |  round(avg(quality), 6) AS avg_quality
+           |  ${graft.ops.Metrics.meanExactScaledSql("quality", 1000000L)} AS avg_quality
            |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
 
       "text_entropy" ->

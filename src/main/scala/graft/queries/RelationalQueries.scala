@@ -33,9 +33,9 @@ object RelationalQueries extends QueryPack {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
             .as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          graft.ops.Metrics.meanExact2dp(col("l_quantity")).as("avg_qty"),
+          graft.ops.Metrics.meanExact2dp(col("l_extendedprice")).as("avg_price"),
+          graft.ops.Metrics.meanExact2dp(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -164,7 +164,12 @@ object RelationalQueries extends QueryPack {
           col("value"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
         .rangeBetween(-300000L, Window.currentRow)
-      ev.withColumn("moving_avg", round(avg(col("value")).over(w), 6))
+      // integer-cents frame sum → one exact division: sliding-frame
+      // add/remove order can't perturb a long sum (midpoint-lottery-free,
+      // same as Metrics.meanExact2dp)
+      ev.withColumn("moving_avg",
+          sum(round(col("value") * 100, 0).cast("long")).over(w).cast("double") /
+            (count(lit(1)).over(w) * lit(100.0)))
         .withColumn("n_in_window", count(lit(1)).over(w))
         .select(col("event_id"), col("moving_avg"), col("n_in_window"))
         .orderBy("event_id")
@@ -362,14 +367,14 @@ object RelationalQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  ${graft.ops.Metrics.meanExact2dpSql("l_quantity")} AS avg_qty,
+        |  ${graft.ops.Metrics.meanExact2dpSql("l_extendedprice")} AS avg_price,
+        |  ${graft.ops.Metrics.meanExact2dpSql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -445,7 +450,8 @@ object RelationalQueries extends QueryPack {
 
     "window_range_moving_avg" ->
       """SELECT event_id,
-        |  round(avg(value) OVER w, 6) AS moving_avg,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+        |    / (count(*) OVER w * 100.0) AS moving_avg,
         |  count(*) OVER w AS n_in_window
         |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
