@@ -164,5 +164,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     (VectorExpressions.functions ++ HashExpressions.functions).foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
+    e.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
   }
 }

@@ -116,6 +116,16 @@ object RelationalQueries extends QueryPack {
         ORDER BY o_custkey, o_orderkey""")
     }),
 
+    // Per-key top-k through the CUSTOM physical operator (plans/TopKPerKey
+    // via GraftStrategies): one key shuffle + bounded per-key heaps —
+    // O(n log k) and O(#keys·k) memory instead of the window spelling's
+    // full per-partition sort. Total order via the o_orderkey tiebreak.
+    "topk_orders_per_cust" -> ((s, d) =>
+      graft.plans.TopK.perKey(orders(s, d), Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")),
+
     // Left-anti join (NOT EXISTS): parts never shipped.
     "anti_join_unsold_parts" -> ((s, d) =>
       part(s, d)
@@ -420,6 +430,14 @@ object RelationalQueries extends QueryPack {
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "topk_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "anti_join_unsold_parts" ->
       """SELECT p_brand, count(*) AS n_parts
