@@ -446,10 +446,13 @@ object ExtensionQueries extends QueryPack {
         .select(col("doc_id"), col("term"),
           round((col("cnt").cast("double") / col("dlen")) *
             log(col("n_docs").cast("double") / col("dfreq")), 6).as("tfidf"))
-      scored
+      // custom TopKPerKey prunes to 3 rows/doc with bounded heaps (no
+      // per-partition sort of the full (doc, term) space); the rank
+      // window then orders only the <=3 survivors per doc.
+      graft.plans.TopK.perKey(scored, Seq("doc_id"),
+          Seq(("tfidf", true), ("term", false)), 3)
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
-        .where(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
         .orderBy("doc_id", "rk")
     }),
@@ -464,9 +467,11 @@ object ExtensionQueries extends QueryPack {
         .select(col("lang"), TextOps.tokens(col("text")).as("_t"))
         .select(col("lang"), explode(TextOps.bigrams(col("_t"))).as("bigram"))
         .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
-      bg.withColumn("rk", row_number().over(
+      // TopKPerKey heap-prunes to 5 bigrams/lang before the rank window
+      // (which then sorts 5 rows per language, not the whole bigram space)
+      graft.plans.TopK.perKey(bg, Seq("lang"), Seq(("n", true), ("bigram", false)), 5)
+        .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))))
-        .where(col("rk") <= 5)
         .select(col("lang"), col("bigram"), col("n"), col("rk"))
         .orderBy("lang", "rk")
     }),
