@@ -329,7 +329,10 @@ object ExtensionQueries extends QueryPack {
     // itself is only scanned, never shuffled.
     "pipeline_training_corpus" -> ((s, d) => {
       val docs = documents(s, d)
-      val quality = qualityScored(s, d)
+      // two consumers (loser ranking + the final quality floor) — one
+      // doc-count-sized (id, double) materialization instead of two
+      // tokenize+punct+stopword passes over the corpus
+      val quality = qualityScored(s, d).localCheckpoint(false)
       // ONE shingle staging serves pair generation AND decontamination —
       // the corpus is tokenized+hashed exactly once in the whole pipeline.
       val toks = shingleSets(s, d)
