@@ -18,7 +18,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(ParityQueries, RelationalQueries, ExtensionQueries, AnalyticsQueries)
+    Seq(ParityQueries, RelationalQueries, ExtensionQueries, AnalyticsQueries,
+      CoverageQueries)
 
   /** Flagship: batch-replay of the streaming metrics pipeline
     * (spark_stream_metrics.py write_batch, single-pass form) on sf0.001.

@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** Skew-mitigation for JOINS: the build side is replicated `buckets`
+    * ways (one copy per salt value) and the probe side is salted
+    * deterministically, so one hot join key fans out over `buckets`
+    * reducers instead of funneling into one. The join result is identical
+    * to the unsalted join — the salt column is an equi-join key match by
+    * construction. Use when AQE skew splitting can't help (e.g. the skew
+    * is in a grouping that follows the join and the join output must stay
+    * co-partitioned).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltSource: Column, buckets: Int): DataFrame = {
+    val salted = probe.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+    val replicated = build.withColumn("_salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   def saltedAgg(df: DataFrame, keyCols: Seq[String], saltSource: Column,
       buckets: Int, sums: Seq[String] = Nil, counts: Boolean = true,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {

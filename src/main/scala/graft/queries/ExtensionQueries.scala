@@ -284,6 +284,26 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Cross-document boilerplate detection (C4-style): a word-3-gram
+    // appearing in >= 3 distinct documents is "boilerplate"; report each
+    // document's boilerplate shingle ratio. One shingle staging feeds
+    // both the document-frequency count and the per-doc probe — the df
+    // side is sketch-sized (distinct shingles), never documents².
+    "boilerplate_ngrams" -> ((s, d) => {
+      val sh = shingleSets(s, d).select(col("doc_id"), explode(col("toks")).as("h"))
+      val boiler = sh.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+        .where(col("_df") >= 3).select(col("h"))
+      val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val nBoiler = sh.join(boiler, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      perDoc.join(nBoiler, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_shingles"), 6).as("boiler_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Text quality statistics (tokens, chars, punctuation, stopwords);
     // the token array is staged once and reused by every feature.
     "text_stats" -> ((s, d) =>
@@ -764,6 +784,18 @@ object ExtensionQueries extends QueryPack {
            |  FROM (SELECT lang, source, doc_id,
            |          CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents))
            |ORDER BY doc_id""".stripMargin,
+
+      "boilerplate_ngrams" ->
+        s"""WITH $duckShingleHashes,
+           |shx AS (SELECT doc_id, unnest(t) AS h FROM sh),
+           |boiler AS (SELECT h FROM shx GROUP BY h HAVING count(*) >= 3),
+           |per AS (SELECT doc_id, count(*) AS n_shingles FROM shx GROUP BY doc_id),
+           |nb AS (SELECT doc_id, count(*) AS n_boiler FROM shx
+           |       WHERE h IN (SELECT h FROM boiler) GROUP BY doc_id)
+           |SELECT p.doc_id, p.n_shingles,
+           |  coalesce(nb.n_boiler, 0) AS n_boiler,
+           |  round(coalesce(nb.n_boiler, 0) / p.n_shingles, 6) AS boiler_ratio
+           |FROM per p LEFT JOIN nb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "text_stats" ->
         s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
