@@ -499,6 +499,33 @@ object ExtensionQueries extends QueryPack {
         .orderBy("lang", "rk")
     }),
 
+    // Vocabulary encoding (the tokenizer-dictionary shape): build a
+    // frequency-ranked top-256 term vocabulary, broadcast it, and encode
+    // every document as its comma-joined token-id sequence (-1 = UNK).
+    // The dictionary is O(vocab) at any corpus size; the encode pass is a
+    // broadcast join + per-doc reassembly keyed by position — no global
+    // structure anywhere.
+    "vocab_encode" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val vocab = tf.orderBy(col("n").desc, col("term")).limit(256)
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(col("n").desc, col("term"))) - 1)
+        .select(col("term"), col("token_id"))
+      val pos = documents(s, d)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      pos.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("token_id").isNull, 1)).as("n_unk"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("token_id"), lit(-1)).as("tid")))),
+            x => x.getField("tid").cast("string")), ",").as("ids"))
+        .orderBy("doc_id")
+    }),
+
     // Order-sensitive rolling-hash fingerprint.
     "text_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -982,6 +1009,22 @@ object ExtensionQueries extends QueryPack {
           |  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
           |              (a, c) -> (a * 31 + c) % 2147483647) AS thumb_checksum
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "vocab_encode" ->
+        s"""WITH tf AS (SELECT unnest($duckToks) AS term FROM documents),
+           |c AS (SELECT term, count(*) AS n FROM tf GROUP BY term),
+           |vocab AS (
+           |  SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1 AS token_id
+           |  FROM (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 256)),
+           |pos AS (
+           |  SELECT doc_id, i - 1 AS pos, toks[i] AS term
+           |  FROM (SELECT doc_id, $duckToks AS toks FROM documents),
+           |       unnest(generate_series(1, len(toks))) AS t(i))
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  count(*) FILTER (WHERE token_id IS NULL) AS n_unk,
+           |  string_agg(coalesce(token_id, -1), ',' ORDER BY pos) AS ids
+           |FROM pos LEFT JOIN vocab USING (term)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_fingerprint" ->
         s"""SELECT doc_id,

@@ -133,6 +133,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("md5_hash32_array"), s"signature path lost the native hash:\n$p")
   }
 
+  test("projection-only queries: no hash shuffle (codegen'd scan→project)") {
+    for (q <- Seq("math_funcs", "redact_numeric_ids")) {
+      val (p, _) = plan(graft.queries.CoverageQueries.queries, q)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      // (codegen span is only visible post-execution under AQE; the
+      // zero-shuffle shape is the scale property being pinned here)
+      assert(shuffles == 0, s"$q should be pure projection, got $shuffles shuffles:\n$p")
+    }
+  }
+
+  test("hopping windows: expand + partial aggregation before the keyed shuffle") {
+    val (p, _) = plan(graft.queries.CoverageQueries.queries, "sliding_window_10m")
+    assert(p.contains("Expand"), s"window assignment should Expand rows:\n$p")
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("window value functions: one key shuffle shared by both window specs") {
+    val (p, _) = plan(graft.queries.CoverageQueries.queries, "window_first_last")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"both windows share (custkey) partitioning, got $shuffles:\n$p")
+  }
+
+  test("salted join: equals the direct join; salt fans each key out") {
+    import org.apache.spark.sql.functions._
+    val fact = Tables.lineitem(spark, sf0001).select(
+      col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
+    val dim = Tables.orders(spark, sf0001).select(
+      col("o_orderkey").as("k"), col("o_orderpriority"))
+    val salted = graft.ops.Salt.saltedJoin(fact, dim, "k", col("l_linenumber"), 8)
+      .select("k", "l_linenumber", "l_quantity", "o_orderpriority")
+    val direct = fact.join(dim, "k")
+      .select("k", "l_linenumber", "l_quantity", "o_orderpriority")
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty,
+      "salted join must be result-identical to the direct join")
+    // the salt genuinely spreads: a multi-line order occupies >1 (key, salt) group
+    val spread = fact
+      .withColumn("_salt", pmod(hash(col("l_linenumber")), lit(8)))
+      .groupBy("k").agg(countDistinct(col("_salt")).as("nsalts"))
+      .agg(max(col("nsalts"))).first.getLong(0)
+    assert(spread > 1, s"expected multi-salt keys, max spread $spread")
+  }
+
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(
