@@ -184,10 +184,11 @@ object MetricsJob {
     * watermark, partial aggregation before the stateful shuffle.
     */
   def windowedCounts(parsed: DataFrame, windowDur: String = "1 minute",
-      watermark: String = "2 minutes"): DataFrame =
+      watermark: String = "2 minutes", slide: Option[String] = None): DataFrame =
     parsed
       .withColumn("event_time", timestamp_millis(col("created_ts")))
       .withWatermark("event_time", watermark)
-      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .groupBy(window(col("event_time"), windowDur, slide.getOrElse(windowDur)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
 }

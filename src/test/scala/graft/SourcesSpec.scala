@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage beyond the reference's Kafka+CSV (§2.1
+  * superset): JSON-lines and ORC round-trips preserve schema + values, and
+  * both formats support the same predicate/column pushdown contract the
+  * parquet fixture queries rely on (pruned ReadSchema; ORC carries
+  * PushedFilters like parquet — JSON filters evaluate post-parse).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundTrip(fmt: String): Unit = {
+    val src = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val dir = Files.createTempDirectory(s"graft_$fmt").toString + "/t"
+    src.write.format(fmt).save(dir)
+    val back = spark.read.format(fmt)
+      .schema(src.schema) // explicit schema: no inference pass at scale
+      .load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)), s"$fmt schema drift")
+    assert(back.except(src).isEmpty && src.except(back).isEmpty,
+      s"$fmt round-trip changed values")
+  }
+
+  test("JSON-lines round-trip preserves schema and values") { roundTrip("json") }
+  test("ORC round-trip preserves schema and values") { roundTrip("orc") }
+
+  test("ORC scan prunes columns and pushes filters like parquet") {
+    val src = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_orc_push").toString + "/t"
+    src.write.format("orc").save(dir)
+    val q = spark.read.format("orc").schema(src.schema).load(dir)
+      .where($"doc_id" === 7L).select($"doc_id", $"lang")
+    val p = q.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail(s"no scan:\n$p"))
+    assert(scan.contains("doc_id") && !scan.contains("text"),
+      s"unpruned ORC scan: $scan")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"filter not pushed to ORC:\n$p")
+    assert(q.count() == 1)
+  }
+}

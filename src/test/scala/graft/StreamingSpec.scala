@@ -78,6 +78,23 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map(0L -> 2L, 60000L -> 1L))
   }
 
+  test("hopping windows: each event lands in window/slide overlapping windows") {
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()),
+        windowDur = "2 minutes", slide = Some("1 minute"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hopping")
+      .start()
+    try {
+      input.addData(jsonEvent("a", 90000L)) // t=90s → windows [0,120s) and [60s,180s)
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("hopping")
+      .select(unix_millis($"window.start").as("w"), $"n")
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(0L -> 1L, 60000L -> 1L))
+  }
+
   test("stream-static enrichment join attaches dimension columns per batch") {
     val input = MemoryStream[String](spark)
     val dim = Seq((1, "gold"), (2, "basic")).toDF("user_id", "tier")
