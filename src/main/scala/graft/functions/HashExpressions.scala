@@ -34,12 +34,13 @@ object Md5Hash32Util {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** Full 16-byte md5 digest of the UTF-8 encoding (codegen entry point —
-    * generated Java assembles the first 4 bytes inline).
-    */
+  /** Full 16-byte md5 digest of the UTF-8 encoding. */
   def hash8(s: UTF8String): Array[Byte] = md.get().digest(s.getBytes)
 
-  /** First 4 md5 bytes of the UTF-8 encoding, as unsigned big-endian. */
+  /** First 4 md5 bytes of the UTF-8 encoding, as unsigned big-endian —
+    * the codegen entry point (generated Java calls this compiled pack
+    * rather than inlining the shift chain; see Md5Hash32.doGenCode).
+    */
   def hash(s: UTF8String): Long = {
     val d = hash8(s)
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -98,15 +99,13 @@ case class Md5Hash32(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     Md5Hash32Util.hash(input.asInstanceOf[UTF8String])
 
+  // The packing stays in compiled Scala (Md5Hash32Util.hash): inlining the
+  // shift-OR chain into generated Java trips Janino's cast/parenthesized-
+  // expression ambiguity ("(digest[1] & 0xff) << 16 is not a type"), which
+  // silently drops the WHOLE stage back to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val d = ctx.freshName("digest")
-      s"""
-         |byte[] $d = graft.functions.Md5Hash32Util.hash8($c);
-         |${ev.value} = (((long)($d[0] & 0xff)) << 24) | (($d[1] & 0xff) << 16)
-         |    | (($d[2] & 0xff) << 8) | ($d[3] & 0xff);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Hash32Util.hash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Hash32 =
     copy(child = newChild)
@@ -145,11 +144,12 @@ case class Md5Hash32Array(child: Expression) extends UnaryExpression {
     new GenericArrayData(out)
   }
 
+  // Same Janino-ambiguity avoidance as Md5Hash32: the per-element pack is
+  // a compiled static call, only the loop shape lives in generated Java.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val d = ctx.freshName("digest")
       val vals = ctx.freshName("vals")
       val nulls = ctx.freshName("nulls")
       s"""
@@ -158,9 +158,7 @@ case class Md5Hash32Array(child: Expression) extends UnaryExpression {
          |boolean[] $nulls = new boolean[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($c.isNullAt($i)) { $nulls[$i] = true; } else {
-         |    byte[] $d = graft.functions.Md5Hash32Util.hash8($c.getUTF8String($i));
-         |    $vals[$i] = (((long)($d[0] & 0xff)) << 24) | (($d[1] & 0xff) << 16)
-         |        | (($d[2] & 0xff) << 8) | ($d[3] & 0xff);
+         |    $vals[$i] = graft.functions.Md5Hash32Util.hash($c.getUTF8String($i));
          |  }
          |}
          |${ev.value} = graft.functions.Md5Hash32Util.arrayOf($vals, $nulls);

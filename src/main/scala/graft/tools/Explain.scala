@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.queries.{RelationalQueries, ExtensionQueries}
 
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -15,10 +14,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args) {
       println(s"======== $name ========")
-      val fn = RelationalQueries.queries.get(name)
-        .orElse(ExtensionQueries.queries.get(name))
-        .getOrElse(graft.queries.ParityQueries.queries(name))
-      fn(spark, d).explain("formatted")
+      graft.SparkEntry.queries(name)(spark, d).explain("formatted")
     }
     spark.stop()
   }

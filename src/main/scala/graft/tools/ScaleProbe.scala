@@ -1,0 +1,132 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scaling probe (dev evidence, not part of the driver contract): builds a
+  * FACTOR× corpus from the sf0.1 fixtures in /tmp and times the heavy
+  * query family on both, printing per-query seconds and the time ratio.
+  *
+  * The sf0.1 bench is overhead-bound (~0.2 s/query fixed planning+
+  * scheduling cost), so it cannot distinguish a linear plan from a
+  * quadratic one. This probe runs in the data-dominant regime: a
+  * time-ratio ≈ FACTOR (or below, while fixed overhead still amortizes)
+  * is the linear-scaling signature; a ratio ≈ FACTOR² exposes hidden
+  * pairwise work.
+  *
+  * Corpus construction keeps per-copy structure IDENTICAL to sf0.1 while
+  * keeping copies independent, so the ideal scaling is exactly linear:
+  *  - all keys (doc/event/user/order/cust/supp/part) are offset per copy;
+  *  - document tokens get a per-copy suffix (copy 0 unchanged), so
+  *    cross-copy shingle sets are disjoint and near-dup pair density per
+  *    copy matches sf0.1 exactly (no cross-copy candidate blowup);
+  *  - constant dims (nation, region) are not replicated — they are
+  *    constant at any scale.
+  */
+object ScaleProbe {
+
+  private val KeyStride = 1000000000L
+  private val SmallStride = 10000000L
+
+  def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    if (Files.exists(Paths.get(s"$out/_DONE"))) return
+    def copies(df: DataFrame, remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => remap(df, i)).reduce(_ unionByName _)
+
+    copies(Tables.events(spark, base), (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * KeyStride))
+      .withColumn("user_id", col("user_id") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    copies(Tables.documents(spark, base), (df, i) =>
+      (if (i == 0) df
+       else df.withColumn("text",
+         array_join(transform(split(col("text"), "\\s+"),
+           t => concat(t, lit(s"_$i"))), " ")))
+        .withColumn("doc_id", col("doc_id") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    copies(Tables.lineitem(spark, base), (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyStride))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * SmallStride))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    copies(Tables.orders(spark, base), (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyStride))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    copies(Tables.customer(spark, base), (df, i) => df
+      .withColumn("c_custkey", col("c_custkey") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    copies(Tables.supplier(spark, base), (df, i) => df
+      .withColumn("s_suppkey", col("s_suppkey") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    copies(Tables.part(spark, base), (df, i) => df
+      .withColumn("p_partkey", col("p_partkey") + lit(i * SmallStride)))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    for (t <- Seq("nation", "region"))
+      Tables.table(spark, base, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    Files.createFile(Paths.get(s"$out/_DONE"))
+  }
+
+  /** The data-dominant query family: every heavy shape in the catalog
+    * (near-dup pipeline, sessionization, as-of, multi-table joins,
+    * tf-idf). Embedding queries are excluded — replicating identical
+    * vectors would plant cross-copy exact duplicates and change the
+    * problem, not the scale.
+    */
+  private val probeQueries = Seq(
+    "q1_agg", "q3_shipping_priority", "q5_nation_revenue",
+    "salted_join_priority", "sessionize_30m", "cdc_latest_snapshot",
+    "asof_last_error", "time_window_5m", "retention_cohorts",
+    "dedup_minhash_pairs", "dedup_clusters", "dedup_survivors",
+    "ngram_jaccard_pairs", "decontaminate_ngrams", "boilerplate_ngrams",
+    "text_tfidf_top_terms", "vocab_encode", "pipeline_training_corpus")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    build(spark, base, out, factor)
+
+    // warm codegen/JIT on the small SF so both timed passes are steady-state
+    for (q <- probeQueries)
+      try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+
+    def time(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-26s ${"sf0.1"}%8s x$factor%7s   ratio (linear=$factor)")
+    val rows = probeQueries.map { q =>
+      val tBase = math.min(time(q, base), time(q, base))
+      val tBig = math.min(time(q, out), time(q, out))
+      println(f"$q%-26s $tBase%8.2f $tBig%7.2f   ${tBig / tBase}%5.1f")
+      (q, tBase, tBig)
+    }
+    val (sb, sg) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    println(f"${"TOTAL"}%-26s $sb%8.2f $sg%7.2f   ${sg / sb}%5.1f")
+    spark.stop()
+  }
+}
