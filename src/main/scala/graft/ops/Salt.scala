@@ -27,7 +27,10 @@ object Salt {
     val salted = probe.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
     val replicated = build.withColumn("_salt",
       explode(array((0 until buckets).map(lit(_)): _*)))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    // shuffle_hash: a salted join exists to feed downstream aggregation,
+    // so the sort-merge sort of both (replicated!) sides is pure waste —
+    // hash-build the replicated side per partition instead.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "_salt")).drop("_salt")
   }
 
   def saltedAgg(df: DataFrame, keyCols: Seq[String], saltSource: Column,

@@ -94,6 +94,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val only = args.drop(1).toSet
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -108,8 +109,9 @@ object ScaleProbe {
 
     build(spark, base, out, factor)
 
+    val selected = if (only.isEmpty) probeQueries else probeQueries.filter(only)
     // warm codegen/JIT on the small SF so both timed passes are steady-state
-    for (q <- probeQueries)
+    for (q <- selected)
       try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
 
@@ -119,7 +121,7 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     println(f"${"query"}%-26s ${"sf0.1"}%8s x$factor%7s   ratio (linear=$factor)")
-    val rows = probeQueries.map { q =>
+    val rows = selected.map { q =>
       val tBase = math.min(time(q, base), time(q, base))
       val tBig = math.min(time(q, out), time(q, out))
       println(f"$q%-26s $tBase%8.2f $tBig%7.2f   ${tBig / tBase}%5.1f")
