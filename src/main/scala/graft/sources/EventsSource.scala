@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.Event
+
+/** DataSourceV2 implementation of the reference producer's synthetic event
+  * feed (producer/producer.py:31-54) — the last rung of the engine's
+  * Spark-extension ladder (native Expression → optimizer Rule → physical
+  * operator → connector).
+  *
+  * `spark.read.format("graft-events")` (batch) and
+  * `spark.readStream.format("graft-events")` (micro-batch) produce the
+  * producer's exact event schema and derivation rules (user_id/event_type/
+  * value cycles, absolute-schedule pacing `created_ts = start + i/rate`),
+  * generated deterministically per row index — so the batch source is
+  * bit-identical to `gen/EventGen.events` and the stream replays the same
+  * rows the Kafka producer would have sent.
+  *
+  * Options: `numRows` (batch size), `rateEps` (events/sec — drives both
+  * the pacing timestamps and the micro-batch offset clock), `startMs`,
+  * `sizeBytes` (payload padding), `numPartitions`.
+  *
+  * Scale shape: rows are generated partition-parallel from index ranges
+  * (no driver loop, no shuffle); a 100 TB backfill is just `numRows`
+  * ranges split across executors.
+  */
+class EventsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-events"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventsSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EventsTable(EventsConfig(new CaseInsensitiveStringMap(properties)))
+}
+
+object EventsSource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", StringType, nullable = false),
+    StructField("created_ts", LongType, nullable = false),
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  /** Row `i` of the feed — the producer's derivation rules, shared by the
+    * batch and streaming paths (and mirrored by gen/EventGen).
+    */
+  def row(i: Long, cfg: EventsConfig): InternalRow = {
+    val values = new Array[Any](6)
+    values(0) = UTF8String.fromString(f"evt-$i%012d")
+    values(1) = cfg.startMs + (i * 1000.0 / cfg.rateEps).toLong
+    values(2) = (i % 10000).toInt
+    values(3) = UTF8String.fromString(Event.types((i % Event.types.size).toInt))
+    values(4) = (i % 1000) / 10.0
+    values(5) = UTF8String.fromString(cfg.filler)
+    new GenericInternalRow(values)
+  }
+}
+
+case class EventsConfig(numRows: Long, rateEps: Double, startMs: Long,
+    sizeBytes: Int, numPartitions: Int) {
+  val filler: String = "x" * math.max(0, sizeBytes - 120)
+}
+
+object EventsConfig {
+  def apply(o: CaseInsensitiveStringMap): EventsConfig = EventsConfig(
+    numRows = o.getLong("numRows", 10000L),
+    rateEps = o.getDouble("rateEps", 1000.0),
+    startMs = o.getLong("startMs", 0L),
+    sizeBytes = o.getInt("sizeBytes", 200),
+    numPartitions = o.getInt("numPartitions", 4))
+}
+
+class EventsTable(cfg: EventsConfig) extends Table with SupportsRead {
+  override def name(): String = "graft_events"
+  override def schema(): StructType = EventsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new EventsScan(cfg)
+    }
+}
+
+/** An index range [lo, hi) of the feed — the unit of parallelism. */
+case class EventsRange(lo: Long, hi: Long, cfg: EventsConfig) extends InputPartition
+
+object EventsRange {
+  def split(lo: Long, hi: Long, n: Int, cfg: EventsConfig): Array[InputPartition] = {
+    val total = math.max(0L, hi - lo)
+    val parts = math.max(1, n)
+    (0 until parts).map { p =>
+      EventsRange(lo + total * p / parts, lo + total * (p + 1) / parts, cfg)
+    }.filter(r => r.hi > r.lo).toArray[InputPartition]
+  }
+
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val r = partition.asInstanceOf[EventsRange]
+      new PartitionReader[InternalRow] {
+        private var i = r.lo - 1
+        override def next(): Boolean = { i += 1; i < r.hi }
+        override def get(): InternalRow = EventsSource.row(i, r.cfg)
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+class EventsScan(cfg: EventsConfig) extends Scan {
+  override def readSchema(): StructType = EventsSource.schema
+  override def description(): String = s"graft-events $cfg"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      EventsRange.split(0L, cfg.numRows, cfg.numPartitions, cfg)
+    override def createReaderFactory(): PartitionReaderFactory =
+      EventsRange.readerFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EventsMicroBatchStream(cfg)
+}
+
+/** Offset = number of events emitted so far. The latest offset advances
+  * with the wall clock at `rateEps` (the producer's absolute-schedule
+  * pacing: rate holds on average regardless of trigger cadence), so a
+  * restart from checkpoint replays exactly the missed index range —
+  * the same recovery contract exp3 measures against Kafka offsets.
+  */
+case class EventsOffset(count: Long) extends Offset {
+  override def json(): String = count.toString
+}
+
+class EventsMicroBatchStream(cfg: EventsConfig) extends MicroBatchStream {
+  private val clockStartMs = System.currentTimeMillis()
+
+  override def initialOffset(): Offset = EventsOffset(0L)
+  override def latestOffset(): Offset = {
+    val elapsed = (System.currentTimeMillis() - clockStartMs) / 1000.0
+    EventsOffset((elapsed * cfg.rateEps).toLong)
+  }
+  override def deserializeOffset(json: String): Offset = EventsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    EventsRange.split(start.asInstanceOf[EventsOffset].count,
+      end.asInstanceOf[EventsOffset].count, cfg.numPartitions, cfg)
+  override def createReaderFactory(): PartitionReaderFactory =
+    EventsRange.readerFactory
+}
