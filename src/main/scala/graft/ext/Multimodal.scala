@@ -22,14 +22,23 @@ object Multimodal {
       channels: Int,
       checksum: Long)
 
+  /** The ONE rolling checksum every stub codec path uses (decode, frame
+    * sampling, resize) — the DuckDB oracles mirror this byte-for-byte, so
+    * it must never fork per call site.
+    */
+  def checksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
+    acc
+  }
+
   /** STUB decoder: deterministic pseudo-features from the payload bytes.
     * A real implementation would parse the container header; this derives
     * "dimensions" from a rolling checksum so tests are reproducible.
     */
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    var acc = 0L
-    var i = 0
-    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
+    val acc = checksum(bytes)
     MediaFeatures(
       doc_id = id,
       n_bytes = bytes.length.toLong,
@@ -76,9 +85,7 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         val frames = bytes.grouped(frameBytes).zipWithIndex
         frames.collect { case (chunk, ix) if ix % stride == 0 =>
-          var acc = 0L
-          chunk.foreach(b => acc = (acc * 31 + (b & 0xff)) % 2147483647L)
-          Frame(id, ix, ix.toLong * frameBytes, chunk.length, acc)
+          Frame(id, ix, ix.toLong * frameBytes, chunk.length, checksum(chunk))
         }
       }
   }
@@ -112,9 +119,7 @@ object Multimodal {
       targetBytes: Int): Dataset[Thumb] = {
     import spark.implicits._
     resize(spark, media, targetBytes).as[(Long, Array[Byte])].map { case (id, b) =>
-      var acc = 0L
-      b.foreach(x => acc = (acc * 31 + (x & 0xff)) % 2147483647L)
-      Thumb(id, b.length, acc)
+      Thumb(id, b.length, checksum(b))
     }
   }
 }

@@ -290,10 +290,15 @@ object ExtensionQueries extends QueryPack {
     // both the document-frequency count and the per-doc probe — the df
     // side is sketch-sized (distinct shingles), never documents².
     "boilerplate_ngrams" -> ((s, d) => {
-      val sh = shingleSets(s, d).select(col("doc_id"), explode(col("toks")).as("h"))
+      val sets = shingleSets(s, d)
+      val sh = sets.select(col("doc_id"), explode(col("toks")).as("h"))
       val boiler = sh.groupBy(col("h")).agg(count(lit(1)).as("_df"))
         .where(col("_df") >= 3).select(col("h"))
-      val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      // the sets are distinct per doc, so the per-doc shingle count is a
+      // shuffle-free projection of the staged array — only the df count
+      // and the boilerplate probe need the exploded rows
+      val perDoc = sets.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_shingles"))
       val nBoiler = sh.join(boiler, Seq("h"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
       perDoc.join(nBoiler, Seq("doc_id"), "left")
@@ -962,9 +967,13 @@ object ExtensionQueries extends QueryPack {
            |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
       // The multimodal stub codec is exact byte arithmetic over the UTF-8
-      // payload (ASCII fixture text ⇒ ascii(char) == byte), so even the
-      // "decode" path oracle-checks: every query in the engine now has an
-      // exact DuckDB twin.
+      // payload, so even the "decode" path oracle-checks: every query in
+      // the engine now has an exact DuckDB twin. NOTE: all three oracles
+      // (decode, frames, resize) index CHARACTERS via ascii(substr(...))
+      // while the engine strides BYTES — identical only because the
+      // fixture corpus is pure ASCII (ascii(char) == byte, char length ==
+      // byte length). A non-ASCII corpus would need DuckDB-side blob
+      // indexing instead.
       "multimodal_decode" ->
         """WITH f AS (
           |  SELECT doc_id,

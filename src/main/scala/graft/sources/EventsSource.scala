@@ -132,25 +132,46 @@ class EventsScan(cfg: EventsConfig) extends Scan {
     new EventsMicroBatchStream(cfg)
 }
 
-/** Offset = number of events emitted so far. The latest offset advances
-  * with the wall clock at `rateEps` (the producer's absolute-schedule
-  * pacing: rate holds on average regardless of trigger cadence), so a
-  * restart from checkpoint replays exactly the missed index range —
-  * the same recovery contract exp3 measures against Kafka offsets.
+/** Offset = number of events emitted so far, PLUS the pacing epoch the
+  * count is measured from. The epoch rides inside the checkpointed offset
+  * JSON: a restart deserializes the committed offset, recovers the
+  * ORIGINAL epoch, and the next `latestOffset` lands where the absolute
+  * schedule says the feed should be by now — so the missed index range
+  * replays as one catch-up batch (the recovery contract exp3 measures
+  * against Kafka offsets), instead of a fresh clock regressing the
+  * checkpoint and re-emitting delivered rows.
   */
-case class EventsOffset(count: Long) extends Offset {
-  override def json(): String = count.toString
+case class EventsOffset(count: Long, epochMs: Long) extends Offset {
+  override def json(): String = s"$count:$epochMs"
+}
+
+object EventsOffset {
+  def parse(json: String): EventsOffset = {
+    val Array(c, e) = json.split(':')
+    EventsOffset(c.toLong, e.toLong)
+  }
 }
 
 class EventsMicroBatchStream(cfg: EventsConfig) extends MicroBatchStream {
-  private val clockStartMs = System.currentTimeMillis()
+  // The pacing epoch: set once at first start, restored from the
+  // checkpointed offset on restart (deserializeOffset runs before any
+  // latestOffset call in the restart path).
+  @volatile private var epochMs: Long = -1L
 
-  override def initialOffset(): Offset = EventsOffset(0L)
-  override def latestOffset(): Offset = {
-    val elapsed = (System.currentTimeMillis() - clockStartMs) / 1000.0
-    EventsOffset((elapsed * cfg.rateEps).toLong)
+  override def initialOffset(): Offset = {
+    if (epochMs < 0) epochMs = System.currentTimeMillis()
+    EventsOffset(0L, epochMs)
   }
-  override def deserializeOffset(json: String): Offset = EventsOffset(json.toLong)
+  override def latestOffset(): Offset = {
+    if (epochMs < 0) epochMs = System.currentTimeMillis()
+    val elapsed = (System.currentTimeMillis() - epochMs) / 1000.0
+    EventsOffset(math.max(0L, (elapsed * cfg.rateEps).toLong), epochMs)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val o = EventsOffset.parse(json)
+    epochMs = o.epochMs
+    o
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

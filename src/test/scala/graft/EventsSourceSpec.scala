@@ -34,6 +34,28 @@ class EventsSourceSpec extends SparkSpec {
     assert(df.select(countDistinct($"event_id")).first.getLong(0) == 1000)
   }
 
+  test("restart restores the pacing epoch from the checkpointed offset") {
+    import graft.sources.{EventsConfig, EventsMicroBatchStream, EventsOffset}
+    val cfg = EventsConfig(numRows = 0L, rateEps = 1000.0, startMs = 0L,
+      sizeBytes = 200, numPartitions = 2)
+    val run1 = new EventsMicroBatchStream(cfg)
+    run1.initialOffset()
+    Thread.sleep(1100)
+    val committed = run1.latestOffset().asInstanceOf[EventsOffset]
+    assert(committed.count > 0, "clock should have advanced past one second")
+    // simulate crash + restart: a fresh stream deserializes the committed
+    // offset (as the restart path does) and must NOT regress below it
+    val run2 = new EventsMicroBatchStream(cfg)
+    val restored = run2.deserializeOffset(committed.json())
+      .asInstanceOf[EventsOffset]
+    assert(restored == committed)
+    val next = run2.latestOffset().asInstanceOf[EventsOffset]
+    assert(next.epochMs == committed.epochMs,
+      "restart must keep the original pacing epoch")
+    assert(next.count >= committed.count,
+      s"offset regressed across restart: ${next.count} < ${committed.count}")
+  }
+
   test("micro-batch stream emits paced events through the standard machinery") {
     val q = spark.readStream.format("graft-events")
       .option("rateEps", 2000.0).option("numPartitions", 2)
