@@ -26,6 +26,9 @@ import graft.gen.EventGen
   * distinct by construction and must be gap-free.
   *
   * Usage: runMain graft.stream.RecoveryBench [rateEps] [runSec] [cores]
+  * [source: rate|graft-events] — `graft-events` drives the DataSourceV2
+  * connector (sources/EventsSource) through the same kill→restart cycle,
+  * proving its checkpointed pacing-epoch offsets recover like Kafka's.
   * Prints one JSON line.
   */
 object RecoveryBench {
@@ -33,6 +36,7 @@ object RecoveryBench {
     val rate = args.headOption.map(_.toInt).getOrElse(7000)
     val runSec = args.lift(1).map(_.toInt).getOrElse(30)
     val cores = args.lift(2).map(_.toInt).getOrElse(4)
+    val source = args.lift(3).getOrElse("rate")
     val triggerSec = 5
 
     val spark = SparkSession.builder()
@@ -47,7 +51,10 @@ object RecoveryBench {
     val outDir = Files.createTempDirectory("recovery_out").toString
     val ckpt = Files.createTempDirectory("recovery_ckpt").toString
 
-    def wire = EventGen.eventStream(spark, rate)
+    def wire = (if (source == "graft-events")
+        spark.readStream.format("graft-events")
+          .option("rateEps", rate).option("numPartitions", cores).load()
+      else EventGen.eventStream(spark, rate))
       .select(to_json(struct(col("event_id"), col("created_ts"), col("user_id"),
         col("event_type"), col("value"), col("payload"))).as("value"))
 
@@ -62,6 +69,7 @@ object RecoveryBench {
     // Phase 2: restart from the same checkpoint; time to first COMMITTED
     // recovered batch (progress with committed rows, not just query start).
     val committedBefore = q1.recentProgress.map(_.batchId).foldLeft(-1L)(math.max)
+    val progress1 = q1.recentProgress.map(p => p.batchId -> p.numInputRows).toMap
     val tRestart = System.nanoTime()
     val q2 = MetricsJob.startWith(spark, wire, ckpt, triggerSec, None,
       MetricsJob.writeBatchIdempotent(spark, outDir))
@@ -85,13 +93,18 @@ object RecoveryBench {
       .option("basePath", outDir).csv(outDir)
     val ids = m.select(col("batch_id").cast("long")).distinct()
       .orderBy("batch_id").collect().map(_.getLong(0))
-    val gaps = ids.sliding(2).count { case Array(a, b) => b != a + 1; case _ => false }
+    // Integrity: every batch the ENGINE saw input rows for must have
+    // exactly one output row. Empty batches (first trigger after an epoch
+    // reset, restart re-plans) legitimately write nothing — the P8
+    // empty-batch guard — so a raw batch-id-sequence gap is not a hole.
+    val progress = progress1 ++ q2.recentProgress.map(p => p.batchId -> p.numInputRows)
+    val missing = progress.collect { case (id, n) if n > 0 => id }.toSet -- ids.toSet
     val events = m.agg(sum(col("batch_events").cast("long"))).head().getLong(0)
 
-    println(s"""{"metric":"recovery","rate_eps":$rate,"run_sec":$runSec,"cores":$cores,""" +
+    println(s"""{"metric":"recovery","source":"$source","rate_eps":$rate,"run_sec":$runSec,"cores":$cores,""" +
       s""""stop_ms":$stopMs,"restart_to_first_recovered_batch_ms":$firstBatchMs,""" +
       s""""recovered_backlog_events":$recoveredRows,""" +
-      s""""batches":${ids.length},"batch_id_gaps":$gaps,"events_total":$events}""")
+      s""""batches":${ids.length},"missing_nonempty_batches":${missing.size},"events_total":$events}""")
     spark.stop()
   }
 }
