@@ -164,6 +164,31 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Time-series similarity (the EDBT'19 streaming-similarity shape,
+    // exact flavor): hourly count series per event type, pairwise Pearson
+    // correlation over the co-occurring buckets. The series aggregate is
+    // one keyed shuffle; the pairwise stage joins SERIES-sized frames
+    // (buckets × types — bounded by time range, not event count), so the
+    // quadratic part never touches the fact table.
+    "ts_similarity_types" -> ((s, d) => {
+      val b = events(s, d)
+        .groupBy(col("event_type"),
+          floor(tsMillis(col("ts")) / 3600000L).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val l = b.select(col("event_type").as("type_a"), col("bucket"), col("n").as("na"))
+      val r = b.select(col("event_type").as("type_b"), col("bucket"), col("n").as("nb"))
+      l.join(r, Seq("bucket"))
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        // + 0.0 canonicalizes IEEE -0.0: a near-uncorrelated pair's corr
+        // numerator is fp noise around zero whose SIGN depends on the
+        // (parallel) accumulation order — observed as a DuckDB-side
+        // -0.0/0.0 hash flip between runs
+        .agg((round(corr(col("na"), col("nb")), 6) + lit(0.0)).as("corr_n"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Data-quality profile: per-column completeness + cardinality in ONE
     // scan (multi-distinct expands internally; at 100 TB swap the exact
     // count_distinct for approx_count_distinct — same plan shape, sketch
@@ -259,6 +284,15 @@ object AnalyticsQueries extends QueryPack {
           |  round(min(value), 2) AS min_value,
           |  round(max(value), 2) AS max_value
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "ts_similarity_types" ->
+        """WITH b AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+          |             count(*) AS n
+          |           FROM events GROUP BY 1, 2)
+          |SELECT a.event_type AS type_a, c.event_type AS type_b,
+          |  round(corr(a.n, c.n), 6) + 0.0 AS corr_n, count(*) AS n_buckets
+          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.event_type < c.event_type
+          |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
       "dq_profile" -> {
         val branches = profileCols.map(c =>

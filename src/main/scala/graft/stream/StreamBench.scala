@@ -13,13 +13,15 @@ import graft.gen.EventGen
   * layer would.
   *
   * Usage: runMain graft.stream.StreamBench [rateEps] [seconds] [cores]
-  * Prints one JSON line: achieved eps, mean/p95-of-batch-p95 latency.
+  * [source: rate|graft-events]. Prints one JSON line: achieved eps,
+  * mean/p95-of-batch-p95 latency.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rate = args.headOption.map(_.toInt).getOrElse(7000)
     val seconds = args.lift(1).map(_.toInt).getOrElse(60)
     val cores = args.lift(2).map(_.toInt).getOrElse(4)
+    val source = args.lift(3).getOrElse("rate")
     val triggerSec = 5
 
     val spark = SparkSession.builder()
@@ -36,7 +38,10 @@ object StreamBench {
 
     // Producer wire format: the generated stream serialized to JSON, so the
     // benchmark pays the same parse cost as the Kafka path.
-    val wire = EventGen.eventStream(spark, rate)
+    val wire = (if (source == "graft-events")
+        spark.readStream.format("graft-events")
+          .option("rateEps", rate).option("numPartitions", cores).load()
+      else EventGen.eventStream(spark, rate))
       .select(to_json(struct(col("event_id"), col("created_ts"), col("user_id"),
         col("event_type"), col("value"), col("payload"))).as("value"))
 

@@ -98,9 +98,15 @@ object ScaleProbe {
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions scale with the data (as a cluster's would): a
+    // fixed partition count makes per-partition state — shuffle-hash
+    // build maps, sort runs — grow linearly with the corpus until it
+    // overwhelms the heap; measured: the salted join's hash build went
+    // 34 s at 16× with 32 partitions, linear again once partitions scale.
+    val shufflePartitions = math.max(cpus.toInt, cpus.toInt * factor / 4)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
