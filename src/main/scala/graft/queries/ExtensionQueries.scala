@@ -155,6 +155,27 @@ object ExtensionQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Fuzzy near-dup verification by edit distance: candidates are the
+    // normalized-dup groups (same canonical form, different raw text —
+    // case/punct/whitespace variants), so the expensive O(len²)
+    // levenshtein runs only on documents already known to collide on a
+    // 16-byte key — never a pairwise pass. The within-group self-join is
+    // keyed by the hash; group sizes are duplicate multiplicities (tiny
+    // at any corpus scale).
+    "dedup_fuzzy_verify" -> ((s, d) => {
+      val n = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          md5(TextOps.normalize(col("text"))).as("k"))
+      val l = n.select(col("k"), col("doc_id").as("id_a"), col("text").as("ta"))
+      val r = n.select(col("k"), col("doc_id").as("id_b"), col("text").as("tb"))
+      l.join(r, Seq("k"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          (length(col("ta")) === length(col("tb"))).as("same_len"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Blocked n-gram (unigram-set) Jaccard near-dup pairs: block on
     // (lang, source) so the pairwise work is per-key, never global.
     "ngram_jaccard_pairs" -> ((s, d) => {
@@ -691,6 +712,18 @@ object ExtensionQueries extends QueryPack {
            |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hd
            |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_fuzzy_verify" ->
+        """WITH n AS (
+          |  SELECT doc_id, text,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+          |                            '\s+', ' ', 'g'))) AS k
+          |  FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  levenshtein(a.text, b.text) AS edit_dist,
+          |  len(a.text) = len(b.text) AS same_len
+          |FROM n a JOIN n b ON a.k = b.k AND a.doc_id < b.doc_id
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "ngram_jaccard_pairs" ->
         s"""WITH t AS (SELECT lang, source, doc_id,

@@ -78,6 +78,39 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map(0L -> 2L, 60000L -> 1L))
   }
 
+  test("observe() surfaces per-batch metrics off the main pass (no extra job)") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import StreamingQueryListener._
+    @volatile var observedRows = -1L
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("obs")) observedRows = m.get("obs").getAs[Long]("n_rows")
+      }
+    }
+    spark.streams.addListener(listener)
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.parse(input.toDF())
+      .observe("obs", count(lit(1)).as("n_rows"))
+      .writeStream.outputMode("append").format("memory").queryName("observed")
+      .start()
+    try {
+      input.addData(jsonEvent("a", 1000L), jsonEvent("b", 2000L), jsonEvent("c", 3000L))
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (observedRows < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    assert(observedRows == 3L, s"observed metric should see the batch, got $observedRows")
+  }
+
   test("hopping windows: each event lands in window/slide overlapping windows") {
     val input = MemoryStream[String](spark)
     val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()),
