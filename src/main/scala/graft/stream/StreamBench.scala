@@ -40,7 +40,10 @@ object StreamBench {
     // benchmark pays the same parse cost as the Kafka path.
     val wire = (if (source == "graft-events")
         spark.readStream.format("graft-events")
-          .option("rateEps", rate).option("numPartitions", cores).load()
+          .option("rateEps", rate).option("numPartitions", cores)
+          // anchor the pacing schedule at now so created_ts is a real
+          // event time and the measured latency is meaningful
+          .option("startMs", System.currentTimeMillis()).load()
       else EventGen.eventStream(spark, rate))
       .select(to_json(struct(col("event_id"), col("created_ts"), col("user_id"),
         col("event_type"), col("value"), col("payload"))).as("value"))

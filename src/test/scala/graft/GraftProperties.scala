@@ -109,4 +109,43 @@ object GraftProperties extends Properties("graft") {
       val other = flips.distinct.foldLeft(sk)((s, j) => s ^ (1L << j))
       (0 until 4).exists(b => ((sk >> (b * 8)) & 255L) == ((other >> (b * 8)) & 255L))
     }
+
+  // ---- DataSourceV2 connector kernels (sources/EventsSource) ----
+
+  private val cfgGen: Gen[graft.sources.EventsConfig] = for {
+    rate <- Gen.chooseNum(1.0, 100000.0)
+    start <- Gen.chooseNum(0L, 2000000000000L)
+    size <- Gen.chooseNum(0, 400)
+  } yield graft.sources.EventsConfig(0L, rate, start, size, 4)
+
+  property("EventsSource pacing: created_ts follows the absolute schedule, monotone") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L), cfgGen) { (i, cfg) =>
+      val r0 = graft.sources.EventsSource.row(i, cfg)
+      val r1 = graft.sources.EventsSource.row(i + 1, cfg)
+      val ts0 = r0.getLong(1)
+      ts0 == cfg.startMs + (i * 1000.0 / cfg.rateEps).toLong &&
+        ts0 <= r1.getLong(1) &&
+        r0.getInt(2) == (i % 10000).toInt &&
+        r0.getDouble(4) == (i % 1000) / 10.0
+    }
+
+  property("EventsOffset json round-trips count AND pacing epoch") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2), Gen.chooseNum(0L, Long.MaxValue / 2)) {
+      (c, e) =>
+        val o = graft.sources.EventsOffset(c, e)
+        graft.sources.EventsOffset.parse(o.json()) == o
+    }
+
+  property("EventsRange.split partitions [lo,hi) exactly: disjoint, ordered, complete") =
+    Prop.forAll(Gen.chooseNum(0L, 100000L), Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(1, 64)) { (a, len, n) =>
+      val cfg = graft.sources.EventsConfig(0L, 1000.0, 0L, 200, n)
+      val rs = graft.sources.EventsRange.split(a, a + len, n, cfg)
+        .map(_.asInstanceOf[graft.sources.EventsRange])
+      val covered = rs.map(r => r.hi - r.lo).sum
+      val contiguous = rs.isEmpty ||
+        (rs.head.lo == a && rs.last.hi == a + len &&
+          rs.sliding(2).forall { w => w.length < 2 || w(0).hi == w(1).lo })
+      covered == len && contiguous && rs.forall(r => r.hi > r.lo)
+    }
 }
