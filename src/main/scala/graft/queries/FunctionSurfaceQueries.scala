@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Round-3 function-surface widening: the array / map / higher-order
+  * function families, multiset set operations (INTERSECT ALL / EXCEPT
+  * ALL), schema-evolution union (unionByName with missing columns), SQL
+  * subquery forms (EXISTS / NOT IN / uncorrelated scalar), struct
+  * manipulation (withField / dropFields), and positional explode.
+  *
+  * Scale notes: every query here is per-row projection work or a keyed
+  * aggregate with map-side partials. Arrays stay per-row (document tokens,
+  * per-order quantity lists — bounded fan-in), higher-order lambdas only
+  * ever see already-staged attribute arrays (inlining the split would
+  * re-tokenize per element — see Dedup's staging note), and the set ops
+  * hash-partition on the compared column exactly like a groupBy. The
+  * EXISTS / IN subqueries decorrelate to semi / anti hash joins
+  * (plan-audited in PlanAuditSpec), not per-row subplans.
+  */
+object FunctionSurfaceQueries extends QueryPack {
+
+  /** Tokens of a document, lowercased, staged as one attribute. */
+  private def toks: Column = split(lower(col("text")), "\\s+")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Array function surface over per-document token arrays: size, slice
+    // + join, membership, max, distinct cardinality, negative indexing.
+    "array_funcs" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_join(slice(col("toks"), 1, 3), " ").as("head3"),
+          array_contains(col("toks"), "the").as("has_the"),
+          array_max(col("toks")).as("max_tok"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          element_at(col("toks"), -1).as("last_tok"))
+        .orderBy("doc_id")),
+
+    // Map surface: build a per-user event_type -> count map from grouped
+    // rows (map_from_entries over a sorted entry list so key order is
+    // deterministic), then read it back via element_at / map_keys /
+    // map_values. The oracle recomputes every extract relationally.
+    "map_funcs" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type")).count()
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("count")))))
+          .as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), lit("click")), lit(0L)).as("clicks"),
+          coalesce(element_at(col("m"), lit("purchase")), lit(0L))
+            .as("purchases"),
+          array_join(map_keys(col("m")), ",").as("types"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+            .as("total"))
+        .orderBy("user_id")),
+
+    // Higher-order-function surface over per-order quantity arrays:
+    // aggregate (fold), filter, exists, forall, zip_with against a
+    // position sequence. qtys is sorted so the positional weighted sum is
+    // deterministic; the oracle computes the same five facts from rows
+    // via window rank + grouped aggregates (no list ops needed).
+    "hof_surface" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long")))
+          .as("qtys"))
+        .select(col("l_orderkey"),
+          aggregate(col("qtys"), lit(0L), (a, x) => a + x).as("total_qty"),
+          size(filter(col("qtys"), _ > 25)).as("n_big"),
+          exists(col("qtys"), _ === 50).as("has_50"),
+          forall(col("qtys"), _ > 0).as("all_pos"),
+          aggregate(
+            zip_with(col("qtys"),
+              sequence(lit(1L), size(col("qtys")).cast("long")),
+              (q, i) => q * i),
+            lit(0L), (a, x) => a + x).as("wsum"))
+        .orderBy("l_orderkey")),
+
+    // Multiset set operations: INTERSECT ALL keeps min(count_a, count_b)
+    // occurrences per value, EXCEPT ALL subtracts occurrence counts —
+    // both hash-partition on the value like a groupBy (distinct-free).
+    // Aggregated afterwards so the result is the per-key surviving
+    // multiplicity.
+    "set_ops_all" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val a = li.where(col("l_quantity") < 25).select(col("l_partkey"))
+      val b = li.where(col("l_discount") > 0.02).select(col("l_partkey"))
+      val c = li.where(col("l_returnflag") === "R").select(col("l_partkey"))
+      a.intersectAll(b).exceptAll(c)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")
+    }),
+
+    // Schema-evolution union: unionByName(allowMissingColumns) aligns by
+    // column NAME (not position) and null-extends the missing column —
+    // the read path for heterogeneous file batches.
+    "union_by_name" -> ((s, d) => {
+      val sup = supplier(s, d).select(col("s_suppkey").as("key"),
+        col("s_name").as("name"), lit("supplier").as("src"))
+      val cust = customer(s, d).select(lit("customer").as("src"),
+        col("c_custkey").as("key"))
+      sup.unionByName(cust, allowMissingColumns = true)
+        .orderBy("src", "key")
+    }),
+
+    // SQL subquery forms: correlated EXISTS (decorrelates to a left-semi
+    // hash join) and NOT IN over a null-free key (left-anti). Exercises
+    // the SQL parser path on registered views.
+    "exists_in_subqueries" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("fsq_customer")
+      orders(s, d).createOrReplaceTempView("fsq_orders")
+      s.sql("""SELECT c_custkey, c_name FROM fsq_customer c
+               WHERE EXISTS (SELECT 1 FROM fsq_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority = '1-URGENT')
+                 AND c_custkey NOT IN (SELECT o_custkey FROM fsq_orders
+                                       WHERE o_orderstatus = 'F')
+               ORDER BY c_custkey""")
+    }),
+
+    // Uncorrelated scalar subquery: one-row aggregate broadcast into the
+    // filter (a subquery-reuse exchange, not a per-row plan). max()*0.5
+    // is exact double arithmetic — deterministic across engines.
+    "scalar_subquery_threshold" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("fsq_orders2")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM fsq_orders2
+               WHERE o_totalprice >
+                     (SELECT max(o_totalprice) FROM fsq_orders2) * 0.5
+               ORDER BY o_orderkey""")
+    }),
+
+    // Struct manipulation: build, withField (add), dropFields — the
+    // nested-schema evolution surface. Output flattened to scalars so the
+    // oracle compares values, not struct encodings.
+    "struct_ops" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          struct(col("lang").as("l"), col("n_chars").as("n")).as("st"))
+        .select(col("doc_id"),
+          col("st").withField("n2", col("st.n") * 2)
+            .withField("big", col("st.n") > 500)
+            .dropFields("n").as("st2"))
+        .select(col("doc_id"), col("st2.l").as("lang"),
+          col("st2.n2").as("n2"), col("st2.big").as("big"))
+        .orderBy("doc_id")),
+
+    // Positional explode of the first-5-token slice: (pos, tok) pairs per
+    // document — the generator/UDTF shape (LATERAL VIEW posexplode).
+    "posexplode_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), slice(toks, 1, 5).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")))
+        .withColumnRenamed("col", "tok")
+        .orderBy("doc_id", "pos"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "array_funcs" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_toks,
+        |  array_to_string(toks[1:3], ' ') AS head3,
+        |  list_contains(toks, 'the') AS has_the,
+        |  list_max(toks) AS max_tok,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  toks[-1] AS last_tok
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS INT) AS n_types,
+        |  count(*) FILTER (WHERE event_type = 'click') AS clicks,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(*) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "hof_surface" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY CAST(l_quantity AS BIGINT)) AS i
+        |  FROM lineitem)
+        |SELECT l_orderkey,
+        |  CAST(sum(q) AS BIGINT) AS total_qty,
+        |  CAST(count(*) FILTER (WHERE q > 25) AS INT) AS n_big,
+        |  bool_or(q = 50) AS has_50,
+        |  bool_and(q > 0) AS all_pos,
+        |  CAST(sum(q * i) AS BIGINT) AS wsum
+        |FROM r GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "set_ops_all" ->
+      """SELECT l_partkey, count(*) AS n FROM (
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity < 25
+        |   INTERSECT ALL
+        |   SELECT l_partkey FROM lineitem WHERE l_discount > 0.02)
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src
+        |  FROM supplier
+        |  UNION ALL BY NAME
+        |  SELECT 'customer' AS src, c_custkey AS key FROM customer)
+        |ORDER BY src, key""".stripMargin,
+
+    "exists_in_subqueries" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "scalar_subquery_threshold" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "struct_ops" ->
+      """SELECT doc_id, lang, n_chars * 2 AS n2, n_chars > 500 AS big
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "posexplode_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  (string_split_regex(lower(text), '\s+'))[1:5] AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+        |FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}
