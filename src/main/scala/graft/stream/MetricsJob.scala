@@ -163,9 +163,16 @@ object MetricsJob {
     * join state as watermarks advance; an unbounded-condition
     * stream-stream join would grow state forever. Column names are
     * prefixed per side so the join output is unambiguous.
+    *
+    * `joinType` admits the outer flavors ("leftOuter", "rightOuter",
+    * "fullOuter"): an unmatched row is emitted null-extended once the
+    * watermark passes its join window (i.e. once a match has become
+    * impossible) — the outer result stays append-only and state stays
+    * purgeable.
     */
   def correlate(left: DataFrame, right: DataFrame, key: String,
-      watermark: String = "10 minutes", windowSec: Long = 300L): DataFrame = {
+      watermark: String = "10 minutes", windowSec: Long = 300L,
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(left.columns.map(c => col(c).as(s"l_$c")): _*)
       .withColumn("l_time", timestamp_millis(col(s"l_created_ts")))
       .withWatermark("l_time", watermark)
@@ -175,7 +182,8 @@ object MetricsJob {
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
         col("r_time") >= col("l_time") &&
-        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   /** Event-time windowed aggregation with watermark — the streaming

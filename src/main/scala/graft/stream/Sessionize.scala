@@ -1,9 +1,11 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Sessionization — the canonical custom-state streaming operator the
   * reference lacks (SURVEY §2.6 "absent features"): group a user's events
@@ -67,5 +69,80 @@ object Sessionize {
           st.foreach(state.update)
           closed.result().iterator
         })
+  }
+
+  /** transformWithState flavor (the arbitrary-state API that supersedes
+    * flatMapGroupsWithState): same fold, plus an EVENT-TIME TIMER at
+    * `session_end + gap` so an idle session flushes when the watermark
+    * passes its gap — the `stream` flavor above only closes a session
+    * when its successor arrives, so a user who never returns leaves a
+    * session (and its state) stranded forever. Timers make state O(1)
+    * per ACTIVE key rather than per key ever seen.
+    *
+    * Input: (user_id, ts) with `ts` a watermarked timestamp column.
+    * Requires the RocksDB state store provider (the only provider that
+    * implements transformWithState's column-family state layout).
+    */
+  def streamTws(events: DataFrame, gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The per-key processor: one ValueState holding the open session, one
+    * registered timer holding its flush deadline. Every input batch
+    * re-arms the timer to the new session end; an expired timer emits and
+    * clears — after which the key holds NO state at all.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), Session] {
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[Session] = {
+      val times = rows.map(_._2.getTime).toSeq.sorted
+      var st = if (session.exists()) Some(session.get()) else None
+      val closed = Seq.newBuilder[Session]
+      times.foreach { t =>
+        st match {
+          case Some(s) if t - s.last <= gapMs =>
+            st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            closed += Session(user, s.start, s.last, s.n)
+            st = Some(SessionState(t, t, 1))
+          case None =>
+            st = Some(SessionState(t, t, 1))
+        }
+      }
+      st.foreach { s =>
+        session.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      // A stale timer (re-armed after this one was scheduled) can still
+      // fire in the same batch that armed its replacement; only flush if
+      // the session is genuinely idle at this expiry.
+      if (session.exists()) {
+        val s = session.get()
+        if (expiredTimerInfo.getExpiryTimeInMs >= s.last + gapMs) {
+          session.clear()
+          Iterator.single(Session(user, s.start, s.last, s.n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
   }
 }

@@ -43,6 +43,37 @@ class SessionizeSpec extends SparkSpec {
       Sessionize.Session(1L, 5000L, 5000L, 1L)))
   }
 
+  test("transformWithState sessionization flushes idle sessions via event-time timer") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+      val df = input.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+      val q = Sessionize.streamTws(df, gap)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_sessions")
+        .start()
+      try {
+        input.addData((1L, t(100L)), (1L, t(500L)))
+        q.processAllAvailable() // user-1 state (100,500,2), timer @1500; wm -> 500
+        input.addData((2L, t(5000L))) // wm during batch still 500: no fire; -> 5000 after
+        q.processAllAvailable()
+        input.addData((2L, t(6000L))) // wm 5000 >= 1500: user-1 timer fires, session flushes
+        q.processAllAvailable()       // user-2 events merge (gap exactly 1000): no emission
+      } finally q.stop()
+      val got = spark.table("tws_sessions").as[Sessionize.Session]
+        .collect().sortBy(s => (s.user_id, s.session_start_ms)).toSeq
+      assert(got == Seq(Sessionize.Session(1L, 100L, 500L, 2L)),
+        s"idle user-1 session should flush via timer, user-2 session stays open: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy($"event_type")

@@ -211,4 +211,37 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("correlated").as[(String, String)].collect().toSet
     assert(got == Set(("c1", "e_in")))
   }
+
+  test("stream-stream LEFT OUTER interval join null-extends unmatched rows after the window expires") {
+    val clicks = MemoryStream[String](spark)
+    val errors = MemoryStream[String](spark)
+    val joined = MetricsJob.correlate(
+      MetricsJob.parse(clicks.toDF()), MetricsJob.parse(errors.toDF()),
+      key = "user_id", watermark = "0 seconds", windowSec = 60L,
+      joinType = "leftOuter")
+    val q = joined
+      .select($"l_event_id", $"r_event_id")
+      .writeStream.format("memory").queryName("correlated_outer")
+      .outputMode("append").start()
+    try {
+      // c0 at t=10s has no error in [10s, 70s]; c1 at t=100s matches e_in.
+      clicks.addData(jsonEvent("c0", 10000L), jsonEvent("c1", 100000L))
+      errors.addData(jsonEvent("e_in", 130000L))
+      q.processAllAvailable()
+      // Advance BOTH watermarks past c0's window, then run further
+      // batches so eviction emits the null-extended row.
+      clicks.addData(jsonEvent("c_adv", 500000L))
+      errors.addData(jsonEvent("e_adv", 500000L))
+      q.processAllAvailable()
+      clicks.addData(jsonEvent("c_adv2", 600000L))
+      errors.addData(jsonEvent("e_adv2", 600000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("correlated_outer")
+      .as[(String, Option[String])].collect().toSet
+    assert(got.contains(("c0", None)),
+      s"unmatched c0 should be null-extended after its window expired: $got")
+    assert(got.contains(("c1", Some("e_in"))))
+    assert(!got.contains(("c1", None)), "matched rows must not be null-extended")
+  }
 }
