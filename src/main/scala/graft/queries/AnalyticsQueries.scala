@@ -32,6 +32,7 @@ object AnalyticsQueries extends QueryPack {
     ("b5_huge", 200.0, 1000.0))
 
   private val HistWidth = 25.0
+  private val FiveMinMs = 300000L
   private val DayMs = 86400000L
   private val FunnelWindowMs = 43200000L // 12 h per-step conversion window
 
@@ -50,6 +51,27 @@ object AnalyticsQueries extends QueryPack {
           round(sum(col("value")), 2).as("sum_value"),
           graft.ops.Metrics.meanExact2dp(col("value")).as("avg_value"))
         .orderBy("band")
+    }),
+
+    // Binned interval join (ops/RangeJoin): error events matched to click
+    // events within ±5 minutes. Unlike range_join_value_bands (broadcast
+    // constant dim), BOTH sides here scale with the data, so the naive
+    // non-equi join would be a cartesian pairing; binning on 5-minute
+    // buckets restores an equi-key (each interval spans ≤ 3 bins) and the
+    // plan is an ordinary shuffled hash join — linear, AQE-balanceable.
+    "range_join_binned" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        tsMillis(col("ts")).as("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_ms").as("click_ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (col("ts_ms") - FiveMinMs).as("lo"), (col("ts_ms") + FiveMinMs).as("hi"))
+      graft.ops.RangeJoin.binned(clicks, col("click_ts"), errors,
+          col("lo"), col("hi"), binWidth = FiveMinMs)
+        .groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+        .orderBy("err_id")
     }),
 
     // CDC latest-state compaction: one surviving row per key, newest wins
@@ -212,6 +234,16 @@ object AnalyticsQueries extends QueryPack {
     val bandValues = bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
     val profileCols = Seq("event_id", "user_id", "event_type", "value", "props")
     Map(
+      "range_join_binned" ->
+        """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms
+           |           FROM events)
+           |SELECT er.event_id AS err_id, count(*) AS n_clicks,
+           |       min(c.event_id) AS first_click
+           |FROM e er JOIN e c
+           |  ON er.event_type = 'error' AND c.event_type = 'click'
+           | AND c.ts_ms BETWEEN er.ts_ms - 300000 AND er.ts_ms + 300000
+           |GROUP BY er.event_id ORDER BY err_id""".stripMargin,
+
       "range_join_value_bands" ->
         s"""WITH bands(band, lo, hi) AS (VALUES $bandValues)
            |SELECT band, count(*) AS n_events,
