@@ -157,7 +157,35 @@ object FunctionSurfaceQueries extends QueryPack {
         .select(col("doc_id"), slice(toks, 1, 5).as("toks"))
         .select(col("doc_id"), posexplode(col("toks")))
         .withColumnRenamed("col", "tok")
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // VARIANT (Spark 4 semi-structured type): parse the JSON props column
+    // into the binary variant encoding once, then shred typed fields out
+    // of it — the open-schema path that replaces per-access JSON string
+    // re-parsing (get_json_object re-tokenizes the string per call;
+    // variant parses once and field access is a binary lookup).
+    "variant_extract_props" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"),
+          variant_get(col("v"), "$.missing", "variant").isNull.as("no_field"))
+        .orderBy("event_id")),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT: top-1 order per
+    // customer as a lateral derived table — Catalyst rewrites the
+    // correlation to a join (no per-row subplan), semantically the
+    // argmax/top-k-per-key shape in its SQL spelling.
+    "lateral_top_order" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("fsq_customer2")
+      orders(s, d).createOrReplaceTempView("fsq_orders3")
+      s.sql("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+               FROM fsq_customer2 c, LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM fsq_orders3 o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+               ORDER BY c_custkey""")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -237,6 +265,20 @@ object FunctionSurfaceQueries extends QueryPack {
         |  FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
         |FROM t, unnest(generate_series(1, len(toks))) AS u(i)
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "variant_extract_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  json_extract(props, '$.missing') IS NULL AS no_field
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "lateral_top_order" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -29,6 +29,19 @@ class SourcesSpec extends SparkSpec {
   test("JSON-lines round-trip preserves schema and values") { roundTrip("json") }
   test("ORC round-trip preserves schema and values") { roundTrip("orc") }
 
+  test("XML round-trip preserves schema and values (built-in Spark 4 source)") {
+    val src = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    val dir = Files.createTempDirectory("graft_xml").toString + "/t"
+    src.write.format("xml").option("rowTag", "doc").save(dir)
+    val back = spark.read.format("xml").option("rowTag", "doc")
+      .schema(src.schema).load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)), "xml schema drift")
+    assert(back.except(src).isEmpty && src.except(back).isEmpty,
+      "xml round-trip changed values")
+  }
+
   test("ORC scan prunes columns and pushes filters like parquet") {
     val src = Tables.documents(spark, sf0001)
     val dir = Files.createTempDirectory("graft_orc_push").toString + "/t"
