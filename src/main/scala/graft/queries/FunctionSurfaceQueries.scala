@@ -172,6 +172,20 @@ object FunctionSurfaceQueries extends QueryPack {
           variant_get(col("v"), "$.missing", "variant").isNull.as("no_field"))
         .orderBy("event_id")),
 
+    // unpivot (wide -> long, the inverse of pivot): per-priority metric
+    // columns melted into (metric, val) rows. Value columns share one
+    // type (double — counts are exact integers in double far below 2^53).
+    "unpivot_order_stats" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          countDistinct(col("o_custkey")).cast("double").as("n_custs"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("total"), col("n_custs")),
+          "metric", "val")
+        .orderBy("o_orderpriority", "metric")),
+
     // LATERAL correlated subquery with ORDER BY + LIMIT: top-1 order per
     // customer as a lateral derived table — Catalyst rewrites the
     // correlation to a join (no per-row subplan), semantically the
@@ -272,6 +286,17 @@ object FunctionSurfaceQueries extends QueryPack {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  json_extract(props, '$.missing') IS NULL AS no_field
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "unpivot_order_stats" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_custs
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, val
+        |FROM w UNPIVOT (val FOR metric IN (n_orders, total, n_custs))
+        |ORDER BY o_orderpriority, metric""".stripMargin,
 
     "lateral_top_order" ->
       """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice

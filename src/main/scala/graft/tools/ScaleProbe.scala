@@ -37,7 +37,13 @@ object ScaleProbe {
 
     copies(Tables.events(spark, base), (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * KeyStride))
-      .withColumn("user_id", col("user_id") + lit(i * SmallStride)))
+      .withColumn("user_id", col("user_id") + lit(i * SmallStride))
+      // disjoint time region per copy: temporal joins (range_join_binned
+      // pairs events within ±5 min REGARDLESS of key) must not match
+      // across copies, or the probe would measure a quadratic blowup the
+      // real corpus doesn't have. Keyed/windowed queries are unaffected —
+      // their keys are already copy-disjoint.
+      .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 366} DAYS")))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     copies(Tables.documents(spark, base), (df, i) =>
@@ -88,6 +94,7 @@ object ScaleProbe {
     "q1_agg", "q3_shipping_priority", "q5_nation_revenue",
     "salted_join_priority", "sessionize_30m", "cdc_latest_snapshot",
     "asof_last_error", "time_window_5m", "retention_cohorts",
+    "range_join_binned",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_survivors",
     "ngram_jaccard_pairs", "decontaminate_ngrams", "boilerplate_ngrams",
     "text_tfidf_top_terms", "vocab_encode", "pipeline_training_corpus")
