@@ -175,6 +175,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(spread > 1, s"expected multi-salt keys, max spread $spread")
   }
 
+  test("EXISTS / NOT IN subqueries decorrelate to semi and anti hash joins") {
+    val (p, _) = plan(graft.queries.FunctionSurfaceQueries.queries,
+      "exists_in_subqueries")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as a left-anti join:\n$p")
+    assert(!p.contains("ExistenceJoin") || p.contains("LeftSemi"), p)
+  }
+
+  test("lateral top-1 subquery decorrelates: no per-row subplan") {
+    val (p, _) = plan(graft.queries.FunctionSurfaceQueries.queries,
+      "lateral_top_order")
+    assert(p.contains("Join"), s"lateral must become a join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral decorrelation degenerated to a pairwise plan:\n$p")
+  }
+
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(

@@ -42,6 +42,20 @@ class SourcesSpec extends SparkSpec {
       "xml round-trip changed values")
   }
 
+  test("parquet mergeSchema reads evolving table generations as one frame") {
+    // A long-lived 100 TB table accretes columns; readers must see the
+    // union schema with nulls for generations that predate a column.
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "gen"))
+    val rows = merged.select($"id", $"score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)),
+      "old generation must null-extend the new column")
+  }
+
   test("ORC scan prunes columns and pushes filters like parquet") {
     val src = Tables.documents(spark, sf0001)
     val dir = Files.createTempDirectory("graft_orc_push").toString + "/t"
