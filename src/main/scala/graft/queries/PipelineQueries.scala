@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.{Similarity, TextOps}
+
+/** Round-3 training-pipeline surface: context-window chunking, int8
+  * embedding quantization, exact multi-quantile stats, top-p vocabulary
+  * cuts, IDF rarity scoring, SemDeDup-style embedding-cluster dedup, and
+  * the native `session_window` batch aggregation.
+  *
+  * Every query has an exact DuckDB oracle. Floating-point is confined to
+  * operations whose bit patterns are engine-identical (sequential
+  * left-to-right folds, single divisions); counters, quantized codes, and
+  * rarity scores are integer-exact so no rounding lottery exists.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** Context-window chunking: 64-token windows, stride 48 (16-token
+    * overlap) — the standard "split long documents for a fixed model
+    * context" prep step.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** int8 symmetric quantization: codes in [-127, 127]. */
+  val QuantLevels = 127
+
+  /** Nucleus (top-p) vocabulary cut at p = 0.9, evaluated in exact integer
+    * arithmetic as `10 * cum_before < 9 * total`.
+    */
+  val RarityScale = 1000000L
+
+  /** SemDeDup blocking: IVF cells + in-cell cosine floor. The fixture
+    * embeddings carry no planted near-dups (max pairwise cos ≈ 0.51), so
+    * the floor is 0.3 to exercise the verify path on non-empty output.
+    */
+  val SemCells = 16
+  val SemMinCos = 0.3
+
+  // Shared DuckDB fragments (mirror TextOps exactly).
+  private val duckToks = """string_split_regex(lower(text), '\s+')"""
+  private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  /** (doc_id, _toks, _n) staging shared by the chunk query. */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"), size(col("_toks")).as("_n"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Native session-window batch aggregation — the built-in operator twin
+    // of the lag/cumsum sessionize_30m plan (and of the streaming
+    // `session_window` aggregation). One shuffle on user_id; Spark merges
+    // overlapping [t, t+gap) intervals per key, so an inter-event gap of
+    // EXACTLY the gap duration starts a new session (half-open intervals);
+    // the oracle's islands form uses `>= gap` to match.
+    "session_window_native" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), tsMillis(col("w.start")).as("session_start_ms"),
+          tsMillis(col("w.end")).as("session_end_ms"), col("n_events"))
+        .orderBy("user_id", "session_start_ms")),
+
+    // Sliding-window token chunking with overlap (LLM context-window prep):
+    // 64-token chunks every 48 tokens. Pure per-row projection + explode —
+    // no shuffle, embarrassingly parallel over file splits at 100 TB. The
+    // chunk count is exact integer arithmetic (positive-operand div only,
+    // identical on both engines); each chunk carries a portable content
+    // hash so the oracle verifies chunk CONTENT, not just counts.
+    "doc_chunks" -> ((s, d) =>
+      tokenized(s, d)
+        .withColumn("_last",
+          when(col("_n") <= ChunkSize, lit(0L))
+            .otherwise(floor((col("_n") - ChunkSize + (ChunkStride - 1)) / lit(ChunkStride))))
+        .select(col("doc_id"), col("_toks"),
+          explode(sequence(lit(0L), col("_last"))).as("chunk_ix"))
+        .withColumn("_chunk",
+          slice(col("_toks"), col("chunk_ix") * ChunkStride + 1, lit(ChunkSize)))
+        .select(col("doc_id"), col("chunk_ix"),
+          size(col("_chunk")).as("n_tokens"),
+          TextOps.hash32(concat_ws(" ", col("_chunk"))).as("chunk_h32"))
+        .orderBy("doc_id", "chunk_ix")),
+
+    // int8 symmetric quantization of embeddings (the at-scale storage /
+    // ANN-memory path: 4x smaller than float32). Per-vector max-abs scale;
+    // code_i = floor(x_i/scale + 0.5) — explicit half-up rounding whose
+    // double arithmetic is bit-identical on both engines (no round()
+    // midpoint lottery). Checksums (sum, sum-of-squares of codes) are
+    // exact integers: any cross-engine code flip is caught, rounding-free.
+    "embed_quantize" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("_maxabs", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("_scale", col("_maxabs") / QuantLevels)
+        .withColumn("_q",
+          when(col("_maxabs") === 0, transform(col("v"), _ => lit(0L)))
+            .otherwise(transform(col("v"),
+              x => floor(x / col("_scale") + 0.5).cast("long"))))
+        .select(col("vec_id"),
+          round(col("_scale"), 6).as("scale"),
+          array_min(col("_q")).as("q_min"),
+          array_max(col("_q")).as("q_max"),
+          aggregate(col("_q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("_q"), lit(0L), (a, x) => a + x * x).as("q_norm2"))
+        .orderBy("vec_id")),
+
+    // Exact multi-quantile surface: interpolated percentiles over integer
+    // cents (round(value*100) — half-away rounding matches on both
+    // engines). With p ∈ {.25,.5,.75,.95} the (n-1)*p interpolation mixes
+    // integers with dyadic fractions, so the double result is exact and
+    // engine-identical before the final /100 display division.
+    "percentile_surface" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("_cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("_cents"), lit(0.25)) / 100, 6).as("p25"),
+          round(percentile(col("_cents"), lit(0.5)) / 100, 6).as("p50"),
+          round(percentile(col("_cents"), lit(0.75)) / 100, 6).as("p75"),
+          round(percentile(col("_cents"), lit(0.95)) / 100, 6).as("p95"))
+        .orderBy("event_type")),
+
+    // Top-p (nucleus) vocabulary cut per language: order tokens by
+    // frequency, keep the smallest prefix covering 90% of token mass.
+    // The keep predicate is exact integer arithmetic (10*cum_before <
+    // 9*total); per-lang vocabularies are small, so the rank window is
+    // bounded by vocabulary size, never corpus size.
+    "vocab_nucleus" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val wRank = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("lang")
+      counts
+        .withColumn("_cum", sum(col("cnt")).over(wRank))
+        .withColumn("_total", sum(col("cnt")).over(wAll))
+        .withColumn("_kept", (col("_cum") - col("cnt")) * 10 < col("_total") * 9)
+        .groupBy("lang")
+        .agg(sum(when(col("_kept"), 1L).otherwise(0L)).as("n_vocab"),
+          sum(when(col("_kept"), col("cnt")).otherwise(0L)).as("kept_tokens"),
+          max(col("_total")).as("total_tokens"))
+        .withColumn("coverage",
+          round(col("kept_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy("lang")
+    }),
+
+    // IDF rarity scoring: per-token document frequency, per-doc rarity =
+    // sum / max of the integer-scaled inverse df (RarityScale div df) over
+    // DISTINCT tokens. All integer arithmetic — exact at any scale; the
+    // df table is vocabulary-sized and the join is a keyed hash join
+    // (broadcast-able: vocabularies grow sublinearly in corpus size).
+    "text_rarity" -> ((s, d) => {
+      val docToks = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val dfs = docToks.groupBy("tok").agg(count(lit(1)).as("df"))
+      docToks.join(dfs, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(expr(s"$RarityScale div df")).as("rarity_sum"),
+          max(expr(s"$RarityScale div df")).as("rarity_max"))
+        .orderBy("doc_id")
+    }),
+
+    // Recursive CTE (Spark 4 SQL surface): transitive closure over a
+    // bounded-depth chain graph (edges only inside 10-doc groups, so
+    // recursion depth is a CONSTANT 9 at any corpus size — a recursive
+    // query that scales is one whose depth doesn't grow with the data).
+    // Identical SQL text runs on both engines.
+    "recursive_cte_reach" -> ((s, d) => {
+      documents(s, d).select(col("doc_id")).createOrReplaceTempView("pq_docs")
+      s.sql("""
+        WITH RECURSIVE e AS (
+          SELECT a.doc_id AS n, b.doc_id AS m
+          FROM pq_docs a JOIN pq_docs b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 10 <> 9),
+        reach(n, m) AS (
+          SELECT n, m FROM e
+          UNION ALL
+          SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n)
+        SELECT n AS doc_id, count(*) AS n_reach, max(m) AS max_reach
+        FROM reach GROUP BY n ORDER BY doc_id""")
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster
+    // embeddings (IVF assignment around deterministic seed centroids —
+    // broadcast centroids, zero shuffle), then exact cosine only WITHIN
+    // clusters. The pairwise loop is per-cell, so at 100 TB the quadratic
+    // term is bounded by cell size, not corpus size.
+    "semdedup_pairs" -> ((s, d) => {
+      val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", SemCells)
+      val l = assign.select(col("cell"), col("vec_id").as("id_a"),
+        col("vecd").as("_va"), col("nrm").as("_na"))
+      val r = assign.select(col("cell"), col("vec_id").as("id_b"),
+        col("vecd").as("_vb"), col("nrm").as("_nb"))
+      l.join(r, Seq("cell"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_a"), col("id_b"),
+          round(Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+            .as("cos_sim"))
+        .where(col("cos_sim") >= SemMinCos)
+        .orderBy("id_a", "id_b")
+    }))
+
+  def oracleSql: Map[String, String] = {
+    // IVF assignment CTE chain (mirrors Similarity.ivfAssign; same text as
+    // the ExtensionQueries fragment so both oracle families stay in sync).
+    val duckIvfAssign =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $SemCells),
+        |scored AS (
+        |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
+        |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
+        |          / (a.nrm * c.cnrm), 6) AS ccos
+        |  FROM n a, cent c),
+        |assign AS (
+        |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
+
+    Map(
+      "session_window_native" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |marked AS (
+          |  SELECT user_id, ts_ms,
+          |    CASE WHEN lag(ts_ms) OVER w IS NULL
+          |           OR ts_ms - lag(ts_ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS is_new
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+          |sess AS (
+          |  SELECT user_id, ts_ms,
+          |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+          |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+          |  FROM marked)
+          |SELECT user_id, min(ts_ms) AS session_start_ms,
+          |  max(ts_ms) + 1800000 AS session_end_ms, count(*) AS n_events
+          |FROM sess GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_start_ms""".stripMargin,
+
+      "doc_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+           |c AS (SELECT doc_id, toks, n,
+           |        unnest(generate_series(0, CASE WHEN n <= $ChunkSize THEN 0
+           |          ELSE (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride END)) AS chunk_ix
+           |      FROM n)
+           |SELECT doc_id, chunk_ix,
+           |  len(list_slice(toks, chunk_ix * $ChunkStride + 1,
+           |                 least(chunk_ix * $ChunkStride + $ChunkSize, n))) AS n_tokens,
+           |  ${duckH32(s"array_to_string(list_slice(toks, chunk_ix * $ChunkStride + 1, least(chunk_ix * $ChunkStride + $ChunkSize, n)), ' ')")} AS chunk_h32
+           |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+
+      "embed_quantize" ->
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings),
+           |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+           |q AS (SELECT vec_id, maxabs / $QuantLevels AS scale,
+           |        CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           |             ELSE list_transform(v, x -> CAST(floor(x / (maxabs / $QuantLevels) + 0.5) AS BIGINT))
+           |        END AS codes
+           |      FROM m)
+           |SELECT vec_id, round(scale, 6) AS scale,
+           |  list_min(codes) AS q_min, list_max(codes) AS q_max,
+           |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           |  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS q_norm2
+           |FROM q ORDER BY vec_id""".stripMargin,
+
+      "percentile_surface" ->
+        """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          |SELECT event_type, count(*) AS n,
+          |  round(quantile_cont(cents, 0.25) / 100, 6) AS p25,
+          |  round(quantile_cont(cents, 0.5) / 100, 6) AS p50,
+          |  round(quantile_cont(cents, 0.75) / 100, 6) AS p75,
+          |  round(quantile_cont(cents, 0.95) / 100, 6) AS p95
+          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "vocab_nucleus" ->
+        s"""WITH tok AS (SELECT lang, unnest($duckToks) AS tok FROM documents),
+           |cnt AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY lang, tok),
+           |ranked AS (
+           |  SELECT lang, tok, cnt,
+           |    sum(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tok
+           |                   ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(cnt) OVER (PARTITION BY lang) AS total
+           |  FROM cnt)
+           |SELECT lang,
+           |  CAST(sum(CASE WHEN (cum - cnt) * 10 < total * 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab,
+           |  CAST(sum(CASE WHEN (cum - cnt) * 10 < total * 9 THEN cnt ELSE 0 END) AS BIGINT) AS kept_tokens,
+           |  CAST(max(total) AS BIGINT) AS total_tokens,
+           |  round(CAST(sum(CASE WHEN (cum - cnt) * 10 < total * 9 THEN cnt ELSE 0 END) AS DOUBLE)
+           |        / max(total), 6) AS coverage
+           |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "text_rarity" ->
+        s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok FROM documents),
+           |dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok)
+           |SELECT doc_id, count(*) AS n_distinct,
+           |  CAST(sum($RarityScale // df) AS BIGINT) AS rarity_sum,
+           |  CAST(max($RarityScale // df) AS BIGINT) AS rarity_max
+           |FROM dt JOIN dfs USING (tok)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "recursive_cte_reach" ->
+        """WITH RECURSIVE e AS (
+          |  SELECT a.doc_id AS n, b.doc_id AS m
+          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |  WHERE a.doc_id % 10 <> 9),
+          |reach(n, m) AS (
+          |  SELECT n, m FROM e
+          |  UNION ALL
+          |  SELECT r.n, e2.m FROM reach r JOIN e e2 ON r.m = e2.n)
+          |SELECT n AS doc_id, count(*) AS n_reach, max(m) AS max_reach
+          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+      "semdedup_pairs" ->
+        s"""WITH $duckIvfAssign
+           |SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+           |        / (a.nrm * b.nrm), 6) AS cos_sim
+           |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |WHERE cos_sim >= $SemMinCos
+           |ORDER BY id_a, id_b""".stripMargin)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.PipelineQueries
+
+/** Invariant tests for the round-3 pipeline surface (the oracle harness
+  * proves cross-engine equality; these prove the operators' own contracts).
+  */
+class PipelineSpec extends SparkSpec {
+  import PipelineQueries._
+
+  private def run(name: String) = queries(name)(spark, sf0001)
+
+  test("doc_chunks covers every token exactly and overlaps by stride") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(graft.ext.TextOps.tokens(col("text"))).as("n"))
+    val chunks = run("doc_chunks")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("tok_sum"),
+        max(col("chunk_ix")).as("last_ix"),
+        min(col("n_tokens")).as("min_len"),
+        max(col("n_tokens")).as("max_len"))
+    val joined = chunks.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nChunks, lastIx, n) =
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("last_ix"), r.getAs[Int]("n"))
+      assert(nChunks == lastIx + 1) // contiguous chunk indices from 0
+      assert(r.getAs[Int]("max_len") <= ChunkSize)
+      // Coverage: last chunk's start must reach past the final token.
+      assert(lastIx * ChunkStride + ChunkSize >= n)
+      // No spurious trailing chunk: the previous start did NOT cover n.
+      if (lastIx > 0) assert((lastIx - 1) * ChunkStride + ChunkSize < n)
+      // Total tokens emitted = n + overlap double-counting (C-S per
+      // non-final chunk, except the tail chunk's actual length).
+      val expectedSum = (0L to lastIx).map { i =>
+        math.min(ChunkSize, n - i * ChunkStride)
+      }.sum
+      assert(r.getAs[Long]("tok_sum") == expectedSum)
+    }
+  }
+
+  test("embed_quantize codes stay in [-127,127] and hit the extremes") {
+    val rows = run("embed_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qMin, qMax) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      assert(qMin >= -QuantLevels && qMax <= QuantLevels)
+      // The max-abs element quantizes to exactly +/-127.
+      assert(qMax == QuantLevels || qMin == -QuantLevels)
+      assert(r.getAs[Long]("q_norm2") >= QuantLevels.toLong * QuantLevels)
+    }
+  }
+
+  test("session_window_native partitions all events; gaps within < 30m") {
+    val total = graft.Tables.events(spark, sf0001).count()
+    val sessions = run("session_window_native")
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == total)
+    // Session windows per user never overlap: next start >= previous end.
+    val overlap = sessions
+      .withColumn("prev_end", lag("session_end_ms", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_start_ms")))
+      .where(col("prev_end").isNotNull && col("session_start_ms") < col("prev_end"))
+    assert(overlap.isEmpty)
+  }
+
+  test("vocab_nucleus covers >= 90% of token mass with <= full vocabulary") {
+    run("vocab_nucleus").collect().foreach { r =>
+      assert(r.getAs[Double]("coverage") >= 0.9)
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("semdedup pairs only within cells, all above the cosine floor") {
+    val assign = graft.ext.Similarity.ivfAssign(
+      graft.Tables.embeddings(spark, sf0001), "vec_id", "embedding", SemCells)
+      .select(col("vec_id"), col("cell"))
+    val pairs = run("semdedup_pairs")
+    assert(pairs.where(col("cos_sim") < SemMinCos).isEmpty)
+    val misCell = pairs
+      .join(assign.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("cell", "cell_a"), "id_a")
+      .where(col("cell") =!= col("cell_a"))
+    assert(misCell.isEmpty)
+  }
+}
