@@ -73,24 +73,29 @@ object Similarity {
     * a k-means iteration would refine them, the plan shape is identical),
     * then answer a query by probing only the `nprobe` cells nearest to it.
     * At scale: assignment is a broadcast of `numCells` centroids + one
-    * argmax per row (no shuffle); the probe prunes the search to
-    * nprobe/numCells of the data. Cell choice rounds cosine to 6 before
-    * the argmax so cross-engine ulp noise can't flip assignments.
+    * argmax per row — a PURE PROJECTION, zero shuffle: the centroids
+    * arrive as a single broadcast row holding a sorted array<struct>, and
+    * the argmax is `array_min` over (1 - cosine, cell_id) structs
+    * (lexicographic struct ordering = max cosine, ties to the lowest cell
+    * id; 1-x keeps the sort key non-negative so no -0.0 ordering edge).
+    * An earlier form used a row_number window per vector — an exchange
+    * plus two sorts of vector-sized rows that the projection form deletes
+    * outright. Cell choice rounds cosine to 6 before the argmax so
+    * cross-engine ulp noise can't flip assignments.
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       numCells: Int): DataFrame = {
     val staged = embeddings
       .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
       .select(col(idCol), col("vecd"), norm(col("vecd")).as("nrm"))
-    val cents = broadcast(staged.where(col(idCol) < numCells)
-      .select(col(idCol).as("cell_id"), col("vecd").as("cvec"), col("nrm").as("cnrm")))
-    val scored = staged.crossJoin(cents)
-      .withColumn("ccos",
-        round(dot(col("vecd"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id"))
-    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col(idCol), col("vecd"), col("nrm"), col("cell_id").as("cell"))
+    val centArr = broadcast(staged.where(col(idCol) < numCells)
+      .agg(array_sort(collect_list(struct(col(idCol).as("cell_id"),
+        col("vecd").as("cvec"), col("nrm").as("cnrm")))).as("_cents")))
+    staged.crossJoin(centArr)
+      .withColumn("_best", array_min(transform(col("_cents"), c =>
+        struct((lit(1.0) - round(dot(col("vecd"), c("cvec")) / (col("nrm") * c("cnrm")), 6)).as("inv"),
+          c("cell_id").as("cell_id")))))
+      .select(col(idCol), col("vecd"), col("nrm"), col("_best.cell_id").as("cell"))
   }
 
   /** IVF top-k cosine search for one query vector. */

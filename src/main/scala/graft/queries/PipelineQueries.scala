@@ -195,12 +195,19 @@ object PipelineQueries extends QueryPack {
     // clusters. The pairwise loop is per-cell, so at 100 TB the quadratic
     // term is bounded by cell size, not corpus size.
     "semdedup_pairs" -> ((s, d) => {
+      // localCheckpoint: both self-join branches read ONE materialization
+      // of the assignment instead of re-scoring every vector against the
+      // centroids per branch. shuffle_hash on the build side: sort-merge
+      // would sort 64-dim double arrays on both sides just to equi-join on
+      // a 16-value key — a per-partition hash build is the scale-correct
+      // physical choice (same lesson as ops/Salt.saltedJoin).
       val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", SemCells)
+        .localCheckpoint(false)
       val l = assign.select(col("cell"), col("vec_id").as("id_a"),
         col("vecd").as("_va"), col("nrm").as("_na"))
       val r = assign.select(col("cell"), col("vec_id").as("id_b"),
         col("vecd").as("_vb"), col("nrm").as("_nb"))
-      l.join(r, Seq("cell"))
+      l.join(r.hint("shuffle_hash"), Seq("cell"))
         .where(col("id_a") < col("id_b"))
         .select(col("cell"), col("id_a"), col("id_b"),
           round(Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
