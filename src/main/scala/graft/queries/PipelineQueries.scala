@@ -33,6 +33,10 @@ object PipelineQueries extends QueryPack {
     */
   val RarityScale = 1000000L
 
+  /** Random-projection shape: fixture embeddings are 64-d; project to 16. */
+  val EmbedDims = 64
+  val ProjectDims = 16
+
   /** SemDeDup blocking: IVF cells + in-cell cosine floor. The fixture
     * embeddings carry no planted near-dups (max pairwise cos ≈ 0.51), so
     * the floor is 0.3 to exercise the verify path on non-empty output.
@@ -167,6 +171,43 @@ object PipelineQueries extends QueryPack {
           sum(expr(s"$RarityScale div df")).as("rarity_sum"),
           max(expr(s"$RarityScale div df")).as("rarity_max"))
         .orderBy("doc_id")
+    }),
+
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims: deterministic
+    // pseudo-random hyperplanes derived from the portable hash (same
+    // construction as the sign-LSH planes), so the projection — the cheap
+    // preprocessing step before clustering/ANN at scale — is reproducible
+    // across engines AND across cluster runs. Pure projection, zero
+    // shuffle; the plane constants fold at plan time.
+    "embed_project" -> ((s, d) => {
+      val staged = embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("_v"))
+      val outCols = (0 until ProjectDims).map { p =>
+        val plane = array((0 until EmbedDims).map { dd =>
+          (TextOps.hash32(lit(s"rp:$p:$dd")) / lit(2147483648.0)) - 1.0
+        }: _*)
+        round(Similarity.dot(col("_v"), plane), 6).as(s"rp_$p")
+      }
+      staged.select(col("vec_id") +: outCols: _*).orderBy("vec_id")
+    }),
+
+    // Training-mixture plan: per (lang, source) token mass, share of the
+    // corpus, and the uniform-target resampling weight (target share /
+    // actual share — the DoReMi-style static-mixture shape). One grouped
+    // aggregate + a broadcast single-row total; integer mass, single
+    // divisions.
+    "mixture_plan" -> ((s, d) => {
+      val g = documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).as("n_tokens"))
+      val tot = broadcast(g.agg(sum(col("n_tokens")).as("_tot"),
+        count(lit(1)).as("_groups")))
+      g.crossJoin(tot)
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("_tot"), 6).as("tok_share"),
+          round(col("_tot").cast("double") / (col("_groups") * col("n_tokens")), 6).as("weight"))
+        .orderBy("lang", "source")
     }),
 
     // Recursive CTE (Spark 4 SQL surface): transitive closure over a
@@ -313,6 +354,30 @@ object PipelineQueries extends QueryPack {
            |  CAST(max($RarityScale // df) AS BIGINT) AS rarity_max
            |FROM dt JOIN dfs USING (tok)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "embed_project" -> {
+        val projCols = (0 until ProjectDims).map { p =>
+          s"""round(list_sum(list_transform(generate_series(1, $EmbedDims),
+             |    i -> v[i] * ((('0x' || substr(md5('rp:$p:' || (i-1)::VARCHAR), 1, 8))::BIGINT
+             |                  / 2147483648.0) - 1.0))), 6) AS rp_$p""".stripMargin
+        }.mkString(",\n  ")
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings)
+           |SELECT vec_id,
+           |  $projCols
+           |FROM e ORDER BY vec_id""".stripMargin
+      },
+
+      "mixture_plan" ->
+        """WITH g AS (
+          |  SELECT lang, source, count(*) AS n_docs,
+          |    sum(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
+          |  FROM documents GROUP BY lang, source),
+          |t AS (SELECT sum(n_tokens) AS tot, count(*) AS groups FROM g)
+          |SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS tok_share,
+          |  round(CAST(tot AS DOUBLE) / (groups * n_tokens), 6) AS weight
+          |FROM g, t ORDER BY lang, source""".stripMargin,
 
       "recursive_cte_reach" ->
         """WITH RECURSIVE e AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,7 +68,8 @@ object EventsSource {
 }
 
 case class EventsConfig(numRows: Long, rateEps: Double, startMs: Long,
-    sizeBytes: Int, numPartitions: Int) {
+    sizeBytes: Int, numPartitions: Int, backlogRows: Long = 0L,
+    maxRowsPerTrigger: Long = -1L) {
   val filler: String = "x" * math.max(0, sizeBytes - 120)
 }
 
@@ -78,7 +79,14 @@ object EventsConfig {
     rateEps = o.getDouble("rateEps", 1000.0),
     startMs = o.getLong("startMs", 0L),
     sizeBytes = o.getInt("sizeBytes", 200),
-    numPartitions = o.getInt("numPartitions", 4))
+    numPartitions = o.getInt("numPartitions", 4),
+    // Streaming only: rows already "in the topic" when the consumer
+    // starts (a Kafka consumer joining an existing topic) — gives
+    // Trigger.AvailableNow a backlog to drain.
+    backlogRows = o.getLong("backlogRows", 0L),
+    // Streaming only: admission-control cap per micro-batch (the
+    // maxOffsetsPerTrigger analog); -1 = unbounded.
+    maxRowsPerTrigger = o.getLong("maxRowsPerTrigger", -1L))
 }
 
 class EventsTable(cfg: EventsConfig) extends Table with SupportsRead {
@@ -152,20 +160,52 @@ object EventsOffset {
   }
 }
 
-class EventsMicroBatchStream(cfg: EventsConfig) extends MicroBatchStream {
+class EventsMicroBatchStream(cfg: EventsConfig) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
   // The pacing epoch: set once at first start, restored from the
   // checkpointed offset on restart (deserializeOffset runs before any
   // latestOffset call in the restart path).
   @volatile private var epochMs: Long = -1L
+  // Fixed end captured by prepareForTriggerAvailableNow (-1 = continuous
+  // streaming; >= 0 = drain to exactly this count, then terminate).
+  @volatile private var availableNowEnd: Long = -1L
+
+  /** Feed position by the absolute schedule: the pre-existing backlog plus
+    * whatever the pacing clock has emitted since the epoch.
+    */
+  private def paceCount(): Long = {
+    if (epochMs < 0) epochMs = System.currentTimeMillis()
+    val elapsed = (System.currentTimeMillis() - epochMs) / 1000.0
+    cfg.backlogRows + math.max(0L, (elapsed * cfg.rateEps).toLong)
+  }
 
   override def initialOffset(): Offset = {
     if (epochMs < 0) epochMs = System.currentTimeMillis()
     EventsOffset(0L, epochMs)
   }
-  override def latestOffset(): Offset = {
-    if (epochMs < 0) epochMs = System.currentTimeMillis()
-    val elapsed = (System.currentTimeMillis() - epochMs) / 1000.0
-    EventsOffset(math.max(0L, (elapsed * cfg.rateEps).toLong), epochMs)
+  override def latestOffset(): Offset = EventsOffset(paceCount(), epochMs)
+
+  // Trigger.AvailableNow contract: pin the end of the feed at prepare
+  // time, serve it in admission-bounded batches, then report no new data
+  // so the query terminates — the bounded-backfill mode a 100 TB catch-up
+  // job runs in (Kafka's equivalent drains to the prepare-time end
+  // offsets under maxOffsetsPerTrigger).
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = paceCount()
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (cfg.maxRowsPerTrigger > 0) ReadLimit.maxRows(cfg.maxRowsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = if (availableNowEnd >= 0) availableNowEnd else paceCount()
+    val from = start.asInstanceOf[EventsOffset].count
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(target, from + r.maxRows)
+      case _ => target
+    }
+    EventsOffset(math.max(from, capped), epochMs)
   }
   override def deserializeOffset(json: String): Offset = {
     val o = EventsOffset.parse(json)

@@ -56,6 +56,27 @@ class EventsSourceSpec extends SparkSpec {
       s"offset regressed across restart: ${next.count} < ${committed.count}")
   }
 
+  test("AvailableNow drains the backlog in admission-bounded batches and terminates") {
+    // backlog of 5000 pre-existing rows, pacing effectively frozen
+    // (rateEps tiny), 2000-row admission cap per micro-batch: the query
+    // must process exactly the prepare-time backlog across >= 3 batches,
+    // then terminate on its own (the bounded-backfill contract).
+    val q = spark.readStream.format("graft-events")
+      .option("backlogRows", 5000).option("rateEps", 0.001)
+      .option("maxRowsPerTrigger", 2000).option("numPartitions", 2)
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("events_avail_now")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(spark.table("events_avail_now").count() == 5000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"5000 rows / 2000-row cap should be 3 batches, got ${batches.length}")
+    assert(batches.map(_.numInputRows).sum == 5000)
+  }
+
   test("micro-batch stream emits paced events through the standard machinery") {
     val q = spark.readStream.format("graft-events")
       .option("rateEps", 2000.0).option("numPartitions", 2)

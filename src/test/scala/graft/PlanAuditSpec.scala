@@ -191,6 +191,34 @@ class PlanAuditSpec extends SparkSpec {
       s"lateral decorrelation degenerated to a pairwise plan:\n$p")
   }
 
+  test("doc_chunks: zero mid-plan shuffles (projection + generate only)") {
+    val (p, _) = plan(graft.queries.PipelineQueries.queries, "doc_chunks")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0, s"chunking must not shuffle, got $shuffles:\n$p")
+  }
+
+  test("ivfAssign: argmax is a projection — no Window, no per-vector shuffle") {
+    val df = graft.ext.Similarity.ivfAssign(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", 16)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"assignment regressed to a rank window:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    // the only aggregation is the 16-row centroid collect (broadcast side)
+    assert(shuffles <= 1, s"vector side must not shuffle, got $shuffles:\n$p")
+  }
+
+  test("text_rarity: vocabulary df table broadcasts to the doc-token probe") {
+    val (p, _) = plan(graft.queries.PipelineQueries.queries, "text_rarity")
+    assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
+  }
+
+  test("embed_project: hash-derived planes constant-fold at plan time") {
+    val (p, _) = plan(graft.queries.PipelineQueries.queries, "embed_project")
+    assert(!p.contains("md5_hash32"),
+      s"plane constants must fold, not evaluate per row:\n$p")
+    assert(p.contains("vector_dot"), s"projection lost the native dot:\n$p")
+  }
+
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(
