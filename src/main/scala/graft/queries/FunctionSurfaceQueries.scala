@@ -25,6 +25,19 @@ object FunctionSurfaceQueries extends QueryPack {
   private def toks: Column = split(lower(col("text")), "\\s+")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANSI-robustness try_* surface: null-on-error arithmetic/cast/access
+    // — what a 100 TB pipeline uses instead of job-killing exceptions on
+    // dirty rows. try_divide (zero denom), try_cast (non-numeric), JSON
+    // field cast, try_add (int64 overflow), try_element_at (out of range).
+    "try_funcs" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        expr("try_divide(value, event_id % 3)").as("tdiv"),
+        expr("try_cast(event_type as int)").as("tcast_int"),
+        expr("try_cast(get_json_object(props, '$.k') as bigint)").as("tk"),
+        expr("try_add(9223372036854775807, event_id % 2)").as("tadd"),
+        expr("try_element_at(split(event_type, '_'), 2)").as("telem"))
+        .orderBy("event_id")),
+
     // Array function surface over per-document token arrays: size, slice
     // + join, membership, max, distinct cardinality, negative indexing.
     "array_funcs" -> ((s, d) =>
@@ -203,6 +216,17 @@ object FunctionSurfaceQueries extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "try_funcs" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |       ELSE value / (event_id % 3) END AS tdiv,
+        |  TRY_CAST(event_type AS INTEGER) AS tcast_int,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS tk,
+        |  CASE WHEN event_id % 2 = 1 THEN NULL
+        |       ELSE 9223372036854775807 END AS tadd,
+        |  string_split(event_type, '_')[2] AS telem
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "array_funcs" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(lower(text), '\s+') AS toks FROM documents)

@@ -97,7 +97,14 @@ object ScaleProbe {
     "range_join_binned",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_survivors",
     "ngram_jaccard_pairs", "decontaminate_ngrams", "boilerplate_ngrams",
-    "text_tfidf_top_terms", "vocab_encode", "pipeline_training_corpus")
+    "text_tfidf_top_terms", "vocab_encode", "pipeline_training_corpus",
+    // round-3 additions: chunking (projection+explode), rarity (broadcast
+    // df probe — the df table itself grows with the synthetic corpus, so
+    // this also stresses the broadcast build), nucleus (per-lang vocab
+    // windows), native session windows, constant-depth recursion, exact
+    // percentiles (per-group value buffers, bounded distinct domain)
+    "doc_chunks", "text_rarity", "vocab_nucleus", "session_window_native",
+    "recursive_cte_reach", "percentile_surface")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
