@@ -199,4 +199,20 @@ object MetricsJob {
       .groupBy(window(col("event_time"), windowDur, slide.getOrElse(windowDur)),
         col("event_type"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+
+  /** Built-in streaming session windows: per-user sessions merged under an
+    * inactivity gap by the native `session_window` aggregation (state is
+    * one entry per OPEN session; append mode emits a session only when the
+    * watermark proves it closed, which is what makes state purgeable on an
+    * unbounded stream). The batch/oracle twin is `session_window_native`;
+    * `stream/Sessionize` holds the arbitrary-state implementations of the
+    * same semantics.
+    */
+  def sessionCounts(parsed: DataFrame, gap: String = "30 seconds",
+      watermark: String = "1 minute"): DataFrame =
+    parsed
+      .withColumn("event_time", timestamp_millis(col("created_ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
 }

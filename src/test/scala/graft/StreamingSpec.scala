@@ -41,6 +41,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._2).toSet == Set(50000.0, 30000.0))
   }
 
+  test("streaming session_window: append emits a session once the watermark closes it") {
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.sessionCounts(MetricsJob.parse(input.toDF()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_win")
+      .start()
+    try {
+      // two events 10s apart -> one session [0, 40s); then an event far
+      // enough ahead that the watermark (1 min behind max) passes 40s
+      input.addData(jsonEvent("a", 0L), jsonEvent("b", 10000L))
+      q.processAllAvailable()
+      assert(spark.table("sess_win").isEmpty,
+        "open session must not be emitted in append mode")
+      input.addData(jsonEvent("c", 200000L))
+      q.processAllAvailable()
+      input.addData(jsonEvent("d", 400000L)) // advance watermark again
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess_win")
+      .select(unix_millis($"session_window.start"),
+        unix_millis($"session_window.end"), $"n".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // first session: [0, 10s + 30s gap), 2 events
+    assert(sessions.contains((0L, 40000L, 2L)), s"got $sessions")
+  }
+
+  test("update output mode re-emits a window's row as its aggregate changes") {
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("upd_win")
+      .start()
+    try {
+      input.addData(jsonEvent("a", 1000L))
+      q.processAllAvailable()
+      input.addData(jsonEvent("b", 2000L)) // same [0, 60s) window
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("upd_win")
+      .select(unix_millis($"window.start").as("w"), $"n")
+      .as[(Long, Long)].collect().toSeq.filter(_._1 == 0L).map(_._2).sorted
+    // update mode: one emission per trigger in which the window changed
+    assert(emitted == Seq(1L, 2L), s"expected n=1 then n=2, got $emitted")
+  }
+
   test("malformed JSON yields NULL struct (PERMISSIVE) and still counts") {
     val input = MemoryStream[String](spark)
     val outDir = Files.createTempDirectory("metrics_out2").toString
