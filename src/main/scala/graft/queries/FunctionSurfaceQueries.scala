@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -37,6 +38,35 @@ object FunctionSurfaceQueries extends QueryPack {
         expr("try_add(9223372036854775807, event_id % 2)").as("tadd"),
         expr("try_element_at(split(event_type, '_'), 2)").as("telem"))
         .orderBy("event_id")),
+
+    // Window IGNORE NULLS surface: last/lead over a sparsified column
+    // (value nulled on every 5th event) — LOCF (last observation carried
+    // forward) per user, the canonical sparse-sensor fill. One keyed
+    // window, partitioned by user.
+    "window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+            .as("v"))
+        .select(col("user_id"), col("event_id"), col("v"),
+          last(col("v"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("locf"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_v"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // explode_outer: generator that PRESERVES rows whose array is empty
+    // (null-extended) — the outer-join flavor of explode; dropping such
+    // rows silently is a classic pipeline bug.
+    "explode_outer_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, array().cast("array<string>"))
+            .otherwise(slice(toks, 1, 3)).as("_head"))
+        .select(col("doc_id"), explode_outer(col("_head")).as("tok"))
+        .orderBy("doc_id", "tok")),
 
     // Array function surface over per-document token arrays: size, slice
     // + join, membership, max, distinct cardinality, negative indexing.
@@ -216,6 +246,24 @@ object FunctionSurfaceQueries extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "window_ignore_nulls" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT user_id, event_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        |  lead(v, 1 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id) AS next_v
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "explode_outer_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN []::VARCHAR[]
+        |       ELSE (string_split_regex(lower(text), '\s+'))[1:3] END AS head
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(head) = 0 THEN [NULL]::VARCHAR[] ELSE head END) AS tok
+        |FROM t ORDER BY doc_id, tok""".stripMargin,
+
     "try_funcs" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 3 = 0 THEN NULL
