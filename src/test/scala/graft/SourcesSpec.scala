@@ -42,6 +42,34 @@ class SourcesSpec extends SparkSpec {
       "xml round-trip changed values")
   }
 
+  test("binaryFile source ingests raw files as (path, content) rows") {
+    // The multimodal ingestion path: image/audio/video files land as
+    // binary columns + metadata (ext/Multimodal operates downstream of
+    // exactly this shape). Partition-parallel over files, no decode.
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),
+      "b.bin" -> Array[Byte](9, 8))
+    payloads.foreach { case (n, bytes) =>
+      Files.write(dir.resolve(n), bytes) }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val got = df.select(element_at(split($"path", "/"), -1), $"length", $"content")
+      .as[(String, Long, Array[Byte])].collect()
+      .map(r => r._1 -> (r._2, r._3.toSeq)).toMap
+    assert(got == payloads.map { case (n, b) => n -> (b.length.toLong, b.toSeq) },
+      s"binary content mismatch: $got")
+  }
+
+  test("text source reads lines; wholetext reads one row per file") {
+    val dir = Files.createTempDirectory("graft_text")
+    Files.writeString(dir.resolve("d.txt"), "line one\nline two\n")
+    val lines = spark.read.text(dir.toString).as[String].collect().toSet
+    assert(lines == Set("line one", "line two"))
+    val whole = spark.read.option("wholetext", "true").text(dir.toString)
+      .as[String].collect()
+    assert(whole.toSeq == Seq("line one\nline two\n"))
+  }
+
   test("parquet mergeSchema reads evolving table generations as one frame") {
     // A long-lived 100 TB table accretes columns; readers must see the
     // union schema with nulls for generations that predate a column.

@@ -86,6 +86,29 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Seq(1L, 2L), s"expected n=1 then n=2, got $emitted")
   }
 
+  test("foreach sink: per-row ForeachWriter receives every event exactly once") {
+    StreamingSpec.foreachSeen.clear()
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.parse(input.toDF())
+      .select($"event_id")
+      .writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        override def open(partitionId: Long, epochId: Long): Boolean = true
+        override def process(row: org.apache.spark.sql.Row): Unit =
+          StreamingSpec.foreachSeen.add(row.getString(0))
+        override def close(errorOrNull: Throwable): Unit = ()
+      })
+      .start()
+    try {
+      input.addData(jsonEvent("a", 1000L), jsonEvent("b", 2000L))
+      q.processAllAvailable()
+      input.addData(jsonEvent("c", 3000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(StreamingSpec.foreachSeen.asScala.toSeq.sorted == Seq("a", "b", "c"))
+  }
+
   test("malformed JSON yields NULL struct (PERMISSIVE) and still counts") {
     val input = MemoryStream[String](spark)
     val outDir = Files.createTempDirectory("metrics_out2").toString
@@ -289,4 +312,11 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("c1", Some("e_in"))))
     assert(!got.contains(("c1", None)), "matched rows must not be null-extended")
   }
+}
+
+/** Shared landing zone for the ForeachWriter test (same JVM in local mode;
+  * a cluster deployment would write to an external system instead).
+  */
+object StreamingSpec {
+  val foreachSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
