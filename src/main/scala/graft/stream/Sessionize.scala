@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Sessionization — the canonical custom-state streaming operator the
   * reference lacks (SURVEY §2.6 "absent features"): group a user's events
@@ -143,6 +143,49 @@ object Sessionize {
           Iterator.single(Session(user, s.start, s.last, s.n))
         } else Iterator.empty
       } else Iterator.empty
+    }
+  }
+
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** transformWithState with MAP state: per-user running counts keyed by a
+    * SECONDARY key (event_type) inside the keyed state. MapState stores
+    * each (user, type) entry as its own state-store key, so updating one
+    * type does NOT rewrite the user's whole map — the difference that
+    * matters when the secondary key space is wide (per-user feature
+    * counters, per-user per-item engagement at 100 TB/day), where a
+    * ValueState[Map] would serialize the full map on every event.
+    *
+    * Emits the updated running count for each (user, type) touched by the
+    * batch (update-style output on an append-mode TWS operator).
+    */
+  def streamTypeCounts(events: DataFrame): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  class TypeCountProcessor
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val increments = rows.map(_._2).toSeq.groupBy(identity)
+      increments.toSeq.sortBy(_._1).map { case (tpe, hits) =>
+        val n = (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) +
+          hits.size
+        counts.updateValue(tpe, n)
+        TypeCount(user, tpe, n)
+      }.iterator
     }
   }
 }

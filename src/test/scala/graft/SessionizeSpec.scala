@@ -74,6 +74,36 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState keeps per-(user,type) running counts") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)](spark)
+      val df = input.toDF().toDF("user_id", "event_type")
+      val q = Sessionize.streamTypeCounts(df)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_counts")
+        .start()
+      try {
+        input.addData((1L, "click"), (1L, "click"), (1L, "view"), (2L, "click"))
+        q.processAllAvailable()
+        input.addData((1L, "click")) // running count continues from state
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_counts").as[Sessionize.TypeCount]
+        .collect().map(t => (t.user_id, t.event_type, t.n)).toSet
+      assert(got == Set(
+        (1L, "click", 2L), (1L, "view", 1L), (2L, "click", 1L), // batch 1
+        (1L, "click", 3L)),                                     // batch 2
+        s"got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy($"event_type")
