@@ -230,6 +230,28 @@ object PipelineQueries extends QueryPack {
         FROM reach GROUP BY n ORDER BY doc_id""")
     }),
 
+    // SQL pipe syntax (Spark 4): the |> operator chain — identical
+    // semantics to the nested form, planned identically by Catalyst (the
+    // syntax is sugar; the oracle is the plain-SQL spelling).
+    "pipe_syntax_agg" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("pq_events")
+      s.sql("""
+        FROM pq_events
+        |> WHERE event_type IN ('click', 'view')
+        |> AGGREGATE count(*) AS n, round(sum(value), 6) AS sum_value
+           GROUP BY event_type
+        |> ORDER BY event_type""")
+    }),
+
+    // Collation surface (Spark 4): UTF8_LCASE case-insensitive distinct —
+    // the engine-level alternative to lower() normalization (which is the
+    // oracle's portable spelling; equal on this ASCII corpus).
+    "collated_distinct" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .agg(countDistinct(expr("collate(w, 'UTF8_LCASE')")).as("n_ci"),
+          countDistinct(col("w")).as("n_cs"))),
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster
     // embeddings (IVF assignment around deterministic seed centroids —
     // broadcast centroids, zero shuffle), then exact cosine only WITHIN
@@ -378,6 +400,16 @@ object PipelineQueries extends QueryPack {
           |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS tok_share,
           |  round(CAST(tot AS DOUBLE) / (groups * n_tokens), 6) AS weight
           |FROM g, t ORDER BY lang, source""".stripMargin,
+
+      "pipe_syntax_agg" ->
+        """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+          |FROM events WHERE event_type IN ('click', 'view')
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "collated_distinct" ->
+        """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+          |SELECT count(DISTINCT lower(w)) AS n_ci, count(DISTINCT w) AS n_cs
+          |FROM w""".stripMargin,
 
       "recursive_cte_reach" ->
         """WITH RECURSIVE e AS (
