@@ -255,8 +255,11 @@ object PipelineQueries extends QueryPack {
     // SemDeDup-style semantic dedup (Abbas et al. 2023 shape): cluster
     // embeddings (IVF assignment around deterministic seed centroids —
     // broadcast centroids, zero shuffle), then exact cosine only WITHIN
-    // clusters. The pairwise loop is per-cell, so at 100 TB the quadratic
-    // term is bounded by cell size, not corpus size.
+    // clusters. The pairwise loop is per-cell, so the quadratic term is
+    // bounded by cell size, not corpus size — the scale rule is
+    // numCells ∝ corpus (cells of ~constant population), keeping per-cell
+    // pairwise work flat while the assignment stays a broadcast
+    // projection; SemCells is fixed here only so the oracle is stable.
     "semdedup_pairs" -> ((s, d) => {
       // localCheckpoint: both self-join branches read ONE materialization
       // of the assignment instead of re-scoring every vector against the
