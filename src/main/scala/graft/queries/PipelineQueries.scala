@@ -230,6 +230,31 @@ object PipelineQueries extends QueryPack {
         FROM reach GROUP BY n ORDER BY doc_id""")
     }),
 
+    // Hard-negative mining (contrastive/IR training prep): for each query
+    // vector, the top-3 most-similar vectors with a DIFFERENT label —
+    // high-similarity cross-label pairs are the informative negatives.
+    // Queries broadcast (anchor sets are small); ranking runs through the
+    // custom TopKPerKey operator (bounded per-key heaps over the exchange,
+    // no partition sort) — at scale the candidate stream per query is
+    // corpus-sized and must never be fully sorted.
+    "sim_hard_negatives" -> ((s, d) => {
+      val staged = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          Similarity.asDouble(col("embedding")).as("vecd"))
+        .withColumn("nrm", Similarity.norm(col("vecd")))
+      val q = broadcast(staged.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("vecd").as("_qv"), col("nrm").as("_qn")))
+      val scored = staged.crossJoin(q)
+        .where(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          round(Similarity.dot(col("vecd"), col("_qv")) / (col("nrm") * col("_qn")), 6)
+            .as("cos_sim"))
+      graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq(("cos_sim", true), ("neg_id", false)), 3)
+        .orderBy(col("q_id"), col("cos_sim").desc, col("neg_id"))
+    }),
+
     // SQL pipe syntax (Spark 4): the |> operator chain — identical
     // semantics to the nested form, planned identically by Catalyst (the
     // syntax is sugar; the oracle is the plain-SQL spelling).
@@ -403,6 +428,25 @@ object PipelineQueries extends QueryPack {
           |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS tok_share,
           |  round(CAST(tot AS DOUBLE) / (groups * n_tokens), 6) AS weight
           |FROM g, t ORDER BY lang, source""".stripMargin,
+
+      "sim_hard_negatives" ->
+        """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, label, v,
+          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+          |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+          |      FROM n WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.q_id, a.vec_id AS neg_id,
+          |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * q.qv[i]))
+          |          / (a.nrm * q.qn), 6) AS cos_sim
+          |  FROM n a, q WHERE a.label <> q.q_label)
+          |SELECT q_id, neg_id, cos_sim FROM (
+          |  SELECT q_id, neg_id, cos_sim,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos_sim DESC, neg_id) AS rn
+          |  FROM scored)
+          |WHERE rn <= 3 ORDER BY q_id, cos_sim DESC, neg_id""".stripMargin,
 
       "pipe_syntax_agg" ->
         """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value

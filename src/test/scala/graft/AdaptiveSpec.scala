@@ -53,6 +53,27 @@ class AdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces post-shuffle partitions when outputs are small") {
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "32") {
+      // a 5-group aggregate through a 32-partition shuffle: the fixed
+      // partition count is a cluster-sized default, the output is tiny —
+      // AQE must shrink the read side at runtime instead of scheduling
+      // 32 near-empty tasks (at 100 TB this is thousands of wasted tasks
+      // per stage for late-pipeline small aggregates).
+      val df = Tables.events(spark, sf0001)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        s"post-shuffle partitions were not coalesced:\n$p")
+      assert(df.rdd.getNumPartitions < 32,
+        s"expected coalesced read, got ${df.rdd.getNumPartitions} partitions")
+    }
+  }
+
   test("runtime bloom filter from a selective dim filter prunes the fact side") {
     withConfs(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
