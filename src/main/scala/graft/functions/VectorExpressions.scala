@@ -164,6 +164,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     (VectorExpressions.functions ++ HashExpressions.functions).foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
+    e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
     e.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
   }
 }

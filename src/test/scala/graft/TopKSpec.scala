@@ -9,16 +9,71 @@ import graft.plans.TopK
   */
 class TopKSpec extends SparkSpec {
 
+  /** Run `body` with RankLimitRewrite excluded, so window spellings stay
+    * genuine windows (otherwise equivalence tests compare TopK to itself).
+    */
+  private def withoutRewrite[T](body: => T): T = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      (prev.toSeq :+ "graft.plans.RankLimitRewrite").mkString(","))
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("TopK.perKey == row_number()<=k under a total order") {
     val o = Tables.orders(spark, sf0001)
     val got = TopK.perKey(o, Seq("o_custkey"),
       Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
-    val expect = o.withColumn("_rk", row_number().over(
+      .collect().map(_.toSeq).toSet
+    val expect = withoutRewrite {
+      val e = o.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("_rk") <= 2).drop("_rk")
+      assert(e.queryExecution.optimizedPlan.toString.contains("Window"),
+        "exclusion failed: expected a genuine window plan")
+      e.collect().map(_.toSeq).toSet
+    }
+    assert(got == expect)
+  }
+
+  test("RankLimitRewrite: row_number()<=k spelling auto-plans as TopKPerKey") {
+    val o = Tables.orders(spark, sf0001)
+    val rewritten = o.withColumn("_rk", row_number().over(
         Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
-      .where(col("_rk") <= 2).drop("_rk")
-    assert(got.count() == expect.count())
-    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+      .where(col("_rk") <= 2 && col("o_totalprice") > 1000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"rule did not fire:\n$p")
+    assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+    // value-preservation vs the un-rewritten plan (residual predicate
+    // applies AFTER ranking in both)
+    val expect = withoutRewrite {
+      o.withColumn("_rk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("_rk") <= 2 && col("o_totalprice") > 1000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(rewritten.collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("RankLimitRewrite leaves plans that KEEP the rank column alone") {
+    val o = Tables.orders(spark, sf0001)
+    val kept = o.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("_rk") <= 2)
+      .select(col("o_orderkey"), col("_rk"))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKey") && p.contains("Window"),
+      s"rank column is in the output — rewrite must not fire:\n$p")
   }
 
   test("TopK.perKey with k larger than any group keeps everything") {
