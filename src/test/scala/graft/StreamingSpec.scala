@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Seq(1L, 2L), s"expected n=1 then n=2, got $emitted")
   }
 
+  test("chained stateful aggregations: 1m windows roll up to 5m in one query") {
+    // Two stateful operators in one streaming query (multi-stateful
+    // support): fine-grained windowed counts re-aggregated to a coarser
+    // window downstream — the hierarchical-rollup shape that previously
+    // required two queries and an intermediate sink. window_time() gives
+    // the event-time column of the first aggregation's output.
+    val input = MemoryStream[String](spark)
+    val fine = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()))
+    val coarse = fine
+      .groupBy(window(window_time($"window"), "5 minutes"), $"event_type")
+      .agg(sum($"n").as("n"))
+    val q = coarse.writeStream.outputMode("append")
+      .format("memory").queryName("rollup_win")
+      .start()
+    try {
+      input.addData(
+        jsonEvent("a", 10000L), jsonEvent("b", 70000L),   // 1m windows 0, 1
+        jsonEvent("c", 250000L),                          // 1m window 4
+        jsonEvent("d", 1000000L))                         // advances watermark
+      q.processAllAvailable()
+      input.addData(jsonEvent("e", 2000000L))             // closes 5m window 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rollup_win")
+      .select(unix_millis($"window.start"), $"event_type", $"n")
+      .as[(Long, String, Long)].collect().toSet
+    // the [0, 5m) coarse window aggregates all three fine windows
+    assert(got.contains((0L, "click", 3L)), s"got $got")
+  }
+
   test("foreach sink: per-row ForeachWriter receives every event exactly once") {
     StreamingSpec.foreachSeen.clear()
     val input = MemoryStream[String](spark)
