@@ -104,7 +104,11 @@ object ScaleProbe {
     // windows), native session windows, constant-depth recursion, exact
     // percentiles (per-group value buffers, bounded distinct domain)
     "doc_chunks", "text_rarity", "vocab_nucleus", "session_window_native",
-    "recursive_cte_reach", "percentile_surface")
+    "recursive_cte_reach", "percentile_surface",
+    // rank-limit shape (RankLimitRewrite → TopKPerKey); compare with
+    // SPARK_GRAFT_EXCLUDE_RULES=graft.plans.RankLimitRewrite for the
+    // window-plan baseline
+    "lateral_top_order")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
@@ -127,6 +131,10 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SHJ", "0") != "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // experiment knob: exclude engine optimizer rules (e.g.
+      // graft.plans.RankLimitRewrite) to measure a rewrite's effect
+      .config("spark.sql.optimizer.excludedRules",
+        sys.env.getOrElse("SPARK_GRAFT_EXCLUDE_RULES", ""))
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
