@@ -230,6 +230,21 @@ object PipelineQueries extends QueryPack {
         FROM reach GROUP BY n ORDER BY doc_id""")
     }),
 
+    // Null-safe equality join (<=>): NULL keys match each other — the
+    // join semantics regular equi-joins silently drop. Plans as a hash
+    // join on a NullSafeEqual key (still a key shuffle, not a nested
+    // loop); the dimension side is a grouped key-count table.
+    "null_safe_join" -> ((s, d) => {
+      val keyed = events(s, d).select(col("event_id"),
+        when(col("event_id") % 10 === 0, lit(null))
+          .otherwise(col("event_id") % 100).as("k"))
+      val grp = keyed.groupBy("k").agg(count(lit(1)).as("grp_n"))
+      keyed.where(col("event_id") < 500)
+        .join(grp.withColumnRenamed("k", "gk"), col("k") <=> col("gk"))
+        .select(col("event_id"), col("k"), col("grp_n"))
+        .orderBy("event_id")
+    }),
+
     // Hard-negative mining (contrastive/IR training prep): for each query
     // vector, the top-3 most-similar vectors with a DIFFERENT label —
     // high-similarity cross-label pairs are the informative negatives.
@@ -428,6 +443,17 @@ object PipelineQueries extends QueryPack {
           |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS tok_share,
           |  round(CAST(tot AS DOUBLE) / (groups * n_tokens), 6) AS weight
           |FROM g, t ORDER BY lang, source""".stripMargin,
+
+      "null_safe_join" ->
+        """WITH keyed AS (
+          |  SELECT event_id,
+          |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_id % 100 END AS k
+          |  FROM events),
+          |grp AS (SELECT k, count(*) AS grp_n FROM keyed GROUP BY k)
+          |SELECT a.event_id, a.k, g.grp_n
+          |FROM keyed a JOIN grp g ON a.k IS NOT DISTINCT FROM g.k
+          |WHERE a.event_id < 500
+          |ORDER BY a.event_id""".stripMargin,
 
       "sim_hard_negatives" ->
         """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -70,6 +70,30 @@ class SourcesSpec extends SparkSpec {
     assert(whole.toSeq == Seq("line one\nline two\n"))
   }
 
+  test("_metadata hidden columns expose file provenance and row position") {
+    // At 100 TB, per-row provenance (which file, which position) is how
+    // corrupt-shard triage and exactly-once re-ingestion work; Spark
+    // exposes it as the hidden _metadata struct on file sources.
+    val dir = Files.createTempDirectory("graft_meta").toString + "/t"
+    Tables.documents(spark, sf0001).select($"doc_id")
+      .repartition(2).write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select($"doc_id", $"_metadata.file_name".as("f"),
+        $"_metadata.row_index".as("ri"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("f").endsWith(".parquet")))
+    assert(rows.map(_.getAs[String]("f")).distinct.length == 2,
+      "expected rows attributed to 2 distinct files")
+    // row_index restarts per file and is dense from 0
+    val perFile = rows.groupBy(_.getAs[String]("f"))
+    perFile.values.foreach { rs =>
+      val ixs = rs.map(_.getAs[Long]("ri")).sorted.toSeq
+      assert(ixs == (0L until ixs.length).toSeq,
+        "row_index must be dense per file")
+    }
+  }
+
   test("parquet mergeSchema reads evolving table generations as one frame") {
     // A long-lived 100 TB table accretes columns; readers must see the
     // union schema with nulls for generations that predate a column.
