@@ -49,9 +49,19 @@ object Dedup {
 
   /** Combined shingle hashes from a pre-staged per-token hash array;
     * mirrors shingleSet's <n fallback (documents shorter than n words use
-    * their token hashes directly).
+    * their token hashes directly). Routed through the native one-pass
+    * [[graft.functions.ShingleHashes]] expression — bit-identical to
+    * [[shingleHashesReference]] (proved in VectorExpressionsSpec) without
+    * its two interpreted HOFs and per-row index-sequence allocation.
     */
-  def shingleHashes(tokHashes: Column, n: Int = ShingleN): Column = {
+  def shingleHashes(tokHashes: Column, n: Int = ShingleN): Column =
+    graft.functions.HashExpressions.shingle_hashes(tokHashes, n, ShingleA, MinhashP)
+
+  /** Declarative reference form of [[shingleHashes]] — the executable spec
+    * the native expression is proved against, and the shape the DuckDB
+    * oracles mirror.
+    */
+  def shingleHashesReference(tokHashes: Column, n: Int = ShingleN): Column = {
     val combined = transform(sequence(lit(1), size(tokHashes) - (n - 1)),
       i => (1 until n).foldLeft(element_at(tokHashes, i): Column)((acc, o) =>
         pmod(acc * ShingleA + element_at(tokHashes, i + o), lit(MinhashP))))

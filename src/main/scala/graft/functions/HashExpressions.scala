@@ -68,6 +68,46 @@ object Md5Hash32Util {
     sk
   }
 
+  /** One-pass Horner-rolling word-n-shingle combination over an
+    * array<long> of token hashes: out[i] = fold over window [i, i+n) of
+    * acc = (acc*a + h) mod p (positive mod, matching pmod). Documents
+    * shorter than n words return their token hashes unchanged (the
+    * declarative fallback). A null element nulls every window containing
+    * it, exactly as the transform/element_at spelling does.
+    */
+  def shingleHashes(arr: ArrayData, n: Int, a: Long, p: Long): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) {
+      val vals = new Array[Long](len)
+      val nulls = new Array[Boolean](len)
+      var i = 0
+      while (i < len) {
+        if (arr.isNullAt(i)) nulls(i) = true else vals(i) = arr.getLong(i)
+        i += 1
+      }
+      return arrayOf(vals, nulls)
+    }
+    val m = len - n + 1
+    val vals = new Array[Long](m)
+    val nulls = new Array[Boolean](m)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) nulls(i) = true
+      else {
+        var acc = arr.getLong(i)
+        var o = 1
+        while (o < n && !nulls(i)) {
+          if (arr.isNullAt(i + o)) nulls(i) = true
+          else acc = java.lang.Math.floorMod(acc * a + arr.getLong(i + o), p)
+          o += 1
+        }
+        vals(i) = acc
+      }
+      i += 1
+    }
+    arrayOf(vals, nulls)
+  }
+
   /** ArrayData constructor for generated code: primitive (UnsafeArrayData)
     * when null-free, generic otherwise.
     */
@@ -207,6 +247,43 @@ case class Simhash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `shingle_hashes(array<bigint>) -> array<bigint>` — the Horner-rolling
+  * word-n-shingle combination in ONE primitive loop. The declarative form
+  * (`Dedup.shingleHashesReference`: `transform(sequence(...), i ->
+  * fold(element_at...))`) routes through two CodegenFallback HOFs with
+  * per-element interpreted lambda dispatch AND allocates the index
+  * sequence per row; this expression reads the window directly and stays
+  * inside whole-stage codegen. The shingle staging feeds every consumer
+  * of the near-dup family (minhash signatures, LSH pairs, Jaccard
+  * verification, decontamination, boilerplate, the corpus pipeline), so
+  * its per-row cost is corpus-sized. Bit-identical to the declarative
+  * form including the <n-token fallback and null-window propagation
+  * (proved in VectorExpressionsSpec).
+  */
+case class ShingleHashes(child: Expression, n: Int, a: Long, p: Long)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType,
+    child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32Util.shingleHashes(input.asInstanceOf[ArrayData], n, a, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Hash32Util.shingleHashes($c, $n, ${a}L, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 object HashExpressions {
 
   /** Column API: portable 32-bit hash of a string column. */
@@ -218,6 +295,12 @@ object HashExpressions {
 
   /** Column API: one-pass SimHash-32 sketch of an array<bigint> column. */
   def simhash32(c: Column): Column = Bridge.column(Simhash32(Bridge.expression(c)))
+
+  /** Column API: one-pass Horner word-n-shingle combination over an
+    * array<bigint> of token hashes.
+    */
+  def shingle_hashes(c: Column, n: Int, a: Long, p: Long): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n, a, p))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("md5_hash32"),

@@ -27,6 +27,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(14.0), None, Some(0.0)))
   }
 
+  test("ShingleHashes matches the declarative Horner fold bit-for-bit") {
+    import graft.ext.{Dedup, TextOps}
+    val staged = Tables.documents(spark, sf0001)
+      .select($"doc_id", TextOps.hashAll(TextOps.tokens($"text")).as("th"))
+    for (n <- Seq(2, 3, 5)) {
+      val mismatches = staged.select(
+        (Dedup.shingleHashes($"th", n) =!= Dedup.shingleHashesReference($"th", n))
+          .as("bad")).where($"bad").count()
+      assert(mismatches == 0, s"native shingle hashes diverge at n=$n")
+    }
+    // <n fallback: documents shorter than n return their token hashes
+    val short = Seq(Seq(5L, 7L)).toDF("th")
+    val got = short.select(Dedup.shingleHashes($"th", 3)).as[Seq[Long]].head()
+    assert(got == Seq(5L, 7L))
+    // null elements null every window containing them
+    val withNull = Seq(Seq(Some(1L), None, Some(3L), Some(4L))).toDF("th")
+    val nh = withNull.select(Dedup.shingleHashes($"th", 3)).as[Seq[Option[Long]]].head()
+    val ref = withNull.select(Dedup.shingleHashesReference($"th", 3))
+      .as[Seq[Option[Long]]].head()
+    assert(nh == ref && nh.count(_.isEmpty) == 2, s"null propagation: $nh vs $ref")
+  }
+
   test("SortedOverlapCount matches array_intersect size on hashed token sets") {
     import graft.functions.VectorExpressions.sorted_overlap
     import graft.ext.{Dedup, TextOps}
