@@ -92,8 +92,24 @@ object Dedup {
     * of an affine map is identical over the raw hash multiset and its
     * distinct set, so a [[hashSet]] staging (already needed for Jaccard
     * verification) can feed the signatures too — one md5 pass serves both.
+    *
+    * All k minima come from ONE native traversal
+    * ([[graft.functions.MinhashSigs]]); the k projected columns share the
+    * array via codegen subexpression elimination. The declarative twin
+    * ([[signaturesFromHashesReference]]) evaluates 2k interpreted HOF
+    * passes per document.
     */
-  def signaturesFromHashes(hashes: Column, k: Int = MinhashK): Seq[Column] =
+  def signaturesFromHashes(hashes: Column, k: Int = MinhashK): Seq[Column] = {
+    val sigs = graft.functions.HashExpressions.minhash_sigs(
+      hashes, k, 100003L, 7919L, 7L, 11117L, MinhashP)
+    (0 until k).map(i => element_at(sigs, i + 1).as(s"sig_$i"))
+  }
+
+  /** Declarative reference form of [[signaturesFromHashes]] — the
+    * executable spec the native expression is proved against, and the
+    * shape the DuckDB oracles mirror.
+    */
+  def signaturesFromHashesReference(hashes: Column, k: Int = MinhashK): Seq[Column] =
     (0 until k).map { i =>
       array_min(transform(hashes,
         h => pmod(lit(minhashA(i)) * h + lit(minhashB(i)), lit(MinhashP)))).as(s"sig_$i")

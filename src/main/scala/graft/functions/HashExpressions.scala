@@ -108,6 +108,35 @@ object Md5Hash32Util {
     arrayOf(vals, nulls)
   }
 
+  /** One-pass MinHash signature: k affine-permutation minima
+    * (min over elements h of (a_j*h + b_j) mod p, a_j = aBase + aStep*j,
+    * b_j = bBase + bStep*j) computed in a single traversal. Null elements
+    * are skipped (array_min semantics); an array with no non-null
+    * elements yields a null signature.
+    */
+  def minhashSigs(arr: ArrayData, k: Int, aBase: Long, aStep: Long,
+      bBase: Long, bStep: Long, p: Long): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Math.floorMod((aBase + aStep * j) * h + (bBase + bStep * j), p)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) new GenericArrayData(new Array[Any](k))
+    else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** ArrayData constructor for generated code: primitive (UnsafeArrayData)
     * when null-free, generic otherwise.
     */
@@ -284,6 +313,39 @@ case class ShingleHashes(child: Expression, n: Int, a: Long, p: Long)
     copy(child = newChild)
 }
 
+/** `minhash_sigs(array<bigint>) -> array<bigint>` — all k MinHash
+  * signature components in ONE traversal of the shingle-hash array. The
+  * declarative form evaluates k separate `array_min(transform(...))`
+  * pairs — 2k interpreted HOF passes per document. Null elements are
+  * skipped exactly as array_min does; a document with no non-null hashes
+  * gets a null signature vector. Bit-identical to the declarative form
+  * (proved in VectorExpressionsSpec).
+  */
+case class MinhashSigs(child: Expression, k: Int, aBase: Long, aStep: Long,
+    bBase: Long, bStep: Long, p: Long) extends UnaryExpression {
+  require(k >= 1, s"signature width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32Util.minhashSigs(input.asInstanceOf[ArrayData], k,
+      aBase, aStep, bBase, bStep, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.Md5Hash32Util.minhashSigs(
+         |  $c, $k, ${aBase}L, ${aStep}L, ${bBase}L, ${bStep}L, ${p}L);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
 object HashExpressions {
 
   /** Column API: portable 32-bit hash of a string column. */
@@ -301,6 +363,11 @@ object HashExpressions {
     */
   def shingle_hashes(c: Column, n: Int, a: Long, p: Long): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n, a, p))
+
+  /** Column API: all k MinHash signature minima in one pass. */
+  def minhash_sigs(c: Column, k: Int, aBase: Long, aStep: Long,
+      bBase: Long, bStep: Long, p: Long): Column =
+    Bridge.column(MinhashSigs(Bridge.expression(c), k, aBase, aStep, bBase, bStep, p))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("md5_hash32"),

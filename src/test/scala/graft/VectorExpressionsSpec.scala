@@ -49,6 +49,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nh == ref && nh.count(_.isEmpty) == 2, s"null propagation: $nh vs $ref")
   }
 
+  test("MinhashSigs matches the declarative affine-min signatures bit-for-bit") {
+    import graft.ext.{Dedup, TextOps}
+    val staged = Tables.documents(spark, sf0001)
+      .select($"doc_id", TextOps.hashAll(TextOps.tokens($"text")).as("th"))
+      .select($"doc_id", Dedup.shingleHashes($"th").as("hs"))
+    val native = staged.select($"doc_id" +: Dedup.signaturesFromHashes($"hs"): _*)
+    val ref = staged.select($"doc_id" +: Dedup.signaturesFromHashesReference($"hs"): _*)
+    assert(native.except(ref).isEmpty && ref.except(native).isEmpty,
+      "native minhash signatures diverge from the declarative form")
+    // no non-null elements -> null signature components (array_min semantics)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+    val sigs = empty.select(Dedup.signaturesFromHashes($"hs", 2): _*)
+      .as[(Option[Long], Option[Long])].head()
+    assert(sigs == ((None, None)))
+  }
+
   test("SortedOverlapCount matches array_intersect size on hashed token sets") {
     import graft.functions.VectorExpressions.sorted_overlap
     import graft.ext.{Dedup, TextOps}
