@@ -137,6 +137,22 @@ object Md5Hash32Util {
     else UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Polynomial rolling hash over an array<long>: acc = (acc*mult + h)
+    * mod m, left-to-right. Null when any element is null (the aggregate
+    * fold's semantics: a null element nulls the accumulator for good).
+    */
+  def rollingHash(arr: ArrayData, mult: Long, m: Long): java.lang.Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      acc = java.lang.Math.floorMod(acc * mult + arr.getLong(i), m)
+      i += 1
+    }
+    acc
+  }
+
   /** ArrayData constructor for generated code: primitive (UnsafeArrayData)
     * when null-free, generic otherwise.
     */
@@ -346,6 +362,40 @@ case class MinhashSigs(child: Expression, k: Int, aBase: Long, aStep: Long,
     copy(child = newChild)
 }
 
+/** `rolling_hash(array<bigint>) -> bigint` — the order-sensitive document
+  * fingerprint fold in one primitive loop (the `aggregate` HOF spelling is
+  * interpreted per element). Null if any element is null, matching the
+  * fold's accumulator poisoning. Bit-identical to the declarative form
+  * (proved in VectorExpressionsSpec).
+  */
+case class RollingHash(child: Expression, mult: Long, m: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash32Util.rollingHash(input.asInstanceOf[ArrayData], mult, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rh")
+      s"""
+         |java.lang.Long $r = graft.functions.Md5Hash32Util.rollingHash($c, ${mult}L, ${m}L);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object HashExpressions {
 
   /** Column API: portable 32-bit hash of a string column. */
@@ -363,6 +413,10 @@ object HashExpressions {
     */
   def shingle_hashes(c: Column, n: Int, a: Long, p: Long): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n, a, p))
+
+  /** Column API: polynomial rolling hash of an array<bigint> column. */
+  def rolling_hash(c: Column, mult: Long, m: Long): Column =
+    Bridge.column(RollingHash(Bridge.expression(c), mult, m))
 
   /** Column API: all k MinHash signature minima in one pass. */
   def minhash_sigs(c: Column, k: Int, aBase: Long, aStep: Long,

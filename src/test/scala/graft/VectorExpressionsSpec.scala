@@ -65,6 +65,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sigs == ((None, None)))
   }
 
+  test("RollingHash matches the declarative aggregate fold bit-for-bit") {
+    import graft.ext.TextOps
+    val docs = Tables.documents(spark, sf0001)
+    val native = docs.select($"doc_id", TextOps.fingerprint(TextOps.tokens($"text")).as("f"))
+    val ref = docs.select($"doc_id", TextOps.fingerprintReference(TextOps.tokens($"text")).as("f"))
+    assert(native.except(ref).isEmpty && ref.except(native).isEmpty)
+    // empty array -> 0 (the fold's zero); null element -> null
+    import graft.functions.HashExpressions.rolling_hash
+    val edge = Seq((Seq.empty[Option[Long]], 1), (Seq(Some(5L), None), 2))
+      .toDF("a", "id")
+    val got = edge.select($"id", rolling_hash($"a", 31L, 2147483647L))
+      .as[(Int, Option[Long])].collect().toMap
+    assert(got == Map(1 -> Some(0L), 2 -> None))
+  }
+
   test("SortedOverlapCount matches array_intersect size on hashed token sets") {
     import graft.functions.VectorExpressions.sorted_overlap
     import graft.ext.{Dedup, TextOps}
