@@ -68,6 +68,32 @@ object FunctionSurfaceQueries extends QueryPack {
         .select(col("doc_id"), explode_outer(col("_head")).as("tok"))
         .orderBy("doc_id", "tok")),
 
+    // Bitwise aggregate surface: AND/OR/XOR folds over integer columns —
+    // flag-mask consolidation (permission bits, feature masks) as one
+    // partial-aggregated pass.
+    "bitwise_aggs" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(bit_and(col("event_id") % 256).as("b_and"),
+          bit_or(col("event_id") % 256).as("b_or"),
+          bit_xor(col("event_id") % 256).as("b_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Array mutation surface (Spark 3.4+): append / prepend-via-insert /
+    // compact (null removal) / positional update over token heads.
+    "array_mutation_funcs" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), slice(toks, 1, 3).as("_h"))
+        .select(col("doc_id"),
+          array_join(array_append(col("_h"), lit("EOS")), " ").as("appended"),
+          array_join(array_insert(col("_h"), lit(1), lit("BOS")), " ").as("prepended"),
+          size(array_compact(concat(col("_h"), array(lit(null).cast("string")))))
+            .as("n_compacted"),
+          array_join(array_remove(col("_h"), element_at(col("_h"), 1)), " ")
+            .as("removed_first"))
+        .orderBy("doc_id")),
+
     // Array function surface over per-document token arrays: size, slice
     // + join, membership, max, distinct cardinality, negative indexing.
     "array_funcs" -> ((s, d) =>
@@ -246,6 +272,25 @@ object FunctionSurfaceQueries extends QueryPack {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "bitwise_aggs" ->
+      """SELECT event_type,
+        |  bit_and(event_id % 256) AS b_and,
+        |  bit_or(event_id % 256) AS b_or,
+        |  bit_xor(event_id % 256) AS b_xor,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "array_mutation_funcs" ->
+      """WITH t AS (SELECT doc_id,
+        |  (string_split_regex(lower(text), '\s+'))[1:3] AS h FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_append(h, 'EOS'), ' ') AS appended,
+        |  array_to_string(list_prepend('BOS', h), ' ') AS prepended,
+        |  CAST(len(list_filter(h || [NULL]::VARCHAR[], x -> x IS NOT NULL)) AS INT)
+        |    AS n_compacted,
+        |  array_to_string(list_filter(h, x -> x <> h[1]), ' ') AS removed_first
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "window_ignore_nulls" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v FROM events)
