@@ -90,6 +90,36 @@ object Multimodal {
       }
   }
 
+  /** One analysis window of an audio-like payload (hop < win ⇒ overlap). */
+  case class AudioWindow(doc_id: Long, win_ix: Int, n_samples: Int, energy: Long)
+
+  /** Windowed energy over the payload's "samples" (bytes stand in for PCM
+    * samples): per overlapping window, Σ sample² — the audio
+    * feature-extraction / VAD-precursor shape. Exact integer arithmetic
+    * (byte < 256 ⇒ window energy < 32·2¹⁶, overflow-free), one narrow
+    * per-partition flatMap, no shuffle; a real codec would decode PCM
+    * frames first and change no plan shape.
+    */
+  def audioWindows(spark: SparkSession, media: DataFrame,
+      win: Int = 32, hop: Int = 16): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        val last = if (n <= win) 0 else (n - win + hop - 1) / hop
+        (0 to last).map { ix =>
+          val start = ix * hop
+          val end = math.min(start + win, n)
+          var energy = 0L
+          var i = start
+          while (i < end) {
+            val s = (bytes(i) & 0xff).toLong; energy += s * s; i += 1
+          }
+          AudioWindow(id, ix, end - start, energy)
+        }
+      }
+  }
+
   /** Resize stub: a real implementation would rescale pixel buffers; the
     * stub derives the target-size "thumbnail" bytes deterministically by
     * striding the source. The signature (bytes -> bytes, per partition, no

@@ -230,6 +230,16 @@ object PipelineQueries extends QueryPack {
         FROM reach GROUP BY n ORDER BY doc_id""")
     }),
 
+    // Audio-shaped multimodal op: overlapping windowed energy over the
+    // payload's samples (stub: bytes stand in for PCM; the oracle mirrors
+    // the byte arithmetic exactly since the fixture text is ASCII).
+    "multimodal_audio_windows" -> ((s, d) => {
+      import graft.ext.Multimodal
+      Multimodal.audioWindows(s,
+          Multimodal.withBinaryPayload(documents(s, d), "doc_id", "text"))
+        .toDF().orderBy("doc_id", "win_ix")
+    }),
+
     // Null-safe equality join (<=>): NULL keys match each other — the
     // join semantics regular equi-joins silently drop. Plans as a hash
     // join on a NullSafeEqual key (still a key shuffle, not a nested
@@ -443,6 +453,20 @@ object PipelineQueries extends QueryPack {
           |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS tok_share,
           |  round(CAST(tot AS DOUBLE) / (groups * n_tokens), 6) AS weight
           |FROM g, t ORDER BY lang, source""".stripMargin,
+
+      "multimodal_audio_windows" ->
+        """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          |w AS (SELECT doc_id, text, n,
+          |        unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+          |          ELSE (n - 32 + 15) // 16 END)) AS win_ix
+          |      FROM b)
+          |SELECT doc_id, CAST(win_ix AS INT) AS win_ix,
+          |  CAST(least(win_ix * 16 + 32, n) - win_ix * 16 AS INT) AS n_samples,
+          |  CAST(list_sum(list_transform(
+          |    generate_series(win_ix * 16 + 1, least(win_ix * 16 + 32, n)),
+          |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+          |         * ascii(substr(text, i, 1)))) AS BIGINT) AS energy
+          |FROM w ORDER BY doc_id, win_ix""".stripMargin,
 
       "null_safe_join" ->
         """WITH keyed AS (
