@@ -240,6 +240,27 @@ object PipelineQueries extends QueryPack {
         .toDF().orderBy("doc_id", "win_ix")
     }),
 
+    // EWMA per key — the ordered-fold-per-key pattern (recursive state
+    // that windows can't express): collect the key's ordered values, fold
+    // left-to-right with acc = a/2 + v/2. Sequential double arithmetic is
+    // bit-identical to DuckDB's list_reduce (same no-init first-element
+    // seed). Per-key collect is bounded by per-user event counts; the
+    // unbounded-key-history scale path is the streaming stateful fold
+    // (transformWithState), same semantics.
+    "ewma_user_value" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          tsMillis(col("ts")).as("t"), col("event_id").as("e"),
+          col("value").as("v")))).as("_ord"))
+        .select(col("user_id"), size(col("_ord")).as("n"),
+          round(aggregate(
+            transform(col("_ord"), x => x("v")),
+            lit(null).cast("double"),
+            (a, v) => when(a.isNull, v).otherwise(a * 0.5 + v * 0.5)), 6)
+            .as("ewma"))
+        .orderBy("user_id")),
+
     // Null-safe equality join (<=>): NULL keys match each other — the
     // join semantics regular equi-joins silently drop. Plans as a hash
     // join on a NullSafeEqual key (still a key shuffle, not a nested
@@ -467,6 +488,17 @@ object PipelineQueries extends QueryPack {
           |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
           |         * ascii(substr(text, i, 1)))) AS BIGINT) AS energy
           |FROM w ORDER BY doc_id, win_ix""".stripMargin,
+
+      "ewma_user_value" ->
+        """WITH o AS (
+          |  SELECT user_id,
+          |    list_transform(
+          |      list_sort(list(struct_pack(t := epoch_ms(ts), e := event_id, v := value))),
+          |      x -> x.v) AS vals
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id, CAST(len(vals) AS INT) AS n,
+          |  round(list_reduce(vals, (a, v) -> a * 0.5 + v * 0.5), 6) AS ewma
+          |FROM o ORDER BY user_id""".stripMargin,
 
       "null_safe_join" ->
         """WITH keyed AS (
