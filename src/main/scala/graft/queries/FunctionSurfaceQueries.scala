@@ -288,7 +288,8 @@ object FunctionSurfaceQueries extends QueryPack {
         |  array_to_string(list_prepend('BOS', h), ' ') AS prepended,
         |  CAST(len(list_filter(h || [NULL]::VARCHAR[], x -> x IS NOT NULL)) AS INT)
         |    AS n_compacted,
-        |  array_to_string(list_filter(h, x -> x <> h[1]), ' ') AS removed_first
+        |  coalesce(array_to_string(list_filter(h, x -> x <> h[1]), ' '), '')
+        |    AS removed_first
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "window_ignore_nulls" ->
