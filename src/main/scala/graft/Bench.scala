@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * JIT so the timed numbers reflect steady-state plan execution, not
   * first-compilation overhead (generated code is cached by source, so the
   * small-SF pass warms the large-SF plans).
+  *
+  * The JSON line is ALSO written to `bench_out.json` (cwd) — sbt wraps
+  * stdout in log noise, so the bare file is the parse-reliable record; a
+  * consumer should prefer the file when present.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,20 +30,25 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Two timed passes, report the min: absorbs CPU-contention noise on a
-    // shared host without changing what is measured.
+    // Three timed passes, report the min: absorbs CPU-contention noise on
+    // a shared host without changing what is measured (r3's numbers were
+    // judged garbage because of a contended run — min-of-3 is the cheapest
+    // defense that still times the identical plans).
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq.fill(3)(timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -21,12 +21,35 @@ object Salt {
     * construction. Use when AQE skew splitting can't help (e.g. the skew
     * is in a grouping that follows the join and the join output must stay
     * co-partitioned).
+    *
+    * Partition scaling (the 16×-probe lesson, now in the API instead of
+    * the probe): a fixed shuffle-partition count makes the per-partition
+    * hash build grow linearly with the REPLICATED build side until it
+    * overwhelms the heap — measured 34 s at 16× with 32 fixed partitions,
+    * linear again once partitions scale with data. The join therefore
+    * repartitions both sides on (key, _salt) to
+    * max(session shuffle partitions, replicatedBytes / partitionBytes)
+    * using optimizer size estimates; the explicit repartition satisfies
+    * the join's required distribution, so no second exchange is added.
+    * `spark.graft.salt.partitionBytes` (default 32 MB of source-estimate
+    * bytes per partition) tunes the density.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltSource: Column, buckets: Int): DataFrame = {
+    val conf = probe.sparkSession.sessionState.conf
+    val partitionBytes = conf
+      .getConfString("spark.graft.salt.partitionBytes", (32L << 20).toString).toLong
+    val sessionParts = conf.numShufflePartitions
+    def sizeOf(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dataBytes = sizeOf(build) * buckets + sizeOf(probe)
+    val parts = (dataBytes / partitionBytes).max(BigInt(sessionParts))
+      .min(BigInt(1 << 16)).toInt
     val salted = probe.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+      .repartition(parts, col(key), col("_salt"))
     val replicated = build.withColumn("_salt",
       explode(array((0 until buckets).map(lit(_)): _*)))
+      .repartition(parts, col(key), col("_salt"))
     // shuffle_hash: a salted join exists to feed downstream aggregation,
     // so the sort-merge sort of both (replicated!) sides is pure waste —
     // hash-build the replicated side per partition instead.

@@ -3,16 +3,18 @@ package graft.plans
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder}
-import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator extension point (SURVEY §7.3 option c): per-key top-k as
   * a first-class physical operator.
@@ -41,6 +43,16 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 /** Physical operator: hash-map of bounded max-heaps (heap head = the
   * worst kept row; a new row replaces it iff it sorts strictly earlier).
+  *
+  * Spill safety: the heap map is O(#distinct-keys-per-partition × k) rows
+  * on-heap — fine for the operator's design case (few keys, huge groups),
+  * but for a high-cardinality key it would replace a sort that CAN spill
+  * with a map that can't. The map is therefore byte-tracked
+  * (`spark.graft.topk.spillBytes`, default 64 MB/partition); past the
+  * budget the partition degrades to sort-based top-k over Spark's
+  * UnsafeExternalRowSorter — the held rows and the rest of the input feed
+  * a spillable (key asc, order) sort, and a group-scan emits the first k
+  * rows per key. Same rows either way; only the memory ceiling differs.
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
@@ -55,25 +67,81 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keysLocal = keys
     val orderLocal = order
     val childOutput = child.output
+    val schema = StructType(
+      childOutput.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val budgetBytes = conf
+      .getConfString("spark.graft.topk.spillBytes", (64L << 20).toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord: Ordering[InternalRow] = GenerateOrdering.generate(orderLocal, childOutput)
-      val heaps = new java.util.HashMap[InternalRow, mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      val ordUnsafe: Ordering[UnsafeRow] = ord.on[UnsafeRow](identity)
+      val heaps = new java.util.HashMap[InternalRow, mutable.PriorityQueue[UnsafeRow]]()
+      var heldBytes = 0L
+      var overBudget = false
+
+      def asUnsafe(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u
+        case other => toUnsafe(other)
+      }
+
+      while (iter.hasNext && !overBudget) {
+        val row = asUnsafe(iter.next())
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key.copy(), heap)
+          heap = mutable.PriorityQueue.empty[UnsafeRow](ordUnsafe)
+          val keyCopy = key.copy()
+          heaps.put(keyCopy, heap)
+          heldBytes += keyCopy.getSizeInBytes
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        if (heap.size < kLocal) {
+          val kept = row.copy()
+          heap.enqueue(kept)
+          heldBytes += kept.getSizeInBytes
+        } else if (ord.compare(row, heap.head) < 0) {
+          heldBytes -= heap.dequeue().getSizeInBytes
+          val kept = row.copy()
+          heap.enqueue(kept)
+          heldBytes += kept.getSizeInBytes
+        }
+        overBudget = heldBytes > budgetBytes
+      }
+
+      if (!overBudget) {
+        heaps.values().iterator().asScala.flatMap(_.dequeueAll.iterator)
+      } else {
+        // Degrade: spillable external sort on (key asc, order), then emit
+        // the first k rows of each key group. The heaps' contents are a
+        // lossless subset of the input seen so far (only rows provably
+        // outside the per-key top-k were dropped), so re-sorting held +
+        // remaining rows reproduces exactly the window-spelling result.
+        val sortOrderFull = keysLocal.map(SortOrder(_, Ascending)) ++ orderLocal
+        val ordFull: Ordering[InternalRow] =
+          GenerateOrdering.generate(sortOrderFull, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = {
+            zero.value = 0L; zero.isNull = false; zero
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(schema, ordFull,
+          PrefixComparators.LONG, prefixComputer,
+          SparkEnv.get.memoryManager.pageSizeBytes, false)
+        val heapIt = heaps.values().iterator()
+        while (heapIt.hasNext) heapIt.next().foreach(sorter.insertRow)
+        heaps.clear()
+        // insertRow copies record bytes into sorter pages — no row.copy()
+        while (iter.hasNext) sorter.insertRow(asUnsafe(iter.next()))
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        sorter.sort().flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); emitted = 0 }
+          emitted += 1
+          if (emitted <= kLocal) Iterator.single(row) else Iterator.empty
         }
       }
-      heaps.values().iterator().asScala.flatMap(_.dequeueAll.iterator)
     }
   }
 

@@ -44,6 +44,13 @@ object PipelineQueries extends QueryPack {
   val SemCells = 16
   val SemMinCos = 0.3
 
+  /** EWMA segmentation: per-key history folds in chunks of this many rows
+    * (memory per aggregation group is bounded by it); per-key state above
+    * the chunk level is n/EwmaChunk summaries. Small here so the fixture's
+    * ~67-events-per-user corpus exercises the multi-chunk path.
+    */
+  val EwmaChunk = 32
+
   // Shared DuckDB fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
@@ -241,25 +248,47 @@ object PipelineQueries extends QueryPack {
     }),
 
     // EWMA per key — the ordered-fold-per-key pattern (recursive state
-    // that windows can't express): collect the key's ordered values, fold
-    // left-to-right with acc = a/2 + v/2. Sequential double arithmetic is
-    // bit-identical to DuckDB's list_reduce (same no-init first-element
-    // seed). Per-key collect is bounded by per-user event counts; the
-    // unbounded-key-history scale path is the streaming stateful fold
-    // (transformWithState), same semantics.
-    "ewma_user_value" -> ((s, d) =>
+    // that windows can't express), as a SEGMENTED fold: y_i = y_{i-1}/2 +
+    // v_i/2 is a linear recurrence, so a chunk of m ordered values
+    // composes into the affine map y -> A*y + B with A = 0.5^m (exact:
+    // m halvings of 1.0) and B = the zero-seeded sequential fold. Chunks
+    // of EwmaChunk rows fold independently (bounded memory per group —
+    // never the whole key history, the r3 scale defect), then one ordered
+    // fold over the per-key chunk summaries (n/EwmaChunk elements, one
+    // more segmentation level away from unbounded) replays y = A*y + B.
+    // The first chunk seeds with its first element (list_reduce parity).
+    // Spark's HOF fold and the oracle's recursive CTE execute the same
+    // IEEE op sequence, so the hash-match survives the rewrite. The
+    // row_number window sorts per key but SortExec spills; the streaming
+    // twin (transformWithState) remains the unbounded-history path.
+    "ewma_user_value" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("t", "e")
+      val foldStep = (a: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) => a * 0.5 + v * 0.5
       events(s, d)
+        .select(col("user_id"), tsMillis(col("ts")).as("t"),
+          col("event_id").as("e"), col("value").as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("g", expr(s"(rn - 1) div $EwmaChunk"))
+        .groupBy("user_id", "g")
+        .agg(transform(sort_array(collect_list(struct(col("rn"), col("v")))),
+          x => x("v")).as("_c"))
+        .select(col("user_id"), col("g"), size(col("_c")).as("m"),
+          aggregate(col("_c"), lit(1.0), (a, _) => a * 0.5).as("a"),
+          aggregate(col("_c"), lit(null).cast("double"),
+            (a, v) => when(a.isNull, v).otherwise(foldStep(a, v))).as("b_first"),
+          aggregate(col("_c"), lit(0.0), foldStep).as("b_rest"))
         .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(
-          tsMillis(col("ts")).as("t"), col("event_id").as("e"),
-          col("value").as("v")))).as("_ord"))
-        .select(col("user_id"), size(col("_ord")).as("n"),
-          round(aggregate(
-            transform(col("_ord"), x => x("v")),
-            lit(null).cast("double"),
-            (a, v) => when(a.isNull, v).otherwise(a * 0.5 + v * 0.5)), 6)
-            .as("ewma"))
-        .orderBy("user_id")),
+        .agg(sum(col("m")).cast("int").as("n"),
+          sort_array(collect_list(struct(
+            col("g"), col("a"), col("b_first"), col("b_rest")))).as("_chunks"))
+        .select(col("user_id"), col("n"),
+          round(aggregate(col("_chunks"), lit(null).cast("double"),
+            (acc, c) => when(acc.isNull, c("b_first"))
+              .otherwise(c("a") * acc + c("b_rest"))), 6).as("ewma"))
+        .orderBy("user_id")
+    }),
 
     // Null-safe equality join (<=>): NULL keys match each other — the
     // join semantics regular equi-joins silently drop. Plans as a hash
@@ -489,16 +518,36 @@ object PipelineQueries extends QueryPack {
           |         * ascii(substr(text, i, 1)))) AS BIGINT) AS energy
           |FROM w ORDER BY doc_id, win_ix""".stripMargin,
 
+      // Mirrors the segmented fold exactly: per-chunk affine summaries
+      // (A = m halvings of 1.0, B = zero- or first-element-seeded
+      // sequential fold), then a recursive CTE replays y = A*y + B chunk
+      // by chunk — the same IEEE op sequence as the Spark HOF folds.
       "ewma_user_value" ->
-        """WITH o AS (
-          |  SELECT user_id,
-          |    list_transform(
-          |      list_sort(list(struct_pack(t := epoch_ms(ts), e := event_id, v := value))),
-          |      x -> x.v) AS vals
-          |  FROM events GROUP BY user_id)
-          |SELECT user_id, CAST(len(vals) AS INT) AS n,
-          |  round(list_reduce(vals, (a, v) -> a * 0.5 + v * 0.5), 6) AS ewma
-          |FROM o ORDER BY user_id""".stripMargin,
+        s"""WITH RECURSIVE seq AS (
+          |  SELECT user_id, value AS v,
+          |    row_number() OVER (PARTITION BY user_id
+          |                       ORDER BY epoch_ms(ts), event_id) AS rn
+          |  FROM events),
+          |chunks AS (
+          |  SELECT user_id, (rn - 1) // $EwmaChunk AS g, count(*) AS m,
+          |    list_reduce(list_prepend(1.0, list(v ORDER BY rn)),
+          |                (a, v) -> a * 0.5) AS a,
+          |    list_reduce(list(v ORDER BY rn),
+          |                (a, v) -> a * 0.5 + v * 0.5) AS b_first,
+          |    list_reduce(list_prepend(0.0, list(v ORDER BY rn)),
+          |                (a, v) -> a * 0.5 + v * 0.5) AS b_rest
+          |  FROM seq GROUP BY user_id, g),
+          |f(user_id, g, y) AS (
+          |  SELECT user_id, g, b_first FROM chunks WHERE g = 0
+          |  UNION ALL
+          |  SELECT c.user_id, c.g, c.a * f.y + c.b_rest
+          |  FROM f JOIN chunks c ON c.user_id = f.user_id AND c.g = f.g + 1),
+          |tot AS (
+          |  SELECT user_id, CAST(sum(m) AS INT) AS n, max(g) AS gmax
+          |  FROM chunks GROUP BY user_id)
+          |SELECT t.user_id, t.n, round(f.y, 6) AS ewma
+          |FROM tot t JOIN f ON f.user_id = t.user_id AND f.g = t.gmax
+          |ORDER BY t.user_id""".stripMargin,
 
       "null_safe_join" ->
         """WITH keyed AS (

@@ -69,8 +69,31 @@ object EventsSource {
 
 case class EventsConfig(numRows: Long, rateEps: Double, startMs: Long,
     sizeBytes: Int, numPartitions: Int, backlogRows: Long = 0L,
-    maxRowsPerTrigger: Long = -1L) {
+    maxRowsPerTrigger: Long = -1L, clockKey: String = "") {
   val filler: String = "x" * math.max(0, sizeBytes - 120)
+  /** Pacing clock: wall time in production; a registered manual clock in
+    * tests (`clockKey` option). Only the driver-side offset bookkeeping
+    * reads it, so a same-JVM registry is correct even on a cluster.
+    */
+  def nowMs(): Long =
+    if (clockKey.isEmpty) System.currentTimeMillis()
+    else EventsClock.nowMs(clockKey)
+}
+
+/** Test seam for the pacing clock. `latestOffset`/`initialOffset` run on
+  * the driver, so tests can register a deterministic clock under a key and
+  * pass it via the `clockKey` read option — timing assertions then depend
+  * on controlled advances, not wall-clock races under suite load.
+  */
+object EventsClock {
+  private val clocks =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Long]()
+  def register(key: String, clock: () => Long): Unit = clocks.put(key, clock)
+  def remove(key: String): Unit = clocks.remove(key)
+  def nowMs(key: String): Long = {
+    val c = clocks.get(key)
+    if (c == null) System.currentTimeMillis() else c()
+  }
 }
 
 object EventsConfig {
@@ -86,7 +109,9 @@ object EventsConfig {
     backlogRows = o.getLong("backlogRows", 0L),
     // Streaming only: admission-control cap per micro-batch (the
     // maxOffsetsPerTrigger analog); -1 = unbounded.
-    maxRowsPerTrigger = o.getLong("maxRowsPerTrigger", -1L))
+    maxRowsPerTrigger = o.getLong("maxRowsPerTrigger", -1L),
+    // Test-only: key of a registered EventsClock (default: wall clock).
+    clockKey = o.getOrDefault("clockKey", ""))
 }
 
 class EventsTable(cfg: EventsConfig) extends Table with SupportsRead {
@@ -174,13 +199,13 @@ class EventsMicroBatchStream(cfg: EventsConfig) extends MicroBatchStream
     * whatever the pacing clock has emitted since the epoch.
     */
   private def paceCount(): Long = {
-    if (epochMs < 0) epochMs = System.currentTimeMillis()
-    val elapsed = (System.currentTimeMillis() - epochMs) / 1000.0
+    if (epochMs < 0) epochMs = cfg.nowMs()
+    val elapsed = (cfg.nowMs() - epochMs) / 1000.0
     cfg.backlogRows + math.max(0L, (elapsed * cfg.rateEps).toLong)
   }
 
   override def initialOffset(): Offset = {
-    if (epochMs < 0) epochMs = System.currentTimeMillis()
+    if (epochMs < 0) epochMs = cfg.nowMs()
     EventsOffset(0L, epochMs)
   }
   override def latestOffset(): Offset = EventsOffset(paceCount(), epochMs)

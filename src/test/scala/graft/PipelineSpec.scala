@@ -53,6 +53,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ewma segmented fold == whole-history sequential fold") {
+    // the scale-safe chunked spelling must reproduce the single
+    // collect_list fold bit-for-bit (EWMA chunks compose affinely; both
+    // run the same IEEE op sequence). sf0.001 has ~7 events/user (single
+    // chunk) so force multi-chunk with sf0.01-shaped data: reuse sf0.001
+    // but a chunk far smaller than group sizes would be needed — instead
+    // compare on sf0.01 events where ~67 events/user spans 3 chunks of 32.
+    val d = "/root/testdata/sf0.01"
+    val got = run("ewma_user_value") // binds sf0001
+    val segmented = queries("ewma_user_value")(spark, d).collect().map(_.toSeq)
+    val whole = Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        Tables.tsMillis(col("ts")).as("t"), col("event_id").as("e"),
+        col("value").as("v")))).as("_ord"))
+      .select(col("user_id"), size(col("_ord")).as("n"),
+        round(aggregate(
+          transform(col("_ord"), x => x("v")),
+          lit(null).cast("double"),
+          (a, v) => when(a.isNull, v).otherwise(a * 0.5 + v * 0.5)), 6)
+          .as("ewma"))
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(got.count() > 0)
+    assert(segmented.toSeq == whole.toSeq,
+      "segmented EWMA diverged from the sequential fold")
+  }
+
   test("session_window_native partitions all events; gaps within < 30m") {
     val total = graft.Tables.events(spark, sf0001).count()
     val sessions = run("session_window_native")

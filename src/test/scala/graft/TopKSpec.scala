@@ -94,6 +94,50 @@ class TopKSpec extends SparkSpec {
       s"top-k must not sort the partitions:\n$p")
   }
 
+  test("spill fallback: over-budget partitions degrade to sort-based top-k, same rows") {
+    // a tiny byte budget forces every partition over the heap-map budget
+    // immediately, so the whole input runs through the external-sort
+    // fallback — the result must be bit-identical to the window spelling
+    val key = "spark.graft.topk.spillBytes"
+    spark.conf.set(key, "1024")
+    try {
+      val o = Tables.orders(spark, sf0001)
+      val got = TopK.perKey(o, Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
+        .collect().map(_.toSeq).toSet
+      val expect = withoutRewrite {
+        o.withColumn("_rk", row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .where(col("_rk") <= 2).drop("_rk")
+          .collect().map(_.toSeq).toSet
+      }
+      assert(got == expect, "sort-based fallback must keep exactly the top-k rows")
+    } finally spark.conf.unset(key)
+  }
+
+  test("spill fallback: mid-stream overflow (heap partially filled) loses nothing") {
+    // budget sized so the heap map absorbs part of the input before
+    // tripping: the fallback must merge held rows + remaining input
+    val key = "spark.graft.topk.spillBytes"
+    spark.conf.set(key, "16384")
+    try {
+      val li = Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val got = TopK.perKey(li, Seq("l_orderkey"),
+        Seq(("l_extendedprice", true), ("l_linenumber", false)), 1)
+        .collect().map(_.toSeq).toSet
+      val expect = withoutRewrite {
+        li.withColumn("_rk", row_number().over(
+            Window.partitionBy(col("l_orderkey"))
+              .orderBy(col("l_extendedprice").desc, col("l_linenumber"))))
+          .where(col("_rk") <= 1).drop("_rk")
+          .collect().map(_.toSeq).toSet
+      }
+      assert(got == expect)
+    } finally spark.conf.unset(key)
+  }
+
   test("TopK.perKey rejects unknown columns") {
     val o = Tables.orders(spark, sf0001)
     intercept[IllegalArgumentException] {
