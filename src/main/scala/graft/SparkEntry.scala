@@ -19,7 +19,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(ParityQueries, RelationalQueries, ExtensionQueries, AnalyticsQueries,
-      CoverageQueries, FunctionSurfaceQueries, PipelineQueries)
+      CoverageQueries, FunctionSurfaceQueries, PipelineQueries, CorpusQueries)
 
   /** Flagship: batch-replay of the streaming metrics pipeline
     * (spark_stream_metrics.py write_batch, single-pass form) on sf0.001.

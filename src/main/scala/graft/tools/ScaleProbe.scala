@@ -121,7 +121,13 @@ object ScaleProbe {
     // build maps, sort runs — grow linearly with the corpus until it
     // overwhelms the heap; measured: the salted join's hash build went
     // 34 s at 16× with 32 partitions, linear again once partitions scale.
-    val shufflePartitions = math.max(cpus.toInt, cpus.toInt * factor / 4)
+    // SPARK_GRAFT_FIXED_PARTS=1 pins partitions to the core count anyway —
+    // the adversarial configuration for operators that carry their own
+    // data-proportional partitioning (ops/Salt.saltedJoin), to prove the
+    // engine-level heuristic holds without probe-side help.
+    val shufflePartitions =
+      if (sys.env.get("SPARK_GRAFT_FIXED_PARTS").contains("1")) cpus.toInt
+      else math.max(cpus.toInt, cpus.toInt * factor / 4)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -104,6 +104,50 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA (transformWithState) == batch segmented fold, bit-for-bit") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // replay the fixture corpus as two time-ordered micro-batches: the
+      // cross-batch state carry is exactly the unbounded-history claim
+      val rows = Tables.events(spark, sf0001)
+        .select($"user_id", Tables.tsMillis($"ts").as("t"), $"event_id", $"value")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+      val (batch1, batch2) = rows.splitAt(rows.length / 2)
+      val input = MemoryStream[(Long, Long, Long, Double)](spark)
+      val q = graft.stream.Ewma.stream(input.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_ewma")
+        .start()
+      try {
+        input.addData(batch1.toSeq: _*)
+        q.processAllAvailable()
+        input.addData(batch2.toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // final streamed value per user = the emission with the largest n
+      val streamed = spark.table("tws_ewma")
+        .as[graft.stream.Ewma.UserEwma].collect()
+        .groupBy(_.user_id).map { case (u, es) =>
+          val last = es.maxBy(_.n)
+          // same HALF_UP decimal rounding as Spark's round(x, 6)
+          (u, last.n, BigDecimal(last.ewma)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toSet
+      val batch = graft.queries.PipelineQueries
+        .queries("ewma_user_value")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+        .toSet
+      assert(streamed == batch,
+        "stateful streaming fold must reproduce the batch segmented fold")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy($"event_type")
