@@ -31,14 +31,17 @@ object Salt {
     * max(session shuffle partitions, replicatedBytes / partitionBytes)
     * using optimizer size estimates; the explicit repartition satisfies
     * the join's required distribution, so no second exchange is added.
-    * `spark.graft.salt.partitionBytes` (default 32 MB of source-estimate
-    * bytes per partition) tunes the density.
+    * `spark.graft.salt.partitionBytes` (default 8 MB of source-estimate
+    * bytes per partition) tunes the density — the default is deliberately
+    * small because the estimate is parquet FILE size: snappy+dictionary
+    * compression understates the in-memory hash-build footprint ~4-8×,
+    * so 8 MB of file bytes ≈ a comfortably-in-memory build per task.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltSource: Column, buckets: Int): DataFrame = {
     val conf = probe.sparkSession.sessionState.conf
     val partitionBytes = conf
-      .getConfString("spark.graft.salt.partitionBytes", (32L << 20).toString).toLong
+      .getConfString("spark.graft.salt.partitionBytes", (8L << 20).toString).toLong
     val sessionParts = conf.numShufflePartitions
     def sizeOf(df: DataFrame): BigInt =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -47,8 +50,14 @@ object Salt {
       .min(BigInt(1 << 16)).toInt
     val salted = probe.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
       .repartition(parts, col(key), col("_salt"))
-    val replicated = build.withColumn("_salt",
-      explode(array((0 until buckets).map(lit(_)): _*)))
+    // Spread the build BEFORE replicating: the explode multiplies rows
+    // buckets×, so left on the scan's task layout (one task per ~128 MB
+    // file split) a single map task would serially generate and
+    // shuffle-write the whole replicated side. A cheap pre-explode
+    // round-robin shuffle of the un-replicated rows makes the expensive
+    // explode→exchange map side `parts`-parallel.
+    val replicated = build.repartition(parts)
+      .withColumn("_salt", explode(array((0 until buckets).map(lit(_)): _*)))
       .repartition(parts, col(key), col("_salt"))
     // shuffle_hash: a salted join exists to feed downstream aggregation,
     // so the sort-merge sort of both (replicated!) sides is pure waste —

@@ -48,11 +48,16 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * on-heap — fine for the operator's design case (few keys, huge groups),
   * but for a high-cardinality key it would replace a sort that CAN spill
   * with a map that can't. The map is therefore byte-tracked
-  * (`spark.graft.topk.spillBytes`, default 64 MB/partition); past the
-  * budget the partition degrades to sort-based top-k over Spark's
-  * UnsafeExternalRowSorter — the held rows and the rest of the input feed
-  * a spillable (key asc, order) sort, and a group-scan emits the first k
-  * rows per key. Same rows either way; only the memory ceiling differs.
+  * (`spark.graft.topk.spillBytes`, default 32 MB/partition, measured as
+  * ESTIMATED ON-HEAP bytes: UnsafeRow payload plus per-row/per-key JVM
+  * object overhead — headers, map entries, heap wrappers — which
+  * dominates payload for narrow rows); past the budget the partition
+  * degrades to sort-based top-k over Spark's UnsafeExternalRowSorter —
+  * the held rows and the rest of the input feed a spillable
+  * (key asc, order) sort, and a group-scan emits the first k rows per
+  * key. Same rows either way; only the memory ceiling differs. Proved by
+  * `TopKSpec` (row equality both modes) and `tools/TopKStress` (20M
+  * distinct keys under a 1 GB JVM).
   */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
@@ -70,7 +75,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val schema = StructType(
       childOutput.map(a => StructField(a.name, a.dataType, a.nullable)))
     val budgetBytes = conf
-      .getConfString("spark.graft.topk.spillBytes", (64L << 20).toString).toLong
+      .getConfString("spark.graft.topk.spillBytes", (32L << 20).toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -93,17 +98,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           heap = mutable.PriorityQueue.empty[UnsafeRow](ordUnsafe)
           val keyCopy = key.copy()
           heaps.put(keyCopy, heap)
-          heldBytes += keyCopy.getSizeInBytes
+          heldBytes += keyCopy.getSizeInBytes + TopKPerKeyExec.KeyOverhead
         }
         if (heap.size < kLocal) {
           val kept = row.copy()
           heap.enqueue(kept)
-          heldBytes += kept.getSizeInBytes
+          heldBytes += kept.getSizeInBytes + TopKPerKeyExec.RowOverhead
         } else if (ord.compare(row, heap.head) < 0) {
-          heldBytes -= heap.dequeue().getSizeInBytes
+          heldBytes -= heap.dequeue().getSizeInBytes + TopKPerKeyExec.RowOverhead
           val kept = row.copy()
           heap.enqueue(kept)
-          heldBytes += kept.getSizeInBytes
+          heldBytes += kept.getSizeInBytes + TopKPerKeyExec.RowOverhead
         }
         overBudget = heldBytes > budgetBytes
       }
@@ -147,6 +152,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Estimated JVM overhead per kept row beyond UnsafeRow payload (object
+    * header + heap-array slot + reference).
+    */
+  val RowOverhead = 64L
+  /** Estimated JVM overhead per distinct key (HashMap entry + key row
+    * object + PriorityQueue instance with its initial backing array).
+    */
+  val KeyOverhead = 200L
 }
 
 /** Planner strategy mapping the logical node to its physical operator;

@@ -10,13 +10,19 @@ object Time {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2" injects extra SQL confs (A/B knobs).
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
+      .filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    extra.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (q <- args) {
       val fn = graft.SparkEntry.queries(q)
