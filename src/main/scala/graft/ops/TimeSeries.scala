@@ -62,4 +62,52 @@ object TimeSeries {
     lagOverTime(df, tsCol, tieCol, width)
       .withColumn(gapName, tsCol - col("_prev_ts"))
       .drop("_prev_ts")
+
+  /** Trailing RANGE-frame window aggregates with (key × time-chunk)
+    * parallelism.
+    *
+    * `Window.partitionBy(keys).orderBy(sec).rangeBetween(-lookback, -1)`
+    * is the natural spelling of "score each row against the preceding
+    * `lookback` seconds of its key", but its parallelism is the number of
+    * DISTINCT KEYS: for a low-cardinality key (a handful of event types
+    * over a 100 TB stream) every row of a key lands on one task. This
+    * operator restores parallelism with overlapping time chunks:
+    *
+    *  1. chunk rows by `sec - sec mod chunkWidth` (exact long arithmetic);
+    *  2. rows within `lookback` of a chunk's end are COPIED into the next
+    *     chunk as context (`chunkWidth >= lookback`, so one adjacent chunk
+    *     always covers the frame — context fraction is lookback/chunkWidth);
+    *  3. the same RANGE frame runs inside each (key, chunk) partition —
+    *     a home row's trailing frame `[sec-lookback, sec-1]` is fully
+    *     present: same-chunk rows natively, prior-chunk rows as context;
+    *  4. context rows are dropped after the window.
+    *
+    * Cost at scale: one hash shuffle on (key, chunk) + a spillable
+    * per-partition sort over ~chunkWidth of data — parallelism is
+    * #keys × #chunks instead of #keys, and no task ever holds more than
+    * one chunk (+ overlap) of one key.
+    *
+    * `aggs` receives the per-chunk WindowSpec and returns the named
+    * trailing-frame columns, e.g. `w => Seq("mu" -> avg($"value").over(w))`.
+    * Frame bounds are value-based on `sec` only, so results are identical
+    * to the global window for any aggregate that is insensitive to
+    * intra-frame order (count/sum/avg/min/max/stddev/...).
+    */
+  def trailingWindow(df: DataFrame, keys: Seq[Column], sec: Column,
+      lookback: Long, chunkWidth: Long)(
+      aggs: org.apache.spark.sql.expressions.WindowSpec => Seq[(String, Column)])
+      : DataFrame = {
+    require(chunkWidth >= lookback,
+      s"chunkWidth ($chunkWidth) must cover the lookback ($lookback)")
+    val off = pmod(sec, lit(chunkWidth))
+    val home = df.withColumn("_chunk", sec - off).withColumn("_home", lit(true))
+    val ctx = df.filter(off >= chunkWidth - lookback)
+      .withColumn("_chunk", sec - off + chunkWidth)
+      .withColumn("_home", lit(false))
+    val w = Window.partitionBy((keys :+ col("_chunk")): _*)
+      .orderBy(sec).rangeBetween(-lookback, -1)
+    aggs(w).foldLeft(home.unionByName(ctx)) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }.filter(col("_home")).drop("_chunk", "_home")
+  }
 }

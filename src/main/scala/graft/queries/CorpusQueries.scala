@@ -43,7 +43,10 @@ object CorpusQueries extends QueryPack {
       .select(col("doc_id"),
         explode(Dedup.shingleHashes(col("_th"), DupSpanW)).as("h"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ extraQueries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact substring-duplication ratio: a window position counts as
     // duplicated iff its hash occurs in MORE THAN ONE distinct document.
     // (h, doc) pre-aggregation keeps the join-back candidate-sized and is
@@ -92,6 +95,104 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }))
 
+  /** Logistic quality-classifier weights: bias, token-length feature,
+    * punctuation-cleanliness feature, stopword-density feature. Fixed
+    * (a "trained model" is a constants table at inference time — the
+    * engine-relevant part is the scoring plan, a pure projection).
+    */
+  val QlBias = -1.5
+  val QlLen = 2.0
+  val QlPunct = 1.5
+  val QlStop = 1.0
+
+  private def transitionPairs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "event_id")
+    events(s, d)
+      .select(col("user_id"), tsMillis(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+  }
+
+  private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Logistic quality classifier: sigmoid over the same deterministic
+    // text features the linear quality score uses — the model-scoring
+    // plan shape (broadcast weights × pure projection, zero shuffles
+    // beyond the scan). exp() is libm on both engines; scores are O(1)
+    // so round(6) absorbs last-ulp differences.
+    "quality_logistic" -> ((s, d) => {
+      val t = documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("double").as("nt"),
+          length(col("text")).cast("double").as("nc"),
+          TextOps.punctCount(col("text")).cast("double").as("np"),
+          TextOps.stopwordCount(col("_toks")).cast("double").as("ns"))
+      t.select(col("doc_id"),
+          (lit(QlBias) + lit(QlLen) * least(col("nt") / 100.0, lit(1.0))
+            + lit(QlPunct) * (lit(1.0) - col("np") / col("nc"))
+            + lit(QlStop) * (col("ns") / col("nt"))).as("z"))
+        .select(col("doc_id"), round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Per-user event-type transition statistics (first-order Markov
+    // shape): lag window per user (sort-based, spillable), then one
+    // keyed aggregation over (prev, next) and a conditional probability
+    // against the prev-type marginal — transition matrices for behavior
+    // modeling / sessionless funnel analysis.
+    "event_transitions" -> ((s, d) => {
+      val pairs = transitionPairs(s, d)
+      val c2 = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val c1 = pairs.groupBy(col("prev_type")).agg(count(lit(1)).as("n_prev"))
+      c2.join(c1, "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n") / col("n_prev"), 6).as("p_next"))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // Deterministic train/val/test split: bucket each doc by the first
+    // byte of md5(doc_id) — content-stable (re-runs and backfills land
+    // every doc in the same split, no RNG state), join-free, and a pure
+    // zero-shuffle projection at any scale. Boundaries 0xcd/0xe6 give
+    // ~80/10/10 in expectation.
+    "corpus_split" -> ((s, d) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      documents(s, d)
+        .select(col("doc_id"),
+          when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Trailing-window z-score anomaly detection: each event scored
+    // against the mean/stddev of its type's value over the preceding
+    // hour (RANGE frame on epoch seconds). A bare
+    // Window.partitionBy(event_type) would serialize each type onto one
+    // task (a handful of types = a handful of tasks at 100 TB), so this
+    // routes through TimeSeries.trailingWindow: overlapping 6 h chunks,
+    // (type × chunk) parallelism, identical frame semantics. Events more
+    // than 2.5 sigma out, with at least 5 trailing samples, are flagged.
+    "anomaly_zscore" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("event_id"), col("event_type"),
+          (tsMillis(col("ts")) / 1000L).cast("long").as("sec"), col("value"))
+      graft.ops.TimeSeries.trailingWindow(
+          e, Seq(col("event_type")), col("sec"), 3600L, 21600L) { w =>
+        Seq("n_trail" -> count(lit(1)).over(w),
+          "mu" -> avg(col("value")).over(w),
+          "sd" -> stddev_samp(col("value")).over(w))
+      }
+        .where(col("n_trail") >= 5 && col("sd") > 0)
+        .select(col("event_id"), col("event_type"), col("n_trail"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        .where(abs(col("z")) > 2.5)
+        .orderBy("event_id")
+    }))
+
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
     Map(
@@ -130,6 +231,65 @@ object CorpusQueries extends QueryPack {
           |  round(avg(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS nll
           |FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
           |       JOIN c1 ON p.a = c1.a, v
-          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)
+          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+      // Mirrors TextOps feature extraction exactly (same fragments the
+      // text_quality_score oracle uses), then the fixed-weight sigmoid.
+      "quality_logistic" ->
+        s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+          |f AS (SELECT doc_id,
+          |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
+          |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+          |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
+          |  FROM t),
+          |z AS (SELECT doc_id,
+          |  $QlBias + $QlLen * least(nt / 100.0, 1.0)
+          |    + $QlPunct * (1.0 - np / nc) + $QlStop * (ns / nt) AS z
+          |  FROM f)
+          |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+          |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+          |FROM z ORDER BY doc_id""".stripMargin,
+
+      "corpus_split" ->
+        """SELECT doc_id,
+          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+          |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "event_transitions" ->
+        """WITH p AS (
+          |  SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |                          ORDER BY epoch_ms(ts), event_id) AS prev_type
+          |  FROM events),
+          |q AS (SELECT prev_type, event_type AS next_type FROM p
+          |      WHERE prev_type IS NOT NULL),
+          |c2 AS (SELECT prev_type, next_type, count(*) AS n FROM q GROUP BY 1, 2),
+          |c1 AS (SELECT prev_type, count(*) AS n_prev FROM q GROUP BY 1)
+          |SELECT c2.prev_type, c2.next_type, CAST(c2.n AS BIGINT) AS n,
+          |  round(c2.n / CAST(c1.n_prev AS DOUBLE), 6) AS p_next
+          |FROM c2 JOIN c1 USING (prev_type)
+          |ORDER BY prev_type, next_type""".stripMargin,
+
+      "anomaly_zscore" ->
+        """WITH e AS (
+          |  SELECT event_id, event_type, epoch_ms(ts) // 1000 AS sec, value
+          |  FROM events),
+          |w AS (
+          |  SELECT event_id, event_type,
+          |    count(*) OVER win AS n_trail,
+          |    avg(value) OVER win AS mu,
+          |    stddev_samp(value) OVER win AS sd,
+          |    value
+          |  FROM e
+          |  WINDOW win AS (PARTITION BY event_type ORDER BY sec
+          |                 RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING))
+          |SELECT event_id, event_type, CAST(n_trail AS BIGINT) AS n_trail,
+          |  round((value - mu) / sd, 6) AS z
+          |FROM w
+          |WHERE n_trail >= 5 AND sd > 0
+          |  AND abs(round((value - mu) / sd, 6)) > 2.5
+          |ORDER BY event_id""".stripMargin)
   }
 }

@@ -219,6 +219,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("vector_dot"), s"projection lost the native dot:\n$p")
   }
 
+  test("anomaly_zscore: window partitioning includes the time chunk, not type alone") {
+    val (p, _) = plan(graft.queries.CorpusQueries.queries, "anomaly_zscore")
+    val part = p.linesIterator.find(_.contains("hashpartitioning"))
+      .getOrElse(fail(s"no hash shuffle in plan:\n$p"))
+    // partitionBy(event_type) alone would serialize each type onto one
+    // task; the banded operator must shuffle on (event_type, _chunk).
+    assert(part.contains("_chunk"), s"window lost chunk parallelism: $part")
+    assert(!p.contains("No Partition Defined"), p)
+  }
+
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(
