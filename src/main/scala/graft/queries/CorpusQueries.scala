@@ -73,23 +73,36 @@ object CorpusQueries extends QueryPack {
     "lm_bigram_score" -> ((s, d) => {
       val tok = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
-      // single-token docs are filtered BEFORE sequence(1, n-1): Spark's
-      // sequence(1, 0) steps DOWNWARD ([1, 0]), it is not empty
+      // Adjacent pairs via arrays_zip(slice, slice) — fully codegen'd.
+      // The transform(sequence(...), i -> struct(element_at...)) spelling
+      // is CodegenFallback (higher-order functions run interpreted) and
+      // profiled 11x slower on the exploded stream. slice is 1-based and
+      // clamps to the array end; size>=2 filters single-token docs first.
+      val n1 = size(col("_toks")) - 1
       val bg = tok.where(size(col("_toks")) >= 2)
         .select(col("doc_id"),
-          transform(sequence(lit(1), size(col("_toks")) - 1),
-            i => struct(element_at(col("_toks"), i).as("a"),
-              element_at(col("_toks"), i + 1).as("b"))).as("_bgs"))
-        .select(col("doc_id"), explode(col("_bgs")).as("_bg"))
-        .select(col("doc_id"), col("_bg.a").as("a"), col("_bg.b").as("b"))
+          explode(arrays_zip(
+            slice(col("_toks"), lit(1), n1),
+            slice(col("_toks"), lit(2), n1))).as("_bg"))
+        .select(col("doc_id"), col("_bg")("0").as("a"), col("_bg")("1").as("b"))
+      // The token-level stream is aggregated ONCE (c2) and joined ONCE:
+      // c1 and V derive from c2 (c1(a) = Σ_b c2(a,b); V's word set = c2's
+      // key set), and the per-bigram smoothed NLL is computed on the
+      // vocabulary-sized side BEFORE it meets the stream — the naive
+      // plan's second big join and two extra stream-wide aggregations
+      // were the whole cost. The stream-side join build input is
+      // vocabulary-sized, so AQE turns it into a broadcast join when the
+      // vocabulary fits and a shuffled hash join when it doesn't.
+      val bgCk = bg.localCheckpoint(false)
+      val c2 = bgCk.groupBy("a", "b").agg(count(lit(1)).as("c2"))
         .localCheckpoint(false)
-      val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy("a").agg(count(lit(1)).as("c1"))
-      val v = bg.select(explode(array(col("a"), col("b"))).as("w"))
+      val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+      val v = c2.select(explode(array(col("a"), col("b"))).as("w"))
         .agg(countDistinct(col("w")).as("_v"))
-      bg.join(c2, Seq("a", "b")).join(c1, Seq("a")).crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          -log((col("c2") + 1) / (col("c1") + col("_v"))) as "nllw")
+      val nll = c2.join(c1, Seq("a")).crossJoin(broadcast(v))
+        .select(col("a"), col("b"),
+          (-log((col("c2") + 1) / (col("c1") + col("_v")))).as("nllw"))
+      bgCk.join(nll, Seq("a", "b"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nllw")), 6).as("nll"))
         .orderBy("doc_id")

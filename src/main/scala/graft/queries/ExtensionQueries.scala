@@ -509,12 +509,14 @@ object ExtensionQueries extends QueryPack {
     // Corpus n-gram statistics: top-5 word bigrams per language — pure
     // integer counts, grouped + per-key ranked (no global ordering).
     "ngram_top_bigrams" -> ((s, d) => {
-      // tokens staged as an attribute: inlining them into the bigram
-      // lambda re-runs the regex split per element_at access (the HOF
-      // staging pitfall — lambdas re-evaluate inlined children).
+      // tokens staged as an attribute; pairs zipped codegen-side and the
+      // shingle string concatenated after the explode (one row-level
+      // concat beats an interpreted per-element transform lambda).
       val bg = documents(s, d)
         .select(col("lang"), TextOps.tokens(col("text")).as("_t"))
-        .select(col("lang"), explode(TextOps.bigrams(col("_t"))).as("bigram"))
+        .select(col("lang"), explode(TextOps.bigramPairs(col("_t"))).as("_bg"))
+        .select(col("lang"),
+          concat(col("_bg")("0"), lit(" "), col("_bg")("1")).as("bigram"))
         .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
       // TopKPerKey heap-prunes to 5 bigrams/lang before the rank window
       // (which then sorts 5 rows per language, not the whole bigram space)
