@@ -108,7 +108,13 @@ object ScaleProbe {
     // rank-limit shape (RankLimitRewrite → TopKPerKey); compare with
     // SPARK_GRAFT_EXCLUDE_RULES=graft.plans.RankLimitRewrite for the
     // window-plan baseline
-    "lateral_top_order")
+    "lateral_top_order",
+    // round-4 additions: bigram LM (token-stream agg + vocab-side join),
+    // substring-dup ratio (window-hash explode/agg/join-back), banded
+    // trailing window (parallelism must come from time chunks — the key
+    // space is ~5 event types at ANY corpus size), transition matrix
+    "lm_bigram_score", "dup_span_ratio", "anomaly_zscore",
+    "event_transitions")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
