@@ -49,15 +49,19 @@ object CorpusQueries extends QueryPack {
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact substring-duplication ratio: a window position counts as
     // duplicated iff its hash occurs in MORE THAN ONE distinct document.
-    // (h, doc) pre-aggregation keeps the join-back candidate-sized and is
-    // localCheckpoint'd so the corpus tokenizes once, not once per branch
-    // (the shingleSets lesson).
+    // After the (h, doc) pre-aggregation, nd(h) is a whole-partition
+    // count over a Window.partitionBy(h) — ONE pass, no self-join, no
+    // checkpoint. (The earlier agg + join-back spelling needed a
+    // localCheckpoint to share the pre-agg across branches; checkpointed
+    // blocks are never unpersisted, and at the 16× probe scale the
+    // accumulated storage pressure made the query superlinear.) h is a
+    // rolling hash — high-cardinality, so the window partitions are
+    // tiny and skew-free at any corpus size.
     "dup_span_ratio" -> ((s, d) => {
       val whc = windowHashes(s, d)
         .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)
-      val nd = whc.groupBy("h").agg(count(lit(1)).as("nd"))
-      whc.join(nd, "h")
+      val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      whc.withColumn("nd", count(lit(1)).over(byH))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("n_windows"),
           sum(when(col("nd") > 1, col("c")).otherwise(lit(0L))).as("n_dup"))
@@ -93,8 +97,13 @@ object CorpusQueries extends QueryPack {
       // were the whole cost. The stream-side join build input is
       // vocabulary-sized, so AQE turns it into a broadcast join when the
       // vocabulary fits and a shuffled hash join when it doesn't.
-      val bgCk = bg.localCheckpoint(false)
-      val c2 = bgCk.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      // bg is NOT checkpointed: the zip-slice explode is codegen'd and
+      // recomputing it for the two consumers costs less than pinning a
+      // stream-sized block in storage memory (checkpointed blocks are
+      // never unpersisted — the dup_span_ratio 16× lesson). c2 IS
+      // checkpointed: vocabulary-sized, and it cuts the c1/V/nll branches
+      // loose from the stream.
+      val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
         .localCheckpoint(false)
       val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
       val v = c2.select(explode(array(col("a"), col("b"))).as("w"))
@@ -102,7 +111,7 @@ object CorpusQueries extends QueryPack {
       val nll = c2.join(c1, Seq("a")).crossJoin(broadcast(v))
         .select(col("a"), col("b"),
           (-log((col("c2") + 1) / (col("c1") + col("_v")))).as("nllw"))
-      bgCk.join(nll, Seq("a", "b"))
+      bg.join(nll, Seq("a", "b"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nllw")), 6).as("nll"))
         .orderBy("doc_id")
