@@ -34,18 +34,29 @@ object Bench {
     // a shared host without changing what is measured (r3's numbers were
     // judged garbage because of a contended run — min-of-3 is the cheapest
     // defense that still times the identical plans).
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed pass must not masquerade as a fast one: timeOnce reports
+    // success per pass, and any query with a failing pass is recorded as
+    // -1 (sentinel) plus an entry in "errors" — a broken query would
+    // otherwise log a small plausible-looking elapsed time.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(fn)).min
+      val passes = Seq.fill(3)(timeOnce(fn))
+      val err = passes.flatMap(_._2).headOption
+      name -> (if (err.isDefined) -1.0 else passes.map(_._1).min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errors = results.collect { case (k, (_, Some(e))) =>
+      s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -45,9 +45,20 @@ object Salt {
     val sessionParts = conf.numShufflePartitions
     def sizeOf(df: DataFrame): BigInt =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val dataBytes = sizeOf(build) * buckets + sizeOf(probe)
-    val parts = (dataBytes / partitionBytes).max(BigInt(sessionParts))
-      .min(BigInt(1 << 16)).toInt
+    // Inputs without real statistics (in-memory/local relations, some DSv2
+    // sources) report the defaultSizeInBytes sentinel (~Long.MaxValue); a
+    // saturated estimate would schedule a pathological 65536-partition
+    // shuffle on tiny data. Treat any estimate at or above the sentinel as
+    // "unknown" and fall back to the session partition count.
+    val sentinel = BigInt(conf.defaultSizeInBytes)
+    val sizes = Seq(sizeOf(build), sizeOf(probe))
+    val parts =
+      if (sizes.exists(_ >= sentinel)) sessionParts
+      else {
+        val dataBytes = sizes.head * buckets + sizes(1)
+        (dataBytes / partitionBytes).max(BigInt(sessionParts))
+          .min(BigInt(1 << 16)).toInt
+      }
     val salted = probe.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
       .repartition(parts, col(key), col("_salt"))
     // Spread the build BEFORE replicating: the explode multiplies rows

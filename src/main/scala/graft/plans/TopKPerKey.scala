@@ -179,6 +179,27 @@ class GraftStrategies extends SparkStrategy {
 /** DataFrame-facing API for the operator. */
 object TopK {
 
+  /** Floating-point keys are normalized (-0.0 → 0.0, any NaN bit pattern
+    * → the canonical NaN) before they reach the operator, mirroring what
+    * Spark's NormalizeFloatingNumbers rule does for groupBy/join/window
+    * keys. Without this, ordering-equal but byte-distinct keys would (a)
+    * hash to different exchange partitions, (b) occupy separate heaps in
+    * heap mode, and (c) interleave in the spill-fallback's sorted stream,
+    * resetting the group scan's `emitted` counter and emitting more than
+    * k rows per logical key — all diverging from the window spelling.
+    * `x + 0.0` is the IEEE identity except on -0.0 (where it yields +0.0);
+    * the IsNaN branch pins every NaN payload to one literal.
+    */
+  private def normalizeKey(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, If, IsNaN, Literal}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    e.dataType match {
+      case DoubleType => If(IsNaN(e), Literal(Double.NaN), Add(e, Literal(0.0)))
+      case FloatType  => If(IsNaN(e), Literal(Float.NaN), Add(e, Literal(0.0f)))
+      case _ => e
+    }
+  }
+
   /** Keep the first `k` rows of each key group under `order`
     * ((column, descending?) pairs — append a unique tiebreak for total
     * order). Requires a session built with `GraftExtensions` (the engine's
@@ -194,6 +215,6 @@ object TopK {
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
     Bridge.ofRows(df.sparkSession,
-      TopKPerKey(keys.map(attr), sortOrder, k, plan))
+      TopKPerKey(keys.map(n => normalizeKey(attr(n))), sortOrder, k, plan))
   }
 }

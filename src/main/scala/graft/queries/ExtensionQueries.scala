@@ -36,9 +36,20 @@ object ExtensionQueries extends QueryPack {
     * sides; verification is the native sorted-merge Jaccard.
     */
   /** (doc_id, toks) — sorted distinct shingle-hash set per document, ONE
-    * md5 pass per token, checkpointed so every consumer (signatures,
-    * Jaccard verification, decontamination explode) reads one sketch-sized
-    * materialization instead of re-tokenizing the corpus.
+    * md5 pass per token, shared by up to six consumers (signatures, both
+    * Jaccard-verification join sides, the decontamination/boilerplate
+    * explodes). The frame is token-proportional, so per the engine rule
+    * (SURVEY §8, the dup_span_ratio 16× lesson) it must NOT be
+    * localCheckpointed — checkpointed blocks sever lineage and are never
+    * unpersisted, so accumulated storage pressure thrashes at scale.
+    * persist(MEMORY_ONLY) keeps the sharing win with the opposite
+    * failure mode: blocks keep their lineage (compressed-columnar in the
+    * unified store), so under pressure the LRU store EVICTS them and
+    * consumers recompute the codegen'd tokenize+hash chain — graceful
+    * degradation instead of thrash, and nothing ever lands on disk.
+    * (Measured at 16×: pure recompute made pipeline_training_corpus run
+    * 6 full md5 passes ≈ 10× slower; the evictable cache restores the
+    * r3 numbers and pins nothing irrecoverably.)
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -46,7 +57,7 @@ object ExtensionQueries extends QueryPack {
       .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
       .select(col("doc_id"),
         sort_array(array_distinct(Dedup.shingleHashes(col("_th")))).as("toks"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairsFrom(shingleSets(s, d))
@@ -136,6 +147,11 @@ object ExtensionQueries extends QueryPack {
     // only on bucket collisions — never a pairwise pass over the corpus.
     // The 8-byte sketch rides through the band explode, so no join-back.
     "dedup_simhash_pairs" -> ((s, d) => {
+      // The sketch frame IS sketch-sized — (doc_id, simhash) is 16 bytes
+      // per document, independent of document length — so checkpointing it
+      // obeys the engine's localCheckpoint rule (SURVEY §8): pinning 16 B/
+      // doc beats re-tokenizing + re-hashing the full corpus per join
+      // branch, and the pinned block stays O(doc count) at any scale.
       val sk = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
         .select(col("doc_id"), TextOps.hashAll(col("_toks")).as("_hashes"))
@@ -472,25 +488,26 @@ object ExtensionQueries extends QueryPack {
         .select(col("doc_id"), TextOps.langId(col("_toks")).as("lang_pred"))
         .orderBy("doc_id")),
 
-    // TF-IDF: the classic term-weighting pipeline — explode, two grouped
-    // aggregates (term frequency, document frequency), a broadcast corpus
-    // count, and a per-document top-3 by the ROUNDED score (rounding
-    // before ranking keeps cross-engine ln() ulp noise out of the order).
-    // All shuffles are keyed by doc/term — no global structure.
+    // TF-IDF: the classic term-weighting pipeline — ONE explode+aggregate
+    // pass builds the (doc, term, cnt) table; document length and document
+    // frequency are then whole-partition window aggregates over that table
+    // (the dup_span_ratio pattern: no self-joins, no checkpoint, nothing
+    // pinned — the tf table is token-proportional and must not be
+    // localCheckpointed per the SURVEY §8 rule). Both windows partition on
+    // high-cardinality keys (doc_id / term), so partitions stay tiny and
+    // skew-free; the corpus count is a 1-row broadcast. Rounding before
+    // ranking keeps cross-engine ln() ulp noise out of the order.
     "text_tfidf_top_terms" -> ((s, d) => {
       val docs = documents(s, d)
-      // tf feeds three consumers (dlen, dfreq, the score join) — one
-      // materialization instead of three explode+aggregate passes.
       val tf = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false)
-      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dlen"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val byTerm = Window.partitionBy(col("term"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf
-        .join(dlen, Seq("doc_id"))
-        .join(dfreq, Seq("term"))
+        .withColumn("dlen", sum(col("cnt")).over(byDoc))
+        .withColumn("dfreq", count(lit(1)).over(byTerm))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           round((col("cnt").cast("double") / col("dlen")) *

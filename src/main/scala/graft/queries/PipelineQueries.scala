@@ -45,11 +45,21 @@ object PipelineQueries extends QueryPack {
   val SemMinCos = 0.3
 
   /** EWMA segmentation: per-key history folds in chunks of this many rows
-    * (memory per aggregation group is bounded by it); per-key state above
-    * the chunk level is n/EwmaChunk summaries. Small here so the fixture's
-    * ~67-events-per-user corpus exercises the multi-chunk path.
+    * (memory per aggregation group is bounded by it); chunk summaries then
+    * fold recursively in groups of the same size for [[EwmaLevels]]
+    * levels, so no aggregation buffer anywhere holds more than EwmaChunk
+    * elements. Small here so the fixture's ~67-events-per-user corpus
+    * exercises the multi-chunk path.
     */
   val EwmaChunk = 32
+
+  /** Composition levels above the chunk level: capacity is
+    * EwmaChunk^(EwmaLevels+1) ≈ 1.07e9 events per key with 5 levels —
+    * beyond that, the O(1)-state streaming twin (stream/Ewma.scala) is the
+    * production path. Idle levels are exact no-ops (singleton groups pass
+    * the seed summary through with zero FP ops), so oversizing is cheap.
+    */
+  val EwmaLevels = 5
 
   // Shared DuckDB fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
@@ -248,25 +258,56 @@ object PipelineQueries extends QueryPack {
     }),
 
     // EWMA per key — the ordered-fold-per-key pattern (recursive state
-    // that windows can't express), as a SEGMENTED fold: y_i = y_{i-1}/2 +
-    // v_i/2 is a linear recurrence, so a chunk of m ordered values
-    // composes into the affine map y -> A*y + B with A = 0.5^m (exact:
-    // m halvings of 1.0) and B = the zero-seeded sequential fold. Chunks
-    // of EwmaChunk rows fold independently (bounded memory per group —
-    // never the whole key history, the r3 scale defect), then one ordered
-    // fold over the per-key chunk summaries (n/EwmaChunk elements, one
-    // more segmentation level away from unbounded) replays y = A*y + B.
-    // The first chunk seeds with its first element (list_reduce parity).
-    // Spark's HOF fold and the oracle's recursive CTE execute the same
-    // IEEE op sequence, so the hash-match survives the rewrite. The
-    // row_number window sorts per key but SortExec spills; the streaming
-    // twin (transformWithState) remains the unbounded-history path.
+    // that windows can't express), as a RECURSIVELY SEGMENTED fold:
+    // y_i = y_{i-1}/2 + v_i/2 is a linear recurrence, so a chunk of m
+    // ordered values composes into the affine map y -> A*y + B with
+    // A = 0.5^m (exact: m halvings of 1.0) and B = the zero-seeded
+    // sequential fold. Chunks of EwmaChunk rows fold independently
+    // (bounded memory per group — never the whole key history), and the
+    // chunk summaries — affine maps form a monoid under composition —
+    // fold the same way: EwmaLevels composition levels, each grouping
+    // EwmaChunk summaries, so EVERY aggregation buffer in the plan holds
+    // <= EwmaChunk structs and a key of up to EwmaChunk^(EwmaLevels+1)
+    // (~1.07e9) events folds without any O(n)-per-key state (the r4
+    // "second segmentation level" residual). Levels whose groups are
+    // singletons are exact no-ops (the seed passes through untouched), so
+    // idle levels cost one tiny shuffle and zero FP ops. The chunked
+    // composition REORDERS roundings vs the whole-history sequential fold
+    // (B accumulates without y, then combines once), so raw doubles can
+    // differ in the last ulps — equality with the sequential fold holds
+    // after round(6) on the fixtures (tested), and the oracle mirrors the
+    // composition spelling. Keys beyond EwmaChunk^(EwmaLevels+1) events
+    // belong to the streaming twin (stream/Ewma.scala, O(1)/key state).
+    // The row_number window sorts per key but SortExec spills.
     "ewma_user_value" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("t", "e")
       val foldStep = (a: org.apache.spark.sql.Column,
           v: org.apache.spark.sql.Column) => a * 0.5 + v * 0.5
-      events(s, d)
+      // (c ∘ acc): run acc's affine map first, then c's. b_first tracks
+      // the seeded-with-first-element path, b_rest the zero-seeded one.
+      val compose = (acc: org.apache.spark.sql.Column,
+          c: org.apache.spark.sql.Column) => struct(
+        c("g").as("g"),
+        (c("a") * acc("a")).as("a"),
+        (c("a") * acc("b_first") + c("b_rest")).as("b_first"),
+        (c("a") * acc("b_rest") + c("b_rest")).as("b_rest"))
+      // One composition level: group EwmaChunk summaries by (key, g div
+      // EwmaChunk), fold them in g order — seed is the first summary,
+      // slice(2..) supplies the rest (empty for singleton groups: no-op).
+      def foldLevel(df: DataFrame): DataFrame =
+        df.withColumn("_g2", expr(s"g div $EwmaChunk"))
+          .groupBy("user_id", "_g2")
+          .agg(sum(col("m")).as("m"),
+            sort_array(collect_list(struct(col("g"), col("a"),
+              col("b_first"), col("b_rest")))).as("_cs"))
+          .select(col("user_id"), col("_g2").as("g"), col("m"),
+            aggregate(slice(col("_cs"), lit(2), size(col("_cs")) - 1),
+              element_at(col("_cs"), 1), compose).as("_f"))
+          .select(col("user_id"), col("g"), col("m"),
+            col("_f")("a").as("a"), col("_f")("b_first").as("b_first"),
+            col("_f")("b_rest").as("b_rest"))
+      val level0 = events(s, d)
         .select(col("user_id"), tsMillis(col("ts")).as("t"),
           col("event_id").as("e"), col("value").as("v"))
         .withColumn("rn", row_number().over(w))
@@ -274,19 +315,14 @@ object PipelineQueries extends QueryPack {
         .groupBy("user_id", "g")
         .agg(transform(sort_array(collect_list(struct(col("rn"), col("v")))),
           x => x("v")).as("_c"))
-        .select(col("user_id"), col("g"), size(col("_c")).as("m"),
+        .select(col("user_id"), col("g"), size(col("_c")).cast("long").as("m"),
           aggregate(col("_c"), lit(1.0), (a, _) => a * 0.5).as("a"),
           aggregate(col("_c"), lit(null).cast("double"),
             (a, v) => when(a.isNull, v).otherwise(foldStep(a, v))).as("b_first"),
           aggregate(col("_c"), lit(0.0), foldStep).as("b_rest"))
-        .groupBy("user_id")
-        .agg(sum(col("m")).cast("int").as("n"),
-          sort_array(collect_list(struct(
-            col("g"), col("a"), col("b_first"), col("b_rest")))).as("_chunks"))
-        .select(col("user_id"), col("n"),
-          round(aggregate(col("_chunks"), lit(null).cast("double"),
-            (acc, c) => when(acc.isNull, c("b_first"))
-              .otherwise(c("a") * acc + c("b_rest"))), 6).as("ewma"))
+      (1 to EwmaLevels).foldLeft(level0)((df, _) => foldLevel(df))
+        .select(col("user_id"), col("m").cast("int").as("n"),
+          round(col("b_first"), 6).as("ewma"))
         .orderBy("user_id")
     }),
 
@@ -361,14 +397,19 @@ object PipelineQueries extends QueryPack {
     // pairwise work flat while the assignment stays a broadcast
     // projection; SemCells is fixed here only so the oracle is stable.
     "semdedup_pairs" -> ((s, d) => {
-      // localCheckpoint: both self-join branches read ONE materialization
-      // of the assignment instead of re-scoring every vector against the
-      // centroids per branch. shuffle_hash on the build side: sort-merge
-      // would sort 64-dim double arrays on both sides just to equi-join on
-      // a 16-value key — a per-partition hash build is the scale-correct
-      // physical choice (same lesson as ops/Salt.saltedJoin).
+      // The assignment carries full 64-dim vectors — vector-stream-sized,
+      // so it is NOT localCheckpointed (SURVEY §8 rule: checkpointed
+      // blocks sever lineage, are never unpersisted, and thrash storage
+      // at scale). persist(MEMORY_ONLY) shares the one materialization
+      // across both self-join branches while keeping lineage: under
+      // pressure blocks evict and the branch recomputes the codegen'd
+      // broadcast-argmax projection straight off the embeddings scan —
+      // graceful degradation, no pin. shuffle_hash on the build side:
+      // sort-merge would sort 64-dim double arrays on both sides just to
+      // equi-join on a 16-value key — a per-partition hash build is the
+      // scale-correct physical choice (same lesson as ops/Salt.saltedJoin).
       val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", SemCells)
-        .localCheckpoint(false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val l = assign.select(col("cell"), col("vec_id").as("id_a"),
         col("vecd").as("_va"), col("nrm").as("_na"))
       val r = assign.select(col("cell"), col("vec_id").as("id_b"),
@@ -518,10 +559,15 @@ object PipelineQueries extends QueryPack {
           |         * ascii(substr(text, i, 1)))) AS BIGINT) AS energy
           |FROM w ORDER BY doc_id, win_ix""".stripMargin,
 
-      // Mirrors the segmented fold exactly: per-chunk affine summaries
-      // (A = m halvings of 1.0, B = zero- or first-element-seeded
-      // sequential fold), then a recursive CTE replays y = A*y + B chunk
-      // by chunk — the same IEEE op sequence as the Spark HOF folds.
+      // Mirrors the segmented fold: per-chunk affine summaries (A = m
+      // halvings of 1.0, B = zero- or first-element-seeded sequential
+      // fold), then a recursive CTE replays y = A*y + B chunk by chunk.
+      // The engine's recursive composition evaluates its b_first path with
+      // the SAME op sequence (bf' = a*bf + b_rest) whenever at most one
+      // composition level is active — true for every fixture SF (<= 1024
+      // events/key) — so the match is bit-exact here; with deeper
+      // recursion it holds after round(6) (composition reorders roundings
+      // in the last ulps only).
       "ewma_user_value" ->
         s"""WITH RECURSIVE seq AS (
           |  SELECT user_id, value AS v,

@@ -53,13 +53,14 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("ewma segmented fold == whole-history sequential fold") {
+  test("ewma segmented fold == sequential fold after round(6) on fixture") {
     // the scale-safe chunked spelling must reproduce the single
-    // collect_list fold bit-for-bit (EWMA chunks compose affinely; both
-    // run the same IEEE op sequence). sf0.001 has ~7 events/user (single
-    // chunk) so force multi-chunk with sf0.01-shaped data: reuse sf0.001
-    // but a chunk far smaller than group sizes would be needed — instead
-    // compare on sf0.01 events where ~67 events/user spans 3 chunks of 32.
+    // collect_list fold AFTER round(6): affine composition reorders the
+    // roundings (B accumulates without y, then combines once), so raw
+    // doubles may differ in the last ulps — the equality below is a
+    // fixture-level check, not a bit-identity law. sf0.001 has ~7
+    // events/user (single chunk), so compare on sf0.01 events where ~67
+    // events/user spans 3 chunks of 32 and one composition level is live.
     val d = "/root/testdata/sf0.01"
     val got = run("ewma_user_value") // binds sf0001
     val segmented = queries("ewma_user_value")(spark, d).collect().map(_.toSeq)
@@ -78,6 +79,31 @@ class PipelineSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(segmented.toSeq == whole.toSeq,
       "segmented EWMA diverged from the sequential fold")
+  }
+
+  test("ewma recursive segmentation folds one giant key with bounded buffers") {
+    // One user, 100k ordered events: level 0 makes 3125 chunk summaries,
+    // the composition levels collapse them 98 -> 4 -> 1 (levels 4-5 idle
+    // no-ops) — every aggregation buffer holds <= EwmaChunk structs, so
+    // the query must complete without any O(n)-per-key collect_list (the
+    // r4 "second segmentation level" residual). The value check compares
+    // against a driver-side sequential fold within the composition's
+    // rounding-reorder tolerance.
+    val n = 100000L
+    val dir = java.nio.file.Files.createTempDirectory("ewma_giant").toString
+    spark.range(n).select(
+      lit(1).as("user_id"),
+      expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),
+      col("id").as("event_id"),
+      (pmod(col("id") * 2654435761L, lit(1000L)).cast("double") / 10.0).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = PipelineQueries.queries("ewma_user_value")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Int]("n") == n.toInt)
+    val vals = (0L until n).map(id => math.floorMod(id * 2654435761L, 1000L).toDouble / 10.0)
+    val seq = vals.tail.foldLeft(vals.head)((a, v) => a * 0.5 + v * 0.5)
+    assert(math.abs(rows(0).getAs[Double]("ewma") - seq) <= 2e-6,
+      s"giant-key EWMA ${rows(0).getAs[Double]("ewma")} vs sequential $seq")
   }
 
   test("session_window_native partitions all events; gaps within < 30m") {

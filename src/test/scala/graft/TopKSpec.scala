@@ -138,6 +138,34 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("floating-point keys: -0.0/0.0 and NaN bit patterns form ONE group, both modes") {
+    // grouping keys are normalized like Spark's groupBy/window keys
+    // (NormalizeFloatingNumbers): -0.0 == 0.0, all NaN payloads equal.
+    // Un-normalized, byte-distinct equal keys split heaps in heap mode and
+    // reset the fallback group scan mid-group (emitting > k rows/key).
+    val df = spark.range(40).select(
+      // four logical keys; 0-keys alternate +0.0/-0.0, NaN keys alternate
+      // bit patterns via a double that parses to NaN either way
+      when(col("id") % 4 === 0, lit(0.0))
+        .when(col("id") % 4 === 1, lit(-0.0))
+        .when(col("id") % 4 === 2, expr("cast('NaN' as double)"))
+        .otherwise(expr("acos(2.0)")).as("k"), // acos(2) = NaN, possibly distinct bits
+      col("id").as("v"))
+    def check(): Unit = {
+      val got = TopK.perKey(df, Seq("k"), Seq(("v", false)), 2).collect()
+      // two logical keys (zero, NaN) -> at most 2 rows each
+      assert(got.length == 4, s"expected 4 rows (2 keys x k=2), got ${got.length}")
+      val zeros = got.filter(r => !r.getDouble(0).isNaN).map(_.getLong(1)).sorted
+      val nans = got.filter(r => r.getDouble(0).isNaN).map(_.getLong(1)).sorted
+      assert(zeros.toSeq == Seq(0L, 1L), s"zero group kept ${zeros.toSeq}")
+      assert(nans.toSeq == Seq(2L, 3L), s"NaN group kept ${nans.toSeq}")
+    }
+    check() // heap mode
+    spark.conf.set("spark.graft.topk.spillBytes", "1")
+    try check() // sort-fallback mode
+    finally spark.conf.unset("spark.graft.topk.spillBytes")
+  }
+
   test("TopK.perKey rejects unknown columns") {
     val o = Tables.orders(spark, sf0001)
     intercept[IllegalArgumentException] {
