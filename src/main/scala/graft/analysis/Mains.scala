@@ -27,6 +27,8 @@ object Exp1Main {
       .where(col("rate_eps_input").isNotNull)
     val summary = Analysis.exp1Summary(labeled, "rate_eps_input", warmup, measure, trigger)
     Analysis.writeSummaryCsv(summary, out)
+    // S6 plot sinks: the reference's two exp1 matplotlib figures, as SVG
+    Plot.exp1Figures(summary, out).foreach(p => println(s"Saved plot: $p"))
     summary.show(100, truncate = false)
     spark.stop()
   }
@@ -50,6 +52,8 @@ object Exp2Main {
     val summary = Analysis.exp1Summary(labeled, "configuration",
       warmupSec = 120L, measureSec = 10L * 365 * 24 * 3600, triggerSec = 5)
     Analysis.writeSummaryCsv(summary, out)
+    // S6 plot sink: the reference's exp2 bar figure, as SVG
+    println(s"Saved plot: ${Plot.exp2Figure(summary, out)}")
     summary.show(100, truncate = false)
     spark.stop()
   }

@@ -68,6 +68,97 @@ object Multimodal {
       }
   }
 
+  /** Decoded REAL image record ([[decodeImages]]). `ok=false` rows carry
+    * -1 features: bytes that no installed reader recognizes (the decode
+    * analog of PERMISSIVE-mode parse nulls — corrupt media must not kill
+    * a 100 TB job).
+    */
+  case class ImageFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      pixel_checksum: Long,
+      ok: Boolean)
+
+  /** REAL image decode via `javax.imageio` (public JDK API — PNG/JPEG/GIF/
+    * BMP readers ship in every JRE): parses actual container bytes into
+    * dimensions, channel count, and a deterministic pixel checksum
+    * (rolling hash over the RGB raster, same modulus as [[checksum]]).
+    * Identical plan shape to the [[decodeFeatures]] stub — narrow
+    * per-partition map, decoder state per partition, no shuffle, width
+    * scales with input splits — so swapping stub→real changes no plan.
+    * Feed it from `spark.read.format("binaryFile")` for on-disk media.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup: no temp-file cache (executors may
+        // have no scratch dir; heap streams are faster for small media)
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ImageFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, ok = false)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var acc = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  acc = (acc * 31 + (img.getRGB(x, y) & 0xffffff)) % 2147483647L
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeatures(id, bytes.length.toLong, w, h,
+                img.getColorModel.getNumComponents, acc, ok = true)
+            }
+          } catch { case _: java.io.IOException =>
+            ImageFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, ok = false)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize: decode → `Graphics2D.drawImage` bilinear rescale →
+    * re-encode PNG. Same bytes-to-bytes per-partition signature as the
+    * [[resize]] stub (no shuffle; a real thumbnail pipeline at scale is
+    * exactly this map over binaryFile splits). Unrecognized payloads pass
+    * through as empty thumbnails rather than failing the partition.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val src = try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          } catch { case _: java.io.IOException => None }
+          val out = src.map { img =>
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", buf)
+            buf.toByteArray
+          }.getOrElse(Array.empty[Byte])
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "thumb")
+  }
+
   /** One sampled "frame" of a media payload (video frame-sampling shape). */
   case class Frame(doc_id: Long, frame_ix: Int, offset: Long, n_bytes: Int,
       checksum: Long)

@@ -36,20 +36,22 @@ object ExtensionQueries extends QueryPack {
     * sides; verification is the native sorted-merge Jaccard.
     */
   /** (doc_id, toks) — sorted distinct shingle-hash set per document, ONE
-    * md5 pass per token, shared by up to six consumers (signatures, both
-    * Jaccard-verification join sides, the decontamination/boilerplate
-    * explodes). The frame is token-proportional, so per the engine rule
-    * (SURVEY §8, the dup_span_ratio 16× lesson) it must NOT be
-    * localCheckpointed — checkpointed blocks sever lineage and are never
-    * unpersisted, so accumulated storage pressure thrashes at scale.
-    * persist(MEMORY_ONLY) keeps the sharing win with the opposite
-    * failure mode: blocks keep their lineage (compressed-columnar in the
-    * unified store), so under pressure the LRU store EVICTS them and
-    * consumers recompute the codegen'd tokenize+hash chain — graceful
-    * degradation instead of thrash, and nothing ever lands on disk.
-    * (Measured at 16×: pure recompute made pipeline_training_corpus run
-    * 6 full md5 passes ≈ 10× slower; the evictable cache restores the
-    * r3 numbers and pins nothing irrecoverably.)
+    * md5 pass per token, consumed by several plan branches (signatures,
+    * both Jaccard-verification join sides, the decontamination/
+    * boilerplate explodes). Deliberately NOT materialized in ANY form —
+    * each consumer recomputes the codegen'd tokenize+hash chain from the
+    * parquet scan:
+    *  - localCheckpoint pins stream-sized blocks that are never
+    *    unpersisted; accumulated storage thrashes at probe scale (the
+    *    r4 dup_span_ratio lesson, ratio 32 at 16×).
+    *  - persist() is WORSE here, measured at 16× (r5 A/B): the columnar
+    *    SQL cache stores `toks` as array batches whose scan is slower
+    *    than the whole-stage-codegen recompute it replaces —
+    *    dedup_clusters 2.2 s recompute vs 8.4-14.2 s cached (the first
+    *    cached run is fine; every later reader of the fat-array cache
+    *    pays 2-3×), and cache entries accumulate across the catalog.
+    * Engine rule (SURVEY §8): token-stream-sized frames are recomputed,
+    * never cached or checkpointed; only sketch-/vocab-sized frames pin.
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -57,7 +59,6 @@ object ExtensionQueries extends QueryPack {
       .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
       .select(col("doc_id"),
         sort_array(array_distinct(Dedup.shingleHashes(col("_th")))).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
     minhashVerifiedPairsFrom(shingleSets(s, d))

@@ -396,32 +396,37 @@ object PipelineQueries extends QueryPack {
     // numCells ∝ corpus (cells of ~constant population), keeping per-cell
     // pairwise work flat while the assignment stays a broadcast
     // projection; SemCells is fixed here only so the oracle is stable.
-    "semdedup_pairs" -> ((s, d) => {
-      // The assignment carries full 64-dim vectors — vector-stream-sized,
-      // so it is NOT localCheckpointed (SURVEY §8 rule: checkpointed
-      // blocks sever lineage, are never unpersisted, and thrash storage
-      // at scale). persist(MEMORY_ONLY) shares the one materialization
-      // across both self-join branches while keeping lineage: under
-      // pressure blocks evict and the branch recomputes the codegen'd
-      // broadcast-argmax projection straight off the embeddings scan —
-      // graceful degradation, no pin. shuffle_hash on the build side:
-      // sort-merge would sort 64-dim double arrays on both sides just to
-      // equi-join on a 16-value key — a per-partition hash build is the
-      // scale-correct physical choice (same lesson as ops/Salt.saltedJoin).
-      val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", SemCells)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      val l = assign.select(col("cell"), col("vec_id").as("id_a"),
-        col("vecd").as("_va"), col("nrm").as("_na"))
-      val r = assign.select(col("cell"), col("vec_id").as("id_b"),
-        col("vecd").as("_vb"), col("nrm").as("_nb"))
-      l.join(r.hint("shuffle_hash"), Seq("cell"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("cell"), col("id_a"), col("id_b"),
-          round(Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
-            .as("cos_sim"))
-        .where(col("cos_sim") >= SemMinCos)
-        .orderBy("id_a", "id_b")
-    }))
+    "semdedup_pairs" -> ((s, d) => semdedupPairs(s, d, SemCells)))
+
+  /** The semdedup plan, parameterized on cell count so the scale probe can
+    * apply the documented rule (numCells ∝ corpus) that the fixed-cells
+    * oracle spelling cannot.
+    *
+    * The assignment carries full 64-dim vectors — vector-stream-sized,
+    * so it is neither checkpointed nor persisted (SURVEY §8 rule, r5
+    * measurement: the columnar cache scans fat array columns slower
+    * than the codegen'd recompute it would save, and its entries
+    * accumulate across the catalog). Each self-join branch recomputes
+    * the broadcast-argmax projection straight off the embeddings scan —
+    * zero shuffle, whole-stage codegen. shuffle_hash on the build side:
+    * sort-merge would sort 64-dim double arrays on both sides just to
+    * equi-join on a small cell key — a per-partition hash build is the
+    * scale-correct physical choice (same lesson as ops/Salt.saltedJoin).
+    */
+  def semdedupPairs(s: SparkSession, d: String, cells: Int): DataFrame = {
+    val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", cells)
+    val l = assign.select(col("cell"), col("vec_id").as("id_a"),
+      col("vecd").as("_va"), col("nrm").as("_na"))
+    val r = assign.select(col("cell"), col("vec_id").as("id_b"),
+      col("vecd").as("_vb"), col("nrm").as("_nb"))
+    l.join(r.hint("shuffle_hash"), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= SemMinCos)
+      .orderBy("id_a", "id_b")
+  }
 
   def oracleSql: Map[String, String] = {
     // IVF assignment CTE chain (mirrors Similarity.ivfAssign; same text as

@@ -31,7 +31,12 @@ object ScaleProbe {
   private val SmallStride = 10000000L
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
-    if (Files.exists(Paths.get(s"$out/_DONE"))) return
+    // embeddings arrived in r5 — backfill it into corpora built earlier
+    if (Files.exists(Paths.get(s"$out/_DONE"))) {
+      if (!Files.exists(Paths.get(s"$out/embeddings.parquet")))
+        buildEmbeddings(spark, base, out, factor)
+      return
+    }
     def copies(df: DataFrame, remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(df, i)).reduce(_ unionByName _)
 
@@ -77,11 +82,40 @@ object ScaleProbe {
       .withColumn("p_partkey", col("p_partkey") + lit(i * SmallStride)))
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
+    buildEmbeddings(spark, base, out, factor)
+
     for (t <- Seq("nation", "region"))
       Tables.table(spark, base, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     Files.createFile(Paths.get(s"$out/_DONE"))
+  }
+
+  /** Embeddings: copy i gets a SIGNED PERMUTATION of each vector (cyclic
+    * shift by i with a deterministic per-(copy, index) sign flip). A
+    * signed permutation matrix is orthogonal, so within-copy pairwise
+    * cosines — and therefore per-copy near-dup structure — are EXACTLY
+    * those of sf0.1, while cross-copy cosines fall back to the random
+    * ~N(0, 1/64) noise floor of the fixture itself. Ideal scaling is
+    * linear ONLY if cells scale with the corpus (the SemDeDup rule the
+    * probe applies via [[graft.queries.PipelineQueries.semdedupPairs]]).
+    */
+  private def buildEmbeddings(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val dims = graft.queries.PipelineQueries.EmbedDims
+    (0 until factor).map { i =>
+      val df = Tables.embeddings(spark, base)
+      if (i == 0) df
+      else df.withColumn("vec_id", col("vec_id") + lit(i * SmallStride))
+        .withColumn("embedding", transform(col("embedding"), (_, j) => {
+          val src = (pmod(j + lit(i), lit(dims)) + 1).cast("int")
+          val sign = when(
+            pmod((j + lit(i * 31)) * 2654435761L, lit(97)) < 48,
+            lit(1.0f)).otherwise(lit(-1.0f))
+          element_at(col("embedding"), src) * sign
+        }))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   /** The data-dominant query family: every heavy shape in the catalog
@@ -114,7 +148,13 @@ object ScaleProbe {
     // trailing window (parallelism must come from time chunks — the key
     // space is ~5 event types at ANY corpus size), transition matrix
     "lm_bigram_score", "dup_span_ratio", "anomaly_zscore",
-    "event_transitions")
+    "event_transitions",
+    // round-5 addition: SemDeDup with the documented scale rule applied —
+    // numCells ∝ corpus (run() special-cases it), so per-cell population
+    // and in-cell pairwise work stay constant per copy. The broadcast-
+    // argmax assignment is the known O(N·C·d) IVF term; at real scale C
+    // follows the ~sqrt(N) quantizer rule or a hierarchical coarse pass.
+    "semdedup_pairs")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
@@ -161,13 +201,30 @@ object ScaleProbe {
 
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, dir).count()
+      // semdedup: apply the documented scale rule (cells ∝ corpus) that
+      // the fixed-cells oracle spelling pins for hash stability.
+      if (q == "semdedup_pairs") {
+        val cells = graft.queries.PipelineQueries.SemCells *
+          (if (dir == out) factor else 1)
+        graft.queries.PipelineQueries.semdedupPairs(spark, dir, cells).count()
+      } else graft.SparkEntry.queries(q)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
+    }
+    // Between queries, drop leaked block-manager state (lazy
+    // localCheckpoint RDDs from convergence loops, any cached plans):
+    // in production each catalog query is its own job with a fresh
+    // session, so cross-query block accumulation inside the probe JVM
+    // would measure an artifact, not the plan.
+    def cleanState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     println(f"${"query"}%-26s ${"sf0.1"}%8s x$factor%7s   ratio (linear=$factor)")
     val rows = selected.map { q =>
       val tBase = math.min(time(q, base), time(q, base))
+      cleanState()
       val tBig = math.min(time(q, out), time(q, out))
+      cleanState()
       println(f"$q%-26s $tBase%8.2f $tBig%7.2f   ${tBig / tBase}%5.1f")
       (q, tBase, tBig)
     }

@@ -72,6 +72,47 @@ class AnalysisSpec extends SparkSpec {
     assert(got.schema.fieldNames.toSeq == graft.model.BatchMetrics.schema.fieldNames.toSeq)
   }
 
+  test("S6 plot sinks: exp1/exp2 SVG figures carry the summary's data points") {
+    // Two labeled runs -> summary -> figures. The SVG must be
+    // self-contained markup with one marker per summary row (exp1 line
+    // plots) / one bar per configuration (exp2), correct titles and axis
+    // labels — the content a paper-reproducer reads without matplotlib.
+    val m = Analysis.withThroughput(
+      Seq((0L, 100L, 5000L, 100.0, 90.0, 200.0, 300.0),
+        (1L, 105L, 5000L, 110.0, 95.0, 220.0, 330.0),
+        (2L, 100L, 40000L, 400.0, 390.0, 800.0, 900.0),
+        (3L, 105L, 40000L, 410.0, 395.0, 820.0, 930.0))
+        .toDF("batch_id", "epoch_sec", "batch_events", "mean_latency_ms",
+          "p50_latency_ms", "p95_latency_ms", "p99_latency_ms")
+        .withColumn("rate_eps_input",
+          org.apache.spark.sql.functions.when($"batch_events" === 5000L, 1000)
+            .otherwise(8000)), triggerSec = 5)
+    val summary = Analysis.summarize(m, "rate_eps_input")
+    val out = Files.createTempDirectory("graft_svg").toString
+    val figs = graft.analysis.Plot.exp1Figures(summary, out)
+    assert(figs.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("throughput_vs_rate.svg", "p95_latency_vs_rate.svg"))
+    val thr = Files.readString(java.nio.file.Paths.get(figs.head))
+    assert(thr.startsWith("<svg ") && thr.endsWith("</svg>"))
+    assert(thr.contains("Throughput vs Input Rate"))
+    assert(thr.contains("Input rate (events/sec)"))
+    assert("<circle ".r.findAllIn(thr).size == 2, "one marker per rate row")
+    assert(thr.contains("<polyline "))
+    val lat = Files.readString(java.nio.file.Paths.get(figs(1)))
+    assert(lat.contains("p95 Latency vs Input Rate"))
+
+    val summary2 = Analysis.summarize(
+      m.withColumnRenamed("rate_eps_input", "x")
+        .withColumn("configuration",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("cfg_"), $"x")), "configuration")
+    val bar = Files.readString(java.nio.file.Paths.get(
+      graft.analysis.Plot.exp2Figure(summary2, out)))
+    assert("<rect x=".r.findAllIn(bar).size == 2, "one bar per configuration")
+    assert(bar.contains("cfg_1000") && bar.contains("cfg_8000"))
+    assert(bar.contains("Average p95 latency (ms)"))
+  }
+
   test("driver contract: entry returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val q = SparkEntry.queries

@@ -123,4 +123,65 @@ class SourcesSpec extends SparkSpec {
       s"filter not pushed to ORC:\n$p")
     assert(q.count() == 1)
   }
+
+  test("real image decode: binaryFile PNGs → dimensions + pixel checksum, partition-parallel") {
+    // The REAL codec path (javax.imageio — JDK-public): deterministic
+    // synthetic PNGs on disk, ingested via binaryFile, decoded inside
+    // mapPartitions across >1 partition. PNG is lossless, so the decoded
+    // raster must reproduce the generator's pixels exactly — asserted via
+    // the same rolling checksum computed driver-side over the source
+    // pattern. A garbage payload must degrade to ok=false, not throw.
+    import java.awt.image.BufferedImage
+    val dir = Files.createTempDirectory("graft_png")
+    def pixel(id: Int, x: Int, y: Int): Int =
+      (((x * 31 + y * 17 + id * 101) % 255) << 16) |
+        (((x * 7 + id) % 255) << 8) | ((y * 13 + id * 3) % 255)
+    val dims = (0 until 24).map { id =>
+      val w = 8 + (id % 5) * 3
+      val h = 6 + (id % 7) * 2
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(id, x, y))
+      javax.imageio.ImageIO.write(img, "png", dir.resolve(f"img_$id%03d.png").toFile)
+      id -> (w, h)
+    }.toMap
+    Files.write(dir.resolve("img_099.png"), Array[Byte](0, 1, 2, 3)) // not a PNG
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(regexp_extract(input_file_name(), "img_(\\d+)", 1).cast("long").as("doc_id"),
+        $"content".as("media"))
+      .repartition(5)
+    val got = graft.ext.Multimodal.decodeImages(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got.size == 25)
+    assert(!got(99L).ok && got(99L).width == -1, "garbage bytes must decode to ok=false")
+    def expectedChecksum(id: Int, w: Int, h: Int): Long = {
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = (acc * 31 + (pixel(id, x, y) & 0xffffff)) % 2147483647L
+      acc
+    }
+    dims.foreach { case (id, (w, h)) =>
+      val f = got(id.toLong)
+      assert(f.ok && f.width == w && f.height == h && f.channels == 3,
+        s"img $id decoded as ${f.width}x${f.height}x${f.channels} (want ${w}x$h x3)")
+      assert(f.pixel_checksum == expectedChecksum(id, w, h),
+        s"img $id pixel checksum ${f.pixel_checksum} != generator pattern")
+    }
+  }
+
+  test("real image resize: Graphics2D rescale re-encodes valid PNG thumbnails") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, (x * 16 + y) << 8)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val media = Seq((1L, buf.toByteArray), (2L, Array[Byte](7, 7)))
+      .toDF("doc_id", "media")
+    val thumbs = graft.ext.Multimodal.resizeImages(spark, media, 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(1L)))
+    assert(back.getWidth == 4 && back.getHeight == 3,
+      s"thumbnail decoded as ${back.getWidth}x${back.getHeight}")
+    assert(thumbs(2L).isEmpty, "non-image payload must yield an empty thumb")
+  }
 }
