@@ -265,6 +265,28 @@ object ExtensionQueries extends QueryPack {
         .select(col("lang"), col("doc_id"), col("rn"))
         .orderBy("lang", "doc_id")),
 
+    // Weighted sampling WITHOUT replacement, k per language (Efraimidis-
+    // Spirakis A-ES): each doc draws a deterministic uniform u ∈ (0,1]
+    // from its id hash and competes by priority u^(1/w) — here compared
+    // via the monotone ln(u)/w, rounded before ranking so cross-engine
+    // libm ulps can't flip an order (doc_id breaks rounded ties). Longer
+    // documents (w = n_chars) win proportionally more seats: the standard
+    // mixture-sampling primitive. Per-language windows only — no global
+    // structure, no RNG state, reproducible on any cluster layout.
+    "sample_weighted_priority" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          TextOps.hash32(col("doc_id").cast("string")).as("_h"))
+        .withColumn("_u", (col("_h") + 1.0) / 4294967297.0)
+        .withColumn("_pri",
+          round(log(col("_u")) / greatest(col("n_chars"), lit(1)), 9))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("_pri").desc, col("doc_id"))))
+        .where(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"), col("_pri").as("priority"))
+        .orderBy("lang", "rk")),
+
     // Quantile bucketing (token-count deciles): boundaries from ONE global
     // aggregate (a 9-element array), broadcast, assignment by comparison —
     // the scale-correct alternative to ntile's global window. Boundaries
@@ -833,6 +855,17 @@ object ExtensionQueries extends QueryPack {
            |      ORDER BY ${duckH32("doc_id::VARCHAR")}, doc_id) AS rn
            |  FROM documents)
            |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+      "sample_weighted_priority" ->
+        s"""SELECT lang, rk, doc_id, n_chars, priority FROM (
+           |  SELECT lang, doc_id, n_chars,
+           |    round(ln((${duckH32("doc_id::VARCHAR")} + 1.0) / 4294967297.0)
+           |          / greatest(n_chars, 1), 9) AS priority,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY round(ln((${duckH32("doc_id::VARCHAR")} + 1.0) / 4294967297.0)
+           |                     / greatest(n_chars, 1), 9) DESC, doc_id) AS rk
+           |  FROM documents)
+           |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
       "quantile_bucket_tokens" ->
         s"""WITH nt AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),

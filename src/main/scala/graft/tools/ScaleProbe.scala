@@ -183,6 +183,11 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SHJ", "0") != "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // recursive_cte_reach produces rows ∝ corpus; Spark's 1M-row
+      // recursion safety valve (spark.sql.cteRecursionRowLimit) trips at
+      // 64× — a config ceiling, not a scale defect. Sized to the probe,
+      // as a production job would size it to its data.
+      .config("spark.sql.cteRecursionRowLimit", 100000000)
       // experiment knob: exclude engine optimizer rules (e.g.
       // graft.plans.RankLimitRewrite) to measure a rewrite's effect
       .config("spark.sql.optimizer.excludedRules",
