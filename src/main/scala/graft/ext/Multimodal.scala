@@ -211,6 +211,120 @@ object Multimodal {
       }
   }
 
+  /** Decoded REAL audio record ([[decodeAudio]]). `ok=false` rows carry -1
+    * features: payloads no installed reader parses (corrupt media must not
+    * kill the job — same contract as [[ImageFeatures]]).
+    */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      sample_checksum: Long,
+      ok: Boolean)
+
+  /** Decode signed 16-bit little-endian PCM bytes to samples. WAV PCM is
+    * int16 LE in the wild default; the codec rejects other widths rather
+    * than guessing (ok=false), keeping the checksum contract exact.
+    */
+  private def pcm16le(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (public JDK API — the WAV/
+    * AIFF/AU readers ship in every JRE): parses actual container bytes into
+    * sample rate / channels / bit depth / frame count plus a deterministic
+    * checksum over the decoded int16 samples (same rolling modulus as
+    * [[checksum]], so corrupt-byte detection is sample-exact, not
+    * header-only). Identical plan shape to the [[audioWindows]] stub —
+    * narrow per-partition map, no shuffle, width scales with input splits.
+    * Feed it from `spark.read.format("binaryFile")` for on-disk media.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              AudioFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, -1L, ok = false)
+            else {
+              val pcm = in.readAllBytes()
+              var acc = 0L
+              val samples = pcm16le(pcm)
+              var i = 0
+              while (i < samples.length) {
+                acc = (acc * 31 + (samples(i) & 0xffff)) % 2147483647L
+                i += 1
+              }
+              AudioFeatures(id, bytes.length.toLong, fmt.getSampleRate.toInt,
+                fmt.getChannels, fmt.getSampleSizeInBits,
+                samples.length.toLong / fmt.getChannels, acc, ok = true)
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              AudioFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, -1L, ok = false)
+          }
+        }
+      }
+  }
+
+  /** REAL windowed energy: decode WAV PCM ([[decodeAudio]]'s reader), then
+    * per overlapping int16-sample window emit Σ s² — [[audioWindows]] with
+    * real samples instead of payload bytes. Exact integer arithmetic
+    * (sample² < 2³⁰; any practical window count stays far inside Long).
+    * Unparseable payloads yield zero rows for that doc, never a partition
+    * failure. One narrow flatMap, no shuffle.
+    */
+  def audioPcmWindows(spark: SparkSession, media: DataFrame,
+      win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val samples =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              Array.empty[Int]
+            else pcm16le(in.readAllBytes())
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => Array.empty[Int]
+          }
+        val n = samples.length
+        if (n == 0) Seq.empty
+        else {
+          val last = if (n <= win) 0 else (n - win + hop - 1) / hop
+          (0 to last).map { ix =>
+            val start = ix * hop
+            val end = math.min(start + win, n)
+            var energy = 0L
+            var i = start
+            while (i < end) {
+              val s = samples(i).toLong; energy += s * s; i += 1
+            }
+            AudioWindow(id, ix, end - start, energy)
+          }
+        }
+      }
+  }
+
   /** Resize stub: a real implementation would rescale pixel buffers; the
     * stub derives the target-size "thumbnail" bytes deterministically by
     * striding the source. The signature (bytes -> bytes, per partition, no

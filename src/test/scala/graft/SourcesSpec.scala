@@ -168,6 +168,88 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("real audio decode: binaryFile WAVs → format fields + sample checksum, partition-parallel") {
+    // The REAL audio codec path (javax.sound.sampled — JDK-public):
+    // deterministic synthetic int16-PCM WAVs on disk, ingested via
+    // binaryFile, decoded inside mapPartitions across >1 partition. WAV is
+    // lossless PCM, so the decoded samples must reproduce the generator's
+    // exactly — asserted via the rolling checksum computed driver-side.
+    // A garbage payload must degrade to ok=false, not throw.
+    import javax.sound.sampled._
+    val dir = Files.createTempDirectory("graft_wav")
+    def sample(id: Int, i: Int): Short = ((id * 7919 + i * 31) % 65536 - 32768).toShort
+    val meta = (0 until 24).map { id =>
+      val rate = Seq(8000, 16000, 44100)(id % 3)
+      val channels = 1 + id % 2
+      val nFrames = 200 + id * 17
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      for (i <- 0 until nFrames * channels) {
+        val s = sample(id, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+        dir.resolve(f"aud_$id%03d.wav").toFile)
+      id -> ((rate, channels, nFrames))
+    }.toMap
+    Files.write(dir.resolve("aud_099.wav"), Array[Byte](9, 9, 9, 9)) // not a WAV
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(regexp_extract(input_file_name(), "aud_(\\d+)", 1).cast("long").as("doc_id"),
+        $"content".as("media"))
+      .repartition(5)
+    val got = graft.ext.Multimodal.decodeAudio(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(got.size == 25)
+    assert(!got(99L).ok && got(99L).sample_rate == -1,
+      "garbage bytes must decode to ok=false")
+    meta.foreach { case (id, (rate, channels, nFrames)) =>
+      val f = got(id.toLong)
+      assert(f.ok && f.sample_rate == rate && f.channels == channels &&
+        f.bits == 16 && f.n_frames == nFrames,
+        s"wav $id decoded as ${f.sample_rate}Hz x${f.channels}ch " +
+          s"${f.bits}bit ${f.n_frames}fr (want ${rate}Hz x${channels}ch 16bit ${nFrames}fr)")
+      var acc = 0L
+      for (i <- 0 until nFrames * channels)
+        acc = (acc * 31 + (sample(id, i) & 0xffff)) % 2147483647L
+      assert(f.sample_checksum == acc,
+        s"wav $id sample checksum ${f.sample_checksum} != generator pattern")
+    }
+  }
+
+  test("real audio windows: Σ s² over decoded PCM matches a driver-side fold") {
+    import javax.sound.sampled._
+    def sample(i: Int): Short = ((i * 2654435761L) % 65536 - 32768).toShort
+    val nFrames = 1000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = sample(i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, buf)
+    val media = Seq((1L, buf.toByteArray), (2L, Array[Byte](3, 1, 4)))
+      .toDF("doc_id", "media")
+    val got = graft.ext.Multimodal.audioPcmWindows(spark, media, win = 256, hop = 128)
+      .collect()
+    assert(got.forall(_.doc_id == 1L), "unparseable payload must yield zero rows")
+    val expectWins = (nFrames - 256 + 127) / 128 + 1
+    assert(got.length == expectWins, s"got ${got.length} windows, want $expectWins")
+    got.foreach { w =>
+      val start = w.win_ix * 128
+      val end = math.min(start + 256, nFrames)
+      val expect = (start until end).map(i => sample(i).toLong * sample(i)).sum
+      assert(w.energy == expect && w.n_samples == end - start,
+        s"window ${w.win_ix}: energy ${w.energy} != $expect")
+    }
+  }
+
   test("real image resize: Graphics2D rescale re-encodes valid PNG thumbnails") {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
