@@ -70,6 +70,53 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Exact substring-duplication REMOVAL — the write-path half of
+    // dup_span_ratio (Lee et al.'s dedup REWRITES the corpus, it doesn't
+    // just measure it): every token covered by a window whose hash occurs
+    // in more than one distinct document is stripped, and the survivors
+    // are reassembled in document order. Same token-linear shapes as the
+    // ratio: the window hash h is the only corpus-wide shuffle key
+    // (high-cardinality, skew-free); coverage expansion is a constant ×W
+    // explode; the per-doc reconstruction list is bounded by document
+    // length — inherent to emitting a text column, same bound as
+    // pack_sequences/doc_chunks.
+    "dup_span_strip" -> ((s, d) => {
+      val W = DupSpanW
+      val tok = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      val base = tok.select(col("doc_id"), size(col("_toks")).as("n_tokens"))
+      val wh = tok
+        .select(col("doc_id"), TextOps.hashAll(col("_toks")).as("_th"))
+        .select(col("doc_id"),
+          when(size(col("_th")) < W, lit(1)).otherwise(lit(W)).as("effw"),
+          posexplode(Dedup.shingleHashes(col("_th"), W)).as(Seq("p0", "h")))
+        .select(col("doc_id"), col("effw"), (col("p0") + 1).as("pos"), col("h"))
+      // Hashes present in >1 distinct doc — the dup_span_ratio spelling
+      // (whole-partition count over tiny per-h groups, no self-join).
+      val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val dupH = wh.select("h", "doc_id").distinct()
+        .withColumn("ndoc", count(lit(1)).over(byH))
+        .where(col("ndoc") > 1).select("h").distinct()
+      val removed = wh.join(dupH, Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + col("effw") - 1)).as("tpos"))
+        .distinct()
+      val kept = tok
+        .select(col("doc_id"), posexplode(col("_toks")).as(Seq("t0", "tk")))
+        .select(col("doc_id"), (col("t0") + 1).as("tpos"), col("tk"))
+        .join(removed, Seq("doc_id", "tpos"), "left_anti")
+      val rec = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("_n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("tpos"), col("tk")))),
+            x => x.getField("tk")), " ").as("_clean"))
+      base.join(rec, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("_clean"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // Smoothed bigram LM score: nll = -avg ln P(b|a) with add-one
     // smoothing, P(b|a) = (c2(a,b)+1) / (c1(a)+V). Corpus statistics are
     // keyed aggregations; V is a 1-row broadcast. Single-token documents
@@ -237,6 +284,43 @@ object CorpusQueries extends QueryPack {
           |        / sum(c), 6) AS dup_ratio
           |FROM whc JOIN nd ON whc.h = nd.h
           |GROUP BY whc.doc_id ORDER BY whc.doc_id""".stripMargin,
+
+      "dup_span_strip" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |m AS (
+          |  SELECT doc_id, toks,
+          |    list_transform(toks, tk -> ${duckH32("tk")}) AS th,
+          |    len(toks) AS n,
+          |    CASE WHEN len(toks) < $W THEN 1 ELSE $W END AS effw
+          |  FROM tok),
+          |w AS (
+          |  SELECT doc_id, effw, unnest(CASE WHEN n < $W
+          |    THEN list_transform(generate_series(1, n),
+          |           i -> struct_pack(pos := i, h := th[i]))
+          |    ELSE list_transform(generate_series(1, n - ${W - 1}),
+          |           i -> struct_pack(pos := i, h := list_reduce(th[i:i+${W - 1}],
+          |                  (a, b) -> (a * ${Dedup.ShingleA} + b) % ${Dedup.MinhashP}))) END) AS wh
+          |  FROM m),
+          |w2 AS (SELECT doc_id, effw, wh.pos AS pos, wh.h AS h FROM w),
+          |dup AS (SELECT h FROM (
+          |  SELECT h, count(DISTINCT doc_id) AS ndoc FROM w2 GROUP BY h) WHERE ndoc > 1),
+          |rem AS (SELECT DISTINCT doc_id, tpos FROM (
+          |  SELECT doc_id, unnest(generate_series(pos, pos + effw - 1)) AS tpos
+          |  FROM w2 WHERE h IN (SELECT h FROM dup))),
+          |tp AS (SELECT doc_id, unnest(list_transform(generate_series(1, n),
+          |         i -> struct_pack(tpos := i, tk := toks[i]))) AS t
+          |       FROM m),
+          |t2 AS (SELECT doc_id, t.tpos AS tpos, t.tk AS tk FROM tp),
+          |kept AS (SELECT t2.doc_id, t2.tpos, t2.tk FROM t2
+          |  WHERE NOT EXISTS (SELECT 1 FROM rem
+          |    WHERE rem.doc_id = t2.doc_id AND rem.tpos = t2.tpos)),
+          |rec AS (SELECT doc_id, count(*) AS n_kept,
+          |          string_agg(tk, ' ' ORDER BY tpos) AS clean_text
+          |        FROM kept GROUP BY doc_id)
+          |SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(rec.n_kept, 0) AS BIGINT) AS n_kept,
+          |  coalesce(rec.clean_text, '') AS clean_text
+          |FROM m LEFT JOIN rec USING (doc_id) ORDER BY m.doc_id""".stripMargin,
 
       "lm_bigram_score" ->
         s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),

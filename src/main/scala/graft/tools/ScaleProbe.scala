@@ -149,6 +149,11 @@ object ScaleProbe {
     // space is ~5 event types at ANY corpus size), transition matrix
     "lm_bigram_score", "dup_span_ratio", "anomaly_zscore",
     "event_transitions",
+    // round-5 addition: the dup-span REMOVAL transform (strip + per-doc
+    // text reassembly) — same h-keyed shapes as the ratio plus the
+    // coverage explode and reconstruction agg; probed so the write path
+    // carries the same scale evidence as the measurement path
+    "dup_span_strip",
     // round-5 addition: SemDeDup with the documented scale rule applied —
     // numCells ∝ corpus (run() special-cases it), so per-cell population
     // and in-cell pairwise work stay constant per copy. The broadcast-
@@ -204,6 +209,16 @@ object ScaleProbe {
       try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
 
+    // Full materialization, NOT df.count(): wrapping the query in a count
+    // lets Catalyst column-prune through it — a projection-shaped query's
+    // payload columns (dup_span_strip's reassembled text, doc_chunks'
+    // chunk bodies, vocab_encode's id arrays) would be optimized away and
+    // the probe would time a skeleton plan (measured: dup_span_strip
+    // "flat at 8×" under count(), honest 8× ratio once materialized).
+    // toRdd.count() executes the query's own physical plan — every output
+    // column, including final sorts — and only skips driver-side row
+    // decoding, which is not the engine under test.
+    def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
       // semdedup: apply the documented scale rule (cells ∝ corpus) that
@@ -211,8 +226,8 @@ object ScaleProbe {
       if (q == "semdedup_pairs") {
         val cells = graft.queries.PipelineQueries.SemCells *
           (if (dir == out) factor else 1)
-        graft.queries.PipelineQueries.semdedupPairs(spark, dir, cells).count()
-      } else graft.SparkEntry.queries(q)(spark, dir).count()
+        force(graft.queries.PipelineQueries.semdedupPairs(spark, dir, cells))
+      } else force(graft.SparkEntry.queries(q)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
     // Between queries, drop leaked block-manager state (lazy
