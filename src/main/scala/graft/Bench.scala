@@ -53,7 +53,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, (_, Some(e))) =>
-      s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+      // strip EVERY control char (\p{Cntrl} covers U+0000-U+001F + DEL),
+      // not just the whitespace escapes — any raw control byte in an
+      // exception message would make the emitted JSON line unparseable
+      s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""

@@ -82,6 +82,25 @@ object Multimodal {
       pixel_checksum: Long,
       ok: Boolean)
 
+  /** Rolling checksum over the RGB raster, row-major — bit-identical to a
+    * per-pixel `getRGB(x, y)` loop but via ONE bulk raster grab (per-pixel
+    * getRGB does a color-model conversion per call; the bulk form converts
+    * the scanline batch at once, ~an order of magnitude faster on large
+    * images — the difference matters when this map runs over 100 TB).
+    */
+  private def rgbChecksum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var acc = 0L
+    var i = 0
+    while (i < px.length) {
+      acc = (acc * 31 + (px(i) & 0xffffff)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
   /** REAL image decode via `javax.imageio` (public JDK API — PNG/JPEG/GIF/
     * BMP readers ship in every JRE): parses actual container bytes into
     * dimensions, channel count, and a deterministic pixel checksum
@@ -102,23 +121,13 @@ object Multimodal {
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             if (img == null) ImageFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, ok = false)
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              var acc = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  acc = (acc * 31 + (img.getRGB(x, y) & 0xffffff)) % 2147483647L
-                  x += 1
-                }
-                y += 1
-              }
-              ImageFeatures(id, bytes.length.toLong, w, h,
-                img.getColorModel.getNumComponents, acc, ok = true)
-            }
-          } catch { case _: java.io.IOException =>
+            else
+              ImageFeatures(id, bytes.length.toLong, img.getWidth, img.getHeight,
+                img.getColorModel.getNumComponents, rgbChecksum(img), ok = true)
+          } catch { case scala.util.control.NonFatal(_) =>
+            // imageio throws RuntimeExceptions (IllegalArgument, CMM,
+            // NegativeArraySize, AIOOBE) on malformed containers, not just
+            // IOException — a corrupt payload must never kill the task.
             ImageFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, ok = false)
           }
         }
@@ -140,7 +149,7 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val src = try {
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
           val out = src.map { img =>
             val dst = new java.awt.image.BufferedImage(targetW, targetH,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -177,6 +186,63 @@ object Multimodal {
         val frames = bytes.grouped(frameBytes).zipWithIndex
         frames.collect { case (chunk, ix) if ix % stride == 0 =>
           Frame(id, ix, ix.toLong * frameBytes, chunk.length, checksum(chunk))
+        }
+      }
+  }
+
+  /** One REAL decoded video frame ([[decodeVideoFrames]]). A payload no
+    * installed reader recognizes (or that breaks mid-decode) yields a
+    * single `ok=false` row with -1 features — same triage contract as
+    * [[ImageFeatures]]: corrupt media surfaces as data, never task death.
+    */
+  case class VideoFrame(doc_id: Long, frame_ix: Int, width: Int, height: Int,
+      pixel_checksum: Long, ok: Boolean)
+
+  /** REAL multi-frame container decode via `javax.imageio` (public JDK
+    * API): the JDK ships no MP4/H.264 codec, but its GIF reader decodes
+    * *animated* GIFs — a real multi-frame container with per-frame rasters
+    * — which makes the video frame-extraction path executable end-to-end
+    * with zero non-public dependencies. One row per sampled frame
+    * (`stride` mirrors the keyframe-sampling knob of [[sampleFrames]]),
+    * carrying true dimensions plus the same rolling RGB checksum as
+    * [[decodeImages]], so frame content is pixel-exact testable. Plan
+    * shape identical to every codec here: narrow per-partition flatMap
+    * (one reader per payload, disposed after), no shuffle, width scales
+    * with input splits. Note GIF stores animation deltas: frames after
+    * the first may be sub-rectangles — rows report the STORED raster
+    * (deterministic), not a composited canvas; compositing is a
+    * downstream concern exactly as pixel-format conversion is for images.
+    * A real MP4 codec would slot into this same signature unchanged.
+    */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+      stride: Int = 1): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
+          else {
+            val reader = readers.next()
+            try {
+              // seekForwardOnly=false so getNumImages(allowSearch) may scan
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              if (n <= 0) Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
+              else (0 until n by stride).map { i =>
+                val img = reader.read(i)
+                VideoFrame(id, i, img.getWidth, img.getHeight,
+                  rgbChecksum(img), ok = true)
+              }
+            } finally reader.dispose()
+          }
+        } catch { case scala.util.control.NonFatal(_) =>
+          // imageio GIF parsing throws RuntimeExceptions on malformed
+          // frame tables, not just IOException — degrade to one triage row
+          Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
         }
       }
   }
@@ -274,8 +340,9 @@ object Multimodal {
                 samples.length.toLong / fmt.getChannels, acc, ok = true)
             }
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException =>
+            // the sampled readers also throw RuntimeExceptions on truncated
+            // containers — degrade, never fail the task
+            case scala.util.control.NonFatal(_) =>
               AudioFeatures(id, bytes.length.toLong, -1, -1, -1, -1L, -1L, ok = false)
           }
         }
@@ -304,8 +371,7 @@ object Multimodal {
               Array.empty[Int]
             else pcm16le(in.readAllBytes())
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException => Array.empty[Int]
+            case scala.util.control.NonFatal(_) => Array.empty[Int]
           }
         val n = samples.length
         if (n == 0) Seq.empty

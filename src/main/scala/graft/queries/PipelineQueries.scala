@@ -277,54 +277,18 @@ object PipelineQueries extends QueryPack {
     // differ in the last ulps — equality with the sequential fold holds
     // after round(6) on the fixtures (tested), and the oracle mirrors the
     // composition spelling. Keys beyond EwmaChunk^(EwmaLevels+1) events
-    // belong to the streaming twin (stream/Ewma.scala, O(1)/key state).
+    // belong to the streaming twin (stream/Ewma.scala, O(1)/key state) —
+    // and the ceiling is ENFORCED, not just documented: after the final
+    // level an in-capacity key collapses to exactly one summary with
+    // g = 0, so any surviving g > 0 row is an over-capacity key and
+    // raise_error fires inside the `n` projection (load-bearing column —
+    // Catalyst can't prune the guard) instead of silently emitting
+    // multiple partial rows per key.
     // The row_number window sorts per key but SortExec spills.
-    "ewma_user_value" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("t", "e")
-      val foldStep = (a: org.apache.spark.sql.Column,
-          v: org.apache.spark.sql.Column) => a * 0.5 + v * 0.5
-      // (c ∘ acc): run acc's affine map first, then c's. b_first tracks
-      // the seeded-with-first-element path, b_rest the zero-seeded one.
-      val compose = (acc: org.apache.spark.sql.Column,
-          c: org.apache.spark.sql.Column) => struct(
-        c("g").as("g"),
-        (c("a") * acc("a")).as("a"),
-        (c("a") * acc("b_first") + c("b_rest")).as("b_first"),
-        (c("a") * acc("b_rest") + c("b_rest")).as("b_rest"))
-      // One composition level: group EwmaChunk summaries by (key, g div
-      // EwmaChunk), fold them in g order — seed is the first summary,
-      // slice(2..) supplies the rest (empty for singleton groups: no-op).
-      def foldLevel(df: DataFrame): DataFrame =
-        df.withColumn("_g2", expr(s"g div $EwmaChunk"))
-          .groupBy("user_id", "_g2")
-          .agg(sum(col("m")).as("m"),
-            sort_array(collect_list(struct(col("g"), col("a"),
-              col("b_first"), col("b_rest")))).as("_cs"))
-          .select(col("user_id"), col("_g2").as("g"), col("m"),
-            aggregate(slice(col("_cs"), lit(2), size(col("_cs")) - 1),
-              element_at(col("_cs"), 1), compose).as("_f"))
-          .select(col("user_id"), col("g"), col("m"),
-            col("_f")("a").as("a"), col("_f")("b_first").as("b_first"),
-            col("_f")("b_rest").as("b_rest"))
-      val level0 = events(s, d)
+    "ewma_user_value" -> ((s, d) =>
+      ewmaFold(events(s, d)
         .select(col("user_id"), tsMillis(col("ts")).as("t"),
-          col("event_id").as("e"), col("value").as("v"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("g", expr(s"(rn - 1) div $EwmaChunk"))
-        .groupBy("user_id", "g")
-        .agg(transform(sort_array(collect_list(struct(col("rn"), col("v")))),
-          x => x("v")).as("_c"))
-        .select(col("user_id"), col("g"), size(col("_c")).cast("long").as("m"),
-          aggregate(col("_c"), lit(1.0), (a, _) => a * 0.5).as("a"),
-          aggregate(col("_c"), lit(null).cast("double"),
-            (a, v) => when(a.isNull, v).otherwise(foldStep(a, v))).as("b_first"),
-          aggregate(col("_c"), lit(0.0), foldStep).as("b_rest"))
-      (1 to EwmaLevels).foldLeft(level0)((df, _) => foldLevel(df))
-        .select(col("user_id"), col("m").cast("int").as("n"),
-          round(col("b_first"), 6).as("ewma"))
-        .orderBy("user_id")
-    }),
+          col("event_id").as("e"), col("value").as("v")))),
 
     // Null-safe equality join (<=>): NULL keys match each other — the
     // join semantics regular equi-joins silently drop. Plans as a hash
@@ -413,6 +377,65 @@ object PipelineQueries extends QueryPack {
     * equi-join on a small cell key — a per-partition hash build is the
     * scale-correct physical choice (same lesson as ops/Salt.saltedJoin).
     */
+  /** The recursively segmented EWMA fold behind `ewma_user_value` (see the
+    * catalog comment there for the algebra). Input must carry columns
+    * `(user_id, t, e, v)`; output is one `(user_id, n, ewma)` row per key.
+    * `chunk`/`levels` are parameters so tests can exercise the capacity
+    * guard with a tiny capacity (`chunk^(levels+1)` events per key) —
+    * production callers use the [[EwmaChunk]]/[[EwmaLevels]] defaults.
+    */
+  def ewmaFold(prepared: DataFrame, chunk: Int = EwmaChunk,
+      levels: Int = EwmaLevels): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "e")
+    val foldStep = (a: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column) => a * 0.5 + v * 0.5
+    // (c ∘ acc): run acc's affine map first, then c's. b_first tracks
+    // the seeded-with-first-element path, b_rest the zero-seeded one.
+    val compose = (acc: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column) => struct(
+      c("g").as("g"),
+      (c("a") * acc("a")).as("a"),
+      (c("a") * acc("b_first") + c("b_rest")).as("b_first"),
+      (c("a") * acc("b_rest") + c("b_rest")).as("b_rest"))
+    // One composition level: group `chunk` summaries by (key, g div
+    // chunk), fold them in g order — seed is the first summary,
+    // slice(2..) supplies the rest (empty for singleton groups: no-op).
+    def foldLevel(df: DataFrame): DataFrame =
+      df.withColumn("_g2", expr(s"g div $chunk"))
+        .groupBy("user_id", "_g2")
+        .agg(sum(col("m")).as("m"),
+          sort_array(collect_list(struct(col("g"), col("a"),
+            col("b_first"), col("b_rest")))).as("_cs"))
+        .select(col("user_id"), col("_g2").as("g"), col("m"),
+          aggregate(slice(col("_cs"), lit(2), size(col("_cs")) - 1),
+            element_at(col("_cs"), 1), compose).as("_f"))
+        .select(col("user_id"), col("g"), col("m"),
+          col("_f")("a").as("a"), col("_f")("b_first").as("b_first"),
+          col("_f")("b_rest").as("b_rest"))
+    val level0 = prepared
+      .withColumn("rn", row_number().over(w))
+      .withColumn("g", expr(s"(rn - 1) div $chunk"))
+      .groupBy("user_id", "g")
+      .agg(transform(sort_array(collect_list(struct(col("rn"), col("v")))),
+        x => x("v")).as("_c"))
+      .select(col("user_id"), col("g"), size(col("_c")).cast("long").as("m"),
+        aggregate(col("_c"), lit(1.0), (a, _) => a * 0.5).as("a"),
+        aggregate(col("_c"), lit(null).cast("double"),
+          (a, v) => when(a.isNull, v).otherwise(foldStep(a, v))).as("b_first"),
+        aggregate(col("_c"), lit(0.0), foldStep).as("b_rest"))
+    (1 to levels).foldLeft(level0)((df, _) => foldLevel(df))
+      .select(col("user_id"),
+        when(col("g") =!= 0, raise_error(concat(
+            lit(s"ewma fold: key exceeds the batch-fold capacity of " +
+              s"$chunk^${levels + 1} events (use stream/Ewma for " +
+              "larger keys): user_id="), col("user_id").cast("string")))
+            .cast("int"))
+          .otherwise(col("m").cast("int")).as("n"),
+        round(col("b_first"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
   def semdedupPairs(s: SparkSession, d: String, cells: Int): DataFrame = {
     val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", cells)
     val l = assign.select(col("cell"), col("vec_id").as("id_a"),

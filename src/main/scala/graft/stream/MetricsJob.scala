@@ -116,12 +116,19 @@ object MetricsJob {
 
   /** Wire any value-column streaming frame through the full pipeline
     * (T1-T5): parse → latency → foreachBatch metrics/CSV, with checkpoint
-    * and processing-time trigger.
+    * and processing-time trigger. `idempotentSink=false` (default) is the
+    * reference's at-least-once CSV append; `true` swaps in
+    * [[writeBatchIdempotent]] for effectively-once output across
+    * checkpoint recovery (a replayed batch overwrites its own
+    * `batch_id=N/` directory instead of appending a duplicate row).
     */
   def start(spark: SparkSession, raw: DataFrame, outDir: String,
       checkpointDir: String, triggerSec: Int = 5,
-      nowMs: Option[Long] = None): StreamingQuery =
-    startWith(spark, raw, checkpointDir, triggerSec, nowMs, writeBatch(spark, outDir))
+      nowMs: Option[Long] = None,
+      idempotentSink: Boolean = false): StreamingQuery =
+    startWith(spark, raw, checkpointDir, triggerSec, nowMs,
+      if (idempotentSink) writeBatchIdempotent(spark, outDir)
+      else writeBatch(spark, outDir))
 
   /** [[start]] with a caller-chosen foreachBatch sink (e.g.
     * [[writeBatchIdempotent]] for effectively-once recovery benchmarks).

@@ -106,6 +106,28 @@ class PipelineSpec extends SparkSpec {
       s"giant-key EWMA ${rows(0).getAs[Double]("ewma")} vs sequential $seq")
   }
 
+  test("ewma fold fails loudly past the per-key capacity ceiling") {
+    // capacity = chunk^(levels+1); with chunk=2, levels=1 that is 4
+    // events per key. 4 events must fold to one exact row; 5 events must
+    // raise (not silently emit multiple partial rows per key — the
+    // failure mode the guard exists to prevent).
+    import spark.implicits._
+    def prepared(n: Int) = (0 until n).map(i =>
+        (1L, i.toLong, i.toLong, i.toDouble)).toDF("user_id", "t", "e", "v")
+    val ok = PipelineQueries.ewmaFold(prepared(4), chunk = 2, levels = 1).collect()
+    assert(ok.length == 1 && ok(0).getAs[Int]("n") == 4)
+    val seq = (1 until 4).foldLeft(0.0)((a, v) => a * 0.5 + v * 0.5)
+    assert(math.abs(ok(0).getAs[Double]("ewma") - seq) < 1e-9)
+    val e = intercept[Exception] {
+      PipelineQueries.ewmaFold(prepared(5), chunk = 2, levels = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds the batch-fold capacity")),
+      s"expected capacity error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("session_window_native partitions all events; gaps within < 30m") {
     val total = graft.Tables.events(spark, sf0001).count()
     val sessions = run("session_window_native")

@@ -8,6 +8,23 @@ import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries}
   * drops the native expression from a hot path fails CI instead of only
   * showing up in a bench regression.
   */
+object PlanAuditSpec {
+  // One execution of the full catalog shared by the three gate tests:
+  // materialize each query (AQE final plan needs an action), keep the
+  // executed-plan string. sf0.001 keeps the whole sweep in seconds.
+  private var cache: Map[String, String] = null
+  def finalPlans(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, String] = synchronized {
+    if (cache == null)
+      cache = graft.SparkEntry.queries.map { case (name, fn) =>
+        val df = fn(spark, dir)
+        df.foreach(_ => ())
+        name -> df.queryExecution.executedPlan.toString
+      }
+    cache
+  }
+}
+
 class PlanAuditSpec extends SparkSpec {
 
   private def plan(pack: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame],
@@ -227,6 +244,90 @@ class PlanAuditSpec extends SparkSpec {
     // task; the banded operator must shuffle on (event_type, _chunk).
     assert(part.contains("_chunk"), s"window lost chunk parallelism: $part")
     assert(!p.contains("No Partition Defined"), p)
+  }
+
+  // ---- Catalog-wide plan invariant gate (r6) -------------------------
+  // Every query in SparkEntry.queries executes at sf0.001 and its FINAL
+  // adaptive plan is audited for the three plan shapes that do not
+  // survive a 100 TB scale-up: pairwise joins, repeated unbounded global
+  // sorts, and shuffled joins whose build side is tiny enough that it
+  // should have broadcast. Exceptions are allowlisted BY NAME with the
+  // reason — a new query that trips a rule fails here, not in a bench
+  // regression three rounds later.
+  test("catalog gate: no cartesian/pairwise join outside the labeled attaches") {
+    // Broadcast-constant attaches: a 1-row / constant-cardinality
+    // aggregate crossed onto every row plans as BroadcastNestedLoopJoin
+    // over a build side whose size is INDEPENDENT of the corpus — the
+    // engine's documented pattern (§8). Each entry names its constant:
+    val pairwiseOk: Set[String] = Set(
+      "lm_bigram_score",        // 1-row corpus bigram-total attach
+      "mixture_plan",           // 1-row corpus token-total attach
+      "p7_window_filter",       // 1-row min-timestamp window anchor
+      "quantile_bucket_tokens", // 1-row quantile-thresholds attach
+      "semdedup_pairs",         // numCells-row centroid table (constant)
+      "sim_ivf_topk",           // numCells-row centroid table (constant)
+      "sim_kmeans_centroids",   // numCells-row centroid table (constant)
+      "text_tfidf_top_terms",   // 1-row corpus doc-count attach (IDF)
+      "zipf_token_freq",        // 1-row total-token-count attach
+      "range_join_value_bands", // constant-count band dim broadcast (the
+                                // range-join operator's own labeled shape)
+      "sim_topk_cosine",        // constant-size broadcast anchor set —
+                                // brute-force baseline scores each vector
+                                // against the anchors, by definition
+      "sim_hard_negatives")     // same broadcast-anchor shape
+    auditCatalog { (name, p) =>
+      if (p.contains("CartesianProduct"))
+        Some(s"$name: CartesianProduct in final plan")
+      else if (p.contains("BroadcastNestedLoopJoin") && !pairwiseOk(name))
+        Some(s"$name: BroadcastNestedLoopJoin outside the labeled attaches")
+      else None
+    }
+  }
+
+  test("catalog gate: at most one global sort (the deterministic output order)") {
+    // The oracle contract pins a deterministic final ORDER BY — exactly
+    // one global sort at the output is by design; a SECOND one mid-plan
+    // is a full-data range shuffle that a 100 TB run would pay twice.
+    val multiSortOk: Set[String] = Set()
+    auditCatalog { (name, p) =>
+      val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).length
+      if (globalSorts > 1 && !multiSortOk(name))
+        Some(s"$name: $globalSorts global sorts (want <= 1)")
+      else None
+    }
+  }
+
+  test("catalog gate: no shuffled join survives AQE at tiny SF (broadcast or justify)") {
+    // At sf0.001 every build side is far under the broadcast threshold,
+    // so AQE must end every join as a broadcast join; a SortMergeJoin /
+    // ShuffledHashJoin surviving to the final plan means a hint or shape
+    // is pinning a shuffle where 100 TB would want the planner free to
+    // choose. The allowlist names the shapes where the shuffle is the
+    // CORRECT 100 TB plan (or Spark has no broadcast form at all):
+    val shuffledOk: Set[String] = Set(
+      "salted_join_priority",     // pins shuffle_hash ON PURPOSE (skew op)
+      "full_outer_nation_counts", // Spark has no full-outer broadcast join
+      "pipeline_training_corpus", // corpus-sized band self-join: both sides
+                                  // scale with the corpus, shuffle IS the
+                                  // plan; AQE skips broadcast only because
+                                  // checkpointed stats stay conservative
+      "semdedup_pairs")           // in-cell self-join, same reasoning
+    auditCatalog { (name, p) =>
+      if ((p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+          !shuffledOk(name))
+        Some(s"$name: shuffled join in final plan at tiny SF")
+      else None
+    }
+  }
+
+  /** Execute every catalog query at sf0.001 (AQE needs execution to emit
+    * the final plan) and collect rule violations; one shared run per
+    * suite execution via a memoized plan map.
+    */
+  private def auditCatalog(rule: (String, String) => Option[String]): Unit = {
+    val failures = PlanAuditSpec.finalPlans(spark, sf0001).toSeq.sortBy(_._1)
+      .flatMap { case (name, p) => rule(name, p) }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {

@@ -219,6 +219,108 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("real video frames: animated GIFs → per-frame dims + pixel checksums, partition-parallel") {
+    // The REAL multi-frame path (javax.imageio GIF reader — JDK-public):
+    // deterministic animated GIFs with an explicit 8-color indexed
+    // palette (GIF is palette-based; an explicit IndexColorModel makes
+    // the round-trip lossless), decoded across >1 partition. Every frame
+    // must come back with true dimensions and the generator pattern's
+    // exact pixel checksum; garbage bytes degrade to one ok=false row.
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.{ImageIO, IIOImage}
+    val palette = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff,
+      0xffff00, 0xff00ff, 0x00ffff, 0xffffff)
+    val icm = new IndexColorModel(8, palette.length,
+      palette.map(c => ((c >> 16) & 0xff).toByte),
+      palette.map(c => ((c >> 8) & 0xff).toByte),
+      palette.map(c => (c & 0xff).toByte))
+    def colorIx(id: Int, f: Int, x: Int, y: Int): Int =
+      (x * 3 + y * 5 + f * 7 + id * 11) % palette.length
+    val meta = (0 until 12).map { id =>
+      val w = 10 + (id % 3) * 4
+      val h = 8 + (id % 4) * 3
+      val nFrames = 2 + id % 4
+      val buf = new java.io.ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(buf)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, 0xff000000 | palette(colorIx(id, f, x, y)))
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      (id.toLong, buf.toByteArray, w, h, nFrames)
+    }
+    val corrupt = (99L,
+      "GIF89a".getBytes("US-ASCII") ++ Array.fill[Byte](30)(0x7f), 0, 0, 0)
+    val media = (meta :+ corrupt).map(m => (m._1, m._2))
+      .toDF("doc_id", "media").repartition(4)
+    val got = graft.ext.Multimodal.decodeVideoFrames(spark, media).collect()
+      .groupBy(_.doc_id)
+    def expectedChecksum(id: Int, f: Int, w: Int, h: Int): Long = {
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = (acc * 31 + (palette(colorIx(id, f, x, y)) & 0xffffff)) % 2147483647L
+      acc
+    }
+    meta.foreach { case (id, _, w, h, nFrames) =>
+      val frames = got(id).sortBy(_.frame_ix)
+      assert(frames.length == nFrames && frames.forall(_.ok),
+        s"gif $id: ${frames.length} frames (want $nFrames, all ok)")
+      frames.zipWithIndex.foreach { case (fr, ix) =>
+        assert(fr.frame_ix == ix && fr.width == w && fr.height == h,
+          s"gif $id frame $ix decoded as ${fr.width}x${fr.height}")
+        assert(fr.pixel_checksum == expectedChecksum(id.toInt, ix, w, h),
+          s"gif $id frame $ix checksum ${fr.pixel_checksum} != generator")
+      }
+    }
+    val bad = got(99L)
+    assert(bad.length == 1 && !bad(0).ok && bad(0).frame_ix == -1,
+      "corrupt GIF must degrade to one ok=false row")
+    // stride mirrors keyframe sampling: only every 2nd frame decodes
+    val strided = graft.ext.Multimodal.decodeVideoFrames(spark, media, stride = 2)
+      .collect().filter(f => f.doc_id == meta.last._1 && f.ok)
+    assert(strided.map(_.frame_ix).sorted.toSeq ==
+      (0 until meta.last._5 by 2).toSeq)
+  }
+
+  test("malformed real containers degrade to rows, never task failures") {
+    // The codec contract is 'corrupt media must not kill a 100 TB job' —
+    // and javax.imageio / javax.sound readers throw RUNTIME exceptions
+    // (IllegalArgument, CMM, NegativeArraySize, AIOOBE), not only
+    // IOException, on adversarial bytes. Feed every decode path payloads
+    // that get PAST format sniffing (valid magic, broken body): the
+    // operator must return one row per payload (ok=false for undecodable
+    // ones), not propagate.
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 30; x <- 0 until 40) img.setRGB(x, y, x * 7 + y)
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBuf)
+    val png = pngBuf.toByteArray
+    val payloads = Seq(
+      1L -> png.take(png.length / 3),                      // truncated mid-IDAT
+      2L -> (png.take(24) ++ Array.fill[Byte](64)(0x41)),  // PNG magic + garbage chunks
+      3L -> ("BM".getBytes("US-ASCII") ++ Array.fill[Byte](60)(0xff.toByte)),
+      4L -> ("GIF89a".getBytes("US-ASCII") ++ Array.fill[Byte](40)(0xff.toByte)),
+      5L -> ("RIFF$   WAVE".getBytes("US-ASCII") ++ Array.fill[Byte](50)(0xee.toByte)),
+      6L -> Array.emptyByteArray)
+    val media = payloads.toDF("doc_id", "media").repartition(3)
+    val imgs = graft.ext.Multimodal.decodeImages(spark, media).collect()
+    assert(imgs.length == payloads.length, "decodeImages must emit one row per payload")
+    assert(imgs.forall(f => f.ok || f.width == -1))
+    val thumbs = graft.ext.Multimodal.resizeImages(spark, media, 8, 8).collect()
+    assert(thumbs.length == payloads.length)
+    val auds = graft.ext.Multimodal.decodeAudio(spark, media).collect()
+    assert(auds.length == payloads.length && auds.forall(!_.ok),
+      "none of the adversarial payloads is valid PCM audio")
+    // flatMap path: undecodable payloads yield zero windows, no failure
+    graft.ext.Multimodal.audioPcmWindows(spark, media).collect()
+  }
+
   test("real audio windows: Σ s² over decoded PCM matches a driver-side fold") {
     import javax.sound.sampled._
     def sample(i: Int): Short = ((i * 2654435761L) % 65536 - 32768).toShort

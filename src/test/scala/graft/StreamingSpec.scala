@@ -287,6 +287,36 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2L, s"restart must append exactly one new row, got $n total")
   }
 
+  test("idempotent option: restart + crash-replay yields zero duplicate batch rows") {
+    // The effectively-once upgrade, driven through the REAL streaming
+    // restart path (same checkpoint across two query lifetimes), plus the
+    // worst at-least-once window: a crash AFTER the sink wrote but BEFORE
+    // the checkpoint committed, simulated by re-invoking the sink with an
+    // already-written batch id. With idempotentSink=true every batch id
+    // must own exactly one row no matter how often it replays.
+    val input = MemoryStream[String](spark)
+    val outDir = Files.createTempDirectory("metrics_idem2").toString
+    val ckpt = Files.createTempDirectory("ckpt_idem2").toString
+    def run(data: Seq[String]): Unit = {
+      val q = MetricsJob.start(spark, input.toDF(), outDir, ckpt,
+        triggerSec = 1, nowMs = Some(100000L), idempotentSink = true)
+      try { if (data.nonEmpty) input.addData(data: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(Seq(jsonEvent("a", 40000L)))
+    // crash-window replay: the last batch re-runs against the same outDir
+    val replay = MetricsJob.withLatency(MetricsJob.parse(
+      Seq(jsonEvent("a", 40000L)).toDF("value")), Some(100000L))
+    MetricsJob.writeBatchIdempotent(spark, outDir)(replay, 0L)
+    run(Seq(jsonEvent("b", 60000L))) // restart from the same checkpoint
+    val rows = spark.read.option("header", "true").csv(outDir)
+    val n = rows.count()
+    val distinctBatches = rows.select($"batch_id").distinct().count()
+    assert(n == distinctBatches,
+      s"duplicate batch rows: $n rows over $distinctBatches batch ids")
+    assert(n == 2L, s"expected one row per processed batch, got $n")
+  }
+
   test("stream-stream interval join correlates within the time bound only") {
     val clicks = MemoryStream[String](spark)
     val errors = MemoryStream[String](spark)
