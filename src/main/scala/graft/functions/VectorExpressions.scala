@@ -162,7 +162,8 @@ object VectorExpressions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    (VectorExpressions.functions ++ HashExpressions.functions).foreach(e.injectFunction)
+    (VectorExpressions.functions ++ HashExpressions.functions ++
+      TextExpressions.functions).foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.NativeHashRewrite)
     e.injectOptimizerRule(_ => graft.plans.RankLimitRewrite)
     e.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)

@@ -24,7 +24,7 @@ object ExtensionQueries extends QueryPack {
     * sf0.01), so a "near-dup" threshold would make the query vacuously
     * empty; 0.3 exercises the bucket-join + verify path on real output.
     */
-  private val AnnMinCos = 0.3
+  val AnnMinCos = 0.3
 
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
@@ -343,6 +343,39 @@ object ExtensionQueries extends QueryPack {
         .agg(countDistinct(col("h")).as("n_shared_ngrams"))
         .orderBy("doc_id")
     }),
+
+    // Bloom-pruned decontamination: identical RESULT to
+    // decontaminate_ngrams (same oracle SQL), different 100 TB shape —
+    // the holdout's hash set is sketched into a Bloom filter
+    // (ops/BloomPrune) and the corpus shingle stream is pre-filtered by
+    // `might_contain` BEFORE the exact semi-join, so the join shuffle
+    // carries only true hits + fpp instead of every shingle. The trailing
+    // exact semi-join removes the sketch's false positives.
+    "decontaminate_bloom" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
+        .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+      val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      graft.ops.BloomPrune.semiJoinPruned(
+          sh.where(col("doc_id") % 97 =!= 0), holdout, "h")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact distinct-count rollup twin for the HLL sketch path
+    // (ext/Sketches): per-day distinct users over events. The sketch
+    // spelling (one scan → KB-sized mergeable per-day sketches → any
+    // rollup by union) is pinned to THIS query within HLL rel-error in
+    // SketchesSpec — sketch estimates aren't portable across engines, so
+    // the exact spelling is what the DuckDB oracle checks (same pattern
+    // as the quantile sketches, SURVEY §7.4.2).
+    "distinct_users_daily" -> ((s, d) =>
+      events(s, d)
+        .groupBy((tsMillis(col("ts")) / 86400000L).cast("long").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")),
 
     // Cross-document boilerplate detection (C4-style): a word-3-gram
     // appearing in >= 3 distinct documents is "boilerplate"; report each
@@ -890,6 +923,28 @@ object ExtensionQueries extends QueryPack {
            |FROM sh
            |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Bit-identical to decontaminate_ngrams by construction (the Bloom
+      // sketch only PRE-filters; the exact semi-join decides) — so the
+      // oracle is the exact spelling itself.
+      "decontaminate_bloom" ->
+        s"""WITH sh AS MATERIALIZED (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
+           |    ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
+           |      i -> ((((th[i] * ${Dedup.ShingleA} + th[i+1]) % ${Dedup.MinhashP})
+           |            * ${Dedup.ShingleA} + th[i+2]) % ${Dedup.MinhashP})) END) AS h
+           |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+           |        FROM documents)),
+           |holdout AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+           |SELECT doc_id, count(DISTINCT h) AS n_shared_ngrams
+           |FROM sh
+           |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "distinct_users_daily" ->
+        """SELECT epoch_ms(ts) // 86400000 AS day, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
       "pack_sequences" ->
         s"""SELECT lang, source, doc_id, n_tokens,

@@ -154,13 +154,13 @@ object MetricsJob {
   /** Streaming deduplication bounded by watermark: duplicates of the same
     * event id arriving within the watermark horizon are dropped; state is
     * purged as the watermark advances, so it stays bounded on an unbounded
-    * stream.
+    * stream. Pipeline-schema spelling of [[DedupStream.withinWatermark]]
+    * (eviction/re-admission semantics proven in DedupStreamSpec).
     */
   def dedupEvents(parsed: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    parsed
-      .withColumn("event_time", timestamp_millis(col("created_ts")))
-      .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    DedupStream.withinWatermark(
+      parsed.withColumn("event_time", timestamp_millis(col("created_ts"))),
+      Seq("event_id"), "event_time", watermark)
 
   /** Stream-stream interval join — the remaining §2.6 "absent feature":
     * correlate two event streams on a key within a bounded event-time

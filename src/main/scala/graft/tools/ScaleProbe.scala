@@ -30,6 +30,20 @@ object ScaleProbe {
   private val KeyStride = 1000000000L
   private val SmallStride = 10000000L
 
+  /** Per-copy token suffix: two LETTERS, not "_$i". The fixture text is
+    * pure word-chars + spaces (zero punctuation); an underscore suffix
+    * planted one `[^a-zA-Z0-9\s]` char per token — ~1.9 M regex matches
+    * at 8× where sf0.1 has ZERO — so every match-count-proportional stage
+    * (punctCount's regexp_extract_all, normalize's regexp_replace, BPE
+    * boundary runs) measured the planted match density, not the engine
+    * (the r6 whole-catalog sweep flagged the text family 9-17× from
+    * exactly this). Letters keep every disjointness property the suffix
+    * exists for — per-copy tokens, shingles, normalized forms, md5 keys
+    * all stay copy-distinct — while matching the fixture's content class.
+    */
+  def copySuffix(i: Int): String =
+    s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     // embeddings arrived in r5 — backfill it into corpora built earlier
     if (Files.exists(Paths.get(s"$out/_DONE"))) {
@@ -55,7 +69,7 @@ object ScaleProbe {
       (if (i == 0) df
        else df.withColumn("text",
          array_join(transform(split(col("text"), "\\s+"),
-           t => concat(t, lit(s"_$i"))), " ")))
+           t => concat(t, lit(copySuffix(i)))), " ")))
         .withColumn("doc_id", col("doc_id") + lit(i * SmallStride)))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -163,7 +177,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
-    val only = args.drop(1).toSet
+    // `--all`: sweep the ENTIRE catalog, not just the curated heavy
+    // family — the r6 whole-catalog gate. Queries outside probeQueries
+    // have never run above sf0.1; one honest-materialization pass over
+    // all of them catches a superlinear shape hiding in the long tail.
+    val sweepAll = args.drop(1).contains("--all")
+    val only = args.drop(1).filterNot(_ == "--all").toSet
     val base = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -203,7 +222,10 @@ object ScaleProbe {
 
     build(spark, base, out, factor)
 
-    val selected = if (only.isEmpty) probeQueries else probeQueries.filter(only)
+    val catalog =
+      if (sweepAll) graft.SparkEntry.queries.keys.toSeq.sorted
+      else probeQueries
+    val selected = if (only.isEmpty) catalog else catalog.filter(only)
     // warm codegen/JIT on the small SF so both timed passes are steady-state
     for (q <- selected)
       try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
@@ -227,6 +249,16 @@ object ScaleProbe {
         val cells = graft.queries.PipelineQueries.SemCells *
           (if (dir == out) factor else 1)
         force(graft.queries.PipelineQueries.semdedupPairs(spark, dir, cells))
+      } else if (q == "sim_ann_pairs" && dir == out) {
+        // LSH scale rule: planes ∝ log2(corpus) keeps expected bucket
+        // density constant (the fixed-planes oracle spelling pins 8 for
+        // hash stability; at factor× the bucket self-join would otherwise
+        // measure factor²-per-bucket density, not the operator).
+        val planes = 8 + (math.log(factor) / math.log(2)).round.toInt
+        force(graft.ext.Similarity.annPairs(
+          Tables.embeddings(spark, dir), "vec_id", "embedding",
+          dims = 64, planes = planes,
+          minCos = graft.queries.ExtensionQueries.AnnMinCos))
       } else force(graft.SparkEntry.queries(q)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }

@@ -40,7 +40,8 @@ object SkewProbe {
         .withColumn("text", array_join(
           transform(split(col("text"), "\\s+"), (t, j) =>
             when(pmod(j, lit(2)) === 0, lit(HotToken))
-              .otherwise(if (i == 0) t else concat(t, lit(s"_$i")))), " "))
+              .otherwise(if (i == 0) t
+                else concat(t, lit(ScaleProbe.copySuffix(i))))), " "))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // the corpus family reads events too (anomaly/transitions excluded —

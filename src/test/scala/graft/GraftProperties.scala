@@ -136,6 +136,39 @@ object GraftProperties extends Properties("graft") {
         graft.sources.EventsOffset.parse(o.json()) == o
     }
 
+  // --- native text scalars vs their regex reference semantics (r6) ---
+  // punct_count / normalize_text replaced regexp_extract_all /
+  // regexp_replace spellings (java.util.regex degrades under task
+  // concurrency — see TextExpressions); these props pin bit-identity
+  // against the regex semantics over a mixed alphabet including every
+  // whitespace class char, punctuation, and multi-byte code points
+  // (é, К, 中, 😀) plus the two special-cased ones (U+212A, U+0130).
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', '\t', '\n', '\u000b', '\f', '\r'),
+    3 -> Gen.oneOf('.', ',', '!', '_', '-', '#', '(', '\\', '"'),
+    1 -> Gen.oneOf('\u00e9', '\u041a', '\u4e2d', '\u212a', '\u0130'),
+    1 -> Gen.const('\ud83d'))).map { cs =>
+    // pair any high surrogate into a valid emoji so the string is well-formed
+    cs.mkString.replace("\ud83d", "😀")
+  }
+
+  private def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  property("punct_count == size(regexp_extract_all(text, class, 0))") =
+    Prop.forAll(textGen) { s =>
+      val expected = java.util.regex.Pattern.compile("[^a-zA-Z0-9\\s]")
+        .matcher(s).results().count().toInt
+      graft.functions.TextExprUtil.punctCount(utf8(s)) == expected
+    }
+
+  property("normalize_text == trim(collapse(strip(lower(text))))") =
+    Prop.forAll(textGen) { s =>
+      val expected = s.toLowerCase
+        .replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+      graft.functions.TextExprUtil.normalize(utf8(s)).toString == expected
+    }
+
   property("EventsRange.split partitions [lo,hi) exactly: disjoint, ordered, complete") =
     Prop.forAll(Gen.chooseNum(0L, 100000L), Gen.chooseNum(0L, 100000L),
       Gen.chooseNum(1, 64)) { (a, len, n) =>

@@ -22,6 +22,25 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Seq((1L, 100L, 500L, 2L), (1L, 5000L, 5000L, 1L), (2L, 100L, 100L, 1L)))
   }
 
+  test("state-scale invariants hold at CI size (StateProbe shrunk 100x)") {
+    // The structural assertions of tools/StateProbe as a fast regression
+    // guard (timing claims live in the probe + SURVEY §8; CI asserts only
+    // what cannot flake): ValueState growth is exactly keys-seen, a
+    // full-store retouch creates no keys, and the timer expiry storm
+    // actually frees session state instead of leaking it.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      graft.tools.StateProbe.ewmaProbe(spark, k = 10000, rounds = 3)
+      graft.tools.StateProbe.sessionProbe(spark, k = 5000, rounds = 3)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming sessionization with flatMapGroupsWithState matches batch semantics") {
     val input = MemoryStream[(Long, Long)](spark)
     val q = Sessionize.stream(input.toDS(), gap)

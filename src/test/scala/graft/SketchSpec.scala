@@ -37,6 +37,27 @@ class SketchSpec extends SparkSpec {
     assert(approx.map(_._1).toSet == exact.map(_._1).toSet)
   }
 
+  test("Sketches.groupSketches+rollup pins to the exact distinct_users_daily twin") {
+    // The catalog's oracle-checked exact twin vs the sketch path at the
+    // same grouping, and the merged global rollup vs global exact — both
+    // within HLL rel-error (3 sigma at lgK=12 ≈ 5%).
+    val exact = SparkEntry.queries("distinct_users_daily")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sketches = graft.ext.Sketches.groupSketches(
+      ev.withColumn("day", (Tables.tsMillis(col("ts")) / 86400000L).cast("long")),
+      Seq(col("day")), col("user_id"))
+    val est = graft.ext.Sketches.rollup(sketches, Seq(col("day")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    for ((day, n) <- exact)
+      assert(math.abs(est(day) - n) <= math.max(3, 0.05 * n),
+        s"day=$day est=${est(day)} exact=$n")
+    val globalExact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    val globalEst = graft.ext.Sketches.rollup(sketches, Nil).head().getLong(0)
+    assert(math.abs(globalEst - globalExact) <= math.max(3, 0.05 * globalExact),
+      s"global est=$globalEst exact=$globalExact")
+  }
+
   test("HLL sketches merge: per-type sketch union == global estimate") {
     // Build one sketch per event_type, union them, compare to the global
     // sketch — bit-identical estimates because union of partials IS the
