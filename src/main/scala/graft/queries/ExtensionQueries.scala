@@ -377,6 +377,35 @@ object ExtensionQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("day")),
 
+    // Exact set-algebra twin for the THETA sketch path (ext/Sketches):
+    // distinct users who clicked vs viewed — union, intersection,
+    // difference — in ONE scan (per-user flags, then one sum). The theta
+    // spelling answers the same three numbers from two presummarized
+    // KB-sized sketches, no raw re-scan; SketchSpec pins it to this twin
+    // within theta rel-error.
+    "user_type_overlap" -> ((s, d) =>
+      events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+             max(when(col("event_type") === "view", 1).otherwise(0)).as("v"))
+        .agg(count(lit(1)).as("n_union"),
+             sum(when(col("c") === 1 && col("v") === 1, 1L).otherwise(0L)).as("n_intersect"),
+             sum(when(col("c") === 1 && col("v") === 0, 1L).otherwise(0L)).as("n_click_only"))),
+
+    // Exact heavy-hitters twin for the frequent-items sketch path
+    // (ext/Sketches.topkAccumulate/Combine): top-10 users by event count,
+    // count-desc then user-asc for a deterministic oracle. The sketch
+    // spelling keeps O(maxItemsTracked) mergeable state per group and is
+    // EXACT while distinct users ≤ maxItemsTracked — pinned in
+    // SketchSpec.
+    "frequent_users_topk" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(10)),
+
     // Cross-document boilerplate detection (C4-style): a word-3-gram
     // appearing in >= 3 distinct documents is "boilerplate"; report each
     // document's boilerplate shingle ratio. One shingle staging feeds
@@ -945,6 +974,21 @@ object ExtensionQueries extends QueryPack {
       "distinct_users_daily" ->
         """SELECT epoch_ms(ts) // 86400000 AS day, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+      "user_type_overlap" ->
+        """SELECT count(*) AS n_union,
+          |  sum(CASE WHEN c = 1 AND v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intersect,
+          |  sum(CASE WHEN c = 1 AND v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_click_only
+          |FROM (
+          |  SELECT user_id,
+          |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+          |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+          |  FROM events WHERE event_type IN ('click', 'view')
+          |  GROUP BY user_id)""".stripMargin,
+
+      "frequent_users_topk" ->
+        """SELECT user_id, count(*) AS n_events FROM events
+          |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
 
       "pack_sequences" ->
         s"""SELECT lang, source, doc_id, n_tokens,

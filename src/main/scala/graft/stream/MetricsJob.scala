@@ -207,6 +207,27 @@ object MetricsJob {
         col("event_type"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
 
+  /** Windowed distinct users via a streaming HLL sketch aggregation — the
+    * ingest-time spelling of `ext/Sketches`: per-window state is the
+    * KB-sized sketch (not the user-id set, which is what a streaming
+    * `count(DISTINCT)` would have to hold), and the emitted row carries
+    * BOTH the estimate and the sketch bytes, so closed windows remain
+    * mergeable downstream (any coarser rollup = `hll_union_agg` over
+    * emitted rows, raw events never re-scanned — `Sketches.rollup`).
+    * Estimate accuracy: HLL rse ≈ 1.6% at the default lgK; exact below
+    * sketch capacity (pinned in StreamingSpec against the batch twin).
+    */
+  def windowedDistinctUsers(parsed: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    parsed
+      .withColumn("event_time", timestamp_millis(col("created_ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"))
+      .select(col("window"),
+        hll_sketch_estimate(col("user_sketch")).as("n_users_est"),
+        col("user_sketch"))
+
   /** Built-in streaming session windows: per-user sessions merged under an
     * inactivity gap by the native `session_window` aggregation (state is
     * one entry per OPEN session; append mode emits a session only when the

@@ -58,6 +58,65 @@ class SketchSpec extends SparkSpec {
       s"global est=$globalEst exact=$globalExact")
   }
 
+  test("theta set algebra pins to the exact user_type_overlap twin") {
+    // Two presummarized theta sketches (clickers, viewers) answer
+    // union/intersection/difference vs the oracle-checked exact twin —
+    // the question HLL cannot answer (it only unions). Rel-error bound:
+    // theta at lgNomEntries=12 keeps ~4k retained hashes; at fixture
+    // cardinalities (< 4k distinct users) the sketches are in EXACT mode.
+    val exact = SparkEntry.queries("user_type_overlap")(spark, sf0001).head()
+    val sk = graft.ext.Sketches.thetaSketches(
+      ev.where(col("event_type").isin("click", "view")),
+      Seq(col("event_type")), col("user_id"))
+    val est = sk.groupBy().pivot("event_type", Seq("click", "view"))
+      .agg(first(col("sketch")))
+      .select(graft.ext.Sketches.thetaSetOps(col("click"), col("view")): _*)
+      .head()
+    assert(est.getLong(0) == exact.getLong(0),
+      s"union est=${est.getLong(0)} exact=${exact.getLong(0)}")
+    assert(est.getLong(1) == exact.getLong(1),
+      s"intersect est=${est.getLong(1)} exact=${exact.getLong(1)}")
+    assert(est.getLong(2) == exact.getLong(2),
+      s"diff est=${est.getLong(2)} exact=${exact.getLong(2)}")
+  }
+
+  test("KLL mergeable quantiles: per-type rollup pins to exact global percentiles") {
+    // Per-type KLL sketches merged to a GLOBAL quantile read vs the exact
+    // percentile over all values — the mergeability that per-day quantile
+    // state needs to answer any date range. KLL k=200 normalized rank
+    // error ≈ 1.7%; assert the estimate's rank is within 3% of target.
+    val values = ev.select(col("value")).na.drop()
+      .collect().map(_.getDouble(0)).sorted
+    val sk = graft.ext.Sketches.kllSketches(
+      ev, Seq(col("event_type")), col("value"))
+    val merged = graft.ext.Sketches.kllRollup(sk, Nil, Seq(0.5, 0.95)).head()
+    for (((q, got), i) <- Seq(0.5 -> merged.getDouble(0), 0.95 -> merged.getDouble(1)).zipWithIndex) {
+      val rank = values.count(_ <= got).toDouble / values.length
+      assert(math.abs(rank - q) <= 0.03, s"q=$q est=$got rank=$rank")
+    }
+  }
+
+  test("frequent-items accumulate+combine pins to the exact frequent_users_topk twin") {
+    // Per-type mergeable states combined to a global top-10 vs the
+    // oracle-checked exact twin: below maxItemsTracked distinct users the
+    // sketch counts are exact, so item->count maps must agree (ordering
+    // among equal counts is the sketch's own, so compare as a map and
+    // pin the count multiset).
+    val exact = SparkEntry.queries("frequent_users_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val states = graft.ext.Sketches.topkAccumulate(
+      ev, Seq(col("event_type")), col("user_id"))
+    val got = graft.ext.Sketches.topkCombine(states, Nil, k = 10)
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item").cast("long"), col("e.count").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq == exact.map(_._2).sorted.toSeq,
+      s"counts got=${got.toSeq} exact=${exact.toSeq}")
+    val exactMap = ev.groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for ((u, n) <- got) assert(exactMap(u) == n, s"user=$u sketch=$n exact=${exactMap(u)}")
+  }
+
   test("HLL sketches merge: per-type sketch union == global estimate") {
     // Build one sketch per event_type, union them, compare to the global
     // sketch — bit-identical estimates because union of partials IS the

@@ -67,6 +67,36 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.contains((0L, 40000L, 2L)), s"got $sessions")
   }
 
+  test("windowed HLL distinct-user sketches: exact at fixture size, mergeable after emission") {
+    // Three distinct users across two 1m windows (one user repeats, in
+    // both windows); watermark-advancing event closes them. The sketch
+    // estimate equals the exact distinct count at this cardinality, and
+    // the EMITTED sketches union to the global distinct count without
+    // touching the events again — the streaming half of ext/Sketches.
+    def ev(id: String, ts: Long, user: Long): String =
+      s"""{"event_id":"$id","created_ts":$ts,"user_id":$user,"event_type":"click","value":1.0,"payload":"x"}"""
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.windowedDistinctUsers(MetricsJob.parse(input.toDF()))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_win")
+      .start()
+    try {
+      input.addData(
+        ev("a", 1000L, 7L), ev("b", 2000L, 8L), ev("c", 3000L, 7L), // w0: {7,8}
+        ev("d", 61000L, 7L), ev("e", 62000L, 9L),                   // w1: {7,9}
+        ev("f", 1000000L, 1L))                                      // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hll_win")
+      .select(unix_millis($"window.start").as("w"), $"n_users_est")
+      .as[(Long, Long)].collect().toMap
+    assert(rows(0L) == 2L && rows(60000L) == 2L, s"got $rows")
+    val merged = spark.table("hll_win")
+      .agg(hll_sketch_estimate(hll_union_agg($"user_sketch")).as("n"))
+      .head().getLong(0)
+    assert(merged == 3L, s"union of emitted sketches = $merged, want 3")
+  }
+
   test("update output mode re-emits a window's row as its aggregate changes") {
     val input = MemoryStream[String](spark)
     val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()))
