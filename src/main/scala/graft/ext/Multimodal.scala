@@ -216,29 +216,36 @@ object Multimodal {
     */
   def decodeVideoFrames(spark: SparkSession, media: DataFrame,
       stride: Int = 1): Dataset[VideoFrame] = {
+    // caller bug, not corrupt media: fail loudly, outside the per-row net
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         try {
+          // no temp-file cache (same as the image paths: a FileCache iis
+          // leaks one temp file per payload until JVM exit otherwise)
+          javax.imageio.ImageIO.setUseCache(false)
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext)
-            Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
-          else {
-            val reader = readers.next()
-            try {
-              // seekForwardOnly=false so getNumImages(allowSearch) may scan
-              reader.setInput(iis, false, true)
-              val n = reader.getNumImages(true)
-              if (n <= 0) Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
-              else (0 until n by stride).map { i =>
-                val img = reader.read(i)
-                VideoFrame(id, i, img.getWidth, img.getHeight,
-                  rgbChecksum(img), ok = true)
-              }
-            } finally reader.dispose()
-          }
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
+            else {
+              val reader = readers.next()
+              try {
+                // seekForwardOnly=false so getNumImages(allowSearch) may scan
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                if (n <= 0) Seq(VideoFrame(id, -1, -1, -1, -1L, ok = false))
+                else (0 until n by stride).map { i =>
+                  val img = reader.read(i)
+                  VideoFrame(id, i, img.getWidth, img.getHeight,
+                    rgbChecksum(img), ok = true)
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
         } catch { case scala.util.control.NonFatal(_) =>
           // imageio GIF parsing throws RuntimeExceptions on malformed
           // frame tables, not just IOException — degrade to one triage row

@@ -32,14 +32,20 @@ import org.apache.spark.sql.graftbridge.Bridge
 object BloomPrune {
 
   /** Build a Bloom filter over `keys.keyCol` (long keys) sized to the
-    * observed distinct count. Both jobs here run on the BUILD side only —
-    * `stat.bloomFilter` is a treeAggregate whose merged result is the
-    * sketch itself, the same driver footprint as any broadcast build. The
-    * serialized form is Spark's `BloomFilterImpl` stream format, the one
-    * `BloomFilterMightContain` deserializes.
+    * observed distinct count. Two narrow build-side passes, neither
+    * shuffling: sizing uses `approx_count_distinct` (a Bloom only needs an
+    * UPPER bound on n — oversizing just lowers fpp — so the HLL estimate
+    * padded by its error band replaces the old exact `distinct().count()`
+    * shuffle), then `stat.bloomFilter` is a treeAggregate whose merged
+    * result is the sketch itself, the same driver footprint as any
+    * broadcast build. The serialized form is Spark's `BloomFilterImpl`
+    * stream format, the one `BloomFilterMightContain` deserializes.
     */
   def buildBloom(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
-    val n = math.max(keys.select(keyCol).distinct().count(), 1L)
+    // rsd 0.02 ⇒ pad by 3σ = 6% so the true n can't exceed the sizing
+    val est = keys.select(approx_count_distinct(col(keyCol), 0.02))
+      .head().getLong(0)
+    val n = math.max((est * 1.06).toLong + 1L, 1L)
     val bf = keys.stat.bloomFilter(keyCol, n, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -58,12 +64,16 @@ object BloomPrune {
 
   /** Exact left-semi join `probe ⋉ build` on long key `keyCol`, with the
     * probe side pre-filtered by a Bloom sketch of the build keys. Result
-    * is bit-identical to `probe.join(build, keyCol, "left_semi")`.
+    * is bit-identical to `probe.join(build, keyCol, "left_semi")` — a
+    * left-semi join dedups its build side by definition, so no exact
+    * `distinct()` pass is spent on it (the sizing pass inside
+    * [[buildBloom]] is approximate too: build-side cost is two narrow
+    * scans total, zero build-side shuffles outside the join itself).
     */
   def semiJoinPruned(probe: DataFrame, build: DataFrame, keyCol: String,
       fpp: Double = 0.01): DataFrame = {
     val sketch = buildBloom(build, keyCol, fpp)
     probe.where(mightContain(sketch, col(keyCol)))
-      .join(build.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+      .join(build.select(keyCol), Seq(keyCol), "left_semi")
   }
 }

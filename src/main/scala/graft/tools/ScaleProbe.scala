@@ -30,19 +30,23 @@ object ScaleProbe {
   private val KeyStride = 1000000000L
   private val SmallStride = 10000000L
 
-  /** Per-copy token suffix: two LETTERS, not "_$i". The fixture text is
+  /** Per-copy token suffix: LETTERS, not "_$i". The fixture text is
     * pure word-chars + spaces (zero punctuation); an underscore suffix
     * planted one `[^a-zA-Z0-9\s]` char per token — ~1.9 M regex matches
     * at 8× where sf0.1 has ZERO — so every match-count-proportional stage
     * (punctCount's regexp_extract_all, normalize's regexp_replace, BPE
     * boundary runs) measured the planted match density, not the engine
     * (the r6 whole-catalog sweep flagged the text family 9-17× from
-    * exactly this). Letters keep every disjointness property the suffix
-    * exists for — per-copy tokens, shingles, normalized forms, md5 keys
-    * all stay copy-distinct — while matching the fixture's content class.
+    * exactly this). Letters keep the fixture's content class, BUT a bare
+    * two-letter suffix could collide with a genuine base token (base
+    * "fooab" == copy-1 "foo"+"ab"), silently breaking the copy-disjoint
+    * guarantee dedup/distinct-shaped measurements rely on. So the suffix
+    * leads with the digraph "qx" — essentially absent from English text —
+    * and [[build]] ASSERTS (not assumes) that zero base-corpus tokens end
+    * in any `qx[a-z][a-z]` trigram before constructing the copies.
     */
   def copySuffix(i: Int): String =
-    s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    s"qx${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     // embeddings arrived in r5 — backfill it into corpora built earlier
@@ -53,6 +57,16 @@ object ScaleProbe {
     }
     def copies(df: DataFrame, remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => remap(df, i)).reduce(_ unionByName _)
+
+    // the [[copySuffix]] disjointness contract, asserted instead of assumed:
+    // no base token may already end in a qx-trigram suffix, or copy-i tokens
+    // could alias base tokens and contaminate dedup-shaped ratios
+    val suffixCollisions = Tables.documents(spark, base)
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .where(col("t").rlike("qx[a-z][a-z]$")).count()
+    require(suffixCollisions == 0L,
+      s"base corpus has $suffixCollisions token(s) ending in a qx[a-z][a-z] " +
+        "suffix — copy tokens would alias base tokens; pick another digraph")
 
     copies(Tables.events(spark, base), (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * KeyStride))

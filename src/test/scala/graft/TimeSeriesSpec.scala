@@ -9,7 +9,7 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("banded lagOverTime matches the global window exactly (incl. ties)") {
     val ev = Tables.events(spark, sf0001)
-      .select($"event_id", unix_millis($"ts").as("ts_ms"))
+      .select($"event_id", Tables.tsMillis($"ts").as("ts_ms"))
     val global = ev
       .withColumn("prev", lag($"ts_ms", 1).over(Window.orderBy($"ts_ms", $"event_id")))
       .select($"event_id", $"prev").as[(String, Option[Long])].collect().toMap
@@ -22,7 +22,7 @@ class TimeSeriesSpec extends SparkSpec {
   test("trailingWindow matches the per-key global RANGE window exactly") {
     val ev = Tables.events(spark, sf0001)
       .select($"event_id", $"event_type",
-        (unix_millis($"ts") / 1000L).cast("long").as("sec"), $"value")
+        (Tables.tsMillis($"ts") / 1000L).cast("long").as("sec"), $"value")
     val globalW = Window.partitionBy($"event_type").orderBy($"sec")
       .rangeBetween(-3600L, -1L)
     val global = ev
@@ -44,7 +44,7 @@ class TimeSeriesSpec extends SparkSpec {
   test("trailingWindow rejects a chunk narrower than the lookback") {
     val ev = Tables.events(spark, sf0001)
       .select($"event_id", $"event_type",
-        (unix_millis($"ts") / 1000L).cast("long").as("sec"), $"value")
+        (Tables.tsMillis($"ts") / 1000L).cast("long").as("sec"), $"value")
     intercept[IllegalArgumentException] {
       TimeSeries.trailingWindow(ev, Seq($"event_type"), $"sec", 3600L, 1800L) {
         w => Seq("n" -> count(lit(1)).over(w))
@@ -54,7 +54,7 @@ class TimeSeriesSpec extends SparkSpec {
 
   test("gapToPrev: single null gap for the first event, rest non-negative") {
     val ev = Tables.events(spark, sf0001)
-      .select($"event_id", unix_millis($"ts").as("ts_ms"))
+      .select($"event_id", Tables.tsMillis($"ts").as("ts_ms"))
     val gaps = TimeSeries.gapToPrev(ev, $"ts_ms", $"event_id", width = 3600L * 1000)
       .select($"gap_ms").as[Option[Long]].collect()
     assert(gaps.count(_.isEmpty) == 1)
