@@ -142,6 +142,91 @@ object Similarity {
       .agg(round(avg(col("v")), 6).as("centroid"))
   }
 
+  /** Product quantization (PQ) — the billion-vector memory-compression
+    * half of IVF-PQ (Jégou et al. 2011): each D-dim vector is split into
+    * `m` subspaces of D/m dims, and each subvector is replaced by the id
+    * of its nearest codeword from a per-subspace codebook of `k` entries.
+    * Storage per vector drops from D×4 bytes to m codes (m bytes at
+    * k ≤ 256) — the representation that lets an ANN index hold 10^9+
+    * vectors in RAM.
+    *
+    * Codebooks here are deterministic seed codewords (the first `k` ids,
+    * sliced per subspace — the same seeding rule as [[ivfAssign]]; a
+    * Lloyd pass per subspace would refine them with the identical plan
+    * shape as [[kmeansCentroids]]). Encoding is a PURE PROJECTION: the
+    * k×m codebook arrives as one broadcast row and the per-subspace
+    * argmin is `array_min` over (distance, code) structs — zero
+    * shuffles, embarrassingly parallel at any corpus size.
+    *
+    * Distances are squared L2 expanded as a·a − 2·a·b + b·b over the
+    * codegen [[dot]] fold (left-to-right, the summation order the DuckDB
+    * oracle replays), rounded to 6 before the argmin so cross-engine ulp
+    * noise can't flip a code; ties go to the lowest code id via the
+    * struct sort.
+    *
+    * Output: (id, codes array — codes[j] = codeword id of subspace j).
+    */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val codebook = broadcast(staged.where(col(idCol) < k)
+      .agg(array_sort(collect_list(struct(col(idCol).as("code"),
+        col("vecd").as("cvec")))).as("_book")))
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      // slice is 1-based; subvector of subspace j = dims [j*sub, j*sub+sub)
+      val sa = slice(col("vecd"), j * lit(sub) + 1, lit(sub))
+      array_min(transform(col("_book"), c => {
+        val sb = slice(c("cvec"), j * lit(sub) + 1, lit(sub))
+        val d = dot(sa, sa) - lit(2.0) * dot(sa, sb) + dot(sb, sb)
+        struct(round(d, 6).as("d"), c("code").as("code"))
+      })).getField("code")
+    })
+    staged.crossJoin(codebook)
+      .select(col(idCol), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays full
+    * precision, and its distance to any database vector is approximated
+    * from the codes alone — dist(q, x) ≈ Σ_j ‖q_j − codebook[j][codes_j]‖²
+    * — so the per-vector serving cost is `m` table lookups, never a
+    * D-dim float read. The k×m lookup table (query-to-codeword partial
+    * distances) is computed ONCE and broadcast; exploded codes join it
+    * on (subspace, code) and a keyed sum re-assembles per-vector
+    * distances. That LUT-join IS the IVF-PQ serving plan at scale: the
+    * shuffle carries (id, j, code) triples and KB-sized LUTs, not
+    * vectors.
+    *
+    * Partial distances snap to integer micro-units before the sum so the
+    * keyed aggregation is exact integer math — associative in any
+    * partial-aggregation order, bit-stable across engines.
+    */
+  def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, m: Int, k: Int, dims: Int, topK: Int): DataFrame = {
+    val sub = dims / m
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val q = staged.where(col(idCol) === queryId).select(col("vecd").as("qvec"))
+    // (subspace j, code, partial squared distance in micro-units)
+    val lut = broadcast(staged.where(col(idCol) < k)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("code"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("vecd"), col("qvec"))
+      .select(col("code"), col("j"), {
+        val sq = slice(col("qvec"), col("j") * sub + 1, lit(sub))
+        val sc = slice(col("vecd"), col("j") * sub + 1, lit(sub))
+        val d = dot(sq, sq) - lit(2.0) * dot(sq, sc) + dot(sc, sc)
+        round(d * 1e6, 0).cast("long").as("dmicro")
+      }))
+    pqEncode(embeddings, idCol, vecCol, m, k, dims)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(lut, Seq("j", "code"))
+      .groupBy(col(idCol))
+      .agg((sum(col("dmicro")) / 1e6).as("adc_l2sq"))
+      .orderBy(col("adc_l2sq").asc, col(idCol))
+      .limit(topK)
+  }
+
   /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose
     * components are derived deterministically from hash32(plane:dim) mapped
     * to [-1, 1); the signature is the concatenation of dot-product signs.

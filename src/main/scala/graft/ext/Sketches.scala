@@ -115,4 +115,51 @@ object Sketches {
     val base = if (groupCols.isEmpty) states.groupBy() else states.groupBy(groupCols: _*)
     base.agg(call_function("approx_top_k_estimate", merged, lit(k)).as("topk"))
   }
+
+  // ---- Count-min: mergeable point-frequency estimates ----
+
+  /** Per-group count-min sketches of `itemCol` via Spark's native
+    * `count_min_sketch` aggregate — the fifth family: "how OFTEN did this
+    * key occur?" answered from O(w×d) counters instead of an exact
+    * per-key count shuffle. The binary state rows are mergeable
+    * ([[cmsMergeEstimate]]) because each counter matrix adds cellwise,
+    * so per-day partials roll up to any date range like the HLL/KLL
+    * families. Estimates only ever OVER-count (collision adds, min over
+    * depth rows subtracts nothing), within eps·N with the configured
+    * confidence — and for a fixed seed the collision structure is
+    * DETERMINISTIC, so at small distinct-key cardinality (≪ width) the
+    * estimates are exact, the property the catalog twin pins.
+    */
+  def cmsSketches(df: DataFrame, groupCols: Seq[Column], itemCol: Column,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(call_function("count_min_sketch", itemCol, lit(eps),
+        lit(confidence), lit(seed)).as("sketch"))
+
+  /** Merge pre-built count-min sketch rows (driver-side: the rows are
+    * KB-sized counter matrices, the same footprint as any broadcast
+    * build) and answer point queries for `probes`. This is the serving
+    * read path — O(d) counter lookups per probe, raw data never
+    * re-scanned.
+    */
+  def cmsMergeEstimate(spark: org.apache.spark.sql.SparkSession,
+      sketchRows: DataFrame, probes: Seq[String]): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    import scala.jdk.CollectionConverters._
+    val parts = sketchRows.select(col("sketch")).collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    require(parts.nonEmpty, "no sketches to merge")
+    val merged = parts.reduce { (a, b) => a.mergeInPlace(b); a }
+    val rows = probes.sorted.map { p =>
+      org.apache.spark.sql.Row(p, merged.estimateCount(p))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("est_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

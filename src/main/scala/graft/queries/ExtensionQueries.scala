@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 
 /** North-star training-data-pipeline operators over `documents` /
   * `embeddings`: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard),
@@ -251,6 +251,24 @@ object ExtensionQueries extends QueryPack {
           dims = 64, planes = 8, minCos = AnnMinCos)
         .orderBy("id_a", "id_b")),
 
+    // Product quantization: 64-dim float vectors compressed to 8 codeword
+    // ids (8 subspaces × 16-entry codebooks) — the memory half of IVF-PQ,
+    // the representation that holds 10^9+ vectors in RAM. Encoding is a
+    // pure projection against one broadcast codebook row; zero shuffles.
+    "sim_pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(embeddings(s, d), "vec_id", "embedding",
+          m = 8, k = 16, dims = 64)
+        .orderBy("vec_id")),
+
+    // PQ asymmetric-distance (ADC) top-k: the query's distance to every
+    // database vector is re-assembled from 8 lookup-table reads over the
+    // codes alone — the IVF-PQ serving plan (broadcast KB-sized LUT,
+    // shuffle carries (id, subspace, code) triples, never vectors).
+    // Integer micro-unit partials make the keyed sum order-independent.
+    "sim_pq_adc_topk" -> ((s, d) =>
+      Similarity.pqAdcTopK(embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, m = 8, k = 16, dims = 64, topK = 10)),
+
     // Deterministic stratified sampling: fixed-n per stratum, ordered by a
     // portable content-independent hash of the key — reproducible across
     // runs/engines, no RNG state. Per-stratum windows partition cleanly;
@@ -344,6 +362,33 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Graded decontamination: per-document CONTAMINATION RATIO (share of
+    // its distinct word-3-grams appearing in the holdout) instead of the
+    // binary flag — the signal a pipeline thresholds ("drop if >5%
+    // overlap") or stratifies eval sets by. Same keyed-probe plan as
+    // decontaminate_ngrams (one explode pass feeds both the per-doc
+    // totals and the holdout semi-join; no pairwise work), plus a
+    // doc-count-sized left join-back so uncontaminated docs report 0.
+    "contamination_ratio" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
+        .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+      val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      val train = sh.where(col("doc_id") % 97 =!= 0)
+      val total = train.groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_total"))
+      val shared = train.join(holdout, Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared"))
+      total.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_total"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)) / col("n_total"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-pruned decontamination: identical RESULT to
     // decontaminate_ngrams (same oracle SQL), different 100 TB shape —
     // the holdout's hash set is sketched into a Bloom filter
@@ -392,6 +437,25 @@ object ExtensionQueries extends QueryPack {
         .agg(count(lit(1)).as("n_union"),
              sum(when(col("c") === 1 && col("v") === 1, 1L).otherwise(0L)).as("n_intersect"),
              sum(when(col("c") === 1 && col("v") === 0, 1L).otherwise(0L)).as("n_click_only"))),
+
+    // Count-min sketch path (ext/Sketches.cmsSketches/cmsMergeEstimate):
+    // per-day CMS partials of event_type, merged, then point-queried for
+    // each observed type — the mergeable "how often did key X occur?"
+    // family. With 5 distinct types against a 2000-counter width and a
+    // fixed seed, the collision structure is deterministic and empty, so
+    // the estimates are EXACT and the DuckDB oracle is the plain count
+    // (the approx_top_k exact-below-capacity pattern). The probe-item
+    // collect and the sketch merge are driver-side on sketch-/
+    // cardinality-sized data only — this is the serving read path, the
+    // same footprint class as the plot layer.
+    "cms_type_counts" -> ((s, d) => {
+      val ev = events(s, d)
+      val daily = Sketches.cmsSketches(ev,
+        Seq(to_date(col("ts")).as("day")), col("event_type"))
+      val probes = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      Sketches.cmsMergeEstimate(s, daily, probes).orderBy("item")
+    }),
 
     // Exact heavy-hitters twin for the frequent-items sketch path
     // (ext/Sketches.topkAccumulate/Combine): top-10 users by event count,
@@ -725,6 +789,24 @@ object ExtensionQueries extends QueryPack {
         |assign AS (
         |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
+    // PQ encoding CTEs (mirror Similarity.pqEncode: m=8 subspaces of 8
+    // dims, k=16 seed codewords, squared-L2 argmin per subspace with the
+    // identical a·a − 2·a·b + b·b op order), shared by the codes and ADC
+    // oracles. `best` holds one (vec_id, j, code) row per subspace.
+    val duckPq =
+      """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |book AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+        |subd AS (
+        |  SELECT e.vec_id, g.j, b.code,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, 8), i -> e.v[g.j*8+i] * e.v[g.j*8+i]))
+        |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> e.v[g.j*8+i] * b.cv[g.j*8+i]))
+        |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i])), 6) AS dist
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN book b),
+        |best AS (
+        |  SELECT vec_id, j, code FROM subd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1)""".stripMargin
     // Quality-score CTE chain ending in `quality` (mirrors qualityScored),
     // shared by the score and dedup-survivor oracles.
     val duckQualityCtes =
@@ -886,6 +968,25 @@ object ExtensionQueries extends QueryPack {
            |WHERE cos_sim >= $AnnMinCos
            |ORDER BY id_a, id_b""".stripMargin,
 
+      "sim_pq_codes" ->
+        s"""WITH $duckPq
+           |SELECT vec_id, list(code ORDER BY j) AS codes
+           |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "sim_pq_adc_topk" ->
+        s"""WITH $duckPq,
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |lut AS (
+           |  SELECT b.code, g.j,
+           |    CAST(round((
+           |      list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * qv[g.j*8+i]))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * b.cv[g.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
+           |  FROM book b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN q)
+           |SELECT best.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
+           |FROM best JOIN lut USING (j, code)
+           |GROUP BY best.vec_id ORDER BY adc_l2sq ASC, best.vec_id LIMIT 10""".stripMargin,
+
       "sim_kmeans_centroids" ->
         s"""WITH $duckIvfAssign,
            |x AS (SELECT cell, unnest(generate_series(1, len(v))) AS d, unnest(v) AS val
@@ -953,6 +1054,26 @@ object ExtensionQueries extends QueryPack {
            |WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      "contamination_ratio" ->
+        s"""WITH sh AS MATERIALIZED (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
+           |    ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
+           |      i -> ((((th[i] * ${Dedup.ShingleA} + th[i+1]) % ${Dedup.MinhashP})
+           |            * ${Dedup.ShingleA} + th[i+2]) % ${Dedup.MinhashP})) END) AS h
+           |  FROM (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+           |        FROM documents)),
+           |holdout AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+           |tot AS (SELECT doc_id, count(DISTINCT h) AS n_total
+           |        FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+           |shared AS (SELECT doc_id, count(DISTINCT h) AS n_shared
+           |           FROM sh WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)
+           |           GROUP BY doc_id)
+           |SELECT t.doc_id, n_total, coalesce(n_shared, 0) AS n_shared,
+           |  round(coalesce(n_shared, 0) / n_total, 6) AS contamination
+           |FROM tot t LEFT JOIN shared s ON t.doc_id = s.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
+
       // Bit-identical to decontaminate_ngrams by construction (the Bloom
       // sketch only PRE-filters; the exact semi-join decides) — so the
       // oracle is the exact spelling itself.
@@ -974,6 +1095,13 @@ object ExtensionQueries extends QueryPack {
       "distinct_users_daily" ->
         """SELECT epoch_ms(ts) // 86400000 AS day, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+      // CMS estimates are exact here (5 distinct types ≪ 2000-counter
+      // width, fixed seed ⇒ deterministic zero-collision structure), so
+      // the oracle is the plain exact count.
+      "cms_type_counts" ->
+        """SELECT event_type AS item, count(*) AS est_count
+          |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
 
       "user_type_overlap" ->
         """SELECT count(*) AS n_union,

@@ -87,6 +87,62 @@ class ExtSpec extends SparkSpec {
     assert(overlap >= 5, s"IVF recall too low: $overlap/10 vs brute force")
   }
 
+  test("PQ encode matches a driver-side brute-force argmin bit-for-bit") {
+    val e = Tables.embeddings(spark, sf0001)
+    val got = Similarity.pqEncode(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble).toArray).toMap
+    val book = (0L until 16L).map(c => c -> vecs(c))
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, v) <- vecs) {
+      val expected = (0 until 8).map { j =>
+        val sa = v.slice(j * 8, j * 8 + 8)
+        book.map { case (c, cv) =>
+          val sb = cv.slice(j * 8, j * 8 + 8)
+          (r6(dotLtr(sa, sa) - 2.0 * dotLtr(sa, sb) + dotLtr(sb, sb)), c)
+        }.min._2
+      }
+      assert(got(id) == expected, s"codes mismatch for vec $id")
+    }
+  }
+
+  test("PQ ADC top-k equals the driver-side LUT reassembly, ordering included") {
+    val e = Tables.embeddings(spark, sf0001)
+    val got = Similarity.pqAdcTopK(e, "vec_id", "embedding",
+      queryId = 0L, m = 8, k = 16, dims = 64, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble).toArray).toMap
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val q = vecs(0L)
+    val lut: Map[(Int, Long), Long] = (for {
+      j <- 0 until 8; c <- 0L until 16L
+    } yield {
+      val sq = q.slice(j * 8, j * 8 + 8)
+      val sc = vecs(c).slice(j * 8, j * 8 + 8)
+      (j, c) -> r0((dotLtr(sq, sq) - 2.0 * dotLtr(sq, sc) + dotLtr(sc, sc)) * 1e6)
+    }).toMap
+    val expected = vecs.keys.toSeq.map { id =>
+      id -> codes(id).zipWithIndex.map { case (c, j) => lut((j, c)) }.sum / 1e6
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got == expected)
+  }
+
   test("brute-force top-k cosine ranks the query vector itself first") {
     val e = Tables.embeddings(spark, sf0001)
     val top = Similarity.topKCosine(e, "vec_id", "embedding",

@@ -274,7 +274,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim_topk_cosine",        // constant-size broadcast anchor set —
                                 // brute-force baseline scores each vector
                                 // against the anchors, by definition
-      "sim_hard_negatives")     // same broadcast-anchor shape
+      "sim_hard_negatives",     // same broadcast-anchor shape
+      "sim_pq_codes",           // 1-row k×m PQ codebook attach (constant)
+      "sim_pq_adc_topk")        // same codebook attach + 1-row query-vector
+                                // attach building the k×m LUT (constant)
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
@@ -334,7 +337,7 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(
       Tables.events(spark, sf0001)
-        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id")),
+        .select(col("user_id"), Tables.tsMillis(col("ts")).as("ts_ms"), col("event_id")),
       gapMs = 1800 * 1000L)
     val p = df.queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length

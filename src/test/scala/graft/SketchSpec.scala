@@ -129,4 +129,33 @@ class SketchSpec extends SparkSpec {
       .head().getLong(0)
     assert(merged == global, s"merged=$merged global=$global")
   }
+
+  test("count-min: merged per-day sketches give exact counts at tiny cardinality") {
+    // 5 distinct event types against a 2000-counter width and a FIXED
+    // seed: the collision structure is deterministic and empty, so the
+    // merged estimate equals the exact grouped count — the
+    // exact-below-capacity property the cms_type_counts oracle pins.
+    import graft.ext.Sketches
+    val daily = Sketches.cmsSketches(ev,
+      Seq(to_date(col("ts")).as("day")), col("event_type"))
+    val probes = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val est = Sketches.cmsMergeEstimate(spark, daily, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == exact, s"est=$est exact=$exact")
+  }
+
+  test("count-min: merging daily partials == one global sketch (mergeability)") {
+    import graft.ext.Sketches
+    val daily = Sketches.cmsSketches(ev,
+      Seq(to_date(col("ts")).as("day")), col("event_type"))
+    val whole = Sketches.cmsSketches(ev, Seq(lit(1).as("g")), col("event_type"))
+    val probes = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val mergedDaily = Sketches.cmsMergeEstimate(spark, daily, probes).collect().toSeq
+    val single = Sketches.cmsMergeEstimate(spark, whole, probes).collect().toSeq
+    assert(mergedDaily == single)
+  }
 }
