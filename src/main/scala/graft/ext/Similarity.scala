@@ -154,19 +154,46 @@ object Similarity {
     * sliced per subspace — the same seeding rule as [[ivfAssign]]; a
     * Lloyd pass per subspace would refine them with the identical plan
     * shape as [[kmeansCentroids]]). Encoding is a PURE PROJECTION: the
-    * k×m codebook arrives as one broadcast row and the per-subspace
-    * argmin is `array_min` over (distance, code) structs — zero
-    * shuffles, embarrassingly parallel at any corpus size.
+    * constant-sized codebook ships to every task as a codegen reference
+    * object and the per-row argmin runs as ONE native expression
+    * ([[graft.functions.PqEncode]]) — zero shuffles, embarrassingly
+    * parallel at any corpus size.
     *
-    * Distances are squared L2 expanded as a·a − 2·a·b + b·b over the
-    * codegen [[dot]] fold (left-to-right, the summation order the DuckDB
+    * Distances are squared L2 expanded as a·a − 2·a·b + b·b with
+    * left-to-right per-subspace folds (the summation order the DuckDB
     * oracle replays), rounded to 6 before the argmin so cross-engine ulp
-    * noise can't flip a code; ties go to the lowest code id via the
-    * struct sort.
+    * noise can't flip a code; ties go to the lowest code id.
     *
     * Output: (id, codes array — codes[j] = codeword id of subspace j).
     */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    // Constant-sized codebook (k×D doubles, KB-range) collected at plan
+    // time and shipped as a codegen reference object — the
+    // broadcast-constant pattern (quantile boundaries, LSH planes). The
+    // encode itself is then ONE native expression per row inside
+    // whole-stage codegen; the declarative spelling it replaces
+    // ([[pqEncodeReference]], proved bit-identical in
+    // VectorExpressionsSpec) is CodegenFallback and paid ~1,300
+    // interpreted lambda evaluations per row.
+    val bookRows = staged.where(col(idCol) < k)
+      .select(col(idCol).cast("long"), col("vecd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(bookRows.nonEmpty, s"no codebook rows: no $idCol < $k")
+    staged.select(col(idCol),
+      graft.functions.VectorExpressions.pq_codes(col("vecd"),
+        bookRows.map(_._2), bookRows.map(_._1), m).as("codes"))
+  }
+
+  /** Declarative reference form of [[pqEncode]] — the executable spec the
+    * native expression is proved against (same staging as the DuckDB
+    * oracle): nested transform/array_min over slices, argmin of
+    * round(a·a − 2·a·b + b·b, 6) with ties to the lowest code id.
+    */
+  def pqEncodeReference(embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val sub = dims / m
@@ -191,38 +218,58 @@ object Similarity {
     * precision, and its distance to any database vector is approximated
     * from the codes alone — dist(q, x) ≈ Σ_j ‖q_j − codebook[j][codes_j]‖²
     * — so the per-vector serving cost is `m` table lookups, never a
-    * D-dim float read. The k×m lookup table (query-to-codeword partial
-    * distances) is computed ONCE and broadcast; exploded codes join it
-    * on (subspace, code) and a keyed sum re-assembles per-vector
-    * distances. That LUT-join IS the IVF-PQ serving plan at scale: the
-    * shuffle carries (id, j, code) triples and KB-sized LUTs, not
-    * vectors.
+    * D-dim float read. The m×k lookup table (query-to-codeword partial
+    * distances) derives from two CONSTANT serving inputs — the codebook
+    * and the query vector — so it is built driver-side and shipped with
+    * the native [[graft.functions.PqAdcSum]] kernel: the whole query is
+    * scan → encode → LUT-sum projection → TakeOrdered. ZERO shuffles,
+    * zero joins — the plan shape that scans 10^9 codes flat. (An earlier
+    * spelling exploded codes into an (id, subspace, code) join against a
+    * broadcast LUT frame; correct, but it paid three broadcast sub-jobs
+    * plus a keyed aggregation for what is arithmetically `m` array reads
+    * per row.)
     *
-    * Partial distances snap to integer micro-units before the sum so the
-    * keyed aggregation is exact integer math — associative in any
-    * partial-aggregation order, bit-stable across engines.
+    * Partial distances snap to integer micro-units so the per-row sum is
+    * exact integer math — order-independent, bit-stable across engines.
     */
   def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, m: Int, k: Int, dims: Int, topK: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val sub = dims / m
     val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val q = staged.where(col(idCol) === queryId).select(col("vecd").as("qvec"))
-    // (subspace j, code, partial squared distance in micro-units)
-    val lut = broadcast(staged.where(col(idCol) < k)
-      .crossJoin(broadcast(q))
-      .select(col(idCol).as("code"), explode(sequence(lit(0), lit(m - 1))).as("j"),
-        col("vecd"), col("qvec"))
-      .select(col("code"), col("j"), {
-        val sq = slice(col("qvec"), col("j") * sub + 1, lit(sub))
-        val sc = slice(col("vecd"), col("j") * sub + 1, lit(sub))
-        val d = dot(sq, sq) - lit(2.0) * dot(sq, sc) + dot(sc, sc)
-        round(d * 1e6, 0).cast("long").as("dmicro")
-      }))
+    val bookRows = staged.where(col(idCol) < k)
+      .select(col(idCol).cast("long"), col("vecd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(bookRows.nonEmpty, s"no codebook rows: no $idCol < $k")
+    val qvec = staged.where(col(idCol) === queryId)
+      .select(col("vecd")).collect() match {
+      case Array(r) => r.getSeq[Double](0).toArray
+      case other => throw new IllegalArgumentException(
+        s"query id $queryId matched ${other.length} rows, want exactly 1")
+    }
+    // LUT entry (j, c): round((q_j·q_j − 2·q_j·c_j + c_j·c_j) · 1e6) with
+    // the identical left-to-right folds and HALF_UP rounding as the
+    // previous in-plan spelling (and the DuckDB oracle).
+    def dotLtr(a: Array[Double], aOff: Int, b: Array[Double], bOff: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) { s += a(aOff + i) * b(bOff + i); i += 1 }
+      s
+    }
+    val kk = bookRows.length
+    val lut = new Array[Long](m * kk)
+    for (j <- 0 until m; c <- 0 until kk) {
+      val base = j * sub
+      val cv = bookRows(c)._2
+      val d = dotLtr(qvec, base, qvec, base) -
+        2.0 * dotLtr(qvec, base, cv, base) + dotLtr(cv, base, cv, base)
+      lut(j * kk + c) = BigDecimal(d * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
     pqEncode(embeddings, idCol, vecCol, m, k, dims)
-      .select(col(idCol), posexplode(col("codes")).as(Seq("j", "code")))
-      .join(lut, Seq("j", "code"))
-      .groupBy(col(idCol))
-      .agg((sum(col("dmicro")) / 1e6).as("adc_l2sq"))
+      .select(col(idCol),
+        (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
+          bookRows.map(_._1)) / 1e6).as("adc_l2sq"))
       .orderBy(col("adc_l2sq").asc, col(idCol))
       .limit(topK)
   }

@@ -254,17 +254,18 @@ object ExtensionQueries extends QueryPack {
     // Product quantization: 64-dim float vectors compressed to 8 codeword
     // ids (8 subspaces × 16-entry codebooks) — the memory half of IVF-PQ,
     // the representation that holds 10^9+ vectors in RAM. Encoding is a
-    // pure projection against one broadcast codebook row; zero shuffles.
+    // pure projection: one native codegen expression per row against the
+    // constant codebook; zero shuffles, zero joins.
     "sim_pq_codes" -> ((s, d) =>
       Similarity.pqEncode(embeddings(s, d), "vec_id", "embedding",
           m = 8, k = 16, dims = 64)
         .orderBy("vec_id")),
 
     // PQ asymmetric-distance (ADC) top-k: the query's distance to every
-    // database vector is re-assembled from 8 lookup-table reads over the
-    // codes alone — the IVF-PQ serving plan (broadcast KB-sized LUT,
-    // shuffle carries (id, subspace, code) triples, never vectors).
-    // Integer micro-unit partials make the keyed sum order-independent.
+    // database vector is re-assembled from 8 reads of a constant m×k LUT
+    // over the codes alone (native kernel; integer micro-unit partials ⇒
+    // bit-stable sums) — scan → encode → project → TakeOrdered, zero
+    // shuffles: the serving plan that scans 10^9 codes flat.
     "sim_pq_adc_topk" -> ((s, d) =>
       Similarity.pqAdcTopK(embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, m = 8, k = 16, dims = 64, topK = 10)),

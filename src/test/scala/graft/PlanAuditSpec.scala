@@ -274,10 +274,7 @@ class PlanAuditSpec extends SparkSpec {
       "sim_topk_cosine",        // constant-size broadcast anchor set —
                                 // brute-force baseline scores each vector
                                 // against the anchors, by definition
-      "sim_hard_negatives",     // same broadcast-anchor shape
-      "sim_pq_codes",           // 1-row k×m PQ codebook attach (constant)
-      "sim_pq_adc_topk")        // same codebook attach + 1-row query-vector
-                                // attach building the k×m LUT (constant)
+      "sim_hard_negatives")     // same broadcast-anchor shape
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")

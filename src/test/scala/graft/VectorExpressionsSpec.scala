@@ -164,6 +164,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("PqEncode matches the declarative transform/array_min reference bit-for-bit") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val native = Similarity.pqEncode(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
+    val ref = Similarity.pqEncodeReference(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
+    val joined = native.withColumnRenamed("codes", "cn")
+      .join(ref.withColumnRenamed("codes", "cr"), Seq("vec_id"))
+    assert(joined.count() == e.count())
+    assert(joined.where($"cn" =!= $"cr").count() == 0L)
+  }
+
   test("vector_dot is SQL-registered through GraftExtensions") {
     // Verify the injection path on a derived session with the extension.
     val s2 = spark.newSession()
