@@ -235,8 +235,25 @@ object Similarity {
   def pqAdcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, m: Int, k: Int, dims: Int, topK: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
-    val sub = dims / m
     val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val (bookRows, lut) = pqServingInputs(staged, idCol, queryId, m, k, dims / m)
+    pqEncode(embeddings, idCol, vecCol, m, k, dims)
+      .select(col(idCol),
+        (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
+          bookRows.map(_._1)) / 1e6).as("adc_l2sq"))
+      .orderBy(col("adc_l2sq").asc, col(idCol))
+      .limit(topK)
+  }
+
+  /** The two CONSTANT serving inputs of an ADC query — the sorted
+    * codebook rows (id, vector) and the m×k LUT of query-to-codeword
+    * partial squared distances in integer micro-units. LUT entry (j, c):
+    * round((q_j·q_j − 2·q_j·c_j + c_j·c_j) · 1e6) with left-to-right
+    * folds and the same BigDecimal HALF_UP rounding as Spark's `round`
+    * (and the DuckDB oracle).
+    */
+  private def pqServingInputs(staged: DataFrame, idCol: String, queryId: Long,
+      m: Int, k: Int, sub: Int): (Array[(Long, Array[Double])], Array[Long]) = {
     val bookRows = staged.where(col(idCol) < k)
       .select(col(idCol).cast("long"), col("vecd")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -248,9 +265,6 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"query id $queryId matched ${other.length} rows, want exactly 1")
     }
-    // LUT entry (j, c): round((q_j·q_j − 2·q_j·c_j + c_j·c_j) · 1e6) with
-    // the identical left-to-right folds and HALF_UP rounding as the
-    // previous in-plan spelling (and the DuckDB oracle).
     def dotLtr(a: Array[Double], aOff: Int, b: Array[Double], bOff: Int): Double = {
       var s = 0.0; var i = 0
       while (i < sub) { s += a(aOff + i) * b(bOff + i); i += 1 }
@@ -266,12 +280,83 @@ object Similarity {
       lut(j * kk + c) = BigDecimal(d * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-    pqEncode(embeddings, idCol, vecCol, m, k, dims)
+    (bookRows, lut)
+  }
+
+  /** IVF-PQ top-k — the two halves composed into the actual
+    * billion-vector serving plan (Jégou et al. 2011): the IVF coarse
+    * quantizer prunes the search to the `nprobe` cells nearest the query
+    * (compute touches numCells/nprobe-th of the corpus), and within the
+    * probed cells distances come from PQ codes via the constant ADC LUT
+    * (memory touches m bytes per vector, never the floats). Plan:
+    * broadcast-argmax cell assignment (pure projection) → semi-filter on
+    * the nprobe-row probed-cell set → native encode + LUT-sum projection
+    * → TakeOrdered. The only data-sized transfer is the scan itself.
+    */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, numCells: Int, nprobe: Int, m: Int, k: Int, dims: Int,
+      topK: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val assign = ivfAssign(embeddings, idCol, vecCol, numCells)
+    val q = broadcast(assign.where(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("nrm").as("qnrm")))
+    // nearest nprobe cells by centroid cosine (same rule as ivfTopK)
+    val probeCells = broadcast(
+      embeddings
+        .select(col(idCol), asDouble(col(vecCol)).as("cvec"))
+        .where(col(idCol) < numCells)
+        .withColumn("cnrm", norm(col("cvec")))
+        .crossJoin(q)
+        .select(col(idCol).as("cell"),
+          round(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")), 6).as("qcos"))
+        .orderBy(col("qcos").desc, col("cell"))
+        .limit(nprobe)
+        .select(col("cell")))
+    // constant serving inputs: codebook + query vector → driver-side LUT
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val (bookRows, lut) = pqServingInputs(staged, idCol, queryId, m, k, sub)
+    assign.join(probeCells, Seq("cell"))
       .select(col(idCol),
-        (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
-          bookRows.map(_._1)) / 1e6).as("adc_l2sq"))
+        (graft.functions.VectorExpressions.pq_adc_sum(
+          graft.functions.VectorExpressions.pq_codes(col("vecd"),
+            bookRows.map(_._2), bookRows.map(_._1), m),
+          lut, bookRows.map(_._1)) / 1e6).as("adc_l2sq"))
       .orderBy(col("adc_l2sq").asc, col(idCol))
       .limit(topK)
+  }
+
+  /** One Lloyd refinement iteration over the PQ codebooks — the
+    * per-subspace twin of [[kmeansCentroids]]: new codeword (j, c) = mean
+    * of the subspace-j slices of all vectors currently encoding to c in
+    * subspace j. Assignment is the native [[pqEncode]] projection (zero
+    * shuffle); refinement is one keyed shuffle of (subspace, code, dim)
+    * rows — the canonical iterative-ML shape, now per subspace. Iterating
+    * assignment+refinement trains the codebooks (k-means per subspace,
+    * Jégou et al. 2011 §III); one deterministic iteration is the
+    * oracle-checked representative.
+    * Output: (j, code, dim, centroid) — dim is subspace-local [0, D/m).
+    */
+  def pqTrainCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val bookRows = staged.where(col(idCol) < k)
+      .select(col(idCol).cast("long"), col("vecd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(bookRows.nonEmpty, s"no codebook rows: no $idCol < $k")
+    // codes computed inline (no join-back against a separate encode pass)
+    staged
+      .select(col("vecd"),
+        posexplode(graft.functions.VectorExpressions.pq_codes(col("vecd"),
+          bookRows.map(_._2), bookRows.map(_._1), m)).as(Seq("j", "code")))
+      .select(col("j"), col("code"),
+        posexplode(slice(col("vecd"), col("j") * sub + 1, lit(sub)))
+          .as(Seq("dim", "v")))
+      .groupBy(col("j"), col("code"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("centroid"))
   }
 
   /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose

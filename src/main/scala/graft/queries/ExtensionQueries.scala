@@ -270,6 +270,27 @@ object ExtensionQueries extends QueryPack {
       Similarity.pqAdcTopK(embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, m = 8, k = 16, dims = 64, topK = 10)),
 
+    // IVF-PQ top-k — the two ANN halves composed into the actual
+    // billion-vector serving plan: IVF cell pruning bounds COMPUTE
+    // (nprobe/numCells of the corpus), PQ codes + constant ADC LUT bound
+    // MEMORY (m bytes/vector); broadcast-argmax assign → nprobe-cell
+    // semi-filter → native encode+LUT-sum projection → TakeOrdered.
+    "sim_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, numCells = 16, nprobe = 4, m = 8, k = 16, dims = 64,
+        topK = 10)),
+
+    // PQ codebook TRAINING: one Lloyd refinement per subspace (new
+    // codeword = mean of the subspace slices encoding to it) — native
+    // encode projection + one keyed (subspace, code, dim) shuffle, the
+    // per-subspace twin of sim_kmeans_centroids. Iterated, this is
+    // k-means-per-subspace codebook training; one deterministic step is
+    // the oracle representative.
+    "sim_pq_train_centroids" -> ((s, d) =>
+      Similarity.pqTrainCodebooks(embeddings(s, d), "vec_id", "embedding",
+          m = 8, k = 16, dims = 64)
+        .orderBy("j", "code", "dim")),
+
     // Deterministic stratified sampling: fixed-n per stratum, ordered by a
     // portable content-independent hash of the key — reproducible across
     // runs/engines, no RNG state. Per-stratum windows partition cleanly;
@@ -792,12 +813,13 @@ object ExtensionQueries extends QueryPack {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
     // PQ encoding CTEs (mirror Similarity.pqEncode: m=8 subspaces of 8
     // dims, k=16 seed codewords, squared-L2 argmin per subspace with the
-    // identical a·a − 2·a·b + b·b op order), shared by the codes and ADC
-    // oracles. `best` holds one (vec_id, j, code) row per subspace.
-    val duckPq =
-      """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |book AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
+    // identical a·a − 2·a·b + b·b op order), shared by the codes, ADC,
+    // training, and IVF-PQ oracles. `best` holds one (vec_id, j, code)
+    // row per subspace. `duckPqCore` assumes an `e` CTE is already in
+    // scope (so it composes with duckIvfAssign, which defines the same
+    // `e`); `duckPq` is the self-contained form.
+    val duckPqCore =
+      """book AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16),
         |subd AS (
         |  SELECT e.vec_id, g.j, b.code,
         |    round(
@@ -808,6 +830,10 @@ object ExtensionQueries extends QueryPack {
         |best AS (
         |  SELECT vec_id, j, code FROM subd
         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1)""".stripMargin
+    val duckPq =
+      """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |""".stripMargin + duckPqCore
     // Quality-score CTE chain ending in `quality` (mirrors qualityScored),
     // shared by the score and dedup-survivor oracles.
     val duckQualityCtes =
@@ -987,6 +1013,38 @@ object ExtensionQueries extends QueryPack {
            |SELECT best.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
            |FROM best JOIN lut USING (j, code)
            |GROUP BY best.vec_id ORDER BY adc_l2sq ASC, best.vec_id LIMIT 10""".stripMargin,
+
+      "sim_ivfpq_topk" ->
+        s"""WITH $duckIvfAssign,
+           |$duckPqCore,
+           |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cell_id AS cell FROM cent, q
+           |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
+           |                 / (cnrm * qnrm), 6) DESC, cell_id
+           |  LIMIT 4),
+           |lut AS (
+           |  SELECT b.code, g.j,
+           |    CAST(round((
+           |      list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * qv[g.j*8+i]))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * b.cv[g.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
+           |  FROM book b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN q)
+           |SELECT b.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
+           |FROM best b
+           |JOIN assign a ON b.vec_id = a.vec_id
+           |JOIN probe p ON a.cell = p.cell
+           |JOIN lut USING (j, code)
+           |GROUP BY b.vec_id ORDER BY adc_l2sq ASC, b.vec_id LIMIT 10""".stripMargin,
+
+      "sim_pq_train_centroids" ->
+        s"""WITH $duckPq,
+           |x AS (
+           |  SELECT b.j, b.code, g.d, e.v[b.j*8 + g.d] AS val
+           |  FROM best b JOIN e USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) g)
+           |SELECT j, code, d - 1 AS dim, round(avg(val), 6) AS centroid
+           |FROM x GROUP BY j, code, d ORDER BY j, code, dim""".stripMargin,
 
       "sim_kmeans_centroids" ->
         s"""WITH $duckIvfAssign,

@@ -243,4 +243,29 @@ object MetricsJob {
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming windowed count-min: per-window point-frequency state as a
+    * KB-sized CMS counter matrix instead of a per-key count map — the
+    * "how often did key X occur this window?" twin of
+    * [[windowedDistinctUsers]]'s HLL. Emitted rows carry the sketch
+    * BYTES, so closed windows stay mergeable downstream
+    * (`Sketches.cmsMergeEstimate` over any range of emitted rows answers
+    * point queries for that range — raw events never re-scanned), plus a
+    * total-count column for normalization. Same eps/confidence/seed as
+    * the batch path so partials from both merge. Estimates only ever
+    * over-count (eps·N bound); exact while the window's distinct keys
+    * stay far below the counter width — pinned in StreamingSpec against
+    * the exact per-window counts.
+    */
+  def windowedKeyFreq(parsed: DataFrame, keyCol: String,
+      windowDur: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    parsed
+      .withColumn("event_time", timestamp_millis(col("created_ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(
+        call_function("count_min_sketch", col(keyCol),
+          lit(0.001), lit(0.99), lit(42)).as("freq_sketch"),
+        count(lit(1)).as("n_total"))
 }

@@ -187,7 +187,16 @@ object ScaleProbe {
     // and in-cell pairwise work stay constant per copy. The broadcast-
     // argmax assignment is the known O(N·C·d) IVF term; at real scale C
     // follows the ~sqrt(N) quantizer rule or a hierarchical coarse pass.
-    "semdedup_pairs")
+    "semdedup_pairs",
+    // round-7 additions: PQ encode (native-kernel projection over 8×
+    // vectors against the constant copy-0 codebook — the signed-
+    // permutation copies keep per-copy geometry, and linear scaling here
+    // IS the claim: encode cost ∝ rows, independent of corpus-wide
+    // structure), ADC top-k (same + TakeOrdered), graded contamination
+    // (shingle explode + semi-join + join-back, copy-disjoint tokens),
+    // and the CMS build (per-day sketch agg over 8× events)
+    "sim_pq_codes", "sim_pq_adc_topk", "contamination_ratio",
+    "cms_type_counts")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -143,6 +143,68 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("IVF-PQ top-k == whole-corpus ADC ranking restricted to the probed cells") {
+    val e = Tables.embeddings(spark, sf0001)
+    val got = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      queryId = 0L, numCells = 16, nprobe = 4, m = 8, k = 16, dims = 64, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 10)
+    assert(got.map(_._2).sliding(2).forall(w => w(0) <= w(1)), "ascending distance")
+    // recompute the probed-cell set with the query's own rule (top-4
+    // cells by round-6 centroid cosine, ties to the lowest cell id)
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble).toArray).toMap
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = vecs(0L)
+    val qn = math.sqrt(dotLtr(q, q))
+    val probed = (0L until 16L)
+      .map(c => (-r6(dotLtr(vecs(c), q) / (math.sqrt(dotLtr(vecs(c), vecs(c))) * qn)), c))
+      .sorted.take(4).map(_._2).toSet
+    // whole-corpus ADC ranking restricted to vectors in probed cells
+    val assign = Similarity.ivfAssign(e, "vec_id", "embedding", 16)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val full = Similarity.pqAdcTopK(e, "vec_id", "embedding",
+      queryId = 0L, m = 8, k = 16, dims = 64, topK = vecs.size)
+      .as[(Long, Double)].collect().toSeq
+    val expected = full.filter { case (id, _) => probed.contains(assign(id)) }.take(10)
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("PQ Lloyd refinement does not increase quantization error at fixed assignment") {
+    val e = Tables.embeddings(spark, sf0001)
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble).toArray).toMap
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    val refined = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64)
+      .as[(Int, Long, Int, Double)].collect()
+      .map { case (j, c, dim, v) => (j, c, dim) -> v }.toMap
+    def sse(book: (Int, Long) => Int => Double): Double =
+      vecs.map { case (id, v) =>
+        (0 until 8).map { j =>
+          val cw = book(j, codes(id)(j))
+          (0 until 8).map { i =>
+            val diff = v(j * 8 + i) - cw(i); diff * diff
+          }.sum
+        }.sum
+      }.sum
+    val sseSeed = sse((j, c) => i => vecs(c)(j * 8 + i))
+    val sseRefined = sse((j, c) => i => refined((j, c, i)))
+    // Lloyd: moving each codeword to the member mean can only lower the
+    // summed squared error for the FIXED assignment (round(6) on the
+    // emitted centroids allows ulp-scale slack).
+    assert(sseRefined <= sseSeed + 1e-4, s"refined=$sseRefined seed=$sseSeed")
+    assert(sseRefined < sseSeed, "refinement should strictly improve on the fixture")
+  }
+
   test("brute-force top-k cosine ranks the query vector itself first") {
     val e = Tables.embeddings(spark, sf0001)
     val top = Similarity.topKCosine(e, "vec_id", "embedding",

@@ -97,6 +97,42 @@ class StreamingSpec extends SparkSpec {
     assert(merged == 3L, s"union of emitted sketches = $merged, want 3")
   }
 
+  test("windowed count-min key-frequency sketches: exact at fixture size, mergeable after emission") {
+    // Two 1m windows of typed events; the emitted per-window CMS rows
+    // answer point queries exactly at this cardinality, and merging the
+    // emitted sketches answers the two-window range without re-scanning
+    // events — the streaming half of the Sketches.cms* family.
+    def ev(id: String, ts: Long, typ: String): String =
+      s"""{"event_id":"$id","created_ts":$ts,"user_id":1,"event_type":"$typ","value":1.0,"payload":"x"}"""
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.windowedKeyFreq(MetricsJob.parse(input.toDF()), "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cms_win")
+      .start()
+    try {
+      input.addData(
+        ev("a", 1000L, "click"), ev("b", 2000L, "view"), ev("c", 3000L, "click"),
+        ev("d", 61000L, "view"), ev("e", 62000L, "view"),
+        ev("f", 1000000L, "scroll")) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("cms_win")
+      .select(unix_millis($"window.start").as("w"), $"freq_sketch", $"n_total")
+    assert(emitted.where($"w" === 0L).head().getLong(2) == 3L)
+    // per-window point queries are exact at this cardinality
+    val w0 = graft.ext.Sketches.cmsMergeEstimate(spark,
+      emitted.where($"w" === 0L).select($"freq_sketch".as("sketch")),
+      Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w0 == Map("click" -> 2L, "view" -> 1L), s"got $w0")
+    // merged emitted sketches answer the two-window range
+    val range = graft.ext.Sketches.cmsMergeEstimate(spark,
+      emitted.where($"w" <= 60000L).select($"freq_sketch".as("sketch")),
+      Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(range == Map("click" -> 2L, "view" -> 3L), s"got $range")
+  }
+
   test("update output mode re-emits a window's row as its aggregate changes") {
     val input = MemoryStream[String](spark)
     val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()))
