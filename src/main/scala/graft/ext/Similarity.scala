@@ -326,6 +326,98 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Materialize the IVF-PQ index to disk: `(id, codes)` rows PARTITIONED
+    * BY CELL (one directory per Voronoi cell, in-file sorted by id via
+    * `ops/Layout.writePartitioned`), plus the centroid and codebook side
+    * tables serving needs. This is what turns IVF pruning from a compute
+    * bound into an I/O bound: [[ivfPqTopKFromIndex]] reads ONLY the
+    * `nprobe` probed partitions — at 10^9 vectors the other
+    * numCells − nprobe directories are never opened, and each row read
+    * is m code bytes, not D floats.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, m: Int, k: Int, dims: Int, path: String): Unit = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val bookRows = staged.where(col(idCol) < k)
+      .select(col(idCol).cast("long"), col("vecd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(bookRows.nonEmpty, s"no codebook rows: no $idCol < $k")
+    val indexed = ivfAssign(embeddings, idCol, vecCol, numCells)
+      .select(col("cell"), col(idCol),
+        graft.functions.VectorExpressions.pq_codes(col("vecd"),
+          bookRows.map(_._2), bookRows.map(_._1), m).as("codes"))
+    graft.ops.Layout.writePartitioned(indexed, s"$path/codes",
+      Seq("cell"), Seq(idCol))
+    staged.where(col(idCol) < numCells)
+      .select(col(idCol).cast("long").as("cell_id"), col("vecd"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    staged.where(col(idCol) < k)
+      .select(col(idCol).cast("long").as("code"), col("vecd"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve a top-k ANN query from a materialized [[writeIvfPqIndex]]
+    * index, by VECTOR (the honest serving signature — the query need not
+    * exist in the corpus). Probe-cell selection and the ADC LUT are
+    * driver-side arithmetic over the two constant side tables (identical
+    * fold order and HALF_UP rounding as the in-plan spellings, so the
+    * answer matches [[ivfPqTopK]] bit-for-bit for an indexed query
+    * vector); the distributed work is a scan of ONLY the probed cell
+    * partitions — the plan carries `PartitionFilters` on `cell` and
+    * never touches the rest of the index.
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryVec: Array[Double], nprobe: Int,
+      topK: Int): DataFrame = {
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qn = math.sqrt(dotLtr(queryVec, queryVec))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // top-nprobe cells by round-6 centroid cosine, ties to the lowest id
+    val probed = cents.map { case (cid, cv) =>
+      (-r6(dotLtr(cv, queryVec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid)
+    }.sorted.take(nprobe).map(_._2)
+    val bookRows = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // infer m from the stored codes width; subspace width from the book
+    val m = spark.read.parquet(s"$path/codes").head()
+      .getAs[scala.collection.Seq[Long]]("codes").length
+    val sub = bookRows.head._2.length / m
+    val kk = bookRows.length
+    val lut = new Array[Long](m * kk)
+    for (j <- 0 until m; c <- 0 until kk) {
+      val base = j * sub
+      val cv = bookRows(c)._2
+      def dotOff(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < sub) { s += a(base + i) * b(base + i); i += 1 }
+        s
+      }
+      val d = dotOff(queryVec, queryVec) - 2.0 * dotOff(queryVec, cv) +
+        dotOff(cv, cv)
+      lut(j * kk + c) = BigDecimal(d * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val idCol = spark.read.parquet(s"$path/codes").schema
+      .fieldNames.filterNot(n => n == "cell" || n == "codes").head
+    spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(probed.map(Long.box): _*))
+      .select(col(idCol),
+        (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
+          bookRows.map(_._1)) / 1e6).as("adc_l2sq"))
+      .orderBy(col("adc_l2sq").asc, col(idCol))
+      .limit(topK)
+  }
+
   /** One Lloyd refinement iteration over the PQ codebooks — the
     * per-subspace twin of [[kmeansCentroids]]: new codeword (j, c) = mean
     * of the subspace-j slices of all vectors currently encoding to c in

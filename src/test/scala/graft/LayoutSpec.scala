@@ -37,6 +37,55 @@ class LayoutSpec extends SparkSpec {
     assert(disorder.isEmpty)
   }
 
+  test("IVF-PQ index on disk: pruned serving reads only probed cells, answer matches in-plan IVF-PQ") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val path = Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+      numCells = 16, m = 8, k = 16, dims = 64, path = path)
+
+    // serve BY VECTOR (query vector = corpus id 0, so the in-plan
+    // spelling is the executable expectation)
+    val qvec = e.where($"vec_id" === 0L)
+      .select($"embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .map(_.toDouble).toArray
+    val served = Similarity.ivfPqTopKFromIndex(spark, path, qvec,
+      nprobe = 4, topK = 10)
+    val inPlan = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      queryId = 0L, numCells = 16, nprobe = 4, m = 8, k = 16, dims = 64,
+      topK = 10).as[(Long, Double)].collect().toSeq
+    assert(served.as[(Long, Double)].collect().toSeq == inPlan)
+
+    // the serving scan is partition-pruned: the index holds ~numCells
+    // cell directories, and the probed-cell filter reaches the scan as a
+    // PartitionFilter (same proof shape as the writePartitioned test) —
+    // at 10^9 vectors the unprobed directories are never opened
+    val cellDirs = new java.io.File(path + "/codes").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs > 4, s"expected many cell dirs, got $cellDirs")
+    // recompute the probed cells with the serving rule (top-4 round-6
+    // centroid cosine, ties to the lowest cell id)
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = spark.read.parquet(path + "/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qn = math.sqrt(dotLtr(qvec, qvec))
+    val probed = cents.map { case (cid, cv) =>
+      (-r6(dotLtr(cv, qvec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid)
+    }.sorted.take(4).map(_._2)
+    val prunedRead = spark.read.parquet(path + "/codes")
+      .where($"cell".isin(probed.map(Long.box): _*))
+    val scan = prunedRead.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      s"expected partition filters, got: ${scan.partitionFilters}")
+  }
+
   test("z-order layout prunes 2-d box predicates better than lexicographic sort") {
     // 150 users x 20 value-buckets; same file count both layouts.
     val ev = Tables.events(spark, sf0001)
