@@ -387,22 +387,34 @@ object ExtensionQueries extends QueryPack {
     // Graded decontamination: per-document CONTAMINATION RATIO (share of
     // its distinct word-3-grams appearing in the holdout) instead of the
     // binary flag — the signal a pipeline thresholds ("drop if >5%
-    // overlap") or stratifies eval sets by. Same keyed-probe plan as
-    // decontaminate_ngrams (one explode pass feeds both the per-doc
-    // totals and the holdout semi-join; no pairwise work), plus a
-    // doc-count-sized left join-back so uncontaminated docs report 0.
+    // overlap") or stratifies eval sets by. The per-doc DENOMINATOR is a
+    // pure projection — `size(array_distinct(shingles))` over the doc's
+    // own array — NOT a grouped count over the exploded stream: the
+    // 16× probe measured that (doc, h) re-aggregation as the query's
+    // dominant stage (1.9 s of 3.5 at the probe's partition scaling),
+    // paying a token-linear shuffle to recount what each row already
+    // knows. Cross-doc work (the holdout semi-join + n_shared count) is
+    // the only exploded/keyed part, plus a doc-count-sized left
+    // join-back so uncontaminated docs report 0.
     "contamination_ratio" -> ((s, d) => {
-      val sh = documents(s, d)
+      // per-doc DISTINCT shingle array staged once: the denominator is
+      // size(_hs) (pure projection), the exploded h is unique per doc so
+      // n_shared is a plain partial-aggregable count (no (doc, h)
+      // distinct-regroup shuffle), and the holdout's distinct build
+      // explodes the smaller deduped arrays
+      val staged = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
         .select(col("doc_id"), TextOps.hashAll(col("_t")).as("_th"))
-        .select(col("doc_id"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shingleHashes(col("_th"))).as("_hs"))
+      val sh = staged.select(col("doc_id"), explode(col("_hs")).as("h"))
       val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
-      val train = sh.where(col("doc_id") % 97 =!= 0)
-      val total = train.groupBy(col("doc_id"))
-        .agg(countDistinct(col("h")).as("n_total"))
-      val shared = train.join(holdout, Seq("h"), "left_semi")
+      val total = staged.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), size(col("_hs")).cast("long").as("n_total"))
+      val shared = sh.where(col("doc_id") % 97 =!= 0)
+        .join(holdout, Seq("h"), "left_semi")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("h")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
       total.join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_total"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),

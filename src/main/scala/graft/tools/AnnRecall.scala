@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ext.Similarity
+
+/** ANN quality measurement (dev tool): recall@k of the approximate
+  * retrieval paths against the EXACT ranking in each path's own metric
+  * (IVF ranks by cosine; PQ/ADC rank by squared L2), averaged over a set
+  * of query vectors — the standard ANN acceptance metric, complementing
+  * the oracle checks (which pin determinism, not retrieval quality).
+  * Exact baselines are computed driver-side over the collected fixture
+  * (thousands of vectors); the approximate paths run their real
+  * distributed plans.
+  *
+  * Caveat on the fixture: embeddings are near-isotropic random vectors
+  * (no planted cluster structure), the WORST case for coarse quantizers
+  * — production corpora with real semantic clusters sit well above these
+  * numbers. The point of recording them is the shape of the tradeoff
+  * (nprobe up → recall up, scan fraction up), not the absolute values.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nQueries = args.headOption.map(_.toInt).getOrElse(20)
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, d)
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    val byId = vecs.toMap
+    val n = vecs.length
+    val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def exactTopK(q: Long, metric: String): Set[Long] = {
+      val qv = byId(q)
+      val qn = math.sqrt(dot(qv, qv))
+      vecs.map { case (id, v) =>
+        val key = metric match {
+          case "cos" => -(dot(v, qv) / (math.sqrt(dot(v, v)) * qn))
+          case "l2" => dot(qv, qv) - 2.0 * dot(qv, v) + dot(v, v)
+        }
+        (key, id)
+      }.sorted.take(k).map(_._2).toSet
+    }
+    def recallOf(name: String, metric: String)(approx: Long => Seq[Long]): Unit = {
+      val rs = qids.map(q => (approx(q).toSet & exactTopK(q, metric)).size.toDouble / k)
+      println(f"[recall] $name%-22s mean recall@$k = ${rs.sum / rs.size}%.2f  " +
+        f"(min ${rs.min}%.2f, max ${rs.max}%.2f, $nQueries queries, n=$n)")
+    }
+    recallOf("ivf nprobe=4/16", "cos") { q =>
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 16, 4, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
+    recallOf("pq adc (full scan)", "l2") { q =>
+      Similarity.pqAdcTopK(e, "vec_id", "embedding", q, 8, 16, 64, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
+    recallOf("ivfpq nprobe=4/16", "l2") { q =>
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 16, 4, 8, 16, 64, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
+    recallOf("ivfpq nprobe=8/16", "l2") { q =>
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 16, 8, 8, 16, 64, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
+    spark.stop()
+  }
+}
