@@ -64,9 +64,13 @@ object AnnRecall {
       Similarity.ivfTopK(e, "vec_id", "embedding", q, 16, 4, k)
         .select($"vec_id").as[Long].collect().toSeq
     }
-    recallOf("pq adc (full scan)", "l2") { q =>
-      Similarity.pqAdcTopK(e, "vec_id", "embedding", q, 8, 16, 64, k)
-        .select($"vec_id").as[Long].collect().toSeq
+    // codebook-size ladder: recall rises with k (code bytes stay m=8;
+    // codebook memory is k×D doubles — still KB-range at k=256)
+    for (kBook <- Seq(16, 64, 256)) {
+      recallOf(s"pq adc k=$kBook", "l2") { q =>
+        Similarity.pqAdcTopK(e, "vec_id", "embedding", q, 8, kBook, 64, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
     }
     recallOf("ivfpq nprobe=4/16", "l2") { q =>
       Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 16, 4, 8, 16, 64, k)
