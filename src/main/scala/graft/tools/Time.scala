@@ -24,13 +24,20 @@ object Time {
     extra.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_HONEST=1: materialize via toRdd.count() so Catalyst
+    // cannot column-prune payload expressions through the count (the
+    // ScaleProbe lesson) — the default count() is kept for parity with
+    // graft.Bench's protocol.
+    val honest = sys.env.get("SPARK_GRAFT_HONEST").contains("1")
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      if (honest) df.queryExecution.toRdd.count() else df.count()
     for (q <- args) {
       val fn = graft.SparkEntry.queries(q)
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try force(fn(spark, "/root/testdata/sf0.001"))
       catch { case e: Throwable => println(s"[time] $q warmup failed: $e") }
       val times = Seq.fill(3) {
         val t0 = System.nanoTime()
-        fn(spark, d).count()
+        force(fn(spark, d))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[time] $q%-28s min=${times.min}%.2f s  (passes: ${times.map(t => f"$t%.2f").mkString(", ")})")
