@@ -383,6 +383,38 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2L, s"expected one row per processed batch, got $n")
   }
 
+  test("PQ encode runs as a stateless streaming projection (vector-stream serving)") {
+    // the native PQ kernel is a row projection, so arriving embeddings
+    // can be coded against a fixed index codebook mid-stream — no state,
+    // no watermark, same codes as the batch path
+    val e = Tables.embeddings(spark, sf0001)
+    val book = e.select($"vec_id".cast("long"),
+        transform($"embedding", _.cast("double")).as("vecd"))
+      .where($"vec_id" < 16).as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val vecs = e.select($"vec_id".cast("long"),
+        transform($"embedding", _.cast("double")).as("vecd"))
+      .as[(Long, Seq[Double])].collect().toSeq.take(50)
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = input.toDF().toDF("vec_id", "vecd")
+      .select($"vec_id",
+        graft.functions.VectorExpressions.pq_codes($"vecd",
+          book.map(_._2), book.map(_._1), 8).as("codes"))
+      .writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(vecs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pq_stream")
+      .as[(Long, Seq[Long])].collect().toMap
+    val batch = graft.ext.Similarity.pqEncode(e, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(streamed.size == 50)
+    streamed.foreach { case (id, codes) => assert(codes == batch(id), s"vec $id") }
+  }
+
   test("stream-stream interval join correlates within the time bound only") {
     val clicks = MemoryStream[String](spark)
     val errors = MemoryStream[String](spark)
