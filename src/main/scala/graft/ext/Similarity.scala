@@ -418,6 +418,51 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Per-cell PQ reconstruction error — the index-health metric: average
+    * quantization SSE ‖x − decode(codes(x))‖² per Voronoi cell. Rising
+    * error in a cell means its vectors drifted from the codebooks (time
+    * to re-run [[pqTrainCodebooks]]); comparing cells finds regions the
+    * coarse quantizer serves badly. One scan: assignment + native encode
+    * + an m-term per-row distance fold (each row touches only its OWN
+    * chosen codeword per subspace — m distance evaluations, not the
+    * encoder's m×k), then a keyed per-cell average. Distances snap to
+    * integer micro-units before summing, so every aggregation is exact
+    * integer math until the final divide.
+    *
+    * Requires dense codebook ids 0..k-1 (the seeding rule) so codes
+    * index the broadcast codebook literal directly.
+    */
+  def pqReconError(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, m: Int, k: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val bookRows = staged.where(col(idCol) < k)
+      .select(col(idCol).cast("long"), col("vecd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(bookRows.map(_._1).toSeq == (0L until k.toLong),
+      s"pqReconError requires dense codebook ids 0..${k - 1}")
+    val bookLit = typedlit(bookRows.map(_._2.toSeq).toSeq)
+    val withCodes = ivfAssign(embeddings, idCol, vecCol, numCells)
+      .select(col("cell"), col(idCol), col("vecd"),
+        graft.functions.VectorExpressions.pq_codes(col("vecd"),
+          bookRows.map(_._2), bookRows.map(_._1), m).as("codes"))
+    val errMicro = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sa = slice(col("vecd"), j * lit(sub) + 1, lit(sub))
+        val cb = element_at(bookLit, (get(col("codes"), j) + 1).cast("int"))
+        val sb = slice(cb, j * lit(sub) + 1, lit(sub))
+        round((dot(sa, sa) - lit(2.0) * dot(sa, sb) + dot(sb, sb)) * 1e6, 0)
+          .cast("long")
+      }), lit(0L), (acc, x) => acc + x)
+    withCodes.select(col("cell"), errMicro.as("err_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("err_micro")) / count(lit(1)) / 1e6, 6).as("avg_err"))
+      .orderBy("cell")
+  }
+
   /** One Lloyd refinement iteration over the PQ codebooks — the
     * per-subspace twin of [[kmeansCentroids]]: new codeword (j, c) = mean
     * of the subspace-j slices of all vectors currently encoding to c in

@@ -280,6 +280,16 @@ object ExtensionQueries extends QueryPack {
         queryId = 0L, numCells = 16, nprobe = 4, m = 8, k = 16, dims = 64,
         topK = 10)),
 
+    // PQ index health: per-cell average reconstruction error (quantization
+    // SSE per Voronoi cell) — the monitoring metric that says WHEN to
+    // re-train codebooks and WHICH regions the coarse quantizer serves
+    // badly. One scan: assign + native encode + m-term per-row distance
+    // fold (only the chosen codeword per subspace), integer micro-unit
+    // partials, keyed per-cell average.
+    "sim_pq_recon_error" -> ((s, d) =>
+      Similarity.pqReconError(embeddings(s, d), "vec_id", "embedding",
+        numCells = 16, m = 8, k = 16, dims = 64)),
+
     // PQ codebook TRAINING: one Lloyd refinement per subspace (new
     // codeword = mean of the subspace slices encoding to it) — native
     // encode projection + one keyed (subspace, code, dim) shuffle, the
@@ -1048,6 +1058,25 @@ object ExtensionQueries extends QueryPack {
            |JOIN probe p ON a.cell = p.cell
            |JOIN lut USING (j, code)
            |GROUP BY b.vec_id ORDER BY adc_l2sq ASC, b.vec_id LIMIT 10""".stripMargin,
+
+      "sim_pq_recon_error" ->
+        s"""WITH $duckIvfAssign,
+           |$duckPqCore,
+           |bestd AS (
+           |  SELECT vec_id, j, code FROM subd
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+           |perr AS (
+           |  SELECT b.vec_id,
+           |    sum(CAST(round((
+           |      list_sum(list_transform(generate_series(1, 8), i -> e.v[b.j*8+i] * e.v[b.j*8+i]))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> e.v[b.j*8+i] * bk.cv[b.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> bk.cv[b.j*8+i] * bk.cv[b.j*8+i]))) * 1e6, 0) AS BIGINT)) AS err_micro
+           |  FROM bestd b JOIN e USING (vec_id) JOIN book bk ON bk.code = b.code
+           |  GROUP BY b.vec_id)
+           |SELECT a.cell, count(*) AS n_vecs,
+           |  round(sum(err_micro) / count(*) / 1e6, 6) AS avg_err
+           |FROM perr JOIN assign a USING (vec_id)
+           |GROUP BY a.cell ORDER BY cell""".stripMargin,
 
       "sim_pq_train_centroids" ->
         s"""WITH $duckPq,

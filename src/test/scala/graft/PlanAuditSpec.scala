@@ -267,6 +267,7 @@ class PlanAuditSpec extends SparkSpec {
       "semdedup_pairs",         // numCells-row centroid table (constant)
       "sim_ivf_topk",           // numCells-row centroid table (constant)
       "sim_ivfpq_topk",         // same centroid table + nprobe-cell attach
+      "sim_pq_recon_error",     // same centroid table (cell assignment)
       "sim_kmeans_centroids",   // numCells-row centroid table (constant)
       "text_tfidf_top_terms",   // 1-row corpus doc-count attach (IDF)
       "zipf_token_freq",        // 1-row total-token-count attach
