@@ -22,6 +22,19 @@ object Multimodal {
       channels: Int,
       checksum: Long)
 
+  /** PROCESS-GLOBAL imageio configuration, applied once per JVM the first
+    * time any codec task touches it (lazy val ⇒ one volatile check after
+    * initialization). Disabling the temp-file cache is deliberate for the
+    * whole executor JVM — heap streams beat scratch files for small media
+    * payloads, executors may have no scratch dir, and a FileCache
+    * ImageInputStream leaks one temp file per payload until JVM exit.
+    * Scope caveat: this also affects any OTHER imageio user in the same
+    * JVM; re-enable per call site with an explicit MemoryCache/FileCache
+    * stream if that ever matters.
+    */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** The ONE rolling checksum every stub codec path uses (decode, frame
     * sampling, resize) — the DuckDB oracles mirror this byte-for-byte, so
     * it must never fork per call site.
@@ -114,9 +127,7 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup: no temp-file cache (executors may
-        // have no scratch dir; heap streams are faster for small media)
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoCache // once-per-JVM decoder setup (see the lazy val)
         rows.map { case (id, bytes) =>
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -145,7 +156,7 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        javax.imageio.ImageIO.setUseCache(false)
+        imageIoNoCache // once-per-JVM decoder setup (see the lazy val)
         rows.map { case (id, bytes) =>
           val src = try {
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
@@ -221,10 +232,8 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
+        imageIoNoCache // once-per-JVM (was per-row here — a global toggle)
         try {
-          // no temp-file cache (same as the image paths: a FileCache iis
-          // leaks one temp file per payload until JVM exit otherwise)
-          javax.imageio.ImageIO.setUseCache(false)
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           try {

@@ -19,6 +19,12 @@ import graft.ext.TextOps.hash32
   */
 object Similarity {
 
+  /** A constant codebook / centroid set: (id, full-dim vector) rows sorted
+    * by id — KB-sized, collected driver-side once and shipped to tasks as
+    * codegen reference objects (the broadcast-constant pattern).
+    */
+  type Book = Array[(Long, Array[Double])]
+
   /** Cast a float array to double for exact, portable arithmetic. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
@@ -236,7 +242,7 @@ object Similarity {
       queryId: Long, m: Int, k: Int, dims: Int, topK: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val (bookRows, lut) = pqServingInputs(staged, idCol, queryId, m, k, dims / m)
+    val (bookRows, lut) = pqServingInputs(staged, idCol, queryId, m, k)
     pqEncode(embeddings, idCol, vecCol, m, k, dims)
       .select(col(idCol),
         (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
@@ -253,7 +259,7 @@ object Similarity {
     * (and the DuckDB oracle).
     */
   private def pqServingInputs(staged: DataFrame, idCol: String, queryId: Long,
-      m: Int, k: Int, sub: Int): (Array[(Long, Array[Double])], Array[Long]) = {
+      m: Int, k: Int): (Array[(Long, Array[Double])], Array[Long]) = {
     val bookRows = staged.where(col(idCol) < k)
       .select(col(idCol).cast("long"), col("vecd")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -265,22 +271,7 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"query id $queryId matched ${other.length} rows, want exactly 1")
     }
-    def dotLtr(a: Array[Double], aOff: Int, b: Array[Double], bOff: Int): Double = {
-      var s = 0.0; var i = 0
-      while (i < sub) { s += a(aOff + i) * b(bOff + i); i += 1 }
-      s
-    }
-    val kk = bookRows.length
-    val lut = new Array[Long](m * kk)
-    for (j <- 0 until m; c <- 0 until kk) {
-      val base = j * sub
-      val cv = bookRows(c)._2
-      val d = dotLtr(qvec, base, qvec, base) -
-        2.0 * dotLtr(qvec, base, cv, base) + dotLtr(cv, base, cv, base)
-      lut(j * kk + c) = BigDecimal(d * 1e6)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    }
-    (bookRows, lut)
+    (bookRows, adcLut(bookRows, qvec, m))
   }
 
   /** IVF-PQ top-k — the two halves composed into the actual
@@ -315,7 +306,7 @@ object Similarity {
         .select(col("cell")))
     // constant serving inputs: codebook + query vector → driver-side LUT
     val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val (bookRows, lut) = pqServingInputs(staged, idCol, queryId, m, k, sub)
+    val (bookRows, lut) = pqServingInputs(staged, idCol, queryId, m, k)
     assign.join(probeCells, Seq("cell"))
       .select(col(idCol),
         (graft.functions.VectorExpressions.pq_adc_sum(
@@ -336,26 +327,105 @@ object Similarity {
     * is m code bytes, not D floats.
     */
   def writeIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-      numCells: Int, m: Int, k: Int, dims: Int, path: String): Unit = {
+      numCells: Int, m: Int, k: Int, dims: Int, path: String,
+      trainIters: Int = 0): Unit = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
-    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val bookRows = staged.where(col(idCol) < k)
-      .select(col(idCol).cast("long"), col("vecd")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(bookRows.nonEmpty, s"no codebook rows: no $idCol < $k")
-    val indexed = ivfAssign(embeddings, idCol, vecCol, numCells)
+    val cents =
+      if (trainIters == 0) seedBook(embeddings, idCol, vecCol, numCells)
+      else trainIvfCentroids(embeddings, idCol, vecCol, numCells, trainIters)
+    val book =
+      if (trainIters == 0) seedBook(embeddings, idCol, vecCol, k)
+      else trainPqBook(embeddings, idCol, vecCol, m, k, dims, trainIters)
+    writeIvfPqIndexWith(embeddings, idCol, vecCol, cents, book, m, path)
+  }
+
+  /** [[writeIvfPqIndex]] against EXPLICIT (e.g. frozen) centroids and
+    * codebook — the rebuild path that keeps serving constants fixed, and
+    * the equality reference for [[appendIvfPqIndex]]. Besides the codes
+    * table, writes the four side tables serving and maintenance need:
+    * `centroids`, `codebook`, `meta` (id/vector column names, m — so a
+    * reader never infers schema by exclusion) and `health` (per-cell
+    * build-time reconstruction error, the staleness baseline appends are
+    * judged against).
+    */
+  def writeIvfPqIndexWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Book, book: Book, m: Int, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val indexed = ivfAssignWith(embeddings, idCol, vecCol, cents)
       .select(col("cell"), col(idCol),
         graft.functions.VectorExpressions.pq_codes(col("vecd"),
-          bookRows.map(_._2), bookRows.map(_._1), m).as("codes"))
+          book.map(_._2), book.map(_._1), m).as("codes"))
     graft.ops.Layout.writePartitioned(indexed, s"$path/codes",
       Seq("cell"), Seq(idCol))
-    staged.where(col(idCol) < numCells)
-      .select(col(idCol).cast("long").as("cell_id"), col("vecd"))
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cell_id", "vecd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    staged.where(col(idCol) < k)
-      .select(col(idCol).cast("long").as("code"), col("vecd"))
+    book.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("code", "vecd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((idCol, vecCol, m))
+      .toDF("id_col", "vec_col", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    pqReconErrorWith(embeddings, idCol, vecCol, cents, book, m)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/health")
+  }
+
+  /** Read back the constant side tables of a materialized index. */
+  def readIndexSides(spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, String, Int, Book, Book) = {
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"index at $path: expected exactly 1 meta row, got ${metaRows.length}")
+    val meta = metaRows.head
+    val idCol = meta.getAs[String]("id_col")
+    val vecCol = meta.getAs[String]("vec_col")
+    val m = meta.getAs[Int]("m")
+    def side(name: String): Book = {
+      val rows = spark.read.parquet(s"$path/$name")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      require(rows.nonEmpty, s"index at $path: empty $name side table")
+      rows
+    }
+    (idCol, vecCol, m, side("centroids"), side("codebook"))
+  }
+
+  /** Incremental index maintenance — the 100-TB serving reality is
+    * appends, not rebuilds. New vectors are assigned and encoded against
+    * the index's FROZEN centroids/codebook (read back from the side
+    * tables) and appended into the cell partitions; serving needs no
+    * change and no downtime, and the result is row-identical to a full
+    * [[writeIvfPqIndexWith]] rebuild of the union corpus under the same
+    * constants (proved in LayoutSpec).
+    *
+    * Returns the staleness report: per cell, the appended rows'
+    * reconstruction error against the build-time `health` baseline.
+    * Frozen constants can't track drift — RETRAIN-TRIGGER RULE: rebuild
+    * with fresh training when cells holding a material share of appended
+    * rows show err_ratio (appended avg_err / build avg_err) above ~1.5,
+    * or when the corpus-weighted mean ratio exceeds ~1.2.
+    */
+  def appendIvfPqIndex(newVectors: DataFrame, path: String): DataFrame = {
+    val spark = newVectors.sparkSession
+    val (idCol, vecCol, m, cents, book) = readIndexSides(spark, path)
+    val indexed = ivfAssignWith(newVectors, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol),
+        graft.functions.VectorExpressions.pq_codes(col("vecd"),
+          book.map(_._2), book.map(_._1), m).as("codes"))
+    graft.ops.Layout.writePartitioned(indexed, s"$path/codes",
+      Seq("cell"), Seq(idCol),
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val appended = pqReconErrorWith(newVectors, idCol, vecCol, cents, book, m)
+      .withColumnRenamed("n_vecs", "n_appended")
+      .withColumnRenamed("avg_err", "appended_err")
+    val baseline = spark.read.parquet(s"$path/health")
+      .select(col("cell"), col("avg_err").as("baseline_err"))
+    appended.join(baseline, Seq("cell"), "left")
+      .select(col("cell"), col("n_appended"), col("appended_err"),
+        col("baseline_err"),
+        round(col("appended_err") / col("baseline_err"), 6).as("err_ratio"))
+      .orderBy("cell")
   }
 
   /** Serve a top-k ANN query from a materialized [[writeIvfPqIndex]]
@@ -378,37 +448,17 @@ object Similarity {
     }
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ONE read of the constant side tables: id column and m come from the
+    // meta table writeIvfPqIndexWith persisted (never inferred by
+    // exclusion from the codes schema), and an empty/absent index fails
+    // loudly inside readIndexSides.
+    val (idCol, _, m, cents, bookRows) = readIndexSides(spark, path)
     val qn = math.sqrt(dotLtr(queryVec, queryVec))
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // top-nprobe cells by round-6 centroid cosine, ties to the lowest id
     val probed = cents.map { case (cid, cv) =>
       (-r6(dotLtr(cv, queryVec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid)
     }.sorted.take(nprobe).map(_._2)
-    val bookRows = spark.read.parquet(s"$path/codebook")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    // infer m from the stored codes width; subspace width from the book
-    val m = spark.read.parquet(s"$path/codes").head()
-      .getAs[scala.collection.Seq[Long]]("codes").length
-    val sub = bookRows.head._2.length / m
-    val kk = bookRows.length
-    val lut = new Array[Long](m * kk)
-    for (j <- 0 until m; c <- 0 until kk) {
-      val base = j * sub
-      val cv = bookRows(c)._2
-      def dotOff(a: Array[Double], b: Array[Double]): Double = {
-        var s = 0.0; var i = 0
-        while (i < sub) { s += a(base + i) * b(base + i); i += 1 }
-        s
-      }
-      val d = dotOff(queryVec, queryVec) - 2.0 * dotOff(queryVec, cv) +
-        dotOff(cv, cv)
-      lut(j * kk + c) = BigDecimal(d * 1e6)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    }
-    val idCol = spark.read.parquet(s"$path/codes").schema
-      .fieldNames.filterNot(n => n == "cell" || n == "codes").head
+    val lut = adcLut(bookRows, queryVec, m)
     spark.read.parquet(s"$path/codes")
       .where(col("cell").isin(probed.map(Long.box): _*))
       .select(col(idCol),
@@ -494,6 +544,256 @@ object Similarity {
           .as(Seq("dim", "v")))
       .groupBy(col("j"), col("code"), col("dim"))
       .agg(round(avg(col("v")), 6).as("centroid"))
+  }
+
+  // ------------------------------------------------------------------
+  // Trained codebooks / centroids, and serving against an EXPLICIT book.
+  //
+  // The seed-book functions above fix the codebook to the first k (or
+  // numCells) vectors by id — the executable spec the oracles replay.
+  // Training refines those seeds by Lloyd iterations: assignment is the
+  // zero-shuffle native-encode projection, refinement is ONE keyed
+  // (subspace, code, dim) shuffle per iteration, and only the KB-sized
+  // codebook ever reaches the driver (k-means at 100 TB: per-iteration
+  // cost = one scan + one small-key shuffle; driver state is constant).
+  // The *With serving variants take the trained book explicitly, so the
+  // training→serving edge is a value, not a convention.
+  // ------------------------------------------------------------------
+
+  /** Collect the seed book: the first `limit` vectors by id (the same
+    * seeding rule every oracle mirrors with `WHERE vec_id < limit`).
+    */
+  def seedBook(embeddings: DataFrame, idCol: String, vecCol: String,
+      limit: Int): Book = {
+    val rows = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .where(col(idCol) < limit)
+      .select(col(idCol).cast("long"), col("vecd")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no seed rows: no $idCol < $limit")
+    rows
+  }
+
+  /** Train the PQ codebooks: `iters` Lloyd iterations per subspace from
+    * the seed book (k-means-per-subspace, Jégou et al. 2011 §III). Each
+    * iteration: native-encode every vector against the current book (pure
+    * projection), then new codeword (j, c) = per-dimension mean of the
+    * subspace-j slices encoding to c, rounded to 6 (the determinism
+    * contract the DuckDB training mirror replays); a codeword no vector
+    * chose keeps its previous value (the standard empty-cluster rule).
+    * Per-iteration driver traffic is the k×D book — constant — so the
+    * loop is scale-safe at any corpus size. SSE is non-increasing by the
+    * k-means argument; measured on the fixture in tools/AnnRecall.
+    */
+  def trainPqBook(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, dims: Int, iters: Int): Book = {
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    var book: Book = seedBook(embeddings, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val means = staged
+        .select(col("vecd"),
+          posexplode(graft.functions.VectorExpressions.pq_codes(col("vecd"),
+            book.map(_._2), book.map(_._1), m)).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("vecd"), col("j") * sub + 1, lit(sub)))
+            .as(Seq("dim", "v")))
+        .groupBy(col("j"), col("code"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("centroid"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      book = book.map { case (cid, cv) =>
+        val nv = cv.clone()
+        for (j <- 0 until m; d <- 0 until sub)
+          means.get((j, cid, d)).foreach(nv(j * sub + d) = _)
+        (cid, nv)
+      }
+    }
+    book
+  }
+
+  /** Train the IVF coarse centroids: `iters` Lloyd iterations from the
+    * seed centroids. Assignment = [[ivfAssignWith]] (broadcast argmax,
+    * zero shuffle); refinement = one keyed (cell, dim) shuffle; new
+    * centroid = per-dimension cell mean rounded to 6; an empty cell keeps
+    * its previous centroid. Driver traffic per iteration: numCells×D.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, iters: Int): Book = {
+    var cents: Book = seedBook(embeddings, idCol, vecCol, numCells)
+    for (_ <- 1 to iters) {
+      val means = ivfAssignWith(embeddings, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col("vecd")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("centroid"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+        .toMap
+      cents = cents.map { case (cid, cv) =>
+        val nv = cv.clone()
+        for (d <- nv.indices) means.get((cid, d)).foreach(nv(d) = _)
+        (cid, nv)
+      }
+    }
+    cents
+  }
+
+  /** [[pqEncode]] against an EXPLICIT codebook (e.g. a [[trainPqBook]]
+    * result) — the same zero-shuffle native-kernel projection.
+    */
+  def pqEncodeWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      book: Book, m: Int): DataFrame =
+    embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .select(col(idCol),
+        graft.functions.VectorExpressions.pq_codes(col("vecd"),
+          book.map(_._2), book.map(_._1), m).as("codes"))
+
+  /** [[ivfAssign]] against EXPLICIT centroids: identical broadcast-argmax
+    * projection, with the centroid rows supplied as a constant frame
+    * (their norms recomputed with the same left-to-right fold, so a
+    * round-6 trained centroid assigns identically across engines).
+    */
+  def ivfAssignWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Book): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val staged = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .select(col(idCol), col("vecd"), norm(col("vecd")).as("nrm"))
+    val centDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cell_id", "cvec")
+      .select(col("cell_id"), col("cvec"), norm(col("cvec")).as("cnrm"))
+    val centArr = broadcast(centDf
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec"),
+        col("cnrm")))).as("_cents")))
+    staged.crossJoin(centArr)
+      .withColumn("_best", array_min(transform(col("_cents"), c =>
+        struct((lit(1.0) - round(dot(col("vecd"), c("cvec")) / (col("nrm") * c("cnrm")), 6)).as("inv"),
+          c("cell_id").as("cell_id")))))
+      .select(col(idCol), col("vecd"), col("nrm"), col("_best.cell_id").as("cell"))
+  }
+
+  /** [[pqAdcTopK]] against an EXPLICIT codebook: same zero-shuffle
+    * scan → encode → LUT-sum → TakeOrdered serving plan, with the LUT
+    * built from the supplied (e.g. trained) book.
+    */
+  def pqAdcTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, book: Book, m: Int, topK: Int): DataFrame = {
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val qvec = staged.where(col(idCol) === queryId)
+      .select(col("vecd")).collect() match {
+      case Array(r) => r.getSeq[Double](0).toArray
+      case other => throw new IllegalArgumentException(
+        s"query id $queryId matched ${other.length} rows, want exactly 1")
+    }
+    val lut = adcLut(book, qvec, m)
+    pqEncodeWith(embeddings, idCol, vecCol, book, m)
+      .select(col(idCol),
+        (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
+          book.map(_._1)) / 1e6).as("adc_l2sq"))
+      .orderBy(col("adc_l2sq").asc, col(idCol))
+      .limit(topK)
+  }
+
+  /** [[ivfPqTopK]] with EXPLICIT trained centroids and codebook — the
+    * serving plan is unchanged (broadcast-argmax assign → nprobe-cell
+    * semi-filter → native encode+LUT-sum projection → TakeOrdered); only
+    * the constants are the trained ones.
+    */
+  def ivfPqTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, cents: Book, nprobe: Int, book: Book, m: Int,
+      topK: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assign = ivfAssignWith(embeddings, idCol, vecCol, cents)
+    val q = broadcast(assign.where(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("nrm").as("qnrm")))
+    val centDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cell_id", "cvec")
+      .select(col("cell_id"), col("cvec"), norm(col("cvec")).as("cnrm"))
+    val probeCells = broadcast(centDf.crossJoin(q)
+      .select(col("cell_id").as("cell"),
+        round(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell")))
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val qvec = staged.where(col(idCol) === queryId)
+      .select(col("vecd")).collect() match {
+      case Array(r) => r.getSeq[Double](0).toArray
+      case other => throw new IllegalArgumentException(
+        s"query id $queryId matched ${other.length} rows, want exactly 1")
+    }
+    val lut = adcLut(book, qvec, m)
+    assign.join(probeCells, Seq("cell"))
+      .select(col(idCol),
+        (graft.functions.VectorExpressions.pq_adc_sum(
+          graft.functions.VectorExpressions.pq_codes(col("vecd"),
+            book.map(_._2), book.map(_._1), m),
+          lut, book.map(_._1)) / 1e6).as("adc_l2sq"))
+      .orderBy(col("adc_l2sq").asc, col(idCol))
+      .limit(topK)
+  }
+
+  /** [[pqReconError]] with EXPLICIT centroids and codebook — the
+    * index-health metric evaluated against the constants a deployment is
+    * actually serving with. Comparing this on the same corpus before and
+    * after [[trainPqBook]] is the SSE-drop proof that training improved
+    * the quantizer.
+    */
+  def pqReconErrorWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Book, book: Book, m: Int): DataFrame = {
+    val dims = book.head._2.length
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sub = dims / m
+    require(book.map(_._1).toSeq == (0L until book.length.toLong),
+      s"pqReconErrorWith requires dense codebook ids 0..${book.length - 1}")
+    val bookLit = typedlit(book.map(_._2.toSeq).toSeq)
+    val withCodes = ivfAssignWith(embeddings, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol), col("vecd"),
+        graft.functions.VectorExpressions.pq_codes(col("vecd"),
+          book.map(_._2), book.map(_._1), m).as("codes"))
+    val errMicro = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sa = slice(col("vecd"), j * lit(sub) + 1, lit(sub))
+        val cb = element_at(bookLit, (get(col("codes"), j) + 1).cast("int"))
+        val sb = slice(cb, j * lit(sub) + 1, lit(sub))
+        round((dot(sa, sa) - lit(2.0) * dot(sa, sb) + dot(sb, sb)) * 1e6, 0)
+          .cast("long")
+      }), lit(0L), (acc, x) => acc + x)
+    withCodes.select(col("cell"), errMicro.as("err_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("err_micro")) / count(lit(1)) / 1e6, 6).as("avg_err"))
+      .orderBy("cell")
+  }
+
+  /** The m×k ADC lookup table for one query vector against a book:
+    * entry (j, c) = round-to-long of 1e6 × ‖q_j − book[c]_j‖², with the
+    * identical left-to-right folds and BigDecimal HALF_UP rounding as
+    * Spark's `round` and the DuckDB oracle.
+    */
+  private def adcLut(book: Book, qvec: Array[Double], m: Int): Array[Long] = {
+    val sub = book.head._2.length / m
+    def dotOff(a: Array[Double], b: Array[Double], base: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) { s += a(base + i) * b(base + i); i += 1 }
+      s
+    }
+    val kk = book.length
+    val lut = new Array[Long](m * kk)
+    for (j <- 0 until m; c <- 0 until kk) {
+      val base = j * sub
+      val cv = book(c)._2
+      val d = dotOff(qvec, qvec, base) - 2.0 * dotOff(qvec, cv, base) +
+        dotOff(cv, cv, base)
+      lut(j * kk + c) = BigDecimal(d * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    lut
   }
 
   /** Sign-LSH bucket signature: `planes` pseudo-random hyperplanes whose

@@ -175,6 +175,24 @@ case class PqEncode(child: Expression, book: Array[Array[Double]],
       s"${ev.value} = graft.functions.PqEncode.encode($v, $bookRef, $idsRef, $m);")
   }
 
+  // Array fields compare by reference under the synthesized case-class
+  // equals, so two semantically identical kernels would never be seen as
+  // equal and common-subexpression elimination could not dedupe repeated
+  // spellings (e.g. the encode built separately inside pqAdcTopK and
+  // ivfPqTopK). Content-based equality restores canonicalization.
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncode =>
+      child == p.child && m == p.m &&
+        java.util.Arrays.equals(codeIds, p.codeIds) &&
+        java.util.Arrays.deepEquals(
+          book.asInstanceOf[Array[AnyRef]], p.book.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(m),
+      Int.box(java.util.Arrays.hashCode(codeIds)),
+      Int.box(java.util.Arrays.deepHashCode(book.asInstanceOf[Array[AnyRef]])))
+
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
 }
@@ -257,6 +275,17 @@ case class PqAdcSum(child: Expression, lut: Array[Long], codeIds: Array[Long])
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.PqAdcSum.sum($v, $lutRef, $idsRef);")
   }
+
+  // Content-based equality for the Array fields — see [[PqEncode.equals]].
+  override def equals(other: Any): Boolean = other match {
+    case p: PqAdcSum =>
+      child == p.child && java.util.Arrays.equals(lut, p.lut) &&
+        java.util.Arrays.equals(codeIds, p.codeIds)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(java.util.Arrays.hashCode(lut)),
+      Int.box(java.util.Arrays.hashCode(codeIds)))
 
   override protected def withNewChildInternal(newChild: Expression): PqAdcSum =
     copy(child = newChild)

@@ -42,10 +42,14 @@ object BloomPrune {
     * stream format, the one `BloomFilterMightContain` deserializes.
     */
   def buildBloom(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
-    // rsd 0.02 ⇒ pad by 3σ = 6% so the true n can't exceed the sizing
+    // rsd 0.02 is HLL's STANDARD error, not a bound — pad by 10% (5σ) so
+    // undersizing is rare, not impossible. If the true n still exceeds the
+    // sizing, the realized false-positive rate degrades above `fpp`
+    // (best-effort); RESULTS stay exact either way — the trailing exact
+    // join removes every false positive.
     val est = keys.select(approx_count_distinct(col(keyCol), 0.02))
       .head().getLong(0)
-    val n = math.max((est * 1.06).toLong + 1L, 1L)
+    val n = math.max((est * 1.10).toLong + 1L, 1L)
     val bf = keys.stat.bloomFilter(keyCol, n, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)

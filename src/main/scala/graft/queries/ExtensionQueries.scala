@@ -26,6 +26,14 @@ object ExtensionQueries extends QueryPack {
     */
   val AnnMinCos = 0.3
 
+  /** Lloyd iterations for the TRAINED PQ/IVF catalog queries — fixed so
+    * the DuckDB oracle can replay the exact training chain (each
+    * iteration is one generated CTE block; see duckPqTrainedChain).
+    * tools/AnnRecall trains deeper (to the SSE plateau) where no
+    * cross-engine mirror is needed.
+    */
+  val PqTrainIters = 2
+
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
@@ -255,10 +263,14 @@ object ExtensionQueries extends QueryPack {
     // ids (8 subspaces × 16-entry codebooks) — the memory half of IVF-PQ,
     // the representation that holds 10^9+ vectors in RAM. Encoding is a
     // pure projection: one native codegen expression per row against the
-    // constant codebook; zero shuffles, zero joins.
+    // constant codebook; zero shuffles, zero joins. Codes are emitted
+    // comma-joined (the vocab_encode pattern) so the cross-engine
+    // comparator sees a scalar string, not an array column.
     "sim_pq_codes" -> ((s, d) =>
       Similarity.pqEncode(embeddings(s, d), "vec_id", "embedding",
           m = 8, k = 16, dims = 64)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
         .orderBy("vec_id")),
 
     // PQ asymmetric-distance (ADC) top-k: the query's distance to every
@@ -300,6 +312,67 @@ object ExtensionQueries extends QueryPack {
       Similarity.pqTrainCodebooks(embeddings(s, d), "vec_id", "embedding",
           m = 8, k = 16, dims = 64)
         .orderBy("j", "code", "dim")),
+
+    // TRAINED PQ encode — the training→serving edge exercised end-to-end:
+    // PqTrainIters Lloyd iterations per subspace refine the seed book
+    // (constant driver traffic per iteration), then serving encodes
+    // against the TRAINED constants with the identical zero-shuffle
+    // native-kernel projection. The oracle replays the whole training
+    // chain (one generated CTE block per iteration).
+    "sim_pq_codes_trained" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val book = Similarity.trainPqBook(e, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = PqTrainIters)
+      Similarity.pqEncodeWith(e, "vec_id", "embedding", book, m = 8)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // TRAINED index health: reconstruction error under the TRAINED
+    // centroids + codebooks. Comparing avg_err against sim_pq_recon_error
+    // (the seed-book twin) is the SSE-drop proof that training improved
+    // the quantizer — k-means SSE is non-increasing per iteration.
+    "sim_pq_recon_error_trained" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        numCells = 16, iters = PqTrainIters)
+      val book = Similarity.trainPqBook(e, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = PqTrainIters)
+      Similarity.pqReconErrorWith(e, "vec_id", "embedding", cents, book, m = 8)
+    }),
+
+    // TRAINED IVF-PQ serving — the composed billion-vector plan running
+    // on trained coarse centroids AND trained codebooks (plan shape
+    // unchanged: broadcast-argmax assign → nprobe semi-filter → native
+    // encode+LUT projection → TakeOrdered; only the constants differ).
+    "sim_ivfpq_topk_trained" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        numCells = 16, iters = PqTrainIters)
+      val book = Similarity.trainPqBook(e, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = PqTrainIters)
+      Similarity.ivfPqTopKWith(e, "vec_id", "embedding", queryId = 0L,
+        cents, nprobe = 4, book, m = 8, topK = 10)
+    }),
+
+    // MATERIALIZED-index serving in the oracle catalog: write the trained
+    // IVF-PQ index to disk (cell-partitioned codes + constant side
+    // tables), then serve the query BY VECTOR from the index — the scan
+    // reads ONLY the probed cell partitions (PartitionFilters). For an
+    // indexed query vector this is bit-equal to the in-plan trained
+    // serving, so the oracle is the same SQL as sim_ivfpq_topk_trained.
+    "sim_ivfpq_from_index" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_q")
+        .toString + "/index"
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", numCells = 16,
+        m = 8, k = 16, dims = 64, path = path, trainIters = PqTrainIters)
+      val qvec = e.where(col("vec_id") === 0L)
+        .select(Similarity.asDouble(col("embedding"))).head()
+        .getSeq[Double](0).toArray
+      Similarity.ivfPqTopKFromIndex(s, path, qvec, nprobe = 4, topK = 10)
+    }),
 
     // Deterministic stratified sampling: fixed-n per stratum, ordered by a
     // portable content-independent hash of the key — reproducible across
@@ -856,6 +929,113 @@ object ExtensionQueries extends QueryPack {
       """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |""".stripMargin + duckPqCore
+    // --- TRAINED-chain generators (mirror trainPqBook/trainIvfCentroids
+    // with PqTrainIters Lloyd iterations; one CTE block per iteration).
+    // pqSubBest(book, sfx): PQ assignment under an arbitrary book CTE —
+    // the identical round-6 squared-L2 argmin as duckPqCore, ties to the
+    // lowest code id.
+    def pqSubBest(bookCte: String, sfx: String): String =
+      s"""subd$sfx AS (
+         |  SELECT e.vec_id, g.j, b.code,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, 8), i -> e.v[g.j*8+i] * e.v[g.j*8+i]))
+         |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> e.v[g.j*8+i] * b.cv[g.j*8+i]))
+         |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i])), 6) AS dist
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN $bookCte b),
+         |best$sfx AS (
+         |  SELECT vec_id, j, code FROM subd$sfx
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1)""".stripMargin
+    // Training chain ending in bookT (the trained codebook) and bestT
+    // (codes under it). Each iteration: assign under book_{t-1}, new
+    // codeword slice = round-6 per-dim mean of its members (an unchosen
+    // codeword keeps its previous value via the coalesce).
+    def duckPqTrainedChain(iters: Int): String = {
+      val sb = new StringBuilder
+      sb ++= "book_t0 AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 16)"
+      for (t <- 1 to iters) {
+        sb ++= ",\n" + pqSubBest(s"book_t${t - 1}", s"_t${t - 1}")
+        sb ++= s""",
+          |means_t$t AS (
+          |  SELECT b.j, b.code, g.d, round(avg(e.v[b.j*8+g.d]), 6) AS mv
+          |  FROM best_t${t - 1} b JOIN e USING (vec_id)
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) g
+          |  GROUP BY b.j, b.code, g.d),
+          |book_t$t AS (
+          |  SELECT bk.code, list(coalesce(m.mv, bk.cv[g.i]) ORDER BY g.i) AS cv
+          |  FROM book_t${t - 1} bk
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+          |  LEFT JOIN means_t$t m ON m.code = bk.code AND m.j = (g.i-1)//8 AND m.d = ((g.i-1)%8)+1
+          |  GROUP BY bk.code)""".stripMargin
+      }
+      sb ++= s",\nbookT AS (SELECT code, cv FROM book_t$iters),\n"
+      sb ++= pqSubBest("bookT", "T")
+      sb.toString
+    }
+    // IVF assignment under an arbitrary centroid CTE (same round-6
+    // cosine argmax as duckIvfAssign, ties to the lowest cell id).
+    def ivfScoredAssign(centCte: String, sfx: String): String =
+      s"""scored$sfx AS (
+         |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
+         |          / (a.nrm * c.cnrm), 6) AS ccos
+         |  FROM n a, $centCte c),
+         |assign$sfx AS (
+         |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored$sfx
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
+    // Centroid training chain ending in centT + assignT (assignment
+    // under the trained centroids); empty cells keep their centroid.
+    def duckIvfTrainedChain(iters: Int): String = {
+      val sb = new StringBuilder
+      sb ++= "cent_c0 AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16)"
+      for (t <- 1 to iters) {
+        sb ++= ",\n" + ivfScoredAssign(s"cent_c${t - 1}", s"_c${t - 1}")
+        sb ++= s""",
+          |cmeans_c$t AS (
+          |  SELECT a.cell, g.d, round(avg(a.v[g.d]), 6) AS mv
+          |  FROM assign_c${t - 1} a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
+          |  GROUP BY a.cell, g.d),
+          |centv_c$t AS (
+          |  SELECT c.cell_id, list(coalesce(m.mv, c.cv[g.d]) ORDER BY g.d) AS cv
+          |  FROM cent_c${t - 1} c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
+          |  LEFT JOIN cmeans_c$t m ON m.cell = c.cell_id AND m.d = g.d
+          |  GROUP BY c.cell_id),
+          |cent_c$t AS (SELECT cell_id, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM centv_c$t)""".stripMargin
+      }
+      sb ++= s",\ncentT AS (SELECT cell_id, cv, cnrm FROM cent_c$iters),\n"
+      sb ++= ivfScoredAssign("centT", "T")
+      sb.toString
+    }
+    val duckE =
+      """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)""".stripMargin
+    val duckEN = duckE +
+      """,
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+    // Shared oracle body for trained IVF-PQ serving (in-plan and
+    // from-index spellings are bit-equal for an indexed query vector).
+    val duckIvfPqTrainedSql =
+      s"""WITH $duckEN,
+         |${duckIvfTrainedChain(PqTrainIters)},
+         |${duckPqTrainedChain(PqTrainIters)},
+         |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell_id AS cell FROM centT, q
+         |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
+         |                 / (cnrm * qnrm), 6) DESC, cell_id
+         |  LIMIT 4),
+         |lut AS (
+         |  SELECT b.code, g.j,
+         |    CAST(round((
+         |      list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * qv[g.j*8+i]))
+         |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * b.cv[g.j*8+i]))
+         |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
+         |  FROM bookT b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN q)
+         |SELECT b.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
+         |FROM bestT b
+         |JOIN assignT a ON b.vec_id = a.vec_id
+         |JOIN probe p ON a.cell = p.cell
+         |JOIN lut USING (j, code)
+         |GROUP BY b.vec_id ORDER BY adc_l2sq ASC, b.vec_id LIMIT 10""".stripMargin
     // Quality-score CTE chain ending in `quality` (mirrors qualityScored),
     // shared by the score and dedup-survivor oracles.
     val duckQualityCtes =
@@ -1019,7 +1199,7 @@ object ExtensionQueries extends QueryPack {
 
       "sim_pq_codes" ->
         s"""WITH $duckPq
-           |SELECT vec_id, list(code ORDER BY j) AS codes
+           |SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       "sim_pq_adc_topk" ->
@@ -1093,6 +1273,33 @@ object ExtensionQueries extends QueryPack {
            |      FROM assign)
            |SELECT cell, d - 1 AS dim, round(avg(val), 6) AS centroid
            |FROM x GROUP BY cell, d ORDER BY cell, dim""".stripMargin,
+
+      "sim_pq_codes_trained" ->
+        s"""WITH $duckE,
+           |${duckPqTrainedChain(PqTrainIters)}
+           |SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes
+           |FROM bestT GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "sim_pq_recon_error_trained" ->
+        s"""WITH $duckEN,
+           |${duckIvfTrainedChain(PqTrainIters)},
+           |${duckPqTrainedChain(PqTrainIters)},
+           |perr AS (
+           |  SELECT b.vec_id,
+           |    sum(CAST(round((
+           |      list_sum(list_transform(generate_series(1, 8), i -> e.v[b.j*8+i] * e.v[b.j*8+i]))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> e.v[b.j*8+i] * bk.cv[b.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> bk.cv[b.j*8+i] * bk.cv[b.j*8+i]))) * 1e6, 0) AS BIGINT)) AS err_micro
+           |  FROM bestT b JOIN e USING (vec_id) JOIN bookT bk ON bk.code = b.code
+           |  GROUP BY b.vec_id)
+           |SELECT a.cell, count(*) AS n_vecs,
+           |  round(sum(err_micro) / count(*) / 1e6, 6) AS avg_err
+           |FROM perr JOIN assignT a USING (vec_id)
+           |GROUP BY a.cell ORDER BY cell""".stripMargin,
+
+      "sim_ivfpq_topk_trained" -> duckIvfPqTrainedSql,
+
+      "sim_ivfpq_from_index" -> duckIvfPqTrainedSql,
 
       "sim_topk_cosine" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -80,6 +80,57 @@ object AnnRecall {
       Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 16, 8, 8, 16, 64, k)
         .select($"vec_id").as[Long].collect().toSeq
     }
+
+    // --- trained vs seed at FIXED (m=8, k=16, nprobe=4): does wiring the
+    // Lloyd-trained codebooks/centroids into serving beat the seed
+    // constants? SSE is the k-means objective (non-increasing per
+    // iteration — the plateau says when to stop); recall is the serving
+    // acceptance metric.
+    def pqSse(book: Similarity.Book): Double = {
+      val m = 8; val sub = 8
+      vecs.iterator.map { case (_, v) =>
+        var tot = 0.0
+        var j = 0
+        while (j < m) {
+          val base = j * sub
+          var best = Double.MaxValue
+          for ((_, cv) <- book) {
+            var aa = 0.0; var ab = 0.0; var bb = 0.0
+            var i = 0
+            while (i < sub) {
+              val x = v(base + i); val b = cv(base + i)
+              aa += x * x; ab += x * b; bb += b * b; i += 1
+            }
+            val dd = aa - 2.0 * ab + bb
+            if (dd < best) best = dd
+          }
+          tot += best
+          j += 1
+        }
+        tot
+      }.sum
+    }
+    val seedB = Similarity.seedBook(e, "vec_id", "embedding", 16)
+    println(f"[sse] pq k=16 seed      SSE = ${pqSse(seedB)}%.1f")
+    val booksByIters = Seq(1, 2, 4, 8).map { it =>
+      val b = Similarity.trainPqBook(e, "vec_id", "embedding", 8, 16, 64, it)
+      println(f"[sse] pq k=16 trained@$it%-2d SSE = ${pqSse(b)}%.1f")
+      it -> b
+    }.toMap
+    val book2 = booksByIters(2)
+    val cents2 = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 2)
+    recallOf("pq adc k=16 trained@2", "l2") { q =>
+      Similarity.pqAdcTopKWith(e, "vec_id", "embedding", q, book2, 8, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
+    recallOf("pq adc k=16 trained@8", "l2") { q =>
+      Similarity.pqAdcTopKWith(e, "vec_id", "embedding", q, booksByIters(8), 8, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
+    recallOf("ivfpq 4/16 trained@2", "l2") { q =>
+      Similarity.ivfPqTopKWith(e, "vec_id", "embedding", q, cents2, 4, book2, 8, k)
+        .select($"vec_id").as[Long].collect().toSeq
+    }
     spark.stop()
   }
 }

@@ -86,6 +86,53 @@ class LayoutSpec extends SparkSpec {
       s"expected partition filters, got: ${scan.partitionFilters}")
   }
 
+  test("IVF-PQ append: frozen-constant append + serve == full rebuild + serve on the union") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val half = e.count() / 2
+    // contiguous split so the first half contains ids 0..15 (dense seeds)
+    val first = e.where($"vec_id" < half)
+    val rest = e.where($"vec_id" >= half)
+    val tmp = Files.createTempDirectory("graft_ivfpq_append").toString
+    val base = tmp + "/idx"
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding",
+      numCells = 16, m = 8, k = 16, dims = 64, path = base, trainIters = 2)
+
+    // append encodes the new half against the FROZEN trained constants
+    // and returns the staleness report vs the build-time health baseline
+    val report = Similarity.appendIvfPqIndex(rest, base).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(r => r.getAs[Long]("n_appended") > 0))
+    // appended rows were never seen by training: their error should be
+    // finite and comparable (ratio defined wherever the cell existed)
+    assert(report.exists(r => !r.isNullAt(r.fieldIndex("err_ratio"))))
+
+    // full rebuild of the UNION corpus under the SAME frozen constants
+    val (_, _, m, cents, book) = Similarity.readIndexSides(spark, base)
+    val rebuilt = tmp + "/idx_rebuild"
+    Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents, book,
+      m, rebuilt)
+
+    // row-identical codes tables (append added files, not different rows)
+    val aRows = spark.read.parquet(base + "/codes")
+      .select($"cell", $"vec_id", $"codes".cast("array<string>"))
+      .as[(Long, Long, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
+    val bRows = spark.read.parquet(rebuilt + "/codes")
+      .select($"cell", $"vec_id", $"codes".cast("array<string>"))
+      .as[(Long, Long, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(aRows == bRows)
+
+    // identical serving answers from both indexes
+    val qvec = e.where($"vec_id" === 0L)
+      .select($"embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .map(_.toDouble).toArray
+    val servedAppend = Similarity.ivfPqTopKFromIndex(spark, base, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    val servedRebuild = Similarity.ivfPqTopKFromIndex(spark, rebuilt, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    assert(servedAppend == servedRebuild)
+  }
+
   test("z-order layout prunes 2-d box predicates better than lexicographic sort") {
     // 150 users x 20 value-buckets; same file count both layouts.
     val ev = Tables.events(spark, sf0001)

@@ -268,6 +268,8 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivf_topk",           // numCells-row centroid table (constant)
       "sim_ivfpq_topk",         // same centroid table + nprobe-cell attach
       "sim_pq_recon_error",     // same centroid table (cell assignment)
+      "sim_ivfpq_topk_trained", // same centroid attach, TRAINED constants
+      "sim_pq_recon_error_trained", // same centroid attach, TRAINED consts
       "sim_kmeans_centroids",   // numCells-row centroid table (constant)
       "text_tfidf_top_terms",   // 1-row corpus doc-count attach (IDF)
       "zipf_token_freq",        // 1-row total-token-count attach
