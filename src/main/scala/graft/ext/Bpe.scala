@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding VOCABULARY TRAINING (Sennrich et al. 2016) as keyed
+  * Spark aggregation — the one standard LLM-tokenizer-pipeline operator
+  * the engine was missing (the GPT-2-shape PRE-tokenizer and word-level
+  * vocab builders live in [[TextOps]] / `vocab_encode`).
+  *
+  * The scale design is the textbook one: training never iterates over the
+  * corpus. One corpus-sized shuffle builds the WORD-FREQUENCY vocabulary
+  * (distinct word → count); every merge iteration then runs over that
+  * vocab-sized frame — pair counting is a keyed aggregate whose key space
+  * is the symbol-pair set, the argmax is ONE row to the driver, and the
+  * re-chunk is a per-row projection. Per-iteration state is the vocab
+  * frame plus the merge list: both tiny relative to any corpus.
+  *
+  * Segmentations are carried as DELIMITED STRINGS, not arrays: symbols
+  * joined by a two-space separator and wrapped in single spaces
+  * (`" l  o  w "`). Merging pair (a, b) is then exactly
+  * `replace(seg, " a  b ", " ab ")` — both Spark's and DuckDB's `replace`
+  * scan left-to-right non-overlapping and continue AFTER each
+  * replacement, which IS greedy BPE merge order, and the double-space
+  * separator makes a symbol boundary unambiguous (tokens contain no
+  * spaces), so the oracle replays training exactly, merge for merge.
+  * Adjacent same-pair runs stay canonical: `" a  a  a  a "` →
+  * `" aa  aa "`, the greedy pairing. Determinism: exact integer counts,
+  * ties broken lexicographically on (left, right) — binary string order
+  * in both engines.
+  */
+object Bpe {
+
+  /** One trained merge rule: at `step`, (l_sym, r_sym) → merged, chosen
+    * with `pair_count` weighted occurrences.
+    */
+  case class Merge(step: Int, l_sym: String, r_sym: String, merged: String,
+      pair_count: Long)
+
+  /** Lowercased whitespace words (the engine's portable tokenization),
+    * empties dropped.
+    */
+  private def words(docs: DataFrame, textCol: String): Column =
+    explode(split(lower(col(textCol)), "\\s+"))
+
+  /** Initial character segmentation of a word in the delimited-string
+    * carrier form: `"low"` → `" l  o  w "`.
+    */
+  private def charSeg(word: Column): Column =
+    concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), "  "),
+      lit(" "))
+
+  /** The word-frequency vocabulary with initial character segmentations —
+    * the ONLY corpus-sized pass in training. (word, freq, seg).
+    */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(words(docs, textCol).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", charSeg(col("word")))
+
+  /** Train `steps` merges. Each iteration over the VOCAB-sized frame:
+    * adjacent symbol pairs (arrays_zip(slice, slice) — codegen, no HOF
+    * lambda) weighted by word frequency → keyed sum → top-1 by
+    * (count DESC, pair ASC) collected to the driver (one constant row) →
+    * one `replace` projection re-chunks every segmentation. The frame is
+    * localCheckpointed per iteration (vocab-sized — inside the engine's
+    * checkpoint rule) so lineage stays flat across iterations.
+    *
+    * Fails loudly if the corpus runs out of pairs before `steps` (a
+    * degenerate corpus — the oracle replays a FIXED-length chain).
+    */
+  def trainMerges(docs: DataFrame, textCol: String, steps: Int): Seq[Merge] = {
+    var vocab = wordVocab(docs, textCol).localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    for (step <- 1 to steps) {
+      val syms = split(trim(col("seg")), "  ")
+      val n1 = size(syms) - 1
+      val top = vocab
+        .select(col("freq"),
+          explode(arrays_zip(slice(syms, lit(1), n1), slice(syms, lit(2), n1)))
+            .as("pr"))
+        .select(col("pr")("0").as("s1"), col("pr")("1").as("s2"), col("freq"))
+        .groupBy(col("s1"), col("s2")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE training ran out of symbol pairs at step $step of $steps")
+      val r = top.head
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      out += Merge(step, s1, s2, s1 + s2, r.getLong(2))
+      vocab = vocab.withColumn("seg",
+        call_function("replace", col("seg"),
+          lit(s" $s1  $s2 "), lit(s" $s1$s2 "))).localCheckpoint(true)
+    }
+    out.result()
+  }
+
+  /** Apply a trained merge list to a corpus: per (doc, word) the merges
+    * replay IN ORDER as chained `replace` projections (pure codegen
+    * string ops — no shuffle until the per-doc count aggregation).
+    * Output: (idCol, n_bpe_tokens) — the corpus tokenized by the trained
+    * vocabulary. A real encoder would emit the symbol stream itself; the
+    * count form keeps the oracle comparable at any document size.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val wordRows = docs.select(col(idCol), words(docs, textCol).as("word"))
+      .where(col("word") =!= "")
+    val segFinal = merges.foldLeft(charSeg(col("word"))) { (acc, mg) =>
+      call_function("replace", acc,
+        lit(s" ${mg.l_sym}  ${mg.r_sym} "), lit(s" ${mg.merged} "))
+    }
+    wordRows
+      .select(col(idCol), size(split(trim(segFinal), "  ")).as("n"))
+      .groupBy(col(idCol)).agg(sum(col("n")).as("n_bpe_tokens"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Dedup, Multimodal, Similarity, Sketches, TextOps}
+import graft.ext.{Bpe, Dedup, Multimodal, Similarity, Sketches, TextOps}
 
 /** North-star training-data-pipeline operators over `documents` /
   * `embeddings`: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard),
@@ -33,6 +33,13 @@ object ExtensionQueries extends QueryPack {
     * cross-engine mirror is needed.
     */
   val PqTrainIters = 2
+
+  /** Merge steps for the BPE-training catalog queries — fixed so the
+    * DuckDB oracle can replay the exact merge chain (one CTE block per
+    * step; see duckBpeChain). Real vocabularies train tens of thousands
+    * of steps with the identical per-step plan.
+    */
+  val BpeSteps = 8
 
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
@@ -372,6 +379,30 @@ object ExtensionQueries extends QueryPack {
         .select(Similarity.asDouble(col("embedding"))).head()
         .getSeq[Double](0).toArray
       Similarity.ivfPqTopKFromIndex(s, path, qvec, nprobe = 4, topK = 10)
+    }),
+
+    // BPE merge TRAINING (Sennrich et al. 2016) as keyed aggregation:
+    // ONE corpus-sized shuffle builds the word-frequency vocab; each of
+    // BpeSteps merge steps is then a vocab-sized pair-count aggregate, a
+    // 1-row argmax to the driver, and a replace projection re-chunk —
+    // vocab-sized state per iteration, never a second corpus pass. The
+    // oracle replays the full merge chain step for step (deterministic:
+    // exact counts, lexicographic tie-break).
+    "bpe_train_merges" -> ((s, d) => {
+      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
+      s.createDataFrame(merges)
+        .select(col("step"), col("l_sym"), col("r_sym"), col("merged"),
+          col("pair_count"))
+        .orderBy("step")
+    }),
+
+    // Encode the corpus with the trained BPE vocabulary: the merge list
+    // replays in order as chained replace projections per (doc, word);
+    // per-doc token totals are the oracle-comparable output.
+    "bpe_encode" -> ((s, d) => {
+      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
+      Bpe.encode(documents(s, d), "doc_id", "text", merges)
+        .orderBy("doc_id")
     }),
 
     // Deterministic stratified sampling: fixed-n per stratum, ordered by a
@@ -1005,6 +1036,31 @@ object ExtensionQueries extends QueryPack {
       sb ++= ivfScoredAssign("centT", "T")
       sb.toString
     }
+    // BPE training chain (mirrors Bpe.trainMerges step for step): w0 is
+    // the char-segmented word-frequency vocab in the delimited-string
+    // carrier (" l  o  w "); each step counts adjacent symbol pairs
+    // weighted by word freq, picks the (count DESC, pair ASC) argmax m$t,
+    // and re-chunks every segmentation with the same left-to-right
+    // non-overlapping replace Spark runs.
+    def duckBpeChain(steps: Int): String = {
+      val sb = new StringBuilder
+      sb ++= """w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), '  ') || ' ' AS seg
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+      for (t <- 1 to steps) {
+        sb ++= s""",
+          |p$t AS (
+          |  SELECT pr[1] AS s1, pr[2] AS s2, CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(list_transform(generate_series(1, len(a) - 1), i -> [a[i], a[i+1]])) AS pr, freq
+          |        FROM (SELECT string_split(trim(seg), '  ') AS a, freq FROM w${t - 1}))
+          |  GROUP BY s1, s2),
+          |m$t AS (SELECT s1, s2, s1 || s2 AS ms, cnt FROM p$t ORDER BY cnt DESC, s1, s2 LIMIT 1),
+          |w$t AS (SELECT word, freq, replace(seg, ' ' || s1 || '  ' || s2 || ' ', ' ' || ms || ' ') AS seg FROM w${t - 1}, m$t)""".stripMargin
+      }
+      sb.toString
+    }
     val duckE =
       """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)""".stripMargin
@@ -1300,6 +1356,29 @@ object ExtensionQueries extends QueryPack {
       "sim_ivfpq_topk_trained" -> duckIvfPqTrainedSql,
 
       "sim_ivfpq_from_index" -> duckIvfPqTrainedSql,
+
+      "bpe_train_merges" -> {
+        val steps = (1 to BpeSteps).map(t =>
+          s"SELECT $t AS step, s1 AS l_sym, s2 AS r_sym, ms AS merged, cnt AS pair_count FROM m$t")
+        s"""WITH ${duckBpeChain(BpeSteps)}
+           |SELECT * FROM (${steps.mkString("\n UNION ALL ")})
+           |ORDER BY step""".stripMargin
+      },
+
+      "bpe_encode" -> {
+        var segExpr =
+          "' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), '  ') || ' '"
+        for (t <- 1 to BpeSteps)
+          segExpr = s"replace($segExpr, ' ' || m$t.s1 || '  ' || m$t.s2 || ' ', ' ' || m$t.ms || ' ')"
+        s"""WITH ${duckBpeChain(BpeSteps)},
+           |d0 AS (SELECT doc_id, word
+           |       FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+           |       WHERE word <> ''),
+           |enc AS (SELECT doc_id, $segExpr AS seg
+           |        FROM d0, ${(1 to BpeSteps).map("m" + _).mkString(", ")})
+           |SELECT doc_id, CAST(sum(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_bpe_tokens
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       "sim_topk_cosine" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

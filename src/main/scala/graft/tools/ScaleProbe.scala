@@ -196,7 +196,13 @@ object ScaleProbe {
     // (shingle explode + semi-join + join-back, copy-disjoint tokens),
     // and the CMS build (per-day sketch agg over 8× events)
     "sim_pq_codes", "sim_pq_adc_topk", "contamination_ratio",
-    "cms_type_counts")
+    "cms_type_counts",
+    // round-8 addition: BPE merge training — the one-corpus-pass /
+    // vocab-sized-iteration claim measured. Copy-suffixed tokens grow
+    // the vocab ~8× while per-word structure is unchanged, so pair
+    // counting and re-chunking should scale with the VOCAB, and the
+    // corpus pass (word counting) with the corpus — both linear.
+    "bpe_train_merges", "bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.Bpe
+
+/** BPE merge training: pinned against the hand-computed greedy merges of
+  * the classic Sennrich-style corpus, plus the overlap edge cases the
+  * string-replace re-chunk must get right.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("classic corpus: merge order matches hand-computed greedy BPE") {
+    // word freqs: low×5, lower×2, newest×6, widest×3
+    val d = docs(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    val merges = Bpe.trainMerges(d, "text", steps = 3)
+    // step 1: (e,s) and (s,t) tie at 9 → lexicographic picks (e,s)
+    // step 2: es+t = 9 after re-chunk
+    // step 3: (l,o) and (o,w) tie at 7 → (l,o)
+    assert(merges.map(m => (m.step, m.l_sym, m.r_sym, m.merged, m.pair_count)) ==
+      Seq((1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+        (3, "l", "o", "lo", 7L)))
+  }
+
+  test("re-chunk is greedy left-to-right: same-symbol runs pair from the left") {
+    // "aaaa": (a,a) counts 3; after merging (a,a) the greedy chunking is
+    // [aa, aa] (not [a, aa, a]); step 2 then merges (aa, aa).
+    val merges = Bpe.trainMerges(docs("aaaa"), "text", steps = 2)
+    assert(merges.map(m => (m.l_sym, m.r_sym, m.pair_count)) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+    // odd run: "aaa" chunks to [aa, a] — 3 symbols total across the doc
+    val enc = Bpe.encode(docs("aaa aaaa"), "doc_id", "text",
+      Bpe.trainMerges(docs("aaa aaaa"), "text", steps = 1))
+    assert(enc.as[(Long, Long)].collect().toSeq == Seq((0L, 4L))) // [aa,a]+[aa,aa]
+  }
+
+  test("multi-char symbols never merge across word or symbol boundaries") {
+    // after (a,b)→ab, words "ba ab" must NOT let the 'a b' characters
+    // inside "ba|ab" match: encode counts stay per-word exact
+    val d = docs("ab ab ab ba", "ab ba")
+    val merges = Bpe.trainMerges(d, "text", steps = 1)
+    assert(merges.head.merged == "ab")
+    val enc = Bpe.encode(d, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    // doc0: ab(1) ab(1) ab(1) ba(2) = 5; doc1: ab(1) ba(2) = 3
+    assert(enc == Map(0L -> 5L, 1L -> 3L))
+  }
+
+  test("encode with zero merges counts characters; merges only reduce counts") {
+    val d = Tables.documents(spark, sf0001).limit(50)
+    val none = Bpe.encode(d, "doc_id", "text", Seq.empty)
+      .as[(Long, Long)].collect().toMap
+    val merges = Bpe.trainMerges(d, "text", steps = 4)
+    assert(merges.map(_.step) == Seq(1, 2, 3, 4))
+    // counts strictly positive, monotone over training depth per doc
+    val four = Bpe.encode(d, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(four.keySet == none.keySet)
+    assert(four.forall { case (id, n) => n > 0 && n <= none(id) })
+    // at least one document actually compressed
+    assert(four.exists { case (id, n) => n < none(id) })
+  }
+}
