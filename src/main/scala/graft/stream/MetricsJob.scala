@@ -268,4 +268,36 @@ object MetricsJob {
         call_function("count_min_sketch", col(keyCol),
           lit(0.001), lit(0.99), lit(42)).as("freq_sketch"),
         count(lit(1)).as("n_total"))
+
+  /** Streaming windowed latency QUANTILES via a KLL sketch aggregation —
+    * the quantile member of the per-window sketch family
+    * ([[windowedDistinctUsers]] = distinct/HLL, [[windowedKeyFreq]] =
+    * frequency/CMS): per-window state is the KB-sized KLL sketch, never
+    * the full value buffer an exact streaming percentile would pin in
+    * state. Emitted rows read p50/p95/p99 AND carry the sketch bytes, so
+    * closed windows re-merge to ANY coarser rollup —
+    * `Sketches.kllRollup` over a range of emitted rows answers that
+    * range's quantiles with raw events never re-scanned. Same k as the
+    * batch path (`Sketches.kllSketches`), so streaming partials and
+    * batch partials merge freely; KLL is exact while a window's count
+    * stays under the sketch buffer, rank error ~1.65/sqrt(k) beyond
+    * (pinned in StreamingSpec against the batch twin).
+    */
+  def windowedLatencyQuantiles(withLat: DataFrame, valCol: String = "latency_ms",
+      windowDur: String = "1 minute", watermark: String = "2 minutes",
+      k: Int = 200): DataFrame = {
+    def q(p: Double) =
+      call_function("kll_sketch_get_quantile_double", col("lat_sketch"), lit(p))
+    withLat
+      .withColumn("event_time", timestamp_millis(col("created_ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(
+        call_function("kll_sketch_agg_double",
+          col(valCol).cast("double"), lit(k)).as("lat_sketch"),
+        count(lit(1)).as("n_total"))
+      .select(col("window"), col("n_total"),
+        q(0.5).as("p50"), q(0.95).as("p95"), q(0.99).as("p99"),
+        col("lat_sketch"))
+  }
 }

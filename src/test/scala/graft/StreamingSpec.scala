@@ -133,6 +133,54 @@ class StreamingSpec extends SparkSpec {
     assert(range == Map("click" -> 2L, "view" -> 3L), s"got $range")
   }
 
+  test("windowed KLL latency quantiles: per-window == batch twin, emitted sketches re-merge to the range") {
+    // Two 1m windows of events with known latencies (fixed clock so
+    // latency_ms is deterministic). At this size KLL holds every value,
+    // so per-window quantile reads EQUAL the batch-twin reads, and
+    // kllRollup over the emitted sketch rows equals the batch sketch of
+    // the union — the mergeable-after-emission contract.
+    def ev(id: String, ts: Long): String =
+      s"""{"event_id":"$id","created_ts":$ts,"user_id":1,"event_type":"click","value":1.0,"payload":"x"}"""
+    val now = 2000000L // fixed clock: latency_ms = now - created_ts
+    val input = MemoryStream[String](spark)
+    val q = MetricsJob.windowedLatencyQuantiles(
+      MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(now)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kll_win")
+      .start()
+    try {
+      input.addData(
+        ev("a", 1000L), ev("b", 2000L), ev("c", 30000L),  // w0 latencies
+        ev("d", 61000L), ev("e", 90000L),                 // w1 latencies
+        ev("f", 1000000L))                                // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("kll_win")
+    val rows = emitted
+      .select(unix_millis($"window.start").as("w"), $"n_total", $"p50", $"p95")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(0L)._2 == 3L && rows(60000L)._2 == 2L, s"got $rows")
+    // batch twin over the same per-window values (same k)
+    def batchQ(lats: Seq[Long], p: Double): Double =
+      graft.ext.Sketches.kllRollup(
+        graft.ext.Sketches.kllSketches(
+          lats.toDF("v"), Seq.empty, $"v".cast("double")),
+        Seq.empty, Seq(p)).head().getDouble(0)
+    val w0 = Seq(now - 1000L, now - 2000L, now - 30000L)
+    val w1 = Seq(now - 61000L, now - 90000L)
+    assert(rows(0L)._3 == batchQ(w0, 0.5) && rows(0L)._4 == batchQ(w0, 0.95))
+    assert(rows(60000L)._3 == batchQ(w1, 0.5))
+    // merged EMITTED sketches answer the two-window range without
+    // re-scanning events — and equal the batch sketch of the union
+    val merged = graft.ext.Sketches.kllRollup(
+      emitted.where(unix_millis($"window.start") <= 60000L)
+        .select($"lat_sketch".as("sketch")),
+      Seq.empty, Seq(0.5, 0.95))
+      .as[(Double, Double)].head()
+    assert(merged == (batchQ(w0 ++ w1, 0.5), batchQ(w0 ++ w1, 0.95)),
+      s"got $merged")
+  }
+
   test("update output mode re-emits a window's row as its aggregate changes") {
     val input = MemoryStream[String](spark)
     val q = MetricsJob.windowedCounts(MetricsJob.parse(input.toDF()))
