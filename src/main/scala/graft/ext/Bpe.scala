@@ -98,6 +98,29 @@ object Bpe {
     out.result()
   }
 
+  /** The trained SUBWORD VOCABULARY — the artifact a tokenizer ships:
+    * every symbol surviving after the merges (single characters plus the
+    * merged tokens), with corpus-weighted occurrence counts and dense
+    * token ids assigned by (count DESC, symbol ASC). Computed over the
+    * word-frequency vocab (corpus weight = word freq), so the corpus is
+    * never re-scanned after [[wordVocab]]'s one pass.
+    */
+  def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val segFinal = merges.foldLeft(col("seg")) { (acc, mg) =>
+      call_function("replace", acc,
+        lit(s" ${mg.l_sym}  ${mg.r_sym} "), lit(s" ${mg.merged} "))
+    }
+    wordVocab(docs, textCol)
+      .select(col("freq"), explode(split(trim(segFinal), "  ")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occurrences"))
+      .withColumn("token_id",
+        (org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_occurrences").desc, col("symbol"))) - 1)
+          .cast("int"))
+      .select(col("token_id"), col("symbol"), col("n_occurrences"))
+  }
+
   /** Apply a trained merge list to a corpus: per (doc, word) the merges
     * replay IN ORDER as chained `replace` projections (pure codegen
     * string ops — no shuffle until the per-doc count aggregation).

@@ -405,6 +405,17 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The trained subword VOCABULARY — the artifact a tokenizer ships:
+    // surviving symbols with corpus-weighted counts and dense token ids
+    // by (count DESC, symbol). Derived from the word-freq vocab, so no
+    // second corpus pass; the window's global sort doubles as the
+    // deterministic output order (one vocab-sized sort total).
+    "bpe_vocab" -> ((s, d) => {
+      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
+      Bpe.vocab(documents(s, d), "text", merges)
+        .orderBy(col("n_occurrences").desc, col("symbol"))
+    }),
+
     // Deterministic stratified sampling: fixed-n per stratum, ordered by a
     // portable content-independent hash of the key — reproducible across
     // runs/engines, no RNG state. Per-stratum windows partition cleanly;
@@ -1363,6 +1374,18 @@ object ExtensionQueries extends QueryPack {
         s"""WITH ${duckBpeChain(BpeSteps)}
            |SELECT * FROM (${steps.mkString("\n UNION ALL ")})
            |ORDER BY step""".stripMargin
+      },
+
+      "bpe_vocab" -> {
+        // Spark folds the merge list over a fresh wordVocab; that fold
+        // IS training's final state, so the mirror reads w$BpeSteps.
+        s"""WITH ${duckBpeChain(BpeSteps)},
+           |syms AS (SELECT unnest(string_split(trim(seg), '  ')) AS symbol, freq FROM w$BpeSteps),
+           |agg AS (SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+           |        FROM syms GROUP BY symbol)
+           |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) - 1 AS INT) AS token_id,
+           |  symbol, n_occurrences
+           |FROM agg ORDER BY n_occurrences DESC, symbol""".stripMargin
       },
 
       "bpe_encode" -> {

@@ -205,6 +205,21 @@ class ExtSpec extends SparkSpec {
     assert(sseRefined < sseSeed, "refinement should strictly improve on the fixture")
   }
 
+  test("trainPqBook: corpus quantization SSE improves on the seed book and is non-increasing over iterations") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
+    def sseOf(book: Similarity.Book): Double =
+      Similarity.pqReconErrorWith(e, "vec_id", "embedding", cents, book, m = 8)
+        .agg(sum($"avg_err" * $"n_vecs")).head().getDouble(0)
+    val s0 = sseOf(Similarity.seedBook(e, "vec_id", "embedding", 16))
+    val s1 = sseOf(Similarity.trainPqBook(e, "vec_id", "embedding", 8, 16, 64, 1))
+    val s2 = sseOf(Similarity.trainPqBook(e, "vec_id", "embedding", 8, 16, 64, 2))
+    assert(s1 < s0, s"one Lloyd iteration should beat the seed book: $s1 vs $s0")
+    // exact k-means SSE is non-increasing; round(6) codeword emission
+    // allows ulp-scale slack between successive iterations
+    assert(s2 <= s1 + 1e-4, s"iter2=$s2 iter1=$s1")
+  }
+
   test("brute-force top-k cosine ranks the query vector itself first") {
     val e = Tables.embeddings(spark, sf0001)
     val top = Similarity.topKCosine(e, "vec_id", "embedding",

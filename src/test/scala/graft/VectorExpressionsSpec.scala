@@ -175,6 +175,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(joined.where($"cn" =!= $"cr").count() == 0L)
   }
 
+  test("PqEncode/PqAdcSum canonicalize on content-equal constant arrays (CSE-able)") {
+    // Array fields compare by reference under synthesized case-class
+    // equality, which would make two identical kernels never dedupe
+    // under common-subexpression elimination. The content-based
+    // equals/hashCode must see fresh-but-equal arrays as the same
+    // expression (and content-different ones as different).
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.{PqAdcSum, PqEncode}
+    // one shared child, as in a real plan (the same resolved attribute);
+    // the point under test is the kernel's CONSTANT-array fields
+    val child = Bridge.expression(lit(Array(1.0, 2.0)))
+    def book = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    def ids = Array(0L, 1L)
+    val a = PqEncode(child, book, ids, 1)
+    val b = PqEncode(child, book, ids, 1) // all-new array objects
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val c = PqEncode(child, Array(Array(1.0, 2.0), Array(3.0, 9.0)), ids, 1)
+    assert(a != c)
+    def lut = Array(10L, 20L)
+    val s1 = PqAdcSum(child, lut, ids)
+    val s2 = PqAdcSum(child, lut, ids)
+    assert(s1 == s2 && s1.hashCode == s2.hashCode && s1.semanticEquals(s2))
+    assert(s1 != PqAdcSum(child, Array(10L, 21L), ids))
+  }
+
   test("vector_dot is SQL-registered through GraftExtensions") {
     // Verify the injection path on a derived session with the extension.
     val s2 = spark.newSession()
