@@ -121,6 +121,38 @@ object Bpe {
       .select(col("token_id"), col("symbol"), col("n_occurrences"))
   }
 
+  /** Tokenize the corpus to ordered TOKEN-ID sequences — the artifact a
+    * training pipeline actually consumes: per document, every word's
+    * final segmentation mapped through the [[vocab]] ids, in document
+    * order. Plan: words and symbols carry their positions through the
+    * explodes, the KB-sized vocab broadcast-joins on symbol, and the
+    * per-doc sequence reassembles with an `array_sort` over
+    * (word_pos, sym_pos, id) structs — deterministic order without a
+    * global sort (ids ride as comma-joined strings for cross-engine
+    * comparison; a production sink would keep `array<int>`).
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val v = vocab(docs, textCol, merges)
+    val segFinal = merges.foldLeft(charSeg(col("word"))) { (acc, mg) =>
+      call_function("replace", acc,
+        lit(s" ${mg.l_sym}  ${mg.r_sym} "), lit(s" ${mg.merged} "))
+    }
+    docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+      .select(col(idCol), col("wpos"),
+        posexplode(split(trim(segFinal), "  ")).as(Seq("spos", "symbol")))
+      .join(broadcast(v.select(col("symbol"), col("token_id"))), Seq("symbol"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("wpos"), col("spos"),
+            col("token_id")))),
+          s => s("token_id").cast("string")), ",").as("token_ids"))
+  }
+
   /** Apply a trained merge list to a corpus: per (doc, word) the merges
     * replay IN ORDER as chained `replace` projections (pure codegen
     * string ops — no shuffle until the per-doc count aggregation).

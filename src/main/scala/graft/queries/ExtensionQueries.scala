@@ -405,6 +405,17 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // End-to-end tokenization: per-doc ORDERED token-id sequences under
+    // the trained merges + vocab — the artifact a training pipeline
+    // consumes. Positions ride through the explodes so the sequence
+    // reassembles per doc with an array_sort, no global sort; the
+    // KB-sized vocab broadcast-joins on symbol.
+    "bpe_tokenize" -> ((s, d) => {
+      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
+      Bpe.tokenize(documents(s, d), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // The trained subword VOCABULARY — the artifact a tokenizer ships:
     // surviving symbols with corpus-weighted counts and dense token ids
     // by (count DESC, symbol). Derived from the word-freq vocab, so no
@@ -1386,6 +1397,29 @@ object ExtensionQueries extends QueryPack {
            |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) - 1 AS INT) AS token_id,
            |  symbol, n_occurrences
            |FROM agg ORDER BY n_occurrences DESC, symbol""".stripMargin
+      },
+
+      "bpe_tokenize" -> {
+        var segExpr =
+          "' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), '  ') || ' '"
+        for (t <- 1 to BpeSteps)
+          segExpr = s"replace($segExpr, ' ' || m$t.s1 || '  ' || m$t.s2 || ' ', ' ' || m$t.ms || ' ')"
+        s"""WITH ${duckBpeChain(BpeSteps)},
+           |syms0 AS (SELECT unnest(string_split(trim(seg), '  ')) AS symbol, freq FROM w$BpeSteps),
+           |vag AS (SELECT symbol, sum(freq) AS n FROM syms0 GROUP BY symbol),
+           |vid AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, symbol) - 1 AS INT) AS token_id, symbol FROM vag),
+           |dt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents),
+           |dw AS (SELECT doc_id, wpos, ws[wpos] AS word
+           |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wpos FROM dt)
+           |       WHERE ws[wpos] <> ''),
+           |enc AS (SELECT doc_id, wpos, $segExpr AS seg
+           |        FROM dw, ${(1 to BpeSteps).map("m" + _).mkString(", ")}),
+           |sy AS (SELECT doc_id, wpos, spos, a[spos] AS symbol
+           |       FROM (SELECT doc_id, wpos, a, unnest(generate_series(1, len(a))) AS spos
+           |             FROM (SELECT doc_id, wpos, string_split(trim(seg), '  ') AS a FROM enc)))
+           |SELECT doc_id, array_to_string(list(v.token_id ORDER BY sy.wpos, sy.spos), ',') AS token_ids
+           |FROM sy JOIN vid v USING (symbol)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
 
       "bpe_encode" -> {

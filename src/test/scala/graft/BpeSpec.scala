@@ -53,6 +53,22 @@ class BpeSpec extends SparkSpec {
     assert(enc == Map(0L -> 5L, 1L -> 3L))
   }
 
+  test("tokenize emits the ordered token-id sequence under the trained vocab") {
+    // corpus "low lower", 1 merge: pairs (l,o)=2,(o,w)=2,(w,e)=1,(e,r)=1
+    // → merge (l,o)→lo. vocab counts: lo:2, w:2, e:1, r:1 → ids by
+    // (count DESC, symbol ASC): lo=0, w=1, e=2, r=3.
+    // "low"=[lo,w]=[0,1]; "lower"=[lo,w,e,r]=[0,1,2,3].
+    val d = docs("low lower")
+    val merges = Bpe.trainMerges(d, "text", steps = 1)
+    assert(merges.map(m => (m.l_sym, m.r_sym)) == Seq(("l", "o")))
+    val v = Bpe.vocab(d, "text", merges)
+      .as[(Int, String, Long)].collect().map(r => r._2 -> (r._1, r._3)).toMap
+    assert(v == Map("lo" -> (0, 2L), "w" -> (1, 2L), "e" -> (2, 1L), "r" -> (3, 1L)))
+    val ids = Bpe.tokenize(d, "doc_id", "text", merges)
+      .as[(Long, String)].collect().toMap
+    assert(ids == Map(0L -> "0,1,0,1,2,3"))
+  }
+
   test("encode with zero merges counts characters; merges only reduce counts") {
     val d = Tables.documents(spark, sf0001).limit(50)
     val none = Bpe.encode(d, "doc_id", "text", Seq.empty)
