@@ -202,7 +202,15 @@ object ScaleProbe {
     // the vocab ~8× while per-word structure is unchanged, so pair
     // counting and re-chunking should scale with the VOCAB, and the
     // corpus pass (word counting) with the corpus — both linear.
-    "bpe_train_merges", "bpe_encode")
+    "bpe_train_merges", "bpe_encode",
+    // round-8 additions (cont.): the trained-constant serving paths
+    // (training cost ∝ corpus per Lloyd iteration, serving a pure
+    // projection), the materialized-index build+serve, and the
+    // tokenizer artifact queries (vocab-sized aggregates after the one
+    // corpus pass; tokenize adds the corpus-sized broadcast-join +
+    // per-doc reassembly)
+    "sim_pq_codes_trained", "sim_ivfpq_topk_trained",
+    "sim_ivfpq_from_index", "bpe_vocab", "bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
