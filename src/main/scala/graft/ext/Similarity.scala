@@ -738,6 +738,39 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Two-stage retrieval: IVF-PQ ADC SHORTLIST → EXACT re-rank — the
+    * standard production serving plan (compressed codes answer "which
+    * ~shortlist candidates", full-precision vectors answer "in what
+    * order"). Stage 1 is [[ivfPqTopKWith]] widened to `shortlist`
+    * candidates (cells bound compute, codes bound memory); stage 2
+    * broadcast-joins the shortlist ids back to the vector table and
+    * scores exact cosine against the query — per-query work is
+    * O(shortlist · dims) regardless of corpus size, and the join is a
+    * broadcast (shortlist rows), so the whole rerank adds zero shuffles.
+    * Recovers the ADC quantization loss: recall is bounded by cell
+    * pruning (what the shortlist missed), not by code precision — see
+    * `tools/AnnRecall`.
+    */
+  def ivfPqRerankWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, cents: Book, nprobe: Int, book: Book, m: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    val shortIds = ivfPqTopKWith(embeddings, idCol, vecCol, queryId, cents,
+      nprobe, book, m, topK = shortlist).select(col(idCol))
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val qvec = staged.where(col(idCol) === queryId)
+      .select(col("vecd")).collect() match {
+      case Array(r) => r.getSeq[Double](0).toArray
+      case other => throw new IllegalArgumentException(
+        s"query id $queryId matched ${other.length} rows, want exactly 1")
+    }
+    val qlit = typedlit(qvec.toSeq)
+    staged.join(broadcast(shortIds), Seq(idCol))
+      .select(col(idCol),
+        round(dot(col("vecd"), qlit) / (norm(col("vecd")) * norm(qlit)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** [[pqReconError]] with EXPLICIT centroids and codebook — the
     * index-health metric evaluated against the constants a deployment is
     * actually serving with. Comparing this on the same corpus before and

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, QualityModel, TextOps}
 
 /** Corpus-level training-data preparation operators (round 4): exact
   * substring-duplication measurement (the Lee et al. 2022 "deduplicating
@@ -260,11 +260,121 @@ object CorpusQueries extends QueryPack {
           round((col("value") - col("mu")) / col("sd"), 6).as("z"))
         .where(abs(col("z")) > 2.5)
         .orderBy("event_id")
+    }),
+
+    // Logistic quality-classifier TRAINING (`ext/QualityModel`): batch
+    // gradient descent where each iteration is ONE corpus aggregation —
+    // per-row gradient is a pure projection, the reduction ships 4 longs
+    // + a count to the driver (the constant-traffic training pattern of
+    // trainPqBook/Bpe.trainMerges). Exact-portable by construction:
+    // rational fast sigmoid (no libm) + integer micro-unit gradient sums
+    // keep the weights bit-identical to the oracle's replay chain.
+    "quality_train_weights" -> ((s, d) => {
+      import s.implicits._
+      val m = QualityModel.train(documents(s, d))
+      Seq(("bias", QualityModel.r6(m.w(0))), ("w_len", QualityModel.r6(m.w(1))),
+          ("w_punct", QualityModel.r6(m.w(2))), ("w_stop", QualityModel.r6(m.w(3))))
+        .toDF("feature", "weight").orderBy("feature")
+    }),
+
+    // The trained model SERVING over the corpus — the training→serving
+    // edge (same edge r8 wired for PQ/IVF): trained weights enter the
+    // plan as broadcast constants, scoring is a zero-shuffle projection
+    // with the identical plan shape as fixed-weight quality_logistic.
+    "quality_train_scores" -> ((s, d) => {
+      val docs = documents(s, d)
+      val m = QualityModel.train(docs)
+      QualityModel.score(docs, m).orderBy("doc_id")
     }))
+
+  /** Oracle replay of `QualityModel.train` (one CTE block per gradient
+    * iteration, ending in CTE `w<iters>`; `feats` stays in scope for the
+    * serving oracle). Exactness contract: identical left-to-right double
+    * expressions, rational fast sigmoid, integer micro-unit gradient
+    * sums — see the QualityModel scaladoc.
+    */
+  private def duckQualityTrainChain(iters: Int): String = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val lr = QualityModel.Lr
+    val sb = new StringBuilder
+    sb ++= s"""tq AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+      |fq AS (SELECT doc_id,
+      |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+      |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) AS ns
+      |FROM tq),
+      |rawf AS (SELECT doc_id, least(nt / 100.0, 1.0) AS x1,
+      |  (1.0 - np / nc) AS x2, (ns / nt) AS x3,
+      |  CASE WHEN round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) >= 0.5
+      |       THEN 1.0 ELSE 0.0 END AS y
+      |FROM fq),
+      |st AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(x1 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s11,
+      |  CAST(sum(CAST(round(x2 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s12,
+      |  CAST(sum(CAST(round(x3 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s13,
+      |  CAST(sum(CAST(round(x1 * x1 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s21,
+      |  CAST(sum(CAST(round(x2 * x2 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s22,
+      |  CAST(sum(CAST(round(x3 * x3 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s23
+      |  FROM rawf),
+      |mus AS (SELECT
+      |  CAST(s11 AS DOUBLE) / 1e6 / n AS mu1,
+      |  CAST(s12 AS DOUBLE) / 1e6 / n AS mu2,
+      |  CAST(s13 AS DOUBLE) / 1e6 / n AS mu3 FROM st),
+      |sds AS (SELECT
+      |  sqrt(greatest(CAST(st.s21 AS DOUBLE) / 1e6 / st.n - mus.mu1 * mus.mu1, 0.0)) AS sd1,
+      |  sqrt(greatest(CAST(st.s22 AS DOUBLE) / 1e6 / st.n - mus.mu2 * mus.mu2, 0.0)) AS sd2,
+      |  sqrt(greatest(CAST(st.s23 AS DOUBLE) / 1e6 / st.n - mus.mu3 * mus.mu3, 0.0)) AS sd3
+      |  FROM st, mus),
+      |feats AS (SELECT doc_id,
+      |  CASE WHEN sd1 > 0 THEN (x1 - mu1) / sd1 ELSE 0.0 END AS x1,
+      |  CASE WHEN sd2 > 0 THEN (x2 - mu2) / sd2 ELSE 0.0 END AS x2,
+      |  CASE WHEN sd3 > 0 THEN (x3 - mu3) / sd3 ELSE 0.0 END AS x3, y
+      |  FROM rawf, mus, sds),
+      |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        |p$t AS (SELECT x1, x2, x3, y,
+        |  0.5 + 0.5 * (z / (1.0 + abs(z))) AS p
+        |  FROM (SELECT f.x1, f.x2, f.x3, f.y,
+        |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+        |        FROM feats f, w${t - 1} w)),
+        |g$t AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(round((p - y) * 1e6, 0) AS BIGINT)) AS BIGINT) AS g0,
+        |  CAST(sum(CAST(round((p - y) * x1 * 1e6, 0) AS BIGINT)) AS BIGINT) AS g1,
+        |  CAST(sum(CAST(round((p - y) * x2 * 1e6, 0) AS BIGINT)) AS BIGINT) AS g2,
+        |  CAST(sum(CAST(round((p - y) * x3 * 1e6, 0) AS BIGINT)) AS BIGINT) AS g3
+        |  FROM p$t),
+        |w$t AS (SELECT
+        |  w.b - $lr * (CAST(g.g0 AS DOUBLE) / 1e6 / g.n) AS b,
+        |  w.w1 - $lr * (CAST(g.g1 AS DOUBLE) / 1e6 / g.n) AS w1,
+        |  w.w2 - $lr * (CAST(g.g2 AS DOUBLE) / 1e6 / g.n) AS w2,
+        |  w.w3 - $lr * (CAST(g.g3 AS DOUBLE) / 1e6 / g.n) AS w3
+        |  FROM w${t - 1} w, g$t g)""".stripMargin
+    }
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
+    val qT = QualityModel.TrainIters
     Map(
+      "quality_train_weights" ->
+        s"""WITH ${duckQualityTrainChain(qT)}
+           |SELECT feature, weight FROM (
+           |  SELECT 'bias' AS feature, round(b, 6) AS weight FROM w$qT
+           |  UNION ALL SELECT 'w_len', round(w1, 6) FROM w$qT
+           |  UNION ALL SELECT 'w_punct', round(w2, 6) FROM w$qT
+           |  UNION ALL SELECT 'w_stop', round(w3, 6) FROM w$qT)
+           |ORDER BY feature""".stripMargin,
+
+      "quality_train_scores" ->
+        s"""WITH ${duckQualityTrainChain(qT)},
+           |zs AS (SELECT f.doc_id,
+           |  w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+           |  FROM feats f, w$qT w)
+           |SELECT doc_id, round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) AS score,
+           |  round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) >= 0.5 AS keep
+           |FROM zs ORDER BY doc_id""".stripMargin,
       "dup_span_ratio" ->
         s"""WITH th AS (
           |  SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th

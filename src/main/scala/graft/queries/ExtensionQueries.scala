@@ -41,6 +41,12 @@ object ExtensionQueries extends QueryPack {
     */
   val BpeSteps = 8
 
+  /** ADC shortlist width for the two-stage rerank query: stage 1 keeps
+    * the `RerankShortlist` best candidates by compressed-code distance,
+    * stage 2 re-ranks exactly those with full-precision cosine.
+    */
+  val RerankShortlist = 50
+
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
@@ -379,6 +385,25 @@ object ExtensionQueries extends QueryPack {
         .select(Similarity.asDouble(col("embedding"))).head()
         .getSeq[Double](0).toArray
       Similarity.ivfPqTopKFromIndex(s, path, qvec, nprobe = 4, topK = 10)
+    }),
+
+    // TWO-STAGE retrieval: trained IVF-PQ ADC shortlist (RerankShortlist
+    // candidates out of the probed cells) → EXACT cosine re-rank of just
+    // those ids (broadcast join back to the vector table). The standard
+    // production ANN serving plan: codes decide WHICH candidates, full
+    // vectors decide their ORDER — per-query rerank work is
+    // O(shortlist·dims) at any corpus size, zero added shuffles, and
+    // recall becomes cell-pruning-bounded instead of code-precision-
+    // bounded (measured in tools/AnnRecall).
+    "sim_ivfpq_rerank" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        numCells = 16, iters = PqTrainIters)
+      val book = Similarity.trainPqBook(e, "vec_id", "embedding",
+        m = 8, k = 16, dims = 64, iters = PqTrainIters)
+      Similarity.ivfPqRerankWith(e, "vec_id", "embedding", queryId = 0L,
+        cents, nprobe = 4, book, m = 8, shortlist = RerankShortlist,
+        topK = 10)
     }),
 
     // BPE merge TRAINING (Sennrich et al. 2016) as keyed aggregation:
@@ -1089,9 +1114,11 @@ object ExtensionQueries extends QueryPack {
     val duckEN = duckE +
       """,
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
-    // Shared oracle body for trained IVF-PQ serving (in-plan and
-    // from-index spellings are bit-equal for an indexed query vector).
-    val duckIvfPqTrainedSql =
+    // Shared oracle prefix for trained IVF-PQ serving: the full training
+    // chains + query constants + ADC distances per candidate in the
+    // probed cells (CTE `adc`). Reused by the top-k, from-index, and
+    // rerank spellings.
+    val duckIvfPqTrainedPrefix =
       s"""WITH $duckEN,
          |${duckIvfTrainedChain(PqTrainIters)},
          |${duckPqTrainedChain(PqTrainIters)},
@@ -1107,13 +1134,32 @@ object ExtensionQueries extends QueryPack {
          |      list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * qv[g.j*8+i]))
          |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> qv[g.j*8+i] * b.cv[g.j*8+i]))
          |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
-         |  FROM bookT b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN q)
-         |SELECT b.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
-         |FROM bestT b
-         |JOIN assignT a ON b.vec_id = a.vec_id
-         |JOIN probe p ON a.cell = p.cell
-         |JOIN lut USING (j, code)
-         |GROUP BY b.vec_id ORDER BY adc_l2sq ASC, b.vec_id LIMIT 10""".stripMargin
+         |  FROM bookT b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN q),
+         |adc AS (
+         |  SELECT b.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
+         |  FROM bestT b
+         |  JOIN assignT a ON b.vec_id = a.vec_id
+         |  JOIN probe p ON a.cell = p.cell
+         |  JOIN lut USING (j, code)
+         |  GROUP BY b.vec_id)""".stripMargin
+    // In-plan and from-index spellings are bit-equal for an indexed
+    // query vector, so they share this oracle body.
+    val duckIvfPqTrainedSql =
+      s"""$duckIvfPqTrainedPrefix
+         |SELECT vec_id, adc_l2sq FROM adc
+         |ORDER BY adc_l2sq ASC, vec_id LIMIT 10""".stripMargin
+    // Two-stage rerank: ADC shortlist (LIMIT RerankShortlist) → exact
+    // cosine over the shortlist ids, re-ordered.
+    val duckIvfPqRerankSql =
+      s"""$duckIvfPqTrainedPrefix,
+         |short AS (
+         |  SELECT vec_id FROM adc
+         |  ORDER BY adc_l2sq ASC, vec_id LIMIT $RerankShortlist)
+         |SELECT s.vec_id,
+         |  round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * q.qv[i]))
+         |        / (n.nrm * q.qnrm), 6) AS cos
+         |FROM short s JOIN n ON n.vec_id = s.vec_id, q
+         |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
     // Quality-score CTE chain ending in `quality` (mirrors qualityScored),
     // shared by the score and dedup-survivor oracles.
     val duckQualityCtes =
@@ -1376,6 +1422,8 @@ object ExtensionQueries extends QueryPack {
            |GROUP BY a.cell ORDER BY cell""".stripMargin,
 
       "sim_ivfpq_topk_trained" -> duckIvfPqTrainedSql,
+
+      "sim_ivfpq_rerank" -> duckIvfPqRerankSql,
 
       "sim_ivfpq_from_index" -> duckIvfPqTrainedSql,
 

@@ -131,6 +131,20 @@ object AnnRecall {
       Similarity.ivfPqTopKWith(e, "vec_id", "embedding", q, cents2, 4, book2, 8, k)
         .select($"vec_id").as[Long].collect().toSeq
     }
+
+    // --- two-stage rerank (ADC shortlist → exact cosine re-rank),
+    // measured against the TRUE exact-cosine top-k: recall becomes
+    // bounded by what the shortlist contains (cell pruning + shortlist
+    // width), not by compressed-code ordering precision — it should
+    // climb toward the full-precision IVF nprobe=4 ceiling as the
+    // shortlist widens.
+    for (sl <- Seq(20, 50, 100)) {
+      recallOf(s"ivfpq 4/16 rerank@$sl", "cos") { q =>
+        Similarity.ivfPqRerankWith(e, "vec_id", "embedding", q, cents2, 4,
+            book2, 8, sl, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
+    }
     spark.stop()
   }
 }

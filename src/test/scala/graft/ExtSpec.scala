@@ -176,6 +176,39 @@ class ExtSpec extends SparkSpec {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("IVF-PQ rerank == exact cosine over the ADC shortlist ids") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      numCells = 16, iters = 1)
+    val book = Similarity.trainPqBook(e, "vec_id", "embedding",
+      m = 8, k = 16, dims = 64, iters = 1)
+    val got = Similarity.ivfPqRerankWith(e, "vec_id", "embedding",
+      queryId = 0L, cents, nprobe = 4, book, m = 8, shortlist = 30, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 10)
+    assert(got.map(_._2).sliding(2).forall(w => w(0) >= w(1)), "descending cosine")
+    // stage-1 shortlist with the operator's own rule, then exact rerank
+    val shortIds = Similarity.ivfPqTopKWith(e, "vec_id", "embedding",
+      queryId = 0L, cents, nprobe = 4, book, m = 8, topK = 30)
+      .select($"vec_id").as[Long].collect().toSet
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble).toArray).toMap
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = vecs(0L); val qn = math.sqrt(dotLtr(q, q))
+    val expected = shortIds.toSeq
+      .map(id => (id, r6(dotLtr(vecs(id), q) / (math.sqrt(dotLtr(vecs(id), vecs(id))) * qn))))
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got == expected, s"got=$got expected=$expected")
+    // the query vector itself must rank first at cosine 1
+    assert(got.head._1 == 0L && got.head._2 == 1.0)
+  }
+
   test("PQ Lloyd refinement does not increase quantization error at fixed assignment") {
     val e = Tables.embeddings(spark, sf0001)
     val vecs = e.select($"vec_id", $"embedding")
