@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Bpe, Dedup, Multimodal, Similarity, Sketches, TextOps}
+import graft.ext.{Bpe, Dedup, Multimodal, Pca, QualityModel, Similarity, Sketches, TextOps}
 
 /** North-star training-data-pipeline operators over `documents` /
   * `embeddings`: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard),
@@ -404,6 +404,32 @@ object ExtensionQueries extends QueryPack {
       Similarity.ivfPqRerankWith(e, "vec_id", "embedding", queryId = 0L,
         cents, nprobe = 4, book, m = 8, shortlist = RerankShortlist,
         topK = 10)
+    }),
+
+    // PCA by POWER ITERATION (`ext/Pca`): the dominant covariance
+    // eigenvector computed WITHOUT materializing the covariance matrix —
+    // each step is one corpus pass (per-row dot against the broadcast
+    // direction + scaled copy) reduced to a dims-sized micro-unit sum;
+    // driver traffic is one 64-vector per iteration. The standard
+    // embedding pre-pass (reduction/whitening before PQ, drift monitoring
+    // on projected coordinates). Oracle replays the chain (micro-unit
+    // sums + identical ltr folds keep μ and every vₜ bit-identical).
+    "embed_pca_component" -> ((s, d) => {
+      import s.implicits._
+      val c = Pca.firstComponent(embeddings(s, d), "embedding", dims = 64)
+      (0 until 64).map(j =>
+          (j.toLong, QualityModel.r6(c.mu(j)), QualityModel.r6(c.v(j))))
+        .toDF("dim", "mu", "loading").orderBy("dim")
+    }),
+
+    // The trained component SERVED over the corpus (training→serving
+    // edge): mean + direction as broadcast plan constants, projection is
+    // zero-shuffle — per-vector pc1 coordinates for drift dashboards,
+    // stratified sampling on the dominant axis, or 1-d visualization.
+    "embed_pca_project" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val c = Pca.firstComponent(e, "embedding", dims = 64)
+      Pca.project(e, "vec_id", "embedding", c).orderBy("vec_id")
     }),
 
     // BPE merge TRAINING (Sennrich et al. 2016) as keyed aggregation:
@@ -1108,6 +1134,33 @@ object ExtensionQueries extends QueryPack {
       }
       sb.toString
     }
+    // PCA power-iteration chain (mirrors Pca.firstComponent): micro-unit
+    // per-dimension sums for μ and each C·v product, list-carried μ/v
+    // vectors, identical ltr folds for dots and the normalize. Ends in
+    // CTEs `mu` (ml) and `v<iters>` (vl).
+    def duckPcaChain(iters: Int): String = {
+      val sb = new StringBuilder
+      sb ++= """cnt AS (SELECT count(*) AS n FROM e),
+        |dg AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |mus AS (
+        |  SELECT d, CAST(sum(CAST(round(v[d] * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e, dg GROUP BY d),
+        |mu AS (SELECT list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY d) AS ml FROM mus, cnt GROUP BY n),
+        |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS vl)""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s""",
+          |y$t AS (
+          |  SELECT vec_id, v,
+          |    list_sum(list_transform(generate_series(1, 64), i -> (v[i] - ml[i]) * vl[i])) AS y
+          |  FROM e, mu, v${t - 1}),
+          |s$t AS (
+          |  SELECT d, CAST(sum(CAST(round(y * (v[d] - ml[d]) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+          |  FROM y$t, mu, dg GROUP BY d),
+          |w$t AS (SELECT list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY d) AS wl FROM s$t, cnt GROUP BY n),
+          |v$t AS (SELECT list_transform(wl, x -> x / sqrt(list_sum(list_transform(wl, z -> z * z)))) AS vl FROM w$t)""".stripMargin
+      }
+      sb.toString
+    }
     val duckE =
       """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)""".stripMargin
@@ -1424,6 +1477,19 @@ object ExtensionQueries extends QueryPack {
       "sim_ivfpq_topk_trained" -> duckIvfPqTrainedSql,
 
       "sim_ivfpq_rerank" -> duckIvfPqRerankSql,
+
+      "embed_pca_component" ->
+        s"""WITH $duckE,
+           |${duckPcaChain(Pca.PowerIters)}
+           |SELECT d - 1 AS dim, round(ml[d], 6) AS mu, round(vl[d], 6) AS loading
+           |FROM mu, v${Pca.PowerIters}, dg ORDER BY dim""".stripMargin,
+
+      "embed_pca_project" ->
+        s"""WITH $duckE,
+           |${duckPcaChain(Pca.PowerIters)}
+           |SELECT vec_id,
+           |  round(list_sum(list_transform(generate_series(1, 64), i -> (v[i] - ml[i]) * vl[i])), 6) AS pc1
+           |FROM e, mu, v${Pca.PowerIters} ORDER BY vec_id""".stripMargin,
 
       "sim_ivfpq_from_index" -> duckIvfPqTrainedSql,
 

@@ -210,7 +210,17 @@ object ScaleProbe {
     // corpus pass; tokenize adds the corpus-sized broadcast-join +
     // per-doc reassembly)
     "sim_pq_codes_trained", "sim_ivfpq_topk_trained",
-    "sim_ivfpq_from_index", "bpe_vocab", "bpe_tokenize")
+    "sim_ivfpq_from_index", "bpe_vocab", "bpe_tokenize",
+    // round-8 additions (cont.): logistic quality training (featurize
+    // once + per-iteration constant-size gradient aggs — should scale
+    // with the one text pass) and the two-stage rerank (training chains
+    // + shortlist serving; the rerank stage itself is O(shortlist)
+    // constant, so the query should track the training cost)
+    "quality_train_weights", "quality_train_scores", "sim_ivfpq_rerank",
+    // round-8 additions (cont.): power-iteration PCA — one corpus pass
+    // per iteration reduced to a dims-sized keyed sum, so both the
+    // training and the projection serving path should be corpus-linear
+    "embed_pca_component", "embed_pca_project")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
