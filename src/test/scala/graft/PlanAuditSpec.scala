@@ -269,6 +269,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivfpq_topk",         // same centroid table + nprobe-cell attach
       "sim_pq_recon_error",     // same centroid table (cell assignment)
       "sim_ivfpq_topk_trained", // same centroid attach, TRAINED constants
+      "sim_ivfpq_rerank",       // same centroid attach (stage-1 IVF-PQ);
+                                // the rerank stage itself joins on the
+                                // shortlist KEY (broadcast hash, not BNLJ)
       "sim_pq_recon_error_trained", // same centroid attach, TRAINED consts
       "sim_kmeans_centroids",   // numCells-row centroid table (constant)
       "text_tfidf_top_terms",   // 1-row corpus doc-count attach (IDF)
