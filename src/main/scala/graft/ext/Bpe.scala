@@ -153,6 +153,47 @@ object Bpe {
           s => s("token_id").cast("string")), ",").as("token_ids"))
   }
 
+  /** GREEDY longest-match tokenization (the WordPiece/MaxMatch rule)
+    * against the TRAINED subword vocabulary — the serving-time fast path
+    * real tokenizers use: segmentation ignores merge order and just
+    * takes the longest vocab symbol at each position (whole word →
+    * `<unk>` when stuck, BERT behavior).
+    *
+    * Scale plan: the per-word kernel is the native codegen
+    * [[graft.functions.GreedyPieces]] expression against the
+    * KB-sized vocabulary constant, and it runs ONCE PER DISTINCT WORD —
+    * the distinct-word frame is corpus-vocabulary-sized, and the piece
+    * table broadcast-joins back onto the positional word stream, so
+    * per-corpus work is one scan + one keyed dedup + a broadcast join
+    * (the bpe_tokenize plan shape). Output per doc: piece count, count
+    * of `<unk>` words, and the ordered piece string (array_sort over
+    * word positions — no global sort).
+    */
+  def greedyTokenize(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val syms = vocab(docs, textCol, merges)
+      .select(col("symbol")).collect().map(_.getString(0))
+    val gv = new graft.functions.GreedyVocab(syms)
+    val dw = docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+    val encoded = dw.select(col("word")).distinct()
+      .select(col("word"),
+        graft.functions.TextExpressions.greedy_pieces(col("word"), gv).as("_p"))
+      .select(col("word"),
+        array_join(col("_p"), " ").as("wp"),
+        size(col("_p")).cast("long").as("np"),
+        (col("_p") === array(lit("<unk>"))).as("isunk"))
+    dw.join(broadcast(encoded), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("np")).as("n_pieces"),
+        sum(when(col("isunk"), 1L).otherwise(0L)).as("n_unk_words"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("wpos"), col("wp")))),
+            s => s("wp")), " ").as("pieces"))
+  }
+
   /** Apply a trained merge list to a corpus: per (doc, word) the merges
     * replay IN ORDER as chained `replace` projections (pure codegen
     * string ops — no shuffle until the per-doc count aggregation).

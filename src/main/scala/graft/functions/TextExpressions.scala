@@ -142,9 +142,106 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** A tokenizer vocabulary for greedy longest-match segmentation: the
+  * symbol set plus the max symbol length (the prefix-probe bound).
+  * Shipped to executors as a codegen reference object (the PqEncode
+  * broadcast-constant pattern); the hash set rebuilds lazily per
+  * executor after deserialization (benign race — idempotent build).
+  */
+final class GreedyVocab(val symbols: Array[String]) extends Serializable {
+  val maxLen: Int = if (symbols.isEmpty) 0 else symbols.iterator.map(_.length).max
+  @transient @volatile private var _set: java.util.HashSet[String] = _
+  def set: java.util.HashSet[String] = {
+    var s = _set
+    if (s == null) {
+      s = new java.util.HashSet[String](symbols.length * 2)
+      symbols.foreach(s.add)
+      _set = s
+    }
+    s
+  }
+  override def equals(other: Any): Boolean = other match {
+    case v: GreedyVocab => java.util.Arrays.equals(
+      symbols.asInstanceOf[Array[AnyRef]], v.symbols.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Arrays.hashCode(symbols.asInstanceOf[Array[AnyRef]])
+}
+
+object GreedyVocab {
+  /** Greedy longest-match-first segmentation (the WordPiece/MaxMatch
+    * rule): at each position take the LONGEST vocab symbol matching the
+    * remaining prefix; if no symbol matches, the WHOLE word degrades to
+    * the single piece `<unk>` (BERT's whole-word-UNK behavior). At a
+    * given length at most one symbol can equal the prefix, so the rule
+    * is tie-free. Positions count UTF-16 units, which equals the
+    * oracle's character counting for the ASCII corpus the vocabulary is
+    * trained on (documented assumption; symbols and words are `[a-z0-9]+`).
+    */
+  def pieces(w: UTF8String, v: GreedyVocab): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = w.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    var stuck = false
+    while (pos < n && !stuck) {
+      var len = if (v.maxLen < n - pos) v.maxLen else n - pos
+      var matched: String = null
+      while (len >= 1 && matched == null) {
+        val cand = s.substring(pos, pos + len)
+        if (v.set.contains(cand)) matched = cand
+        len -= 1
+      }
+      if (matched == null) stuck = true
+      else { out += UTF8String.fromString(matched); pos += matched.length }
+    }
+    if (stuck)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.fromString("<unk>")))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** `greedy_pieces(word) -> array<string>`: greedy longest-match
+  * tokenization against a CONSTANT vocabulary (see [[GreedyVocab]]) —
+  * one static call inside whole-stage codegen, a per-position hash-set
+  * probe bounded by the max symbol length. The iterative declarative
+  * spelling would be a per-character chain of joins; segmentation is
+  * inherently sequential per word, exactly the per-row-kernel case the
+  * §2.8 preference order reserves native expressions for.
+  */
+case class GreedyPieces(child: Expression, vocab: GreedyVocab)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_pieces"
+
+  override def nullSafeEval(input: Any): Any =
+    GreedyVocab.pieces(input.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("greedyVocab", vocab,
+      classOf[GreedyVocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GreedyVocab.pieces($c, $vocabRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GreedyPieces =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def punct_count(c: Column): Column = Bridge.column(PunctCount(Bridge.expression(c)))
   def normalize_text(c: Column): Column = Bridge.column(NormalizeText(Bridge.expression(c)))
+  def greedy_pieces(c: Column, vocab: GreedyVocab): Column =
+    Bridge.column(GreedyPieces(Bridge.expression(c), vocab))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("punct_count"),

@@ -285,6 +285,51 @@ object CorpusQueries extends QueryPack {
       val docs = documents(s, d)
       val m = QualityModel.train(docs)
       QualityModel.score(docs, m).orderBy("doc_id")
+    }),
+
+    // PSI drift monitor: population stability index of the quality
+    // features between the deterministic train/val corpus splits — the
+    // standard production check that a refreshed corpus (or a new split)
+    // still looks like what the filters were tuned on. One text pass,
+    // one constant-cardinality (feature × bin) aggregation; the
+    // (30-row) bin grid and per-feature totals are plan constants, so
+    // the whole monitor is corpus-linear with a KB-sized shuffle.
+    // PSI convention: add-0.5 smoothing so empty bins stay finite;
+    // |psi| < 0.1 = stable, 0.1-0.25 = drifting, > 0.25 = act.
+    "drift_psi" -> ((s, d) => {
+      import s.implicits._
+      val f = QualityModel.features(documents(s, d))
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val vals = f.select(col("doc_id"),
+          when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"),
+          col("x1"), col("x3"),
+          round(col("x1") * 0.3 + col("x2") * 0.4 + col("x3") * 0.3, 6).as("q"))
+        .where(col("split") =!= "test")
+      val long = vals.select(col("split"), explode(array(
+          struct(lit("len").as("feature"), col("x1").as("v")),
+          struct(lit("stop").as("feature"), col("x3").as("v")),
+          struct(lit("quality").as("feature"), col("q").as("v")))).as("fv"))
+        .select(col("split"), col("fv.feature"),
+          least(floor(col("fv.v") * 10), lit(9)).cast("long").as("bin"))
+      val counts = long.groupBy("feature", "bin").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"))
+      val grid = Seq("len", "stop", "quality")
+        .flatMap(f => (0L to 9L).map(b => (f, b))).toDF("feature", "bin")
+      val cc = grid.join(counts, Seq("feature", "bin"), "left")
+        .select(col("feature"), col("bin"),
+          coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cv"), lit(0L)).as("cv"))
+      val tot = cc.groupBy("feature")
+        .agg(sum(col("ct")).as("nt"), sum(col("cv")).as("nv"))
+      val p = (col("ct").cast("double") + 0.5) / (col("nt").cast("double") + 5.0)
+      val q = (col("cv").cast("double") + 0.5) / (col("nv").cast("double") + 5.0)
+      cc.join(broadcast(tot), "feature")
+        .select(col("feature"), col("bin"),
+          round(p, 6).as("p"), round(q, 6).as("q"),
+          round((p - q) * log(p / q), 6).as("psi"))
+        .orderBy("feature", "bin")
     }))
 
   /** Oracle replay of `QualityModel.train` (one CTE block per gradient
@@ -366,6 +411,48 @@ object CorpusQueries extends QueryPack {
            |  UNION ALL SELECT 'w_punct', round(w2, 6) FROM w$qT
            |  UNION ALL SELECT 'w_stop', round(w3, 6) FROM w$qT)
            |ORDER BY feature""".stripMargin,
+
+      "drift_psi" ->
+        s"""WITH tq AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+           |fq AS (SELECT doc_id,
+           |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
+           |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+           |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
+           |FROM tq),
+           |rawq AS (SELECT doc_id, least(nt / 100.0, 1.0) AS x1, (ns / nt) AS x3,
+           |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS q
+           |FROM fq),
+           |sp AS (SELECT *,
+           |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+           |       ELSE 'test' END AS split
+           |  FROM rawq),
+           |longf AS (
+           |  SELECT split, 'len' AS feature, x1 AS v FROM sp WHERE split <> 'test'
+           |  UNION ALL SELECT split, 'stop', x3 FROM sp WHERE split <> 'test'
+           |  UNION ALL SELECT split, 'quality', q FROM sp WHERE split <> 'test'),
+           |b AS (SELECT feature, CAST(least(floor(v * 10), 9) AS BIGINT) AS bin, split FROM longf),
+           |c AS (SELECT feature, bin,
+           |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS cv
+           |  FROM b GROUP BY feature, bin),
+           |grid AS (SELECT f.feature, g.bin
+           |  FROM (VALUES ('len'), ('stop'), ('quality')) f(feature),
+           |       (SELECT unnest(generate_series(0, 9)) AS bin) g),
+           |cc AS (SELECT grid.feature, CAST(grid.bin AS BIGINT) AS bin,
+           |  coalesce(ct, 0) AS ct, coalesce(cv, 0) AS cv
+           |  FROM grid LEFT JOIN c ON grid.feature = c.feature AND grid.bin = c.bin),
+           |tot AS (SELECT feature, CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cv) AS BIGINT) AS nv
+           |  FROM cc GROUP BY feature)
+           |SELECT cc.feature, cc.bin,
+           |  round((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 5.0), 6) AS p,
+           |  round((CAST(cv AS DOUBLE) + 0.5) / (CAST(nv AS DOUBLE) + 5.0), 6) AS q,
+           |  round(((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 5.0)
+           |         - (CAST(cv AS DOUBLE) + 0.5) / (CAST(nv AS DOUBLE) + 5.0))
+           |        * ln(((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 5.0))
+           |             / ((CAST(cv AS DOUBLE) + 0.5) / (CAST(nv AS DOUBLE) + 5.0))), 6) AS psi
+           |FROM cc JOIN tot ON cc.feature = tot.feature
+           |ORDER BY cc.feature, cc.bin""".stripMargin,
 
       "quality_train_scores" ->
         s"""WITH ${duckQualityTrainChain(qT)},

@@ -478,6 +478,21 @@ object ExtensionQueries extends QueryPack {
         .orderBy(col("n_occurrences").desc, col("symbol"))
     }),
 
+    // GREEDY (WordPiece/MaxMatch) tokenization against the trained BPE
+    // vocabulary — the serving-time fast path real tokenizers run
+    // (longest vocab symbol at each position; whole word → <unk> when
+    // stuck). Kernel = the native codegen greedy_pieces expression over
+    // the KB vocab constant, run once per DISTINCT word; the piece table
+    // broadcast-joins back to the positional word stream. The oracle
+    // replays the greedy rule with a recursive CTE over each distinct
+    // word (tie-free: at a given length at most one symbol equals the
+    // prefix).
+    "wordpiece_encode" -> ((s, d) => {
+      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
+      Bpe.greedyTokenize(documents(s, d), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: fixed-n per stratum, ordered by a
     // portable content-independent hash of the key — reproducible across
     // runs/engines, no RNG state. Per-stratum windows partition cleanly;
@@ -1511,6 +1526,42 @@ object ExtensionQueries extends QueryPack {
            |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) - 1 AS INT) AS token_id,
            |  symbol, n_occurrences
            |FROM agg ORDER BY n_occurrences DESC, symbol""".stripMargin
+      },
+
+      "wordpiece_encode" -> {
+        // Greedy longest-match replay: one recursive CTE walks each
+        // DISTINCT word left to right, the lateral probe picking the
+        // longest vocab symbol matching the remaining prefix (no match →
+        // the whole word collapses to '<unk>' and the walk ends).
+        s"""WITH RECURSIVE ${duckBpeChain(BpeSteps)},
+           |syms0 AS (SELECT unnest(string_split(trim(seg), '  ')) AS symbol FROM w$BpeSteps),
+           |vocabx AS (SELECT DISTINCT symbol FROM syms0),
+           |docwords AS (
+           |  SELECT doc_id, wpos, word FROM (
+           |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word,
+           |           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS wpos
+           |    FROM documents) WHERE word <> ''),
+           |wordsx AS (SELECT DISTINCT word FROM docwords),
+           |gseg AS (
+           |  SELECT word, 0 AS pos, '' AS outp, 0 AS np FROM wordsx
+           |  UNION ALL
+           |  SELECT s.word,
+           |    CASE WHEN m.sym IS NULL THEN len(s.word) ELSE s.pos + len(m.sym) END,
+           |    CASE WHEN m.sym IS NULL THEN '<unk>'
+           |         WHEN s.outp = '' THEN m.sym ELSE s.outp || ' ' || m.sym END,
+           |    CASE WHEN m.sym IS NULL THEN 1 ELSE s.np + 1 END
+           |  FROM gseg s LEFT JOIN LATERAL (
+           |    SELECT symbol AS sym FROM vocabx
+           |    WHERE symbol = substr(s.word, s.pos + 1, len(symbol))
+           |    ORDER BY len(symbol) DESC LIMIT 1) m ON TRUE
+           |  WHERE s.pos < len(s.word)),
+           |wp AS (SELECT word, outp, np FROM gseg WHERE pos >= len(word))
+           |SELECT d.doc_id,
+           |  CAST(sum(w.np) AS BIGINT) AS n_pieces,
+           |  CAST(sum(CASE WHEN w.outp = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+           |  string_agg(w.outp, ' ' ORDER BY d.wpos) AS pieces
+           |FROM docwords d JOIN wp w USING (word)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
       },
 
       "bpe_tokenize" -> {

@@ -220,7 +220,12 @@ object ScaleProbe {
     // round-8 additions (cont.): power-iteration PCA — one corpus pass
     // per iteration reduced to a dims-sized keyed sum, so both the
     // training and the projection serving path should be corpus-linear
-    "embed_pca_component", "embed_pca_project")
+    "embed_pca_component", "embed_pca_project",
+    // round-8 additions (cont.): the greedy tokenizer (native kernel
+    // once per DISTINCT word + broadcast join back — distinct-word work
+    // grows sublinearly in the copy corpus) and the PSI drift monitor
+    // (one text pass + constant-cardinality bin aggregation)
+    "wordpiece_encode", "drift_psi")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -83,4 +83,56 @@ class BpeSpec extends SparkSpec {
     // at least one document actually compressed
     assert(four.exists { case (id, n) => n < none(id) })
   }
+
+  test("greedy pieces: longest-match rule, lossless reassembly, whole-word unk") {
+    import graft.functions.GreedyVocab
+    val gv = new GreedyVocab(Array("a", "b", "c", "ab", "abc", "bc"))
+    def enc(w: String): Seq[String] = {
+      val arr = GreedyVocab.pieces(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), gv)
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    assert(enc("abcab") == Seq("abc", "ab"))   // longest match first
+    assert(enc("babc") == Seq("b", "abc"))     // restart greediness per position
+    assert(enc("abd") == Seq("<unk>"))         // 'd' unreachable -> whole word unk
+    assert(enc("ab") == Seq("ab"))
+  }
+
+  test("greedyTokenize matches a driver-side greedy reference over fixture words") {
+    val d = Tables.documents(spark, sf0001)
+    val merges = Bpe.trainMerges(d, "text", steps = 4)
+    val syms = Bpe.vocab(d, "text", merges)
+      .select($"symbol").as[String].collect().toSet
+    val maxLen = syms.map(_.length).max
+    def greedy(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val L = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(l => syms.contains(w.substring(pos, pos + l)))
+        L match {
+          case Some(l) => out += w.substring(pos, pos + l); pos += l
+          case None => return Seq("<unk>")
+        }
+      }
+      out.toSeq
+    }
+    val got = Bpe.greedyTokenize(d, "doc_id", "text", merges)
+      .select($"doc_id", $"n_pieces", $"n_unk_words", $"pieces")
+      .as[(Long, Long, Long, String)].collect()
+    val docs = d.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    got.foreach { case (id, nPieces, nUnk, pieces) =>
+      val words = docs(id).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val ref = words.map(greedy)
+      assert(pieces == ref.map(_.mkString(" ")).mkString(" "), s"doc $id pieces")
+      assert(nPieces == ref.map(_.size).sum.toLong, s"doc $id count")
+      assert(nUnk == ref.count(_ == Seq("<unk>")).toLong, s"doc $id unk")
+    }
+    // non-unk segmentations must reassemble to the original word
+    val vocabWords = docs.values.flatMap(_.toLowerCase.split("\\s+")).toSet.filter(_.nonEmpty)
+    vocabWords.foreach { w =>
+      val p = greedy(w)
+      if (p != Seq("<unk>")) assert(p.mkString == w)
+    }
+  }
 }
