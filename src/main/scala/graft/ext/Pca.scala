@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PcaExpressions._
 
 /** Principal-component extraction by POWER ITERATION — distributed
   * linear algebra as corpus aggregations, the same constant-driver-
@@ -24,6 +25,13 @@ import org.apache.spark.sql.functions._
   * per-dimension sum (dims values); driver traffic per iteration is one
   * dims-sized vector. The covariance matrix itself (dims² doubles)
   * never exists anywhere.
+  *
+  * Per-row math runs in the native `functions/PcaExpressions` kernels
+  * (one array read per row; the declarative aggregate/transform
+  * spelling was CodegenFallback AND — through CollapseProject inlining
+  * of chained deflation arrays into per-element reads — exponential in
+  * the number of deflation layers; the kernels keep chained recompute
+  * O(layers · dims) per row with no pinned storage).
   *
   * Cross-engine exactness (the DuckDB oracle replays the chain): the
   * per-row per-dimension contributions are rounded to integer
@@ -53,20 +61,20 @@ object Pca {
     while (i < a.length) { s += a(i) * b(i); i += 1 }; s
   }
 
-  /** Per-dimension micro-unit sums of `contrib(dim)` over the staged
-    * vector frame: posexplode → partial-aggregated groupBy(dim) — the
-    * shuffle carries dims rows per map task, never data-sized.
+  /** Per-dimension sums of a micro-unit array column, plus the row
+    * count (free from the same aggregation): posexplode →
+    * partial-aggregated groupBy(dim) — the shuffle carries dims rows
+    * per map task, never data-sized.
     */
   private def dimMicroSums(staged: DataFrame, dims: Int,
-      contrib: Column => Column): Array[Long] = {
-    val arr = transform(sequence(lit(0), lit(dims - 1)),
-      j => round(contrib(j) * lit(1e6), 0).cast("long"))
-    val rows = staged.select(posexplode(arr).as(Seq("d", "c")))
-      .groupBy(col("d")).agg(sum(col("c")).as("s"))
+      microArr: Column): (Long, Array[Long]) = {
+    val rows = staged.select(posexplode(microArr).as(Seq("d", "c")))
+      .groupBy(col("d")).agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
       .collect()
     val out = Array.fill(dims)(0L)
-    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
-    out
+    var n = 0L
+    rows.foreach { r => out(r.getInt(0)) = r.getLong(1); n = r.getLong(2) }
+    (n, out)
   }
 
   /** Mean vector + dominant principal component of `vecCol`
@@ -76,23 +84,14 @@ object Pca {
       iters: Int = PowerIters): Component = {
     val staged = embeddings
       .select(Similarity.asDouble(col(vecCol)).as("vecd"))
-    val n = staged.count()
-    val muSums = dimMicroSums(staged, dims, j => element_at(col("vecd"), j + 1))
+    val (n, muSums) = dimMicroSums(staged, dims,
+      vec_micro(col("vecd"), dims))
     val mu = muSums.map(_.toDouble / 1e6 / n)
-    val muLit = typedlit(mu.toSeq)
-    val centered = (j: Column) =>
-      element_at(col("vecd"), j + 1) - element_at(muLit, j + 1)
     var v = Array.fill(dims)(0.125) // exactly representable unit vector at dims=64
     var lambda = 0.0
     for (_ <- 1 to iters) {
-      val vLit = typedlit(v.toSeq)
-      // y = (x − μ)·v, the same ltr fold as Similarity.dot
-      val y = aggregate(
-        transform(sequence(lit(0), lit(dims - 1)),
-          j => centered(j) * element_at(vLit, j + 1)),
-        lit(0.0), (acc, x) => acc + x)
-      val staged2 = staged.select(col("vecd"), y.as("y"))
-      val wSums = dimMicroSums(staged2, dims, j => col("y") * centered(j))
+      val (_, wSums) = dimMicroSums(staged, dims,
+        pca_centered_contrib_micro(col("vecd"), mu, v))
       val w = wSums.map(_.toDouble / 1e6 / n)
       lambda = ltrDot(v, w) // Rayleigh quotient: vᵀCv for unit v
       val nw = math.sqrt(ltrDot(w, w))
@@ -101,20 +100,74 @@ object Pca {
     Component(mu, v, lambda)
   }
 
+  /** Top-`k` components by DEFLATION: after each component v_c the
+    * centered data is replaced by its residual x ← x − (x·v_c)·v_c (a
+    * pure per-row projection chained into the plan — the residual
+    * array is never written anywhere; each native kernel reads its
+    * input array once, so recomputing the chain costs O(layers · dims)
+    * per row), and power iteration repeats on the residual. Classic
+    * sequential PCA; k·iters corpus passes total, driver traffic stays
+    * one dims-vector per pass.
+    *
+    * Exactness: the deflation projection uses the same ltr dot and
+    * exact-rounded elementwise ops as everything else, so the residual
+    * stream — and with it every later component — stays bit-identical
+    * to the oracle replay by induction.
+    */
+  def topComponents(embeddings: DataFrame, vecCol: String, dims: Int, k: Int,
+      iters: Int = PowerIters): (Array[Double], Seq[(Array[Double], Double)]) = {
+    val staged0 = embeddings
+      .select(Similarity.asDouble(col(vecCol)).as("vecd"))
+    val (n, muSums) = dimMicroSums(staged0, dims,
+      vec_micro(col("vecd"), dims))
+    val mu = muSums.map(_.toDouble / 1e6 / n)
+    var frame = staged0.select(vec_center(col("vecd"), mu).as("xc"))
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
+    for (_ <- 0 until k) {
+      var v = Array.fill(dims)(0.125)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val (_, wSums) = dimMicroSums(frame, dims,
+          pca_contrib_micro(col("xc"), v))
+        val w = wSums.map(_.toDouble / 1e6 / n)
+        lambda = ltrDot(v, w)
+        val nw = math.sqrt(ltrDot(w, w))
+        v = w.map(_ / nw)
+      }
+      comps += ((v, lambda))
+      // deflate: xc ← xc − (xc·v)·v, chained as a projection
+      frame = frame.select(pca_deflate(col("xc"), v).as("xc"))
+    }
+    (mu, comps.toSeq)
+  }
+
+  /** Serving for [[topComponents]]: reduce each vector to its k
+    * component coordinates (long form: one row per (vector, component))
+    * — the dimensionality-reduction artifact itself, a zero-shuffle
+    * projection against broadcast constants.
+    */
+  def reduce(embeddings: DataFrame, idCol: String, vecCol: String,
+      mu: Array[Double], comps: Seq[Array[Double]]): DataFrame = {
+    // residual chain: coord_c is the dot against v_c of the residual
+    // AFTER deflating components 0..c-1 (matches training exactly)
+    var cur = embeddings.select(col(idCol),
+      vec_center(Similarity.asDouble(col(vecCol)), mu).as("xc"))
+    val out = comps.zipWithIndex.map { case (v, c) =>
+      val coords = cur.select(col(idCol), lit(c).as("comp"),
+        round(pca_dot(col("xc"), v), 6).as("coord"))
+      cur = cur.select(col(idCol), pca_deflate(col("xc"), v).as("xc"))
+      coords
+    }
+    out.reduce(_ union _)
+  }
+
   /** Serving: project each vector onto a (trained) component — scaler
     * and direction enter the plan as broadcast constants; a zero-shuffle
     * projection (the training→serving edge, as in `QualityModel.score`).
     */
   def project(embeddings: DataFrame, idCol: String, vecCol: String,
-      c: Component): DataFrame = {
-    val muLit = typedlit(c.mu.toSeq)
-    val vLit = typedlit(c.v.toSeq)
-    val dims = c.v.length
-    val score = aggregate(
-      transform(sequence(lit(0), lit(dims - 1)),
-        j => (element_at(Similarity.asDouble(col(vecCol)), j + 1)
-          - element_at(muLit, j + 1)) * element_at(vLit, j + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    embeddings.select(col(idCol), round(score, 6).as("pc1"))
-  }
+      c: Component): DataFrame =
+    embeddings.select(col(idCol),
+      round(pca_centered_dot(Similarity.asDouble(col(vecCol)), c.mu, c.v), 6)
+        .as("pc1"))
 }

@@ -41,6 +41,14 @@ object ExtensionQueries extends QueryPack {
     */
   val BpeSteps = 8
 
+  /** Deflation-PCA iterations for the top-4 catalog queries — 2 power
+    * steps per component keeps the k·iters sequential-job chain short
+    * (each job is a full corpus pass; the oracle replays the exact
+    * chain, so the constant is part of the query definition). Deeper
+    * training belongs in tools, not the oracle catalog.
+    */
+  val PcaDeflateIters = 2
+
   /** ADC shortlist width for the two-stage rerank query: stage 1 keeps
     * the `RerankShortlist` best candidates by compressed-code distance,
     * stage 2 re-ranks exactly those with full-precision cosine.
@@ -430,6 +438,33 @@ object ExtensionQueries extends QueryPack {
       val e = embeddings(s, d)
       val c = Pca.firstComponent(e, "embedding", dims = 64)
       Pca.project(e, "vec_id", "embedding", c).orderBy("vec_id")
+    }),
+
+    // Top-4 PCA by DEFLATION: sequential power iteration, each
+    // component followed by the residual projection x ← x − (x·v)v
+    // chained into the plan (no residual is ever materialized). k·iters
+    // corpus passes, one 64-vector of driver traffic per pass — the
+    // dimensionality-reduction artifact (reduction/whitening before PQ,
+    // the OPQ-family pre-rotation).
+    "embed_pca_top4" -> ((s, d) => {
+      import s.implicits._
+      val (_, comps) = Pca.topComponents(embeddings(s, d), "embedding",
+        dims = 64, k = 4, iters = PcaDeflateIters)
+      comps.zipWithIndex.flatMap { case ((v, _), c) =>
+        (0 until 64).map(j => (c, j.toLong, QualityModel.r6(v(j))))
+      }.toDF("comp", "dim", "loading").orderBy("comp", "dim")
+    }),
+
+    // The 4-component reduction SERVED: per (vector, component) residual
+    // coordinates — the long-form reduced representation a downstream
+    // pipeline consumes (zero-shuffle chained projections against
+    // broadcast constants).
+    "embed_pca_reduce" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val (mu, comps) = Pca.topComponents(e, "embedding", dims = 64, k = 4,
+        iters = PcaDeflateIters)
+      Pca.reduce(e, "vec_id", "embedding", mu, comps.map(_._1))
+        .orderBy("vec_id", "comp")
     }),
 
     // BPE merge TRAINING (Sennrich et al. 2016) as keyed aggregation:
@@ -1176,6 +1211,43 @@ object ExtensionQueries extends QueryPack {
       }
       sb.toString
     }
+    // Deflation chain for top-k PCA (mirrors Pca.topComponents): the
+    // power chain of duckPcaChain per component, then the residual
+    // projection e{c+1} = e{c} − (xc·v)·v. Ends with per-component CTEs
+    // pc{c}v<iters> and residual frames e0..e{k}.
+    def duckPcaDeflateChain(k: Int, iters: Int): String = {
+      val sb = new StringBuilder
+      sb ++= """cnt AS (SELECT count(*) AS n FROM e),
+        |dg AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |mus AS (
+        |  SELECT d, CAST(sum(CAST(round(v[d] * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e, dg GROUP BY d),
+        |mu AS (SELECT list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY d) AS ml FROM mus, cnt GROUP BY n),
+        |e0 AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1, 64), i -> v[i] - ml[i]) AS xc FROM e, mu)""".stripMargin
+      for (c <- 0 until k) {
+        sb ++= s""",
+          |pc${c}v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS vl)""".stripMargin
+        for (t <- 1 to iters) {
+          sb ++= s""",
+            |pc${c}y$t AS (
+            |  SELECT vec_id, xc,
+            |    list_sum(list_transform(generate_series(1, 64), i -> xc[i] * vl[i])) AS y
+            |  FROM e$c, pc${c}v${t - 1}),
+            |pc${c}s$t AS (
+            |  SELECT d, CAST(sum(CAST(round(y * xc[d] * 1e6, 0) AS BIGINT)) AS BIGINT) AS s
+            |  FROM pc${c}y$t, dg GROUP BY d),
+            |pc${c}w$t AS (SELECT list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY d) AS wl FROM pc${c}s$t, cnt GROUP BY n),
+            |pc${c}v$t AS (SELECT list_transform(wl, x -> x / sqrt(list_sum(list_transform(wl, z -> z * z)))) AS vl FROM pc${c}w$t)""".stripMargin
+        }
+        sb ++= s""",
+          |e${c + 1} AS MATERIALIZED (
+          |  SELECT vec_id, list_transform(generate_series(1, 64), i -> xc[i] - p * vl[i]) AS xc
+          |  FROM (SELECT vec_id, xc, vl,
+          |          list_sum(list_transform(generate_series(1, 64), i -> xc[i] * vl[i])) AS p
+          |        FROM e$c, pc${c}v$iters))""".stripMargin
+      }
+      sb.toString
+    }
     val duckE =
       """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)""".stripMargin
@@ -1505,6 +1577,30 @@ object ExtensionQueries extends QueryPack {
            |SELECT vec_id,
            |  round(list_sum(list_transform(generate_series(1, 64), i -> (v[i] - ml[i]) * vl[i])), 6) AS pc1
            |FROM e, mu, v${Pca.PowerIters} ORDER BY vec_id""".stripMargin,
+
+      "embed_pca_top4" -> {
+        val body = (0 until 4).map(c =>
+          s"""SELECT $c AS comp, CAST(d - 1 AS BIGINT) AS dim, round(vl[d], 6) AS loading
+             |  FROM pc${c}v$PcaDeflateIters, dg""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH $duckE,
+           |${duckPcaDeflateChain(4, PcaDeflateIters)}
+           |$body
+           |ORDER BY comp, dim""".stripMargin
+      },
+
+      "embed_pca_reduce" -> {
+        val body = (0 until 4).map(c =>
+          s"""SELECT vec_id, $c AS comp, round(p, 6) AS coord
+             |  FROM (SELECT vec_id,
+             |          list_sum(list_transform(generate_series(1, 64), i -> xc[i] * vl[i])) AS p
+             |        FROM e$c, pc${c}v$PcaDeflateIters)""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH $duckE,
+           |${duckPcaDeflateChain(4, PcaDeflateIters)}
+           |$body
+           |ORDER BY vec_id, comp""".stripMargin
+      },
 
       "sim_ivfpq_from_index" -> duckIvfPqTrainedSql,
 

@@ -225,7 +225,11 @@ object ScaleProbe {
     // once per DISTINCT word + broadcast join back — distinct-word work
     // grows sublinearly in the copy corpus) and the PSI drift monitor
     // (one text pass + constant-cardinality bin aggregation)
-    "wordpiece_encode", "drift_psi")
+    "wordpiece_encode", "drift_psi",
+    // round-8 additions (cont.): deflation PCA — k·iters corpus passes,
+    // each a scan + dims-sized keyed sum; the reduce serving path chains
+    // k residual projections per row (constant per-row work)
+    "embed_pca_top4", "embed_pca_reduce")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

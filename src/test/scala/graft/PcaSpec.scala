@@ -49,6 +49,43 @@ class PcaSpec extends SparkSpec {
     assert(c.lambda > 50.0, s"eigenvalue ${c.lambda} should see the 10^2 variance")
   }
 
+  test("deflation: first component matches firstComponent; components near-orthogonal") {
+    val c1 = Pca.firstComponent(emb, "embedding", 64)
+    val (mu, comps) = Pca.topComponents(emb, "embedding", 64, k = 3)
+    assert(mu.toSeq == c1.mu.toSeq)
+    assert(comps.head._1.toSeq == c1.v.toSeq) // identical arithmetic chain
+    // each pair of distinct components ~orthogonal (deflation removes the
+    // found direction; tolerance covers finite iterations + micro rounding)
+    for (a <- comps.indices; b <- comps.indices if a < b)
+      assert(math.abs(ltrDot(comps(a)._1, comps(b)._1)) < 0.05,
+        s"components $a,$b not orthogonal: ${ltrDot(comps(a)._1, comps(b)._1)}")
+    // every component unit-norm; eigenvalue estimates non-negative
+    comps.foreach { case (v, l) =>
+      assert(math.abs(ltrDot(v, v) - 1.0) < 1e-12)
+      assert(l >= 0.0)
+    }
+  }
+
+  test("reduce: residual-chain coordinates match the driver-side replay") {
+    val (mu, comps) = Pca.topComponents(emb, "embedding", 64, k = 2)
+    val got = Pca.reduce(emb, "vec_id", "embedding", mu, comps.map(_._1))
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    vecs.take(30).foreach { case (id, raw) =>
+      var xc = raw.toArray.map(_.toDouble).zip(mu).map { case (x, m) => x - m }
+      val expect = comps.map { case (v, _) =>
+        val p = ltrDot(xc, v)
+        xc = xc.zip(v).map { case (x, vj) => x - p * vj }
+        r6(p)
+      }
+      assert(got(id) == expect, s"vec $id coords")
+    }
+  }
+
   test("projection equals the driver-side centered dot") {
     val c = Pca.firstComponent(emb, "embedding", 64)
     val got = Pca.project(emb, "vec_id", "embedding", c)
