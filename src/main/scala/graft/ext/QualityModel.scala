@@ -61,22 +61,22 @@ object QualityModel {
     * cleanliness), x3 (stopword density) — the same deterministic text
     * features the fixed-weight queries use — plus the heuristic label y.
     */
-  def features(docs: DataFrame): DataFrame = {
-    val f = docs
-      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
-      .select(col("doc_id"),
-        size(col("_toks")).cast("double").as("nt"),
-        length(col("text")).cast("double").as("nc"),
-        TextOps.punctCount(col("text")).cast("double").as("np"),
-        TextOps.stopwordCount(col("_toks")).cast("double").as("ns"))
-    f.select(col("doc_id"),
-      least(col("nt") / 100.0, lit(1.0)).as("x1"),
-      (lit(1.0) - col("np") / col("nc")).as("x2"),
-      (col("ns") / col("nt")).as("x3"))
+  def features(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .withColumn("_nt", size(col("_toks")).cast("double"))
+      .withColumn("_nc", length(col("text")).cast("double"))
+      .withColumn("_np", TextOps.punctCount(col("text")).cast("double"))
+      .withColumn("_ns", TextOps.stopwordCount(col("_toks")).cast("double"))
+      .withColumn("x1", least(col("_nt") / 100.0, lit(1.0)))
+      .withColumn("x2", lit(1.0) - col("_np") / col("_nc"))
+      .withColumn("x3", col("_ns") / col("_nt"))
       .withColumn("y",
         when(round(col("x1") * 0.3 + col("x2") * 0.4 + col("x3") * 0.3, 6) >= 0.5,
           lit(1.0)).otherwise(lit(0.0)))
-  }
+      .drop("_toks", "_nt", "_nc", "_np", "_ns")
+      // column-preserving on purpose: streaming callers carry their
+      // event-time column through featurization (stream/ModelServing)
 
   private def microSum(x: Column): Column = sum(round(x * lit(1e6), 0).cast("long"))
 
