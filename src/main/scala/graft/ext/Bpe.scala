@@ -169,11 +169,41 @@ object Bpe {
     * of `<unk>` words, and the ordered piece string (array_sort over
     * word positions — no global sort).
     */
+  /** The trained subword vocabulary as the serving-side constant the
+    * native greedy kernel consumes.
+    */
+  def greedyVocab(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): graft.functions.GreedyVocab =
+    new graft.functions.GreedyVocab(
+      vocab(docs, textCol, merges).select(col("symbol")).collect()
+        .map(_.getString(0)))
+
+  /** Per-ROW greedy tokenization of one document — the serving/streaming
+    * spelling ([[greedyTokenize]] is the batch plan that dedups distinct
+    * words first; this one is a pure projection, so it runs stateless
+    * inside a streaming query). Returns a struct
+    * (n_pieces, n_unk_words, pieces) with values identical to the batch
+    * plan's per-doc output. Per-doc word arrays are the §8-sanctioned
+    * small-array HOF case; the per-word kernel is the same native
+    * greedy_pieces expression.
+    */
+  def greedyPiecesPerDoc(textCol: Column,
+      gv: graft.functions.GreedyVocab): Column = {
+    val words = filter(split(lower(textCol), "\\s+"), w => w =!= "")
+    def wp = transform(words,
+      w => graft.functions.TextExpressions.greedy_pieces(w, gv))
+    struct(
+      aggregate(transform(wp, p => size(p).cast("long")), lit(0L),
+        (a, x) => a + x).as("n_pieces"),
+      aggregate(transform(wp,
+          p => when(p === array(lit("<unk>")), 1L).otherwise(0L)),
+        lit(0L), (a, x) => a + x).as("n_unk_words"),
+      array_join(transform(wp, p => array_join(p, " ")), " ").as("pieces"))
+  }
+
   def greedyTokenize(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val syms = vocab(docs, textCol, merges)
-      .select(col("symbol")).collect().map(_.getString(0))
-    val gv = new graft.functions.GreedyVocab(syms)
+    val gv = greedyVocab(docs, textCol, merges)
     val dw = docs
       .select(col(idCol),
         posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("wpos", "word")))

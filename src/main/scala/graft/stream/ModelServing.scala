@@ -38,6 +38,18 @@ object ModelServing {
       .select(col("event_time"), col("fv.feature").as("feature"),
         least(floor(col("fv.v") * 10), lit(9)).cast("long").as("bin"))
 
+  /** Tokenize a DOC STREAM with the trained greedy (WordPiece) vocab —
+    * stateless per-row serving: the whole tokenization is one projection
+    * (native greedy kernel per word inside per-doc array HOFs), values
+    * identical to the batch `Bpe.greedyTokenize` plan per document.
+    */
+  def tokenizeStream(docs: DataFrame,
+      gv: graft.functions.GreedyVocab): DataFrame =
+    docs.select(col("doc_id"),
+        graft.ext.Bpe.greedyPiecesPerDoc(col("text"), gv).as("_t"))
+      .select(col("doc_id"), col("_t.n_pieces").as("n_pieces"),
+        col("_t.n_unk_words").as("n_unk_words"), col("_t.pieces").as("pieces"))
+
   /** Per-window (feature, bin) histogram counts of the quality features
     * — the ingest side of online drift monitoring. State per window is
     * the constant feature × bin counter set; append mode emits a

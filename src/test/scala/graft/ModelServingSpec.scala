@@ -39,6 +39,31 @@ class ModelServingSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("trained greedy tokenizer serves a stream identically to the batch plan") {
+    import graft.ext.Bpe
+    val merges = Bpe.trainMerges(docs, "text", steps = 4)
+    val gv = Bpe.greedyVocab(docs, "text", merges)
+    val batch = Bpe.greedyTokenize(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val sample = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(25)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = ModelServing.tokenizeStream(
+        input.toDF().toDF("doc_id", "text"), gv)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tok_stream").start()
+    try {
+      input.addData(sample.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tok_stream")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamed.size == sample.length)
+    streamed.foreach { case (id, t) => assert(batch(id) == t, s"doc $id") }
+  }
+
   test("windowed feature bins == batch bins per window; PSI vs baseline matches") {
     val sample = docs.select($"doc_id", $"text")
       .as[(Long, String)].collect().take(30)
