@@ -119,24 +119,34 @@ object QualityModel {
   /** Standardize + batch gradient descent from zero init. One corpus
     * text pass total; one tiny aggregation per iteration.
     */
+  /** One batch-gradient step over a STANDARDIZED feature frame: the
+    * corpus aggregation (4 micro-unit longs + a count) and the weight
+    * update. Shared by [[train]] and the online mini-batch refinement
+    * (`stream/ModelServing.OnlineQualityTrainer`) — mini-batch GD is
+    * the same step applied per micro-batch.
+    */
+  def gradientStep(fs: DataFrame, w: Array[Double], lr: Double): Array[Double] = {
+    val r = (sigmoidFast(zOf(w)) - col("y")).as("r")
+    val row = fs.select(col("x1"), col("x2"), col("x3"), r)
+      .agg(count(lit(1)).as("n"),
+        microSum(col("r")).as("g0"),
+        microSum(col("r") * col("x1")).as("g1"),
+        microSum(col("r") * col("x2")).as("g2"),
+        microSum(col("r") * col("x3")).as("g3"))
+      .head()
+    val n = row.getLong(0)
+    if (n == 0L) w.clone()
+    else Array.tabulate(4)(j => w(j) - lr * (row.getLong(j + 1).toDouble / 1e6 / n))
+  }
+
   def train(docs: DataFrame, iters: Int = TrainIters, lr: Double = Lr): Model = {
     // Doc-count-sized (id + 4 doubles): inside the localCheckpoint rule —
     // iterating on a checkpointed feature frame beats iters× text rescans.
     val f = features(docs).localCheckpoint(false)
-    val (n, mu, sd) = stats(f)
+    val (_, mu, sd) = stats(f)
     val fs = standardize(f, mu, sd)
-    val w = Array(0.0, 0.0, 0.0, 0.0)
-    for (_ <- 1 to iters) {
-      val r = (sigmoidFast(zOf(w)) - col("y")).as("r")
-      val row = fs.select(col("x1"), col("x2"), col("x3"), r)
-        .agg(microSum(col("r")).as("g0"),
-          microSum(col("r") * col("x1")).as("g1"),
-          microSum(col("r") * col("x2")).as("g2"),
-          microSum(col("r") * col("x3")).as("g3"))
-        .head()
-      for (j <- 0 to 3)
-        w(j) = w(j) - lr * (row.getLong(j).toDouble / 1e6 / n)
-    }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) w = gradientStep(fs, w, lr)
     Model(w, mu, sd)
   }
 

@@ -38,6 +38,35 @@ object ModelServing {
       .select(col("event_time"), col("fv.feature").as("feature"),
         least(floor(col("fv.v") * 10), lit(9)).cast("long").as("bin"))
 
+  /** ONLINE refinement of a trained quality model: mini-batch gradient
+    * descent where every micro-batch applies one `gradientStep` (the
+    * same corpus aggregation the batch trainer runs — 4 micro-unit
+    * longs + a count of driver traffic per trigger). The scaler (μ/σ)
+    * stays FROZEN from training — a deployment refines weights online
+    * but re-standardizing against a moving scaler would silently change
+    * what every historical weight means. Weights live driver-side
+    * (foreachBatch runs on the driver), so serving reads [[model]]
+    * between triggers; determinism is per-batch exact (micro-unit
+    * sums), proven against a driver-side replay in ModelServingSpec.
+    */
+  final class OnlineQualityTrainer(init: QualityModel.Model,
+      lr: Double = QualityModel.Lr) extends Serializable {
+    @volatile private var w: Array[Double] = init.w.clone()
+    def model: QualityModel.Model = QualityModel.Model(w.clone(), init.mu, init.sd)
+    /** foreachBatch body: one mini-batch gradient step. */
+    def processBatch(batch: DataFrame): Unit = {
+      if (!batch.isEmpty) {
+        val fs = QualityModel.standardize(
+          QualityModel.features(batch), init.mu, init.sd)
+        w = QualityModel.gradientStep(fs, w, lr)
+      }
+    }
+    def start(docs: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      docs.writeStream.outputMode("append")
+        .foreachBatch((b: DataFrame, _: Long) => processBatch(b))
+        .start()
+  }
+
   /** Tokenize a DOC STREAM with the trained greedy (WordPiece) vocab —
     * stateless per-row serving: the whole tokenization is one projection
     * (native greedy kernel per word inside per-doc array HOFs), values

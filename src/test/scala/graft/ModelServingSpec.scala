@@ -39,6 +39,30 @@ class ModelServingSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("online mini-batch refinement == sequential batch gradient steps") {
+    val sample = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(40)
+    val (b1, b2) = sample.splitAt(20)
+    val trainer = new ModelServing.OnlineQualityTrainer(model)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = trainer.start(input.toDF().toDF("doc_id", "text"))
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // driver-side replay: the same two gradient steps on static frames
+    def fs(rows: Array[(Long, String)]) =
+      QualityModel.standardize(
+        QualityModel.features(rows.toSeq.toDF("doc_id", "text")),
+        model.mu, model.sd)
+    val w1 = QualityModel.gradientStep(fs(b1), model.w, QualityModel.Lr)
+    val w2 = QualityModel.gradientStep(fs(b2), w1, QualityModel.Lr)
+    assert(trainer.model.w.toSeq == w2.toSeq)
+    // scaler frozen from the initial model
+    assert(trainer.model.mu.toSeq == model.mu.toSeq)
+    assert(trainer.model.sd.toSeq == model.sd.toSeq)
+  }
+
   test("trained greedy tokenizer serves a stream identically to the batch plan") {
     import graft.ext.Bpe
     val merges = Bpe.trainMerges(docs, "text", steps = 4)
