@@ -72,7 +72,17 @@ object Bpe {
     * Fails loudly if the corpus runs out of pairs before `steps` (a
     * degenerate corpus — the oracle replays a FIXED-length chain).
     */
-  def trainMerges(docs: DataFrame, textCol: String, steps: Int): Seq[Merge] = {
+  def trainMerges(docs: DataFrame, textCol: String, steps: Int): Seq[Merge] =
+    trainMergesWithVocab(docs, textCol, steps)._1
+
+  /** [[trainMerges]] that ALSO returns training's final vocab frame
+    * (word, freq, seg with the trained segmentations, checkpointed) —
+    * the artifact the vocabulary/tokenizer builders consume. Passing it
+    * on saves them re-running the corpus pass and the merge fold that
+    * training already performed.
+    */
+  def trainMergesWithVocab(docs: DataFrame, textCol: String,
+      steps: Int): (Seq[Merge], DataFrame) = {
     var vocab = wordVocab(docs, textCol).localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     for (step <- 1 to steps) {
@@ -95,7 +105,7 @@ object Bpe {
         call_function("replace", col("seg"),
           lit(s" $s1  $s2 "), lit(s" $s1$s2 "))).localCheckpoint(true)
     }
-    out.result()
+    (out.result(), vocab)
   }
 
   /** The trained SUBWORD VOCABULARY — the artifact a tokenizer ships:
@@ -110,8 +120,18 @@ object Bpe {
       call_function("replace", acc,
         lit(s" ${mg.l_sym}  ${mg.r_sym} "), lit(s" ${mg.merged} "))
     }
-    wordVocab(docs, textCol)
-      .select(col("freq"), explode(split(trim(segFinal), "  ")).as("symbol"))
+    // folding the merge list over a fresh wordVocab reproduces
+    // training's final state exactly; prefer [[vocabFromSegments]] on
+    // [[trainMergesWithVocab]]'s frame to skip this second corpus pass
+    vocabFromSegments(
+      wordVocab(docs, textCol).withColumn("seg", segFinal))
+  }
+
+  /** The subword vocabulary straight from a (word, freq, seg) frame
+    * whose segmentations are already trained — zero corpus passes.
+    */
+  def vocabFromSegments(wv: DataFrame): DataFrame =
+    wv.select(col("freq"), explode(split(trim(col("seg")), "  ")).as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("freq")).as("n_occurrences"))
       .withColumn("token_id",
         (org.apache.spark.sql.functions.row_number().over(
@@ -119,7 +139,6 @@ object Bpe {
             .orderBy(col("n_occurrences").desc, col("symbol"))) - 1)
           .cast("int"))
       .select(col("token_id"), col("symbol"), col("n_occurrences"))
-  }
 
   /** Tokenize the corpus to ordered TOKEN-ID sequences — the artifact a
     * training pipeline actually consumes: per document, every word's
@@ -132,8 +151,14 @@ object Bpe {
     * comparison; a production sink would keep `array<int>`).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    val v = vocab(docs, textCol, merges)
+      merges: Seq[Merge]): DataFrame =
+    tokenizeWith(docs, idCol, textCol, merges, vocab(docs, textCol, merges))
+
+  /** [[tokenize]] with an already-built vocab frame (saves the second
+    * corpus pass when the caller holds training's final vocabulary).
+    */
+  def tokenizeWith(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], v: DataFrame): DataFrame = {
     val segFinal = merges.foldLeft(charSeg(col("word"))) { (acc, mg) =>
       call_function("replace", acc,
         lit(s" ${mg.l_sym}  ${mg.r_sym} "), lit(s" ${mg.merged} "))
@@ -174,9 +199,12 @@ object Bpe {
     */
   def greedyVocab(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): graft.functions.GreedyVocab =
+    greedyVocabOf(vocab(docs, textCol, merges))
+
+  /** The serving-side constant from an already-built vocab frame. */
+  def greedyVocabOf(vocabDf: DataFrame): graft.functions.GreedyVocab =
     new graft.functions.GreedyVocab(
-      vocab(docs, textCol, merges).select(col("symbol")).collect()
-        .map(_.getString(0)))
+      vocabDf.select(col("symbol")).collect().map(_.getString(0)))
 
   /** Per-ROW greedy tokenization of one document — the serving/streaming
     * spelling ([[greedyTokenize]] is the batch plan that dedups distinct
@@ -190,20 +218,31 @@ object Bpe {
   def greedyPiecesPerDoc(textCol: Column,
       gv: graft.functions.GreedyVocab): Column = {
     val words = filter(split(lower(textCol), "\\s+"), w => w =!= "")
-    def wp = transform(words,
-      w => graft.functions.TextExpressions.greedy_pieces(w, gv))
-    struct(
-      aggregate(transform(wp, p => size(p).cast("long")), lit(0L),
-        (a, x) => a + x).as("n_pieces"),
-      aggregate(transform(wp,
-          p => when(p === array(lit("<unk>")), 1L).otherwise(0L)),
-        lit(0L), (a, x) => a + x).as("n_unk_words"),
-      array_join(transform(wp, p => array_join(p, " ")), " ").as("pieces"))
+    // The kernel runs ONCE per word: greedy_piece_stats emits the
+    // per-word facts as one struct (interpreted HOF lambdas have no
+    // CSE, so any spelling that references the segmentation more than
+    // once per word would re-run it that many times), and one struct
+    // fold accumulates the per-doc totals.
+    val perWord = transform(words,
+      w => graft.functions.TextExpressions.greedy_piece_stats(w, gv))
+    val zero = struct(lit(0L).as("n_pieces"), lit(0L).as("n_unk_words"),
+      lit("").as("pieces"))
+    aggregate(perWord, zero, (acc, s) => struct(
+      (acc("n_pieces") + s("n_pieces")).as("n_pieces"),
+      (acc("n_unk_words")
+        + when(s("is_unk"), 1L).otherwise(0L)).as("n_unk_words"),
+      when(acc("pieces") === "", s("pieces"))
+        .otherwise(concat(acc("pieces"), lit(" "), s("pieces"))).as("pieces")))
   }
 
   def greedyTokenize(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    val gv = greedyVocab(docs, textCol, merges)
+      merges: Seq[Merge]): DataFrame =
+    greedyTokenizeWith(docs, idCol, textCol,
+      greedyVocab(docs, textCol, merges))
+
+  /** [[greedyTokenize]] with an already-built vocabulary constant. */
+  def greedyTokenizeWith(docs: DataFrame, idCol: String, textCol: String,
+      gv: graft.functions.GreedyVocab): DataFrame = {
     val dw = docs
       .select(col(idCol),
         posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("wpos", "word")))

@@ -86,6 +86,7 @@ object Pca {
       .select(Similarity.asDouble(col(vecCol)).as("vecd"))
     val (n, muSums) = dimMicroSums(staged, dims,
       vec_micro(col("vecd"), dims))
+    require(n > 0, "firstComponent: empty vector frame")
     val mu = muSums.map(_.toDouble / 1e6 / n)
     var v = Array.fill(dims)(0.125) // exactly representable unit vector at dims=64
     var lambda = 0.0
@@ -120,6 +121,7 @@ object Pca {
       .select(Similarity.asDouble(col(vecCol)).as("vecd"))
     val (n, muSums) = dimMicroSums(staged0, dims,
       vec_micro(col("vecd"), dims))
+    require(n > 0, "topComponents: empty vector frame")
     val mu = muSums.map(_.toDouble / 1e6 / n)
     var frame = staged0.select(vec_center(col("vecd"), mu).as("xc"))
     val comps = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Double)]
@@ -148,6 +150,7 @@ object Pca {
     */
   def reduce(embeddings: DataFrame, idCol: String, vecCol: String,
       mu: Array[Double], comps: Seq[Array[Double]]): DataFrame = {
+    require(comps.nonEmpty, "reduce: no components given")
     // residual chain: coord_c is the dot against v_c of the residual
     // AFTER deflating components 0..c-1 (matches training exactly)
     var cur = embeddings.select(col(idCol),

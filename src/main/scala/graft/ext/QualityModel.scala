@@ -68,6 +68,11 @@ object QualityModel {
       .withColumn("_nc", length(col("text")).cast("double"))
       .withColumn("_np", TextOps.punctCount(col("text")).cast("double"))
       .withColumn("_ns", TextOps.stopwordCount(col("_toks")).cast("double"))
+      // a doc with no characters or no tokens carries no quality signal
+      // and would put NULL/NaN divisions into the training sums — drop
+      // loudly-by-rule rather than silently-by-null (oracle mirrors the
+      // same predicate)
+      .where(col("_nt") > 0 && col("_nc") > 0)
       .withColumn("x1", least(col("_nt") / 100.0, lit(1.0)))
       .withColumn("x2", lit(1.0) - col("_np") / col("_nc"))
       .withColumn("x3", col("_ns") / col("_nt"))
@@ -116,9 +121,6 @@ object QualityModel {
   private def zOf(w: Array[Double]): Column =
     lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
 
-  /** Standardize + batch gradient descent from zero init. One corpus
-    * text pass total; one tiny aggregation per iteration.
-    */
   /** One batch-gradient step over a STANDARDIZED feature frame: the
     * corpus aggregation (4 micro-unit longs + a count) and the weight
     * update. Shared by [[train]] and the online mini-batch refinement
@@ -139,6 +141,9 @@ object QualityModel {
     else Array.tabulate(4)(j => w(j) - lr * (row.getLong(j + 1).toDouble / 1e6 / n))
   }
 
+  /** Standardize + batch gradient descent from zero init. One corpus
+    * text pass total; one tiny aggregation per iteration.
+    */
   def train(docs: DataFrame, iters: Int = TrainIters, lr: Double = Lr): Model = {
     // Doc-count-sized (id + 4 doubles): inside the localCheckpoint rule —
     // iterating on a checkpointed feature frame beats iters× text rescans.

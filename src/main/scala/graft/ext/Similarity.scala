@@ -680,15 +680,23 @@ object Similarity {
     * scan → encode → LUT-sum → TakeOrdered serving plan, with the LUT
     * built from the supplied (e.g. trained) book.
     */
-  def pqAdcTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, book: Book, m: Int, topK: Int): DataFrame = {
-    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val qvec = staged.where(col(idCol) === queryId)
+  /** Collect the single query vector (as doubles) for id `queryId` —
+    * shared by every serving path that builds a driver-side LUT or
+    * literal from it; fails loudly on 0 or >1 matches.
+    */
+  private def collectQueryVec(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryId: Long): Array[Double] =
+    embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .where(col(idCol) === queryId)
       .select(col("vecd")).collect() match {
       case Array(r) => r.getSeq[Double](0).toArray
       case other => throw new IllegalArgumentException(
         s"query id $queryId matched ${other.length} rows, want exactly 1")
     }
+
+  def pqAdcTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, book: Book, m: Int, topK: Int): DataFrame = {
+    val qvec = collectQueryVec(embeddings, idCol, vecCol, queryId)
     val lut = adcLut(book, qvec, m)
     pqEncodeWith(embeddings, idCol, vecCol, book, m)
       .select(col(idCol),
@@ -705,7 +713,14 @@ object Similarity {
     */
   def ivfPqTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, cents: Book, nprobe: Int, book: Book, m: Int,
-      topK: Int): DataFrame = {
+      topK: Int): DataFrame =
+    ivfPqTopKWithQvec(embeddings, idCol, vecCol, queryId,
+      collectQueryVec(embeddings, idCol, vecCol, queryId), cents, nprobe,
+      book, m, topK)
+
+  private def ivfPqTopKWithQvec(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, qvec: Array[Double], cents: Book,
+      nprobe: Int, book: Book, m: Int, topK: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val assign = ivfAssignWith(embeddings, idCol, vecCol, cents)
@@ -720,13 +735,6 @@ object Similarity {
       .orderBy(col("qcos").desc, col("cell"))
       .limit(nprobe)
       .select(col("cell")))
-    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val qvec = staged.where(col(idCol) === queryId)
-      .select(col("vecd")).collect() match {
-      case Array(r) => r.getSeq[Double](0).toArray
-      case other => throw new IllegalArgumentException(
-        s"query id $queryId matched ${other.length} rows, want exactly 1")
-    }
     val lut = adcLut(book, qvec, m)
     assign.join(probeCells, Seq("cell"))
       .select(col(idCol),
@@ -754,15 +762,10 @@ object Similarity {
   def ivfPqRerankWith(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, cents: Book, nprobe: Int, book: Book, m: Int,
       shortlist: Int, topK: Int): DataFrame = {
-    val shortIds = ivfPqTopKWith(embeddings, idCol, vecCol, queryId, cents,
-      nprobe, book, m, topK = shortlist).select(col(idCol))
+    val qvec = collectQueryVec(embeddings, idCol, vecCol, queryId)
+    val shortIds = ivfPqTopKWithQvec(embeddings, idCol, vecCol, queryId,
+      qvec, cents, nprobe, book, m, topK = shortlist).select(col(idCol))
     val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    val qvec = staged.where(col(idCol) === queryId)
-      .select(col("vecd")).collect() match {
-      case Array(r) => r.getSeq[Double](0).toArray
-      case other => throw new IllegalArgumentException(
-        s"query id $queryId matched ${other.length} rows, want exactly 1")
-    }
     val qlit = typedlit(qvec.toSeq)
     staged.join(broadcast(shortIds), Seq(idCol))
       .select(col(idCol),

@@ -237,11 +237,71 @@ case class GreedyPieces(child: Expression, vocab: GreedyVocab)
     copy(child = newChild)
 }
 
+/** `greedy_piece_stats(word) -> struct(n_pieces, is_unk, pieces)`: the
+  * per-word serving form of [[GreedyPieces]] — segmentation runs ONCE in
+  * the kernel and all three consumer facts come out together (separate
+  * Column-level derivations would re-evaluate the CodegenFallback HOF
+  * tree once per fact; references inside a lambda duplicate the kernel
+  * expression and interpreted eval has no CSE).
+  */
+case class GreedyPieceStats(child: Expression, vocab: GreedyVocab)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = GreedyPieceStats.schema
+  override def prettyName: String = "greedy_piece_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GreedyPieceStats.stats(input.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("greedyVocab", vocab,
+      classOf[GreedyVocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GreedyPieceStats.stats($c, $vocabRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GreedyPieceStats =
+    copy(child = newChild)
+}
+
+object GreedyPieceStats {
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_unk",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("pieces", StringType,
+        nullable = false)))
+
+  def stats(w: UTF8String, v: GreedyVocab): org.apache.spark.sql.catalyst.InternalRow = {
+    val arr = GreedyVocab.pieces(w, v)
+    val n = arr.numElements()
+    val isUnk = n == 1 && arr.getUTF8String(0).toString == "<unk>"
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(Long.box(n.toLong),
+      Boolean.box(isUnk), UTF8String.fromString(sb.toString))
+  }
+}
+
 object TextExpressions {
   def punct_count(c: Column): Column = Bridge.column(PunctCount(Bridge.expression(c)))
   def normalize_text(c: Column): Column = Bridge.column(NormalizeText(Bridge.expression(c)))
   def greedy_pieces(c: Column, vocab: GreedyVocab): Column =
     Bridge.column(GreedyPieces(Bridge.expression(c), vocab))
+  def greedy_piece_stats(c: Column, vocab: GreedyVocab): Column =
+    Bridge.column(GreedyPieceStats(Bridge.expression(c), vocab))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("punct_count"),

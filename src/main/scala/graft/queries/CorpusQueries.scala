@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Dedup, QualityModel, TextOps}
+import graft.ext.{Dedup, Drift, QualityModel, TextOps}
 
 /** Corpus-level training-data preparation operators (round 4): exact
   * substring-duplication measurement (the Lee et al. 2022 "deduplicating
@@ -297,39 +297,12 @@ object CorpusQueries extends QueryPack {
     // PSI convention: add-0.5 smoothing so empty bins stay finite;
     // |psi| < 0.1 = stable, 0.1-0.25 = drifting, > 0.25 = act.
     "drift_psi" -> ((s, d) => {
-      import s.implicits._
-      val f = QualityModel.features(documents(s, d))
       val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
-      val vals = f.select(col("doc_id"),
-          when(h2 < "cd", "train").when(h2 < "e6", "val")
-            .otherwise("test").as("split"),
-          col("x1"), col("x3"),
-          round(col("x1") * 0.3 + col("x2") * 0.4 + col("x3") * 0.3, 6).as("q"))
-        .where(col("split") =!= "test")
-      val long = vals.select(col("split"), explode(array(
-          struct(lit("len").as("feature"), col("x1").as("v")),
-          struct(lit("stop").as("feature"), col("x3").as("v")),
-          struct(lit("quality").as("feature"), col("q").as("v")))).as("fv"))
-        .select(col("split"), col("fv.feature"),
-          least(floor(col("fv.v") * 10), lit(9)).cast("long").as("bin"))
-      val counts = long.groupBy("feature", "bin").agg(
-        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
-        sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"))
-      val grid = Seq("len", "stop", "quality")
-        .flatMap(f => (0L to 9L).map(b => (f, b))).toDF("feature", "bin")
-      val cc = grid.join(counts, Seq("feature", "bin"), "left")
-        .select(col("feature"), col("bin"),
-          coalesce(col("ct"), lit(0L)).as("ct"),
-          coalesce(col("cv"), lit(0L)).as("cv"))
-      val tot = cc.groupBy("feature")
-        .agg(sum(col("ct")).as("nt"), sum(col("cv")).as("nv"))
-      val p = (col("ct").cast("double") + 0.5) / (col("nt").cast("double") + 5.0)
-      val q = (col("cv").cast("double") + 0.5) / (col("nv").cast("double") + 5.0)
-      cc.join(broadcast(tot), "feature")
-        .select(col("feature"), col("bin"),
-          round(p, 6).as("p"), round(q, 6).as("q"),
-          round((p - q) * log(p / q), 6).as("psi"))
-        .orderBy("feature", "bin")
+      val docs = documents(s, d).withColumn("split",
+        when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test"))
+      val trainBins = Drift.featureBins(docs.where(col("split") === "train"))
+      val valBins = Drift.featureBins(docs.where(col("split") === "val"))
+      Drift.psiVsBaseline(valBins, trainBins).orderBy("feature", "bin")
     }))
 
   /** Oracle replay of `QualityModel.train` (one CTE block per gradient
@@ -352,7 +325,7 @@ object CorpusQueries extends QueryPack {
       |  (1.0 - np / nc) AS x2, (ns / nt) AS x3,
       |  CASE WHEN round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) >= 0.5
       |       THEN 1.0 ELSE 0.0 END AS y
-      |FROM fq),
+      |FROM fq WHERE nt > 0 AND nc > 0),
       |st AS (SELECT count(*) AS n,
       |  CAST(sum(CAST(round(x1 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s11,
       |  CAST(sum(CAST(round(x2 * 1e6, 0) AS BIGINT)) AS BIGINT) AS s12,
@@ -421,7 +394,7 @@ object CorpusQueries extends QueryPack {
            |FROM tq),
            |rawq AS (SELECT doc_id, least(nt / 100.0, 1.0) AS x1, (ns / nt) AS x3,
            |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS q
-           |FROM fq),
+           |FROM fq WHERE nt > 0 AND nc > 0),
            |sp AS (SELECT *,
            |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
            |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

@@ -49,6 +49,22 @@ object ExtensionQueries extends QueryPack {
     */
   val PcaDeflateIters = 2
 
+  /** One scratch directory per JVM for the materialized-index query —
+    * reused (and overwritten) across invocations so min-of-3 bench runs
+    * and probe sweeps don't accumulate orphaned index copies, and
+    * removed on JVM exit.
+    */
+  private lazy val indexScratchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir.toString
+  }
+
   /** ADC shortlist width for the two-stage rerank query: stage 1 keeps
     * the `RerankShortlist` best candidates by compressed-code distance,
     * stage 2 re-ranks exactly those with full-precision cosine.
@@ -385,8 +401,7 @@ object ExtensionQueries extends QueryPack {
     // serving, so the oracle is the same SQL as sim_ivfpq_topk_trained.
     "sim_ivfpq_from_index" -> ((s, d) => {
       val e = embeddings(s, d)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_q")
-        .toString + "/index"
+      val path = indexScratchDir + "/index"
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", numCells = 16,
         m = 8, k = 16, dims = 64, path = path, trainIters = PqTrainIters)
       val qvec = e.where(col("vec_id") === 0L)
@@ -497,8 +512,10 @@ object ExtensionQueries extends QueryPack {
     // reassembles per doc with an array_sort, no global sort; the
     // KB-sized vocab broadcast-joins on symbol.
     "bpe_tokenize" -> ((s, d) => {
-      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
-      Bpe.tokenize(documents(s, d), "doc_id", "text", merges)
+      val (merges, wv) = Bpe.trainMergesWithVocab(documents(s, d), "text",
+        steps = BpeSteps)
+      Bpe.tokenizeWith(documents(s, d), "doc_id", "text", merges,
+        Bpe.vocabFromSegments(wv))
         .orderBy("doc_id")
     }),
 
@@ -508,8 +525,9 @@ object ExtensionQueries extends QueryPack {
     // second corpus pass; the window's global sort doubles as the
     // deterministic output order (one vocab-sized sort total).
     "bpe_vocab" -> ((s, d) => {
-      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
-      Bpe.vocab(documents(s, d), "text", merges)
+      val (_, wv) = Bpe.trainMergesWithVocab(documents(s, d), "text",
+        steps = BpeSteps)
+      Bpe.vocabFromSegments(wv)
         .orderBy(col("n_occurrences").desc, col("symbol"))
     }),
 
@@ -523,8 +541,10 @@ object ExtensionQueries extends QueryPack {
     // word (tie-free: at a given length at most one symbol equals the
     // prefix).
     "wordpiece_encode" -> ((s, d) => {
-      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
-      Bpe.greedyTokenize(documents(s, d), "doc_id", "text", merges)
+      val (_, wv) = Bpe.trainMergesWithVocab(documents(s, d), "text",
+        steps = BpeSteps)
+      Bpe.greedyTokenizeWith(documents(s, d), "doc_id", "text",
+        Bpe.greedyVocabOf(Bpe.vocabFromSegments(wv)))
         .orderBy("doc_id")
     }),
 

@@ -27,17 +27,6 @@ object ModelServing {
   def scoreStream(docs: DataFrame, m: QualityModel.Model): DataFrame =
     QualityModel.score(docs, m)
 
-  private def binned(docs: DataFrame, timeCol: String): DataFrame =
-    QualityModel.features(docs)
-      .withColumn("_q",
-        round(col("x1") * 0.3 + col("x2") * 0.4 + col("x3") * 0.3, 6))
-      .select(col(timeCol).as("event_time"), explode(array(
-        struct(lit("len").as("feature"), col("x1").as("v")),
-        struct(lit("stop").as("feature"), col("x3").as("v")),
-        struct(lit("quality").as("feature"), col("_q").as("v")))).as("fv"))
-      .select(col("event_time"), col("fv.feature").as("feature"),
-        least(floor(col("fv.v") * 10), lit(9)).cast("long").as("bin"))
-
   /** ONLINE refinement of a trained quality model: mini-batch gradient
     * descent where every micro-batch applies one `gradientStep` (the
     * same corpus aggregation the batch trainer runs — 4 micro-unit
@@ -78,6 +67,9 @@ object ModelServing {
         graft.ext.Bpe.greedyPiecesPerDoc(col("text"), gv).as("_t"))
       .select(col("doc_id"), col("_t.n_pieces").as("n_pieces"),
         col("_t.n_unk_words").as("n_unk_words"), col("_t.pieces").as("pieces"))
+      // wordless docs produce no row in the batch plan (its word filter
+      // precedes the groupBy); keep the stream==batch row set identical
+      .where(col("n_pieces") > 0L)
 
   /** Per-window (feature, bin) histogram counts of the quality features
     * — the ingest side of online drift monitoring. State per window is
@@ -89,44 +81,19 @@ object ModelServing {
   def windowedFeatureBins(docs: DataFrame, timeCol: String,
       windowDur: String = "1 minute",
       watermark: String = "2 minutes"): DataFrame =
-    binned(docs, timeCol)
+    graft.ext.Drift.binned(docs, timeCol)
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDur), col("feature"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Batch twin of the ingest side: (feature, bin) counts of a static
-    * corpus — the FROZEN BASELINE a deployment captures at training
-    * time (and the equality reference for the streaming bins).
+  /** Batch twin of the ingest side — delegates to the shared
+    * `ext/Drift` convention (single source of truth for bins/PSI).
     */
-  def featureBins(docs: DataFrame): DataFrame = {
-    val d = docs.withColumn("_t", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
-    binned(d, "_t").groupBy(col("feature"), col("bin")).agg(count(lit(1)).as("cnt"))
-  }
+  def featureBins(docs: DataFrame): DataFrame = graft.ext.Drift.featureBins(docs)
 
-  /** PSI of observed bins against a frozen baseline histogram — the
-    * identical smoothing/round spelling as the batch `drift_psi` query
-    * (add-0.5, 10 bins, round 6). Inputs are (feature, bin, cnt)
-    * frames, KB-sized; output one row per (feature, bin) plus the
-    * per-feature total via a window sum — runs batch-side over emitted
-    * windows.
+  /** PSI of observed bins vs a frozen baseline — `ext/Drift`'s
+    * spelling (identical to the batch drift_psi query by construction).
     */
-  def psiVsBaseline(observed: DataFrame, baseline: DataFrame): DataFrame = {
-    val spark = observed.sparkSession
-    import spark.implicits._
-    val grid = Seq("len", "stop", "quality")
-      .flatMap(f => (0L to 9L).map(b => (f, b))).toDF("feature", "bin")
-    def filled(df: DataFrame, cName: String): DataFrame =
-      grid.join(df, Seq("feature", "bin"), "left")
-        .select(col("feature"), col("bin"),
-          coalesce(col("cnt"), lit(0L)).as(cName))
-    val cc = filled(baseline, "ct").join(filled(observed, "cv"), Seq("feature", "bin"))
-    val tot = cc.groupBy("feature")
-      .agg(sum(col("ct")).as("nt"), sum(col("cv")).as("nv"))
-    val p = (col("ct").cast("double") + 0.5) / (col("nt").cast("double") + 5.0)
-    val q = (col("cv").cast("double") + 0.5) / (col("nv").cast("double") + 5.0)
-    cc.join(broadcast(tot), "feature")
-      .select(col("feature"), col("bin"),
-        round(p, 6).as("p"), round(q, 6).as("q"),
-        round((p - q) * log(p / q), 6).as("psi"))
-  }
+  def psiVsBaseline(observed: DataFrame, baseline: DataFrame): DataFrame =
+    graft.ext.Drift.psiVsBaseline(observed, baseline)
 }
