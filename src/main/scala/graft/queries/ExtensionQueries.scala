@@ -1130,7 +1130,7 @@ object ExtensionQueries extends QueryPack {
         sb ++= ",\n" + pqSubBest(s"book_t${t - 1}", s"_t${t - 1}")
         sb ++= s""",
           |means_t$t AS (
-          |  SELECT b.j, b.code, g.d, round(avg(e.v[b.j*8+g.d]), 6) AS mv
+          |  SELECT b.j, b.code, g.d, round(avg(e.v[b.j*8+g.d]), 6) + 0.0 AS mv
           |  FROM best_t${t - 1} b JOIN e USING (vec_id)
           |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) g
           |  GROUP BY b.j, b.code, g.d),
@@ -1165,7 +1165,7 @@ object ExtensionQueries extends QueryPack {
         sb ++= ",\n" + ivfScoredAssign(s"cent_c${t - 1}", s"_c${t - 1}")
         sb ++= s""",
           |cmeans_c$t AS (
-          |  SELECT a.cell, g.d, round(avg(a.v[g.d]), 6) AS mv
+          |  SELECT a.cell, g.d, round(avg(a.v[g.d]), 6) + 0.0 AS mv
           |  FROM assign_c${t - 1} a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) g
           |  GROUP BY a.cell, g.d),
           |centv_c$t AS (
@@ -1548,14 +1548,14 @@ object ExtensionQueries extends QueryPack {
            |  SELECT b.j, b.code, g.d, e.v[b.j*8 + g.d] AS val
            |  FROM best b JOIN e USING (vec_id)
            |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) g)
-           |SELECT j, code, d - 1 AS dim, round(avg(val), 6) AS centroid
+           |SELECT j, code, d - 1 AS dim, round(avg(val), 6) + 0.0 AS centroid
            |FROM x GROUP BY j, code, d ORDER BY j, code, dim""".stripMargin,
 
       "sim_kmeans_centroids" ->
         s"""WITH $duckIvfAssign,
            |x AS (SELECT cell, unnest(generate_series(1, len(v))) AS d, unnest(v) AS val
            |      FROM assign)
-           |SELECT cell, d - 1 AS dim, round(avg(val), 6) AS centroid
+           |SELECT cell, d - 1 AS dim, round(avg(val), 6) + 0.0 AS centroid
            |FROM x GROUP BY cell, d ORDER BY cell, dim""".stripMargin,
 
       "sim_pq_codes_trained" ->

@@ -16,6 +16,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            # -0.0 == 0.0 numerically; DuckDB's round() keeps the sign
+            # of a tiny negative where Spark's BigDecimal round drops it
+            return "0.0"
         # Shortest round-trip repr: any cross-engine ulp difference shows.
         # (The driver's hash compare is at least this strict — r1 proved
         # %.9g too lenient: it hid sub-integer diffs on 1e9-magnitude
