@@ -19,7 +19,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(ParityQueries, RelationalQueries, ExtensionQueries, AnalyticsQueries,
-      CoverageQueries, FunctionSurfaceQueries, PipelineQueries, CorpusQueries)
+      CoverageQueries, FunctionSurfaceQueries, PipelineQueries, CorpusQueries,
+      RetrievalQueries)
 
   /** Flagship: batch-replay of the streaming metrics pipeline
     * (spark_stream_metrics.py write_batch, single-pass form) on sf0.001.

@@ -243,6 +243,56 @@ object Dedup {
     * deterministic. Driver only orchestrates the loop (a `limit(1)` probe
     * per round); per-round state is localCheckpointed to cut lineage.
     */
+  /** Content-defined chunking (CDC) divisor: a token ends a chunk iff its
+    * 32-bit hash ≡ 0 (mod CdcMask) — expected chunk length = CdcMask
+    * tokens (geometric tail: P(len>k) = (1−1/M)^k, so pathological chunks
+    * are probabilistically, not structurally, bounded). Because the cut
+    * decision depends ONLY on the token's own content, chunk boundaries
+    * re-synchronize immediately after any insertion/deletion — the
+    * shift-resistance that makes CDC the storage/corpus dedup standard
+    * (LBFS/FastCDC lineage), where fixed-width windows (`dup_span_*`)
+    * shift all downstream windows on a one-token edit.
+    */
+  val CdcMask = 16L
+
+  /** Content-defined chunks of every document: (doc_id, chunk_id, n_toks,
+    * chunk_hash). Chunk ids are per-document ordinal (count of boundaries
+    * before the token — a boundary token is the LAST token of its chunk);
+    * the chunk hash is the same Horner fold the shingle family uses,
+    * seeded with the chunk's first token hash (list_reduce semantics, so
+    * the DuckDB mirror is exact; single-token chunks hash to the raw
+    * token hash).
+    *
+    * Scale shape: one tokenize+hash projection → posexplode → a per-doc
+    * running window (doc-length-bounded sort, the event_transitions
+    * class) → (doc, chunk) keyed aggregation whose collect_list is
+    * chunk-bounded (mean CdcMask tokens). The HOF fold runs on those
+    * chunk-sized arrays only — never on the corpus token stream (§8 HOF
+    * rule).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      mask: Long = CdcMask): DataFrame = {
+    val th = docs.select(col(idCol).as("doc_id"),
+      hashAll(tokens(col(textCol))).as("_th"))
+    val posed = th.select(col("doc_id"), posexplode(col("_th")).as(Seq("p0", "h")))
+    val before = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p0"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cut = when(pmod(col("h"), lit(mask)) === 0L, lit(1L)).otherwise(lit(0L))
+    val chunked = posed.withColumn("chunk_id",
+      coalesce(sum(cut).over(before), lit(0L)))
+    chunked.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        collect_list(struct(col("p0"), col("h"))).as("_ph"))
+      .withColumn("_hs",
+        transform(array_sort(col("_ph")), x => x.getField("h")))
+      .withColumn("chunk_hash",
+        aggregate(slice(col("_hs"), lit(2), size(col("_hs")) - 1),
+          element_at(col("_hs"), 1),
+          (acc, h) => pmod(acc * lit(ShingleA) + h, lit(MinhashP))))
+      .select("doc_id", "chunk_id", "n_toks", "chunk_hash")
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))

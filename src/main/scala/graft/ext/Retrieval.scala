@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Layout
+
+/** Full-text ranked retrieval: BM25 scoring and a materialized inverted
+  * index — the text-side analog of the IVF-PQ vector index (the two
+  * together are the retrieval layer a training-data platform serves
+  * "find documents like/about X" from).
+  *
+  * Scale shapes:
+  *  - Scoring is posting-list work: ONE tokenize+explode pass with the
+  *    query-term filter applied BEFORE the (doc, term) aggregation, so
+  *    the shuffle carries only rows matching the query vocabulary —
+  *    never the corpus token stream. Per-term df and per-doc length are
+  *    keyed aggregates; corpus stats are a 1-row broadcast.
+  *  - The materialized index partitions posting rows by a stable hash
+  *    bucket of the term; a query touches only `len(query)` buckets
+  *    (parquet PartitionFilters — unmatched bucket directories are never
+  *    opened). Posting rows are DENORMALIZED (tf, df, dlen in one row, the
+  *    Lucene doc-values pattern): serving is scan → projection →
+  *    per-doc sum → TakeOrdered, ZERO joins at query time.
+  *  - Exactness: per-(doc, term) BM25 contributions round to integer
+  *    micro-units before the per-doc sum, so the reduction is
+  *    order-independent (partition-count-invariant and identical in
+  *    DuckDB); ln() ulps sit behind the same rounding.
+  *
+  * BM25 constants are the standard Robertson/Lucene defaults; idf is the
+  * non-negative Lucene variant ln(1 + (N - df + 0.5)/(df + 0.5)).
+  */
+object Retrieval {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Number of term-hash partitions for the materialized index. Buckets,
+    * not raw terms, bound the partition count (a raw-term layout would
+    * create vocabulary-many directories — millions of tiny files at
+    * corpus scale); a query still prunes to exactly its own terms'
+    * buckets. 64 keeps directories ≈ vocabulary/64 terms wide.
+    */
+  val IndexBuckets = 64
+
+  /** (doc_id, term, tf) posting rows, filtered to `terms` BEFORE the
+    * aggregation when a query vocabulary is given (the filter runs
+    * map-side on the exploded stream, so the shuffle sees only matches).
+    */
+  def postings(docs: DataFrame, terms: Option[Seq[String]]): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val hit = terms.fold(tok)(ts => tok.where(col("term").isin(ts: _*)))
+    hit.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-document token length — the BM25 length norm. */
+  def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("dlen"))
+
+  /** One broadcastable row: (n_docs, avgdl). avgdl is one division of two
+    * exact integers — identical in any engine.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docLengths(docs).agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Per-(doc, term) BM25 contribution in integer micro-units, given
+    * `tf`, `df`, `dlen` columns and broadcast `n_docs`/`avgdl`.
+    * Micro-unit rounding here (not after the per-doc sum) makes the sum
+    * order-independent.
+    */
+  private def contribMicros(): org.apache.spark.sql.Column = {
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val norm = lit(K1) * (lit(1.0 - B) + lit(B) * col("dlen") / col("avgdl"))
+    val c = idf * tfD * lit(K1 + 1.0) / (tfD + norm)
+    round(c * lit(1e6), 0).cast("long")
+  }
+
+  /** BM25 scores of every document matching ≥1 query term:
+    * (doc_id, n_matched, score) with score = Σ_t idf·tf-saturation,
+    * micro-unit exact. No joins beyond the doc-keyed dlen attach; df is a
+    * whole-partition window count over the matched postings (term is the
+    * partition key — at most |query| groups, each df rows).
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val p = postings(docs, Some(terms))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    bm25FromPostings(
+      p.withColumn("df", count(lit(1)).over(byTerm))
+        .join(docLengths(docs), Seq("doc_id"))
+        .crossJoin(broadcast(corpusStats(docs))))
+  }
+
+  /** Final per-doc reduction over denormalized posting rows carrying
+    * (doc_id, tf, df, dlen, n_docs, avgdl).
+    */
+  def bm25FromPostings(p: DataFrame): DataFrame =
+    p.select(col("doc_id"), contribMicros().as("_c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        (sum(col("_c")).cast("double") / lit(1e6)).as("score"))
+
+  /** Global top-k by score: TakeOrderedAndProject (per-partition heaps),
+    * never a global sort. Ties break on doc_id for determinism.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25Scores(docs, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** Stable bucket of a term — the index partition key. Driver-side twin
+    * of the `md5_hash32` expression (bit-identical by construction).
+    */
+  def termBucket(term: String, buckets: Int): Long =
+    graft.functions.Md5Hash32Util.hash(UTF8String.fromString(term)) % buckets
+
+  /** Materialize the inverted index: posting rows denormalized with df,
+    * dlen and partitioned by term-hash bucket; corpus stats in a 1-row
+    * `meta` side table. Within a bucket, rows sort by (term, doc_id) so
+    * parquet page stats prune intra-bucket term ranges too.
+    */
+  def writeInvertedIndex(docs: DataFrame, path: String,
+      buckets: Int = IndexBuckets): Unit = {
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val rows = postings(docs, None)
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .join(docLengths(docs), Seq("doc_id"))
+      .withColumn("bucket",
+        pmod(graft.ext.TextOps.hash32(col("term")), lit(buckets.toLong)))
+      .select("bucket", "term", "doc_id", "tf", "df", "dlen")
+    Layout.writePartitioned(rows, s"$path/postings", Seq("bucket"),
+      sortCols = Seq("term", "doc_id"))
+    corpusStats(docs).withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve a BM25 top-k query from the materialized index: the postings
+    * scan carries `bucket IN (buckets-of-query-terms)` — a partition
+    * filter, so unmatched bucket directories are never opened — plus the
+    * term filter for parquet row-group pruning inside matched buckets.
+    * Scoring is a pure projection + per-doc sum + TakeOrdered: the df,
+    * dlen, and corpus stats were frozen into the index at build time.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nDocs = meta.getAs[Long]("n_docs")
+    val avgdl = meta.getAs[Double]("avgdl")
+    val buckets = meta.getAs[Int]("buckets")
+    val bs = terms.map(termBucket(_, buckets)).distinct
+    bm25FromPostings(
+      spark.read.parquet(s"$path/postings")
+        .where(col("bucket").isin(bs: _*) && col("term").isin(terms: _*))
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("avgdl", lit(avgdl)))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Conjunctive (AND) boolean retrieval: documents containing EVERY query
+    * term — posting-list intersection as one keyed aggregate (match-count
+    * == |query|), never a |query|-way self-join. Emits total matched-term
+    * occurrences for inspection.
+    */
+  def conjunctive(docs: DataFrame, terms: Seq[String]): DataFrame =
+    postings(docs, Some(terms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .where(col("n_terms") === terms.length)
+      .select("doc_id", "total_tf")
+}

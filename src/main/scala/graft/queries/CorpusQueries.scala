@@ -303,6 +303,43 @@ object CorpusQueries extends QueryPack {
       val trainBins = Drift.featureBins(docs.where(col("split") === "train"))
       val valBins = Drift.featureBins(docs.where(col("split") === "val"))
       Drift.psiVsBaseline(valBins, trainBins).orderBy("feature", "bin")
+    }),
+
+    // Content-defined chunking (Dedup.cdcChunks): variable-width chunks
+    // whose boundaries depend only on local token content, so one-token
+    // edits re-synchronize immediately — the storage-dedup complement of
+    // the fixed-width dup_span family (where an insertion shifts every
+    // downstream window). Emits one row per chunk with its Horner
+    // content hash; the oracle recomputes boundary positions, chunk ids,
+    // and hashes from scratch.
+    "cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunks(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")),
+
+    // Chunk-level dedup over the CDC chunks: per-document share of token
+    // mass in chunks whose content hash occurs in MORE THAN ONE distinct
+    // document (the dup_span_ratio question asked at chunk granularity —
+    // what a CDC-based corpus store would actually deduplicate). The
+    // chunk hash is the only corpus-wide shuffle key.
+    "cdc_dedup_ratio" -> ((s, d) => {
+      val ch = Dedup.cdcChunks(documents(s, d), "doc_id", "text")
+      val byH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk_hash"))
+      val dupH = ch.select("chunk_hash", "doc_id").distinct()
+        .withColumn("ndoc", count(lit(1)).over(byH))
+        .where(col("ndoc") > 1).select("chunk_hash").distinct()
+        .withColumn("_dup", lit(1L))
+      ch.join(dupH, Seq("chunk_hash"), "left")
+        .groupBy("doc_id")
+        .agg(sum(col("n_toks")).as("n_tokens"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("_dup") === 1L, col("n_toks")).otherwise(lit(0L)))
+            .as("dup_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+          col("dup_tokens"),
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
     }))
 
   /** Oracle replay of `QualityModel.train` (one CTE block per gradient
@@ -566,6 +603,49 @@ object CorpusQueries extends QueryPack {
           |FROM w
           |WHERE n_trail >= 5 AND sd > 0
           |  AND abs(round((value - mu) / sd, 6)) > 2.5
-          |ORDER BY event_id""".stripMargin)
+          |ORDER BY event_id""".stripMargin,
+
+      "cdc_chunks" ->
+        s"""WITH $duckCdcChunks
+           |SELECT doc_id, chunk_id, n_toks, chunk_hash FROM ch
+           |ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "cdc_dedup_ratio" ->
+        s"""WITH $duckCdcChunks,
+           |nd AS (SELECT chunk_hash, count(DISTINCT doc_id) AS ndoc
+           |       FROM ch GROUP BY 1)
+           |SELECT ch.doc_id, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN ndoc > 1 THEN n_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+           |  round(CAST(sum(CASE WHEN ndoc > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+           |        / sum(n_toks), 6) AS dup_ratio
+           |FROM ch JOIN nd USING (chunk_hash)
+           |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)
   }
+
+  /** Oracle replay of Dedup.cdcChunks: positions + hashes unnested in
+    * parallel, chunk id = running count of earlier boundary tokens,
+    * chunk hash = list_reduce Horner (seeded with the first element —
+    * the same semantics the engine spells with aggregate over a slice).
+    */
+  private def duckCdcChunks: String =
+    s"""th AS (
+       |  SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(th))) AS pos,
+       |         unnest(th) AS h
+       |  FROM th),
+       |c AS (
+       |  SELECT doc_id, pos, h,
+       |    coalesce(sum(CASE WHEN h % ${graft.ext.Dedup.CdcMask} = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |  FROM p),
+       |ch AS (
+       |  SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |    CAST(count(*) AS BIGINT) AS n_toks,
+       |    list_reduce(list(h ORDER BY pos),
+       |      (a, b) -> (a * ${graft.ext.Dedup.ShingleA} + b) % ${graft.ext.Dedup.MinhashP}) AS chunk_hash
+       |  FROM c GROUP BY doc_id, cid)""".stripMargin
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.Retrieval
+
+/** Full-text ranked-retrieval operators (round 8, third wave): BM25
+  * scoring, conjunctive boolean retrieval, and BM25 served from the
+  * materialized bucket-partitioned inverted index (`ext/Retrieval`).
+  *
+  * Exactness contract: per-(doc, term) BM25 contributions are rounded to
+  * integer micro-units before the per-doc sum (order-independent
+  * reduction; ln() ulp noise sits behind the rounding — same recipe as
+  * the quality-model gradient sums). The DuckDB mirrors spell the same
+  * left-to-right double expression.
+  */
+object RetrievalQueries extends QueryPack {
+
+  /** Fixed query vocabulary: two common terms plus the fixture's one rare
+    * term ("dup", df≈5% of docs) so idf spread is visible in the ranking.
+    */
+  val QueryTerms = Seq("spark", "vector", "dup")
+  val TopK = 10
+
+  /** Per-JVM scratch dir for the materialized-index query (the
+    * sim_ivfpq_from_index pattern: reused across bench/probe invocations,
+    * removed on JVM exit).
+    */
+  private lazy val indexScratchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir.toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-k: query-term filter BEFORE the posting aggregation, df as
+    // a whole-partition window count on the matched postings, corpus
+    // stats broadcast, global top-k as TakeOrderedAndProject.
+    "text_bm25_topk" -> ((s, d) =>
+      Retrieval.bm25TopK(documents(s, d), QueryTerms, TopK)),
+
+    // Conjunctive (AND) retrieval: posting-list intersection as ONE keyed
+    // aggregate (match-count == |query|), no self-joins.
+    "text_bm25_conjunctive" -> ((s, d) =>
+      Retrieval.conjunctive(documents(s, d), QueryTerms).orderBy("doc_id")),
+
+    // Serve the SAME top-k from the materialized inverted index: build
+    // (bucket-partitioned denormalized postings + frozen corpus stats),
+    // then serve reading ONLY the query terms' bucket directories
+    // (PartitionFilters). Bit-equal to the in-plan query, so the oracle
+    // is identical SQL.
+    "text_bm25_from_index" -> ((s, d) => {
+      val path = indexScratchDir + "/index"
+      Retrieval.writeInvertedIndex(documents(s, d), path)
+      Retrieval.bm25TopKFromIndex(s, path, QueryTerms, TopK)
+    }))
+
+  private val duckToks = """string_split_regex(lower(text), '\s+')"""
+  private def termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared oracle CTE chain mirroring Retrieval.bm25Scores. */
+  private def duckBm25Chain: String =
+    s"""tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |hit AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |        WHERE term IN ($termList) GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM hit GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS dlen FROM documents),
+       |st AS (SELECT count(*) AS n_docs,
+       |       CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |c AS (SELECT h.doc_id,
+       |  CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |    * tf * 2.2
+       |    / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) * 1e6, 0) AS BIGINT) AS cmu
+       |  FROM hit h JOIN dfx USING (term) JOIN dl USING (doc_id), st),
+       |scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       |  CAST(sum(cmu) AS DOUBLE) / 1e6 AS score FROM c GROUP BY doc_id)""".stripMargin
+
+  private def duckBm25TopK: String =
+    s"""WITH $duckBm25Chain
+       |SELECT doc_id, n_matched, score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" -> duckBm25TopK,
+    "text_bm25_from_index" -> duckBm25TopK,
+    "text_bm25_conjunctive" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |hit AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |        WHERE term IN ($termList) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM hit GROUP BY doc_id HAVING count(*) = ${QueryTerms.length}
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Retrieval}
+
+/** BM25 retrieval (ext/Retrieval) and content-defined chunking
+  * (Dedup.cdcChunks): index-vs-in-plan equality, bucket pruning, BM25
+  * hand-check, CDC chunk invariants and the shift-resistance property
+  * that motivates CDC over fixed-width windows.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("bm25 hand-check on a three-document corpus") {
+    // doc 1 matches 'cat' twice, doc 2 once + is longer, doc 3 no match.
+    val docs = docsDf(
+      (1L, "cat cat runs"),
+      (2L, "cat dog dog dog dog dog"),
+      (3L, "bird bird bird"))
+    val got = Retrieval.bm25Scores(docs, Seq("cat"))
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+
+    // N=3, df=2, avgdl=(3+6+3)/3=4; idf = ln(1 + (3-2+0.5)/(2+0.5))
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    def contrib(tf: Double, dlen: Double): Double = {
+      val c = idf * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dlen / 4.0))
+      math.round(c * 1e6) / 1e6
+    }
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0) == ((1L, 1L, contrib(2, 3))))
+    assert(got(1) == ((2L, 1L, contrib(1, 6))))
+  }
+
+  test("conjunctive retrieval keeps exactly the all-terms documents") {
+    val docs = docsDf(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "alpha alpha gamma beta extra"),
+      (4L, "gamma beta"))
+    val got = Retrieval.conjunctive(docs, Seq("alpha", "beta", "gamma"))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (3L, 4L)))
+  }
+
+  test("bm25 served from the materialized index == in-plan, and the scan is bucket-pruned") {
+    val docs = Tables.documents(spark, sf0001)
+    val path = Files.createTempDirectory("graft_bm25").toString + "/index"
+    Retrieval.writeInvertedIndex(docs, path)
+
+    val terms = Seq("spark", "vector", "dup")
+    val served = Retrieval.bm25TopKFromIndex(spark, path, terms, 10)
+    val inPlan = Retrieval.bm25TopK(docs, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served.as[(Long, Long, Double)].collect().toSeq == inPlan)
+
+    // bucket pruning: the postings scan carries a PartitionFilter on
+    // bucket, and the index has many more bucket directories than the
+    // query touches — unmatched directories are never opened.
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(200).contains("bucket"),
+      s"expected a bucket partition filter in:\n$plan")
+    val bucketDirs = new java.io.File(path + "/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val queryBuckets =
+      terms.map(Retrieval.termBucket(_, Retrieval.IndexBuckets)).distinct
+    assert(bucketDirs > queryBuckets.size,
+      s"expected more bucket dirs ($bucketDirs) than query buckets (${queryBuckets.size})")
+  }
+
+  test("termBucket (driver) == pmod(md5_hash32(term), buckets) (plan)") {
+    val terms = Seq("spark", "vector", "dup", "", "Ünïcode ✓")
+    val planned = terms.toDF("t")
+      .select(pmod(graft.ext.TextOps.hash32($"t"),
+        lit(Retrieval.IndexBuckets.toLong)))
+      .as[Long].collect().toSeq
+    assert(planned == terms.map(Retrieval.termBucket(_, Retrieval.IndexBuckets)))
+  }
+
+  test("cdc chunks: per-doc token coverage, ordinal ids, single-token hash identity") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+    val perDoc = ch.groupBy($"doc_id")
+      .agg(sum($"n_toks").as("n"), count(lit(1)).as("k"),
+        max($"chunk_id").as("maxid"))
+    val tokCounts = docs.select($"doc_id",
+      size(split(lower($"text"), "\\s+")).cast("long").as("expected"))
+    // every token lands in exactly one chunk; ids are 0..k-1
+    val bad = perDoc.join(tokCounts, "doc_id")
+      .where($"n" =!= $"expected" || $"maxid" =!= $"k" - 1)
+    assert(bad.isEmpty)
+
+    // a single-token chunk's hash is the raw token hash (list_reduce
+    // seeding: no spurious mod of the first element)
+    val single = docsDf((1L, "z")).select($"doc_id", $"text")
+    val h = Dedup.cdcChunks(single, "doc_id", "text")
+      .select($"chunk_hash").as[Long].head()
+    val raw = single.select(graft.ext.TextOps.hash32(lit("z"))).as[Long].head()
+    assert(h == raw)
+  }
+
+  test("cdc chunking is shift-resistant: a prepended token leaves downstream chunks intact") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home across the wide cold river before night falls on everyone"
+    val docs = docsDf((1L, base), (2L, s"inserted $base"))
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+      .select($"doc_id", $"chunk_id", $"chunk_hash")
+      .as[(Long, Long, Long)].collect()
+    val orig = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val edited = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    // all original chunks except (possibly) the first survive verbatim —
+    // the edit can only perturb the chunk it lands in; boundaries
+    // re-synchronize at the next content-defined cut. A fixed-width
+    // window scheme would shift EVERY downstream window hash.
+    assert(orig.tail.forall(edited.contains),
+      s"downstream chunks changed: orig=$orig edited=$edited")
+    // sanity: the corpus actually chunks (not one chunk per doc)
+    assert(orig.size > 1)
+  }
+}
