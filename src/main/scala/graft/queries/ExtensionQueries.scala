@@ -112,7 +112,17 @@ object ExtensionQueries extends QueryPack {
     * signatures (min over the distinct set == min over the raw multiset),
     * LSH banding, and native sorted-merge Jaccard verification.
     */
-  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame = {
+  private def minhashVerifiedPairsFrom(toks: DataFrame): DataFrame =
+    minhashCandidatesWithSets(toks)
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
+      .where(col("jac") >= JaccardThreshold)
+
+  /** LSH candidate pairs with both shingle sets attached — shared staging
+    * for the Jaccard-verified pairs and the asymmetric containment
+    * scoring (which reads the same overlap with different denominators).
+    */
+  private def minhashCandidatesWithSets(toks: DataFrame): DataFrame = {
     val sigs = toks.select(col("doc_id") +: Dedup.signaturesFromHashes(col("toks")): _*)
     val cand = {
       val b = Dedup.minhashBands(sigs, "doc_id")
@@ -125,9 +135,6 @@ object ExtensionQueries extends QueryPack {
     cand
       .join(toks.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(toks.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Dedup.jaccardHashed(col("toks_a"), col("toks_b")), 6).as("jac"))
-      .where(col("jac") >= JaccardThreshold)
   }
 
   /** (doc_id, quality) — the composite quality score, shared by the score
@@ -169,6 +176,26 @@ object ExtensionQueries extends QueryPack {
     // (the space the signatures sketch).
     "dedup_minhash_pairs" -> ((s, d) =>
       minhashVerifiedPairs(s, d).orderBy("id_a", "id_b")),
+
+    // ASYMMETRIC containment over the same LSH candidates: C(a→b) =
+    // |A∩B| / |A| — the quote/subset-detection measure Jaccard can't
+    // express (a short doc fully embedded in a long one has high
+    // containment but low Jaccard). Same native sorted-merge overlap,
+    // two denominators; kept pairs have ≥0.5 containment in SOME
+    // direction. At corpus scale the candidate recall for extreme
+    // length-skew pairs is bounded by the symmetric minhash banding —
+    // the measure is exact on every candidate surfaced.
+    "dedup_containment_pairs" -> ((s, d) =>
+      minhashCandidatesWithSets(shingleSets(s, d))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.VectorExpressions
+            .sorted_overlap(col("toks_a"), col("toks_b")).as("_o"),
+          size(col("toks_a")).as("_na"), size(col("toks_b")).as("_nb"))
+        .select(col("id_a"), col("id_b"), col("_o").cast("long").as("overlap"),
+          round(col("_o").cast("double") / col("_na"), 6).as("cont_a"),
+          round(col("_o").cast("double") / col("_nb"), 6).as("cont_b"))
+        .where(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .orderBy("id_a", "id_b")),
 
     // Pairs -> dedup clusters: connected components by min-label
     // propagation + pointer jumping (Dedup.connectedComponents).
@@ -1383,6 +1410,14 @@ object ExtensionQueries extends QueryPack {
       "dedup_minhash_pairs" ->
         s"""WITH $minhashPairCtes
            |SELECT id_a, id_b, jac FROM pairs
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_containment_pairs" ->
+        s"""WITH $minhashPairCtes
+           |SELECT id_a, id_b, CAST(o AS BIGINT) AS overlap,
+           |  round(o / na, 6) AS cont_a, round(o / nb, 6) AS cont_b
+           |FROM ov
+           |WHERE greatest(round(o / na, 6), round(o / nb, 6)) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_clusters" ->

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+/** Integer-exact PageRank (ext/Graph): hand-computed fixture including a
+  * dangling node, mass accounting, and partition-count invariance.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 -> 2, 1 -> 3, 2 -> 3; node 3 dangles (no out-edges).
+  private def triangle = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    .toDF("src", "dst")
+
+  /** Driver-side replay of the documented integer algorithm. */
+  private def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val insum = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map { v =>
+        v -> (((Graph.Scale * 15) / Graph.DampDen) / n +
+          ((insum.getOrElse(v, 0L) + dang / n) * Graph.DampNum) / Graph.DampDen)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches the driver-side integer replay on a dangling-node graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    for (iters <- Seq(0, 1, 3)) {
+      val got = Graph.pageRank(
+          triangle.select($"src".cast("string").as("src"),
+            $"dst".cast("string").as("dst")), "src", "dst", iters)
+        .as[(String, Long)].collect().map { case (k, v) => (k.toLong, v) }
+        .toMap
+      assert(got == replay(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("rank mass stays within floor-loss of the full scale and the sink dominates") {
+    val r = Graph.pageRank(
+        triangle.select($"src".cast("string").as("src"),
+          $"dst".cast("string").as("dst")), "src", "dst", 5)
+      .as[(String, Long)].collect().toMap
+    val total = r.values.sum
+    // floors only ever DROP sub-unit mass: total <= Scale, and with
+    // ~iters*n floor sites the loss stays tiny
+    assert(total <= Graph.Scale && total > (Graph.Scale * 999) / 1000)
+    // node 3 receives from both 1 and 2 -> strictly highest rank
+    assert(r("3") > r("2") && r("2") > r("1"))
+  }
+
+  test("pageRank is partition-count invariant") {
+    val e = triangle.select($"src".cast("string").as("src"),
+      $"dst".cast("string").as("dst"))
+    val a = Graph.pageRank(e.repartition(1), "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    val b = Graph.pageRank(e.repartition(7), "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+}
