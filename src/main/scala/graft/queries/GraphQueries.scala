@@ -31,13 +31,22 @@ object GraphQueries extends QueryPack {
     * prefixed ('c…'/'s…') so the two key spaces never collide.
     */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    // distinct over the LONG key pair (16-byte shuffle rows), labels
+    // concatenated after; pinned once because the symmetrized union
+    // reads it twice and pageRank's edge staging reads the union twice
+    // more (degree aggregate + probe) — without the pin the
+    // join+distinct would execute 4× per query (measured 1.8 s warm
+    // each at sf0.1). Same iterative-exception rationale as the edge
+    // pin inside Graph.pageRank.
     val base = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
-      .distinct()
-    base.select(col("c").as("src"), col("sp").as("dst"))
-      .unionAll(base.select(col("sp").as("src"), col("c").as("dst")))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .localCheckpoint(false)
+    val lab = base.select(
+      concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
+    lab.select(col("c").as("src"), col("sp").as("dst"))
+      .unionAll(lab.select(col("sp").as("src"), col("c").as("dst")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
