@@ -171,4 +171,88 @@ object Retrieval {
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
       .where(col("n_terms") === terms.length)
       .select("doc_id", "total_tf")
+
+  // ---------------------------------------------------------------------
+  // Segmented index — incremental maintenance (the Lucene segment model).
+  //
+  // The denormalized single-segment index above freezes df/dlen/stats
+  // into each posting row: fastest possible serving, but an append would
+  // invalidate every stored df. Segments solve it the way real search
+  // engines do: each ingest batch becomes an IMMUTABLE segment holding
+  //   postings/ (bucket=…): (term, doc_id, tf, dlen)   — no df
+  //   df/       (bucket=…): (term, df)                  — per-segment df
+  //   meta/     : (n_docs, sum_dlen, buckets)           — 1 row
+  // and serving recombines: N and avgdl from summed metas (exact integer
+  // sums), df(t) = Σ segments df_s(t) read from the PROBED buckets only.
+  // Because every statistic recombines exactly, append+serve is
+  // BIT-EQUAL to rebuild+serve on the union corpus (spec-proved) — no
+  // staleness approximation at all, unlike frozen-stat designs.
+  // ---------------------------------------------------------------------
+
+  /** Write one immutable index segment for `docs` under
+    * `path/segments/<name>`.
+    */
+  def writeIndexSegment(docs: DataFrame, path: String, name: String,
+      buckets: Int = IndexBuckets): Unit = {
+    val seg = s"$path/segments/$name"
+    val withBucket = postings(docs, None)
+      .join(docLengths(docs), Seq("doc_id"))
+      .withColumn("bucket",
+        pmod(graft.ext.TextOps.hash32(col("term")), lit(buckets.toLong)))
+    Layout.writePartitioned(
+      withBucket.select("bucket", "term", "doc_id", "tf", "dlen"),
+      s"$seg/postings", Seq("bucket"), sortCols = Seq("term", "doc_id"))
+    // df = posting rows per term (one row per (doc, term)); bucket is a
+    // function of term, so grouping by both is the per-term count.
+    Layout.writePartitioned(
+      withBucket.groupBy("bucket", "term").agg(count(lit(1)).as("df")),
+      s"$seg/df", Seq("bucket"), sortCols = Seq("term"))
+    docLengths(docs)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("sum_dlen"))
+      .withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(s"$seg/meta")
+  }
+
+  private def listSegments(path: String): Seq[String] = {
+    val dir = new java.io.File(s"$path/segments")
+    val segs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    require(segs.nonEmpty, s"no index segments under $path/segments")
+    segs
+  }
+
+  /** Serve BM25 top-k across every segment of a segmented index. Per
+    * segment the postings/df scans carry the bucket partition filter
+    * (unprobed directories never opened); corpus stats and per-term df
+    * recombine exactly; the df map for the |query| terms is a collected
+    * CONSTANT (query-sized, the broadcast-constant pattern), so scoring
+    * stays a zero-join projection over the unioned posting scans.
+    */
+  def bm25TopKSegmented(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val segs = listSegments(path)
+    val metas = segs.map(s =>
+      spark.read.parquet(s"$path/segments/$s/meta").head())
+    val buckets = metas.head.getAs[Int]("buckets")
+    require(metas.forall(_.getAs[Int]("buckets") == buckets),
+      s"segments disagree on bucket count under $path")
+    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
+    val avgdl = metas.map(_.getAs[Long]("sum_dlen")).sum.toDouble / nDocs
+    val bs = terms.map(termBucket(_, buckets)).distinct
+    def pruned(sub: String) = segs.map { s =>
+      spark.read.parquet(s"$path/segments/$s/$sub")
+        .where(col("bucket").isin(bs: _*) && col("term").isin(terms: _*))
+    }.reduce(_ unionByName _)
+    val dfMap = pruned("df").groupBy("term").agg(sum(col("df")).as("df"))
+      .collect().map { case Row(t: String, df: Long) => t -> df }.toMap
+    val dfCol = coalesce(
+      element_at(typedLit(dfMap), col("term")), lit(0L))
+    bm25FromPostings(
+      pruned("postings")
+        .withColumn("df", dfCol)
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("avgdl", lit(avgdl)))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }

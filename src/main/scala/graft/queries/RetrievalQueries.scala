@@ -59,6 +59,19 @@ object RetrievalQueries extends QueryPack {
       val path = indexScratchDir + "/index"
       Retrieval.writeInvertedIndex(documents(s, d), path)
       Retrieval.bm25TopKFromIndex(s, path, QueryTerms, TopK)
+    }),
+
+    // SEGMENTED (incremental) index serving: two ingest batches become
+    // two immutable segments; df/N/avgdl recombine exactly at serve
+    // time, so the result is bit-equal to a full rebuild — the oracle
+    // is the same SQL as the in-plan query. Scans stay bucket-pruned
+    // per segment.
+    "text_bm25_segmented" -> ((s, d) => {
+      val path = indexScratchDir + "/segindex"
+      val docs = documents(s, d)
+      Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 0), path, "s0")
+      Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 1), path, "s1")
+      Retrieval.bm25TopKSegmented(s, path, QueryTerms, TopK)
     }))
 
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
@@ -89,6 +102,7 @@ object RetrievalQueries extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     "text_bm25_topk" -> duckBm25TopK,
     "text_bm25_from_index" -> duckBm25TopK,
+    "text_bm25_segmented" -> duckBm25TopK,
     "text_bm25_conjunctive" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |hit AS (SELECT doc_id, term, count(*) AS tf FROM tok

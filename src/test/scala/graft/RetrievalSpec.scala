@@ -75,6 +75,39 @@ class RetrievalSpec extends SparkSpec {
       s"expected more bucket dirs ($bucketDirs) than query buckets (${queryBuckets.size})")
   }
 
+  test("segmented index: split-ingest serving is bit-equal to single-segment and in-plan") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "vector", "dup")
+    val inPlan = Retrieval.bm25TopK(docs, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // two ingest batches -> two immutable segments
+    val path = Files.createTempDirectory("graft_bm25_seg").toString + "/index"
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
+    val served = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+    assert(served.as[(Long, Long, Double)].collect().toSeq == inPlan)
+
+    // appending a THIRD segment == rebuilding over the union corpus:
+    // df/N/avgdl recombine exactly, so incremental ingest loses nothing
+    val extra = docsDf(
+      (100000L, "spark vector dup dup spark"),
+      (100001L, "unrelated words only here"))
+      .withColumn("text", $"text") // schema: (doc_id, text)
+    Retrieval.writeIndexSegment(extra, path, "s2")
+    val union = docs.select($"doc_id", $"text")
+      .unionByName(extra.select($"doc_id", $"text"))
+    val rebuilt = Retrieval.bm25TopK(union, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val appended = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+    assert(appended.as[(Long, Long, Double)].collect().toSeq == rebuilt)
+
+    // per-segment scans stay bucket-pruned
+    val plan = appended.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters", 2)(1).take(200).contains("bucket"))
+  }
+
   test("termBucket (driver) == pmod(md5_hash32(term), buckets) (plan)") {
     val terms = Seq("spark", "vector", "dup", "", "Ünïcode ✓")
     val planned = terms.toDF("t")
