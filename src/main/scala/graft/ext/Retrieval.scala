@@ -255,4 +255,63 @@ object Retrieval {
         .withColumn("avgdl", lit(avgdl)))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** Frozen corpus statistics of a segmented index, restricted to a
+    * query vocabulary: (per-term df, n_docs, avgdl). This is the
+    * constant a standing query ships into [[percolate]].
+    */
+  def frozenStats(spark: SparkSession, path: String,
+      terms: Seq[String]): (Map[String, Long], Long, Double) = {
+    import org.apache.spark.sql.Row
+    val segs = listSegments(path)
+    val metas = segs.map(s =>
+      spark.read.parquet(s"$path/segments/$s/meta").head())
+    val buckets = metas.head.getAs[Int]("buckets")
+    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
+    val avgdl = metas.map(_.getAs[Long]("sum_dlen")).sum.toDouble / nDocs
+    val bs = terms.map(termBucket(_, buckets)).distinct
+    val dfMap = segs.map { s =>
+      spark.read.parquet(s"$path/segments/$s/df")
+        .where(col("bucket").isin(bs: _*) && col("term").isin(terms: _*))
+    }.reduce(_ unionByName _)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .collect().map { case Row(t: String, df: Long) => t -> df }.toMap
+    (dfMap, nDocs, avgdl)
+  }
+
+  /** PERCOLATION — the standing-query direction of retrieval (the
+    * Elasticsearch percolator model): score each INCOMING document
+    * against a fixed query under FROZEN index statistics. Works
+    * identically on a batch frame or an unbounded stream, because the
+    * plan is a pure per-row projection: per-term tf is a filter over
+    * the document's own token array (per-document small arrays — the
+    * §8 HOF allowance), df/N/avgdl are plan constants, and each term's
+    * contribution rounds to micro-units exactly like the batch scorer —
+    * so a streamed document scores bit-identically to the batch
+    * pipeline (spec-proved). No aggregation, no state store, no
+    * watermark: percolation of a 100 TB/day firehose shards freely.
+    */
+  def percolate(docs: DataFrame, terms: Seq[String],
+      dfMap: Map[String, Long], nDocs: Long, avgdl: Double): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val contribs = terms.map { t =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      val df = lit(dfMap.getOrElse(t, 0L))
+      val idf = log(lit(1.0) + (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = lit(K1) * (lit(1.0 - B) +
+        lit(B) * size(toks).cast("long") / lit(avgdl))
+      val c = idf * tf * lit(K1 + 1.0) / (tf + norm)
+      struct(when(tf > 0, lit(1L)).otherwise(lit(0L)).as("m"),
+        when(tf > 0, round(c * lit(1e6), 0).cast("long")).otherwise(lit(0L))
+          .as("c"))
+    }
+    docs
+      .withColumn("_cs", array(contribs: _*))
+      .withColumn("n_matched",
+        aggregate(col("_cs"), lit(0L), (a, x) => a + x.getField("m")))
+      .where(col("n_matched") > 0)
+      .select(col("doc_id"), col("n_matched"),
+        (aggregate(col("_cs"), lit(0L), (a, x) => a + x.getField("c"))
+          .cast("double") / lit(1e6)).as("score"))
+  }
 }

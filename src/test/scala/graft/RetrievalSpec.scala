@@ -117,6 +117,40 @@ class RetrievalSpec extends SparkSpec {
     assert(planned == terms.map(Retrieval.termBucket(_, Retrieval.IndexBuckets)))
   }
 
+  test("percolation: a streamed document scores bit-identically to the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "vector", "dup")
+
+    // freeze stats from a segmented index over the SAME corpus, so the
+    // batch bm25Scores over that corpus is the executable expectation
+    val path = Files.createTempDirectory("graft_perc").toString + "/index"
+    graft.ext.Retrieval.writeIndexSegment(docs, path, "s0")
+    val (dfMap, n, avgdl) = Retrieval.frozenStats(spark, path, terms)
+
+    val sample = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Retrieval.percolate(
+        input.toDF().toDF("doc_id", "text"), terms, dfMap, n, avgdl)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("percolated").start()
+    try {
+      input.addData(sample.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("percolated")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = Retrieval.bm25Scores(docs, terms)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expectedIds = sample.map(_._1).filter(batch.contains)
+    assert(streamed.keySet == expectedIds.toSet)
+    streamed.foreach { case (id, v) => assert(batch(id) == v, s"doc $id") }
+    assert(streamed.nonEmpty)
+  }
+
   test("cdc chunks: per-doc token coverage, ordinal ids, single-token hash identity") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val ch = Dedup.cdcChunks(docs, "doc_id", "text")
