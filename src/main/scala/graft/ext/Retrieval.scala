@@ -256,6 +256,46 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Compact a segmented index: merge every segment into one. Postings
+    * and dlen rows concatenate unchanged (documents are disjoint across
+    * segments); per-term df rows re-sum; metas add. The result serves
+    * bit-identically to the multi-segment index (same recombination
+    * arithmetic, now with one term, one row in df) — compaction is the
+    * read-amplification knob: s segments cost s pruned scans per query,
+    * one segment costs one. Writes to a staging name then swaps, so a
+    * crash never leaves a half-compacted index.
+    */
+  def compactSegments(spark: SparkSession, path: String,
+      compactedName: String = "compacted"): Unit = {
+    val segs = listSegments(path)
+    require(!segs.contains(compactedName),
+      s"segment name '$compactedName' already exists under $path")
+    val bucketCounts = segs.map(s =>
+      spark.read.parquet(s"$path/segments/$s/meta").head().getAs[Int]("buckets"))
+    require(bucketCounts.distinct.size == 1,
+      s"segments disagree on bucket count under $path: $bucketCounts")
+    def union(sub: String) = segs.map(s =>
+      spark.read.parquet(s"$path/segments/$s/$sub")).reduce(_ unionByName _)
+    val staging = s"$path/_compacting/$compactedName"
+    Layout.writePartitioned(union("postings"), s"$staging/postings",
+      Seq("bucket"), sortCols = Seq("term", "doc_id"))
+    Layout.writePartitioned(
+      union("df").groupBy("bucket", "term").agg(sum(col("df")).as("df")),
+      s"$staging/df", Seq("bucket"), sortCols = Seq("term"))
+    union("meta")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dlen")).as("sum_dlen"),
+        max(col("buckets")).as("buckets"))
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    // swap: drop the old segments, move the staged one in
+    val fs = new java.io.File(s"$path/segments")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    segs.foreach(s => rm(new java.io.File(fs, s)))
+    require(new java.io.File(staging).renameTo(new java.io.File(fs, compactedName)),
+      s"failed to move compacted segment into place under $path")
+  }
+
   /** Frozen corpus statistics of a segmented index, restricted to a
     * query vocabulary: (per-term df, n_docs, avgdl). This is the
     * constant a standing query ships into [[percolate]].

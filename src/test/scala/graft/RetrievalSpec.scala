@@ -108,6 +108,35 @@ class RetrievalSpec extends SparkSpec {
       plan.split("PartitionFilters", 2)(1).take(200).contains("bucket"))
   }
 
+  test("segment compaction: serving is unchanged, and ingest continues after") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "vector", "dup")
+    val path = Files.createTempDirectory("graft_bm25_cmp").toString + "/index"
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
+    val before = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    Retrieval.compactSegments(spark, path)
+    assert(new java.io.File(s"$path/segments").listFiles()
+      .map(_.getName).toSeq == Seq("compacted"))
+    val after = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(after == before)
+
+    // the lifecycle continues: a post-compaction ingest batch still
+    // recombines exactly against the compacted segment
+    val extra = docsDf((200000L, "spark dup vector spark dup"))
+    Retrieval.writeIndexSegment(extra, path, "s2")
+    val appended = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val rebuilt = Retrieval.bm25TopK(
+        docs.select($"doc_id", $"text")
+          .unionByName(extra.select($"doc_id", $"text")), terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(appended == rebuilt)
+  }
+
   test("termBucket (driver) == pmod(md5_hash32(term), buckets) (plan)") {
     val terms = Seq("spark", "vector", "dup", "", "Ünïcode ✓")
     val planned = terms.toDF("t")
