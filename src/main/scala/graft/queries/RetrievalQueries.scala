@@ -72,16 +72,42 @@ object RetrievalQueries extends QueryPack {
       Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 0), path, "s0")
       Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 1), path, "s1")
       Retrieval.bm25TopKSegmented(s, path, QueryTerms, TopK)
+    }),
+
+    // MORE-LIKE-THIS: document similarity served through the BM25 stack —
+    // the query document's top-MltTerms non-stopword terms (by tf, ties
+    // on term) become the BM25 query; the document itself is excluded
+    // from the ranking. The term extraction is a 3-row driver constant
+    // (the query-vector pattern the sim_* family uses); everything else
+    // is the standard posting-list plan.
+    "text_more_like_this" -> ((s, d) => {
+      val docs = documents(s, d)
+      val qterms = docs.where(col("doc_id") === MltDocId)
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("term"))
+        .where(!col("term").isin(graft.ext.TextOps.stopwords: _*))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(MltTerms)
+        .collect().map(_.getString(0)).toSeq
+      Retrieval.bm25Scores(docs, qterms)
+        .where(col("doc_id") =!= MltDocId)
+        .orderBy(col("score").desc, col("doc_id")).limit(TopK)
     }))
+
+  /** More-like-this query document and its query-vocabulary width. */
+  val MltDocId = 1L
+  val MltTerms = 3
 
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def termList = QueryTerms.map(t => s"'$t'").mkString(", ")
 
-  /** Shared oracle CTE chain mirroring Retrieval.bm25Scores. */
-  private def duckBm25Chain: String =
+  /** Shared oracle CTE chain mirroring Retrieval.bm25Scores; the query
+    * vocabulary arrives as a SQL predicate fragment so the fixed-terms
+    * and derived-terms (more-like-this) spellings share the chain.
+    */
+  private def duckBm25Chain(termPred: String = s"term IN ($termList)"): String =
     s"""tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
        |hit AS (SELECT doc_id, term, count(*) AS tf FROM tok
-       |        WHERE term IN ($termList) GROUP BY 1, 2),
+       |        WHERE $termPred GROUP BY 1, 2),
        |dfx AS (SELECT term, count(*) AS df FROM hit GROUP BY 1),
        |dl AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS dlen FROM documents),
        |st AS (SELECT count(*) AS n_docs,
@@ -95,14 +121,32 @@ object RetrievalQueries extends QueryPack {
        |  CAST(sum(cmu) AS DOUBLE) / 1e6 AS score FROM c GROUP BY doc_id)""".stripMargin
 
   private def duckBm25TopK: String =
-    s"""WITH $duckBm25Chain
+    s"""WITH ${duckBm25Chain()}
        |SELECT doc_id, n_matched, score FROM scored
        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  private def duckMoreLikeThis: String = {
+    val stop = graft.ext.TextOps.stopwords.map(w => s"'$w'")
+      .mkString("[", ",", "]")
+    s"""WITH qt AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS tf FROM (
+       |      SELECT unnest($duckToks) AS term FROM documents
+       |      WHERE doc_id = $MltDocId)
+       |    WHERE NOT list_contains($stop, term)
+       |    GROUP BY term)
+       |  ORDER BY tf DESC, term LIMIT $MltTerms),
+       |${duckBm25Chain("term IN (SELECT term FROM qt)")}
+       |SELECT doc_id, n_matched, score FROM scored
+       |WHERE doc_id <> $MltDocId
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25_topk" -> duckBm25TopK,
     "text_bm25_from_index" -> duckBm25TopK,
     "text_bm25_segmented" -> duckBm25TopK,
+    "text_more_like_this" -> duckMoreLikeThis,
     "text_bm25_conjunctive" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |hit AS (SELECT doc_id, term, count(*) AS tf FROM tok
