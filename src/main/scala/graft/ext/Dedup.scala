@@ -217,8 +217,8 @@ object Dedup {
     * to 16 bits with the identical plan shape.
     */
   def simhashBands(sketches: DataFrame, idCol: String, simhashCol: String,
-      bands: Int = 4): DataFrame = {
-    val width = 32 / bands
+      bands: Int = 4, bits: Int = 32): DataFrame = {
+    val width = bits / bands
     val mask = (1L << width) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_ix"),

@@ -439,4 +439,124 @@ object Multimodal {
       Thumb(id, b.length, checksum(b))
     }
   }
+
+  /** 64-bit audio fingerprint per clip: bit i = "window i+1 has more
+    * energy than window i" over the first 65 PCM windows — the classic
+    * energy-delta fingerprint. Because bits encode ORDER of energies,
+    * not magnitudes, a volume-scaled copy fingerprints identically
+    * (energies scale uniformly; spec-proved), while different content
+    * reorders deltas. Exact integer comparisons over [[audioPcmWindows]]
+    * output: one per-clip keyed window (lead) + one keyed aggregate —
+    * summing the disjoint power-of-two bit values IS the bitwise OR.
+    * Clips shorter than 65 windows leave high bits 0; n_windows rides
+    * along so consumers can mask.
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+      win: Int = 256, hop: Int = 128): DataFrame = {
+    val w = audioPcmWindows(spark, media, win, hop).toDF()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_ix"))
+    val bits = w
+      .withColumn("_ne", lead(col("energy"), 1).over(byDoc))
+      .where(col("win_ix") < 64 && col("_ne").isNotNull)
+      .select(col("doc_id"),
+        when(col("_ne") > col("energy"),
+          expr("shiftleft(1L, cast(win_ix as int))")).otherwise(lit(0L))
+          .as("_bit"))
+      .groupBy("doc_id").agg(sum(col("_bit")).as("_fp"))
+    w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(bits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("_fp"), lit(0L)).as("afp"))
+  }
+
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: Long,
+      ok: Boolean)
+
+  /** 64-bit perceptual average-hash (aHash) per image: decode → 8×8
+    * integer block sums of the RGB-sum gray signal → each bit is "block
+    * brighter than the image mean". All arithmetic is EXACT integer
+    * (block assignment by floor x·8/w; the threshold compares
+    * blockSum·totalPixels > totalSum·blockPixels — no division, no
+    * float resampling), so the hash is bit-stable across JVMs and
+    * partitionings, unlike a Graphics2D-rescale-based hash. Robust to
+    * re-encoding/resampling/brightness-preserving noise; images smaller
+    * than 8×8 (or undecodable bytes) degrade to ok=false rows.
+    *
+    * Plan shape: the same narrow partition-parallel map as
+    * [[decodeImages]] — per-image work, no shuffle.
+    */
+  def imageAHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth < 8 || img.getHeight < 8)
+              ImageHash(id, if (img == null) -1 else img.getWidth,
+                if (img == null) -1 else img.getHeight, -1L, ok = false)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              val sums = new Array[Long](64)
+              val counts = new Array[Long](64)
+              var y = 0
+              while (y < h) {
+                val by = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val p = px(y * w + x)
+                  val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  val b = by * 8 + x * 8 / w
+                  sums(b) += gray
+                  counts(b) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val totalSum = sums.sum
+              val totalCnt = counts.sum
+              var hash = 0L
+              var b = 0
+              while (b < 64) {
+                if (sums(b) * totalCnt > totalSum * counts(b)) hash |= (1L << b)
+                b += 1
+              }
+              ImageHash(id, w, h, hash, ok = true)
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            ImageHash(id, -1, -1, -1L, ok = false)
+          }
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash sketches banded 8×8
+    * bits (pigeonhole: hamming ≤ 7 ⇒ the pair shares at least one of the
+    * 8 bands — exact recall at the default threshold), candidates joined
+    * on band keys, verified by codegen bit_count. The image twin of the
+    * SimHash text pipeline, and the same no-pairwise-pass shape: a
+    * billion images shuffle 8 band keys each, never compare all pairs.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val sk = imageAHash(spark, media).toDF()
+      .where(col("ok")).select(col("doc_id"), col("ahash"))
+      .localCheckpoint(false) // 16 B/image sketch frame (§8 rule)
+    val b = graft.ext.Dedup.simhashBands(sk, "doc_id", "ahash",
+      bands = 8, bits = 64)
+    val l = b.select(col("band_ix"), col("band_key"),
+      col("doc_id").as("id_a"), col("ahash").as("_ha"))
+    val r = b.select(col("band_ix"), col("band_key"),
+      col("doc_id").as("id_b"), col("ahash").as("_hb"))
+    l.join(r, Seq("band_ix", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long").as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+  }
 }

@@ -368,4 +368,85 @@ class SourcesSpec extends SparkSpec {
       s"thumbnail decoded as ${back.getWidth}x${back.getHeight}")
     assert(thumbs(2L).isEmpty, "non-image payload must yield an empty thumb")
   }
+
+  test("audio fingerprint: volume-scaled copies match exactly, different content differs") {
+    import javax.sound.sampled._
+    // per-window amplitude pattern -> strongly ordered window energies
+    def wav(amps: Seq[Int]): Array[Byte] = {
+      val winSamples = 256
+      val pcm = new Array[Byte](amps.length * winSamples * 2)
+      for (k <- amps.indices; i <- 0 until winSamples) {
+        val s = (amps(k) * (((k * winSamples + i) * 37) % 7 - 3)).toShort
+        val ix = k * winSamples + i
+        pcm(2 * ix) = (s & 0xff).toByte
+        pcm(2 * ix + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+        fmt, (amps.length * winSamples).toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val pattern = Seq(1, 4, 2, 8, 3, 9, 1, 6, 2, 7)
+    val media = Seq(
+      1L -> wav(pattern.map(_ * 100)),
+      2L -> wav(pattern.map(_ * 550)),          // volume-scaled copy
+      3L -> wav(pattern.reverse.map(_ * 100)),  // different content
+      4L -> Array[Byte](1, 2, 3))               // garbage
+      .toDF("doc_id", "media").repartition(3)
+    // hop=win: non-overlapping windows align with the amplitude blocks
+    val fp = graft.ext.Multimodal.audioFingerprint(spark, media, win = 256, hop = 256)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fp.keySet == Set(1L, 2L, 3L), "garbage clip yields no windows")
+    assert(fp(1L)._2 == fp(2L)._2, "volume scaling must not change the fingerprint")
+    assert(fp(1L)._2 != fp(3L)._2, "reordered content must change the fingerprint")
+    assert(fp(1L)._1 == pattern.length)
+  }
+
+  test("perceptual image near-dup: aHash pairs re-encoded and noisy copies, separates distinct content") {
+    import java.awt.image.BufferedImage
+    // 64x64 checkerboard of 8x8 blocks with STRONG contrast (noise
+    // cannot flip a block's relation to the global mean)
+    def checker(invert: Boolean, noise: Int): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val dark = ((x / 8 + y / 8) % 2 == 0) ^ invert
+        val base = if (dark) 30 else 225
+        val v = (base + ((x * 7 + y * 13) % (2 * noise + 1)) - noise)
+          .max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val tiny = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    val media = Seq(
+      1L -> enc(checker(invert = false, noise = 0), "png"),
+      2L -> enc(checker(invert = false, noise = 0), "bmp"),  // re-encoded copy
+      3L -> enc(checker(invert = false, noise = 3), "png"),  // noisy copy
+      4L -> enc(checker(invert = true, noise = 0), "png"),   // inverted content
+      5L -> enc(tiny, "png"),                                // below 8x8
+      6L -> Array[Byte](1, 2, 3))                            // garbage
+      .toDF("doc_id", "media").repartition(3)
+
+    val hashes = graft.ext.Multimodal.imageAHash(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(hashes(1L).ok && hashes(2L).ok && hashes(3L).ok && hashes(4L).ok)
+    assert(!hashes(5L).ok && !hashes(6L).ok)
+    assert(hashes(1L).ahash == hashes(2L).ahash,
+      "container re-encode of identical pixels must hash identically")
+    assert(java.lang.Long.bitCount(hashes(1L).ahash ^ hashes(4L).ahash) > 30,
+      "inverted content must be far in hamming space")
+
+    val pairs = graft.ext.Multimodal.imageNearDupPairs(spark, media)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"unexpected pairs: $pairs")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0L)
+  }
 }
