@@ -243,6 +243,49 @@ object Dedup {
     * deterministic. Driver only orchestrates the loop (a `limit(1)` probe
     * per round); per-round state is localCheckpointed to cut lineage.
     */
+  /** Incremental exact-dedup ingest — dedup a NEW batch against all
+    * corpus HISTORY without rescanning it: the history lives as a
+    * key-only parquet store (16-byte md5 per ever-accepted document).
+    * Each ingest (1) keeps the first occurrence per key WITHIN the batch
+    * (lowest id — arrival order), (2) anti-joins the batch's keys
+    * against the store, (3) appends the accepted keys, and returns the
+    * accepted documents. First-seen-wins across batches by construction.
+    *
+    * Scale shape: the anti-join shuffles 16-byte keys, never documents;
+    * the store grows by distinct-new keys only and never rewrites
+    * (append-only — the segment/ingest pattern the index side uses). At
+    * 100 TB history the store is ~1.6 TB of keys; pre-bucketing it (and
+    * the batch keys) by key range makes the anti-join shuffle-free on
+    * the store side.
+    */
+  def ingestDedupBatch(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val keyed = batch.withColumn("_k", md5(col(textCol)))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col(idCol))
+    val firstInBatch = keyed
+      .withColumn("_rn", row_number().over(rn))
+      .where(col("_rn") === 1).drop("_rn")
+    val storeExists = {
+      val d = new java.io.File(storePath)
+      d.isDirectory && d.listFiles() != null &&
+        d.listFiles().exists(_.getName.endsWith(".parquet"))
+    }
+    val fresh =
+      if (!storeExists) firstInBatch
+      else firstInBatch.join(
+        spark.read.parquet(storePath).select(col("k").as("_k")),
+        Seq("_k"), "left_anti")
+    // two consumers of `fresh` (store append + returned docs), and the
+    // append must not observe a half-written store on re-evaluation —
+    // pin the accepted keys before the write
+    val pinned = fresh.localCheckpoint(false)
+    pinned.select(col("_k").as("k"))
+      .write.mode("append").parquet(storePath)
+    pinned.drop("_k")
+  }
+
   /** Content-defined chunking (CDC) divisor: a token ends a chunk iff its
     * 32-bit hash ≡ 0 (mod CdcMask) — expected chunk length = CdcMask
     * tokens (geometric tail: P(len>k) = (1−1/M)^k, so pathological chunks

@@ -327,4 +327,34 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(got.length == n && got.forall(_._2 == 1L))
   }
+
+  test("incremental dedup ingest: first-seen-wins across batches == one-shot dedup on the union") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_store").toString + "/keys"
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // batch A: one internal dup; batch B: overlaps A, one internal dup,
+    // one genuinely new doc; ids increase with arrival
+    val a = batchDf((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    val b = batchDf((10L, "beta"), (11L, "gamma"), (12L, "gamma"), (13L, "alpha"))
+
+    val accA = Dedup.ingestDedupBatch(spark, store, a, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(accA == Seq((1L, "alpha"), (2L, "beta")))
+    val accB = Dedup.ingestDedupBatch(spark, store, b, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(accB == Seq((11L, "gamma")))
+
+    // arrival-order incremental == one-shot exact dedup over the union
+    // (ids ordered by arrival, so min-id == first-seen)
+    val oneShot = Dedup.exact(a.unionByName(b), "doc_id", "text")
+      .select($"keep_id").as[Long].collect().toSet
+    assert((accA ++ accB).map(_._1).toSet == oneShot)
+
+    // store grew by exactly the distinct accepted keys; replaying a
+    // batch accepts nothing
+    assert(spark.read.parquet(store).distinct().count() == 3)
+    val replay = Dedup.ingestDedupBatch(spark, store, b, "doc_id", "text")
+    assert(replay.isEmpty)
+    assert(spark.read.parquet(store).count() == 3, "replay must not grow the store")
+  }
 }
