@@ -121,7 +121,13 @@ object CorpusQueries extends QueryPack {
     // smoothing, P(b|a) = (c2(a,b)+1) / (c1(a)+V). Corpus statistics are
     // keyed aggregations; V is a 1-row broadcast. Single-token documents
     // have no bigrams and drop out (mirrored by the oracle's inner joins).
-    "lm_bigram_score" -> ((s, d) => {
+    "lm_bigram_score" -> ((s, d) => lmScores(s, d).orderBy("doc_id")))
+
+  /** Per-document smoothed bigram-LM negative log-likelihood —
+    * (doc_id, n_bigrams, nll); shared by `lm_bigram_score` and the
+    * curriculum-planning composite.
+    */
+  private def lmScores(s: SparkSession, d: String): DataFrame = {
       val tok = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
       // Adjacent pairs via arrays_zip(slice, slice) — fully codegen'd.
@@ -161,8 +167,7 @@ object CorpusQueries extends QueryPack {
       bg.join(nll, Seq("a", "b"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nllw")), 6).as("nll"))
-        .orderBy("doc_id")
-    }))
+  }
 
   /** Logistic quality-classifier weights: bias, token-length feature,
     * punctuation-cleanliness feature, stopword-density feature. Fixed
@@ -303,6 +308,39 @@ object CorpusQueries extends QueryPack {
       val trainBins = Drift.featureBins(docs.where(col("split") === "train"))
       val valBins = Drift.featureBins(docs.where(col("split") === "val"))
       Drift.psiVsBaseline(valBins, trainBins).orderBy("feature", "bin")
+    }),
+
+    // Curriculum planning: LM-difficulty quartile buckets × language,
+    // with uniform-target resample weights — the composite that turns
+    // the bigram-LM scorer into a training SCHEDULE (easy→hard
+    // curriculum / difficulty-stratified mixture). Per-lang quartile
+    // boundaries are EXACT interpolated percentiles at dyadic fractions
+    // (.25/.75); boundaries fall strictly between round-6 data values
+    // (or exactly on a tied value), so a cross-engine ulp in the
+    // interpolation can never flip a bucket. Cells and totals are
+    // constant-cardinality aggregates; the only corpus-sized work is
+    // the shared lmScores chain.
+    "pipeline_curriculum" -> ((s, d) => {
+      val meta = documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("_nt"))
+      val scored = lmScores(s, d).join(meta, Seq("doc_id"))
+      val q = scored.groupBy("lang").agg(
+        expr("percentile(nll, 0.25)").as("q1"),
+        expr("percentile(nll, 0.75)").as("q3"))
+      val cells = scored.join(broadcast(q), Seq("lang"))
+        .withColumn("bucket",
+          when(col("nll") <= col("q1"), "easy")
+            .when(col("nll") <= col("q3"), "medium")
+            .otherwise("hard"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("token_mass"))
+      val tot = cells.agg(sum(col("token_mass")).as("_tm"),
+        count(lit(1)).as("_nc"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("bucket"), col("n_docs"), col("token_mass"),
+          round(col("_tm").cast("double") / col("_nc") / col("token_mass"), 6)
+            .as("weight"))
+        .orderBy("lang", "bucket")
     }),
 
     // Content-defined chunking (Dedup.cdcChunks): variable-width chunks
@@ -604,6 +642,41 @@ object CorpusQueries extends QueryPack {
           |WHERE n_trail >= 5 AND sd > 0
           |  AND abs(round((value - mu) / sd, 6)) > 2.5
           |ORDER BY event_id""".stripMargin,
+
+      "pipeline_curriculum" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |bg AS (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+          |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
+          |  FROM tok WHERE len(toks) >= 2),
+          |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bg),
+          |c2 AS (SELECT a, b, count(*) AS c2 FROM p GROUP BY a, b),
+          |c1 AS (SELECT a, count(*) AS c1 FROM p GROUP BY a),
+          |v AS (SELECT count(DISTINCT w) AS v
+          |      FROM (SELECT unnest([a, b]) AS w FROM p)),
+          |sc AS (SELECT p.doc_id,
+          |  round(avg(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS nll
+          |  FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
+          |         JOIN c1 ON p.a = c1.a, v
+          |  GROUP BY p.doc_id),
+          |meta AS (SELECT doc_id, lang,
+          |  CAST(len($duckToks) AS BIGINT) AS nt FROM documents),
+          |sm AS (SELECT sc.doc_id, meta.lang, sc.nll, meta.nt
+          |       FROM sc JOIN meta USING (doc_id)),
+          |q AS (SELECT lang, quantile_cont(nll, 0.25) AS q1,
+          |             quantile_cont(nll, 0.75) AS q3
+          |      FROM sm GROUP BY lang),
+          |b AS (SELECT sm.lang,
+          |  CASE WHEN nll <= q1 THEN 'easy'
+          |       WHEN nll <= q3 THEN 'medium' ELSE 'hard' END AS bucket, nt
+          |  FROM sm JOIN q USING (lang)),
+          |cells AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(nt) AS BIGINT) AS token_mass FROM b GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(token_mass) AS BIGINT) AS tm, count(*) AS nc
+          |        FROM cells)
+          |SELECT lang, bucket, n_docs, token_mass,
+          |  round(CAST(tm AS DOUBLE) / nc / token_mass, 6) AS weight
+          |FROM cells, tot ORDER BY lang, bucket""".stripMargin,
 
       "cdc_chunks" ->
         s"""WITH $duckCdcChunks
