@@ -281,7 +281,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim_topk_cosine",        // constant-size broadcast anchor set —
                                 // brute-force baseline scores each vector
                                 // against the anchors, by definition
-      "sim_hard_negatives")     // same broadcast-anchor shape
+      "sim_hard_negatives",     // same broadcast-anchor shape
+      "text_bm25_topk",         // 1-row corpus-stats (N, avgdl) attach
+      "text_more_like_this",    // same 1-row corpus-stats attach
+      "pipeline_curriculum")    // 1-row total-token-mass attach
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
