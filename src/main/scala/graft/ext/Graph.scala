@@ -59,6 +59,7 @@ object Graph {
     // fully-symmetrized or link-closed graph has none, and then the
     // dangling branch vanishes from every iteration's plan).
     val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list (no nodes)")
     val dangNodes = nodes.join(eDeg.select(col("src").as("node")).distinct(),
       Seq("node"), "left_anti").localCheckpoint(false)
     val hasDangling = !dangNodes.isEmpty

@@ -330,6 +330,14 @@ object Retrieval {
     * so a streamed document scores bit-identically to the batch
     * pipeline (spec-proved). No aggregation, no state store, no
     * watermark: percolation of a 100 TB/day firehose shards freely.
+    *
+    * Cost note (the greedy_piece_stats lesson): filter/aggregate HOFs
+    * run interpreted with NO common-subexpression elimination, so the
+    * tokenize re-evaluates per term reference — ~2·|query|+1 splits per
+    * document. Fine for the few-term standing queries this models; a
+    * WIDE standing-query set (hundreds of terms) would want a native
+    * kernel that walks the token array once and emits all tfs as one
+    * struct, exactly as the tokenizer serving path does.
     */
   def percolate(docs: DataFrame, terms: Seq[String],
       dfMap: Map[String, Long], nDocs: Long, avgdl: Double): DataFrame = {
