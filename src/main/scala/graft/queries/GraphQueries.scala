@@ -57,25 +57,32 @@ object GraphQueries extends QueryPack {
   private def duckPageRank(iters: Int): String = {
     val S = Graph.Scale
     val sb = new StringBuilder
-    sb ++= s"""base AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+    // Every multiply-referenced CTE is AS MATERIALIZED — DuckDB inlines
+    // plain CTEs, and r{t-1} is referenced twice per iteration (c_t and
+    // d_t), so an un-materialized chain re-evaluates the whole prefix
+    // 2^t times (the PCA-oracle lesson; measured: the sf0.1 compare
+    // wedged on exactly this query before the hint).
+    sb ++= s"""base AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
       |  's' || CAST(l_suppkey AS VARCHAR) AS sp
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |edges AS (SELECT c AS src, sp AS dst FROM base
+      |edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM base
       |          UNION ALL SELECT sp, c FROM base),
-      |nodes AS (SELECT DISTINCT src AS node FROM edges
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
       |          UNION SELECT DISTINCT dst FROM edges),
-      |nn AS (SELECT count(*) AS n FROM nodes),
-      |od AS (SELECT src, count(*) AS du FROM edges GROUP BY 1),
-      |r0 AS (SELECT node, CAST($S // n AS BIGINT) AS r FROM nodes, nn)""".stripMargin
+      |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+      |od AS MATERIALIZED (SELECT src, count(*) AS du FROM edges GROUP BY 1),
+      |r0 AS MATERIALIZED (
+      |  SELECT node, CAST($S // n AS BIGINT) AS r FROM nodes, nn)""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s""",
-        |c$t AS (SELECT e.dst AS node, sum(r.r // od.du) AS insum
+        |c$t AS MATERIALIZED (SELECT e.dst AS node, sum(r.r // od.du) AS insum
         |        FROM edges e JOIN r${t - 1} r ON e.src = r.node
         |        JOIN od ON od.src = e.src GROUP BY 1),
-        |d$t AS (SELECT coalesce(sum(r.r), 0) AS dang
+        |d$t AS MATERIALIZED (SELECT coalesce(sum(r.r), 0) AS dang
         |        FROM r${t - 1} r LEFT JOIN od ON od.src = r.node
         |        WHERE od.src IS NULL),
-        |r$t AS (SELECT nodes.node,
+        |r$t AS MATERIALIZED (SELECT nodes.node,
         |  CAST((($S * 15) // ${Graph.DampDen}) // nn.n
         |    + ((coalesce(c.insum, 0) + d.dang // nn.n) * ${Graph.DampNum})
         |      // ${Graph.DampDen} AS BIGINT) AS r
