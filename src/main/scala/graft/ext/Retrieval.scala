@@ -331,23 +331,24 @@ object Retrieval {
     * pipeline (spec-proved). No aggregation, no state store, no
     * watermark: percolation of a 100 TB/day firehose shards freely.
     *
-    * Cost note (the greedy_piece_stats lesson): filter/aggregate HOFs
-    * run interpreted with NO common-subexpression elimination, so the
-    * tokenize re-evaluates per term reference — ~2·|query|+1 splits per
-    * document. Fine for the few-term standing queries this models; a
-    * WIDE standing-query set (hundreds of terms) would want a native
-    * kernel that walks the token array once and emits all tfs as one
-    * struct, exactly as the tokenizer serving path does.
+    * Per-row cost is ONE tokenize + ONE array walk regardless of query
+    * width: the per-term tfs (and dlen) come from the native `term_tfs`
+    * kernel, whose multiple references CSE to a single evaluation under
+    * whole-stage codegen — the interpreted filter-HOF spelling this
+    * replaces re-tokenized per term reference (no CSE: the
+    * greedy_piece_stats lesson, plan-proved in RetrievalSpec).
     */
   def percolate(docs: DataFrame, terms: Seq[String],
       dfMap: Map[String, Long], nDocs: Long, avgdl: Double): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val contribs = terms.map { t =>
-      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+    val k = terms.length
+    val stats = graft.functions.TextExpressions.term_tfs(
+      TextOps.tokens(col("text")), terms)
+    val dlen = element_at(stats, k + 1)
+    val contribs = terms.zipWithIndex.map { case (t, j) =>
+      val tf = element_at(stats, j + 1).cast("double")
       val df = lit(dfMap.getOrElse(t, 0L))
       val idf = log(lit(1.0) + (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5)))
-      val norm = lit(K1) * (lit(1.0 - B) +
-        lit(B) * size(toks).cast("long") / lit(avgdl))
+      val norm = lit(K1) * (lit(1.0 - B) + lit(B) * dlen / lit(avgdl))
       val c = idf * tf * lit(K1 + 1.0) / (tf + norm)
       struct(when(tf > 0, lit(1L)).otherwise(lit(0L)).as("m"),
         when(tf > 0, round(c * lit(1e6), 0).cast("long")).otherwise(lit(0L))

@@ -92,6 +92,32 @@ object TextExprUtil {
     }
     UTF8String.fromBytes(out, 0, o)
   }
+
+  /** One pass over a token array: occurrence count per constant term,
+    * plus the array length (nulls included, = `size()`) in the LAST
+    * slot. Null elements match nothing — the `filter(x -> x = term)`
+    * semantics.
+    */
+  def termTfs(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      terms: Array[UTF8String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = terms.length
+    val out = new Array[Long](k + 1)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          if (terms(j).equals(t)) out(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    out(k) = n.toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `punct_count(string) -> int`: native `[^a-zA-Z0-9\s]` code-point count
@@ -295,7 +321,62 @@ object GreedyPieceStats {
   }
 }
 
+/** `term_tfs(array<string>) -> array<long>`: one pass over a document's
+  * token array counting occurrences of each of a CONSTANT term list,
+  * emitting `[tf(terms(0)), …, tf(terms(k-1)), dlen]` (document length —
+  * null elements included, matching `size()` — rides as the LAST slot so
+  * one kernel carries every fact a BM25-style scorer needs). Semantics
+  * twin of `size(filter(toks, x -> x = term))` per term (null elements
+  * never match) — spec-proved. Being a codegen expression, multiple
+  * references in one projection CSE to a SINGLE evaluation under
+  * whole-stage codegen — the property the interpreted filter-HOF
+  * spelling lacks (no CSE, one re-tokenize per reference: the
+  * greedy_piece_stats lesson, applied to percolation).
+  */
+case class TermTfs(child: Expression, terms: Array[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_tfs"
+
+  private lazy val termsU8: Array[UTF8String] =
+    terms.map(UTF8String.fromString)
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprUtil.termTfs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], termsU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("termTfsTerms", termsU8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprUtil.termTfs($c, $tRef);")
+  }
+
+  // content-based equality so identical kernels canonicalize (CSE) —
+  // the PqEncode lesson
+  override def equals(other: Any): Boolean = other match {
+    case o: TermTfs => child == o.child &&
+      java.util.Arrays.equals(terms.asInstanceOf[Array[AnyRef]],
+        o.terms.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Int.box(java.util.Arrays.hashCode(terms.asInstanceOf[Array[AnyRef]])))
+
+  override protected def withNewChildInternal(newChild: Expression): TermTfs =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  def term_tfs(c: Column, terms: Seq[String]): Column =
+    Bridge.column(TermTfs(Bridge.expression(c), terms.toArray))
   def punct_count(c: Column): Column = Bridge.column(PunctCount(Bridge.expression(c)))
   def normalize_text(c: Column): Column = Bridge.column(NormalizeText(Bridge.expression(c)))
   def greedy_pieces(c: Column, vocab: GreedyVocab): Column =

@@ -146,6 +146,32 @@ class RetrievalSpec extends SparkSpec {
     assert(planned == terms.map(Retrieval.termBucket(_, Retrieval.IndexBuckets)))
   }
 
+  test("term_tfs kernel == declarative per-term filter counts (nulls, unicode, duplicates)") {
+    val terms = Seq("spark", "dup", "ünï ✓")
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("spark", "dup", "spark", "x"),
+      Seq("ünï ✓", null, "spark", "ünï ✓", "dup"),
+      Seq(null, null),
+      Seq.empty[String],
+      Seq("sparkx", "Spark", "DUP"))
+    val df = rows.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+      .toDF("id", "toks")
+    val kernel = df.select($"id", graft.functions.TextExpressions
+        .term_tfs($"toks", terms).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val declarative = df.select($"id",
+        array((terms.map(t =>
+          size(filter($"toks", x => x === lit(t))).cast("long")) :+
+          size($"toks").cast("long")): _*).as("d"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(kernel == declarative)
+    // null array -> null out
+    val nullRow = Seq((9L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+      .select(graft.functions.TextExpressions.term_tfs($"toks", terms))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("percolation: a streamed document scores bit-identically to the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = Tables.documents(spark, sf0001)
