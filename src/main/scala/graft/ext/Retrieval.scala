@@ -256,6 +256,34 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Exact PHRASE retrieval over positional postings: documents where
+    * `phrase` occurs as consecutive tokens, with the occurrence count.
+    * Positional posting rows (doc_id, term, pos) are built with the
+    * phrase-vocabulary filter applied map-side (same pushdown shape as
+    * BM25 scoring); an occurrence is an anchor position p of the first
+    * word such that word j sits at p+j for every j — checked as j−1
+    * keyed self-joins on (doc_id, pos), the standard positional
+    * intersection (shuffle keys are doc-position pairs, never document
+    * text; a phrase of length m costs m−1 equi-joins each bounded by
+    * the rarest word's posting list).
+    */
+  def phraseMatches(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase: _*))
+    val anchors = tok.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchors) {
+      case (acc, (w, j)) =>
+        acc.join(
+          tok.where(col("term") === w)
+            .select(col("doc_id"), (col("pos") - j).as("p0")),
+          Seq("doc_id", "p0"), "left_semi")
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Compact a segmented index: merge every segment into one. Postings
     * and dlen rows concatenate unchanged (documents are disjoint across
     * segments); per-term df rows re-sum; metas add. The result serves

@@ -91,11 +91,21 @@ object RetrievalQueries extends QueryPack {
       Retrieval.bm25Scores(docs, qterms)
         .where(col("doc_id") =!= MltDocId)
         .orderBy(col("score").desc, col("doc_id")).limit(TopK)
-    }))
+    }),
+
+    // Exact PHRASE retrieval over positional postings: consecutive-token
+    // occurrence counts via keyed positional intersection (m−1 equi-joins
+    // on (doc, pos), phrase-vocabulary filter pushed to the token
+    // stream) — the third retrieval mode beside ranked and boolean.
+    "text_phrase_match" -> ((s, d) =>
+      Retrieval.phraseMatches(documents(s, d), Phrase).orderBy("doc_id")))
 
   /** More-like-this query document and its query-vocabulary width. */
   val MltDocId = 1L
   val MltTerms = 3
+
+  /** Exact-phrase query for the positional-retrieval entry. */
+  val Phrase = Seq("spark", "vector")
 
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -147,6 +157,17 @@ object RetrievalQueries extends QueryPack {
     "text_bm25_from_index" -> duckBm25TopK,
     "text_bm25_segmented" -> duckBm25TopK,
     "text_more_like_this" -> duckMoreLikeThis,
+    "text_phrase_match" -> {
+      val conds = Phrase.zipWithIndex
+        .map { case (w, j) => s"toks[i + $j] = '$w'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(list_filter(generate_series(1, len(toks) - ${Phrase.length - 1}),
+         |      i -> $conds)) AS n_occurrences
+         |  FROM t)
+         |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+         |FROM m WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin
+    },
     "text_bm25_conjunctive" ->
       s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |hit AS (SELECT doc_id, term, count(*) AS tf FROM tok

@@ -146,6 +146,22 @@ class RetrievalSpec extends SparkSpec {
     assert(planned == terms.map(Retrieval.termBucket(_, Retrieval.IndexBuckets)))
   }
 
+  test("phrase matching: overlapping, repeated-word, and multi-word phrases") {
+    val docs = docsDf(
+      (1L, "a b a b a"),   // (a,b) at 1,3; (a,b,a) at 1,3
+      (2L, "a a a"),       // (a,a) overlapping at 1,2
+      (3L, "b a b"),       // (a,b) at 2
+      (4L, "c c c"))       // nothing
+    def m(phrase: Seq[String]) =
+      Retrieval.phraseMatches(docs, phrase)
+        .as[(Long, Long)].collect().toMap
+    assert(m(Seq("a", "b")) == Map(1L -> 2L, 3L -> 1L))
+    assert(m(Seq("a", "a")) == Map(2L -> 2L))
+    assert(m(Seq("a", "b", "a")) == Map(1L -> 2L))
+    assert(m(Seq("a", "b", "a", "b", "a")) == Map(1L -> 1L))
+    assert(m(Seq("z")).isEmpty)
+  }
+
   test("term_tfs kernel == declarative per-term filter counts (nulls, unicode, duplicates)") {
     val terms = Seq("spark", "dup", "ünï ✓")
     val rows: Seq[Seq[String]] = Seq(
