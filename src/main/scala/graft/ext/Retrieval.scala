@@ -195,12 +195,21 @@ object Retrieval {
   def writeIndexSegment(docs: DataFrame, path: String, name: String,
       buckets: Int = IndexBuckets): Unit = {
     val seg = s"$path/segments/$name"
-    val withBucket = postings(docs, None)
+    // POSITIONAL postings: token positions ride per (term, doc) row so
+    // the same segment serves phrase queries (positions intersect) —
+    // scoring reads never pay for them (parquet column pruning drops
+    // the positions column from BM25 scans). tf = positions length.
+    val posed = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    val withBucket = posed
       .join(docLengths(docs), Seq("doc_id"))
       .withColumn("bucket",
         pmod(graft.ext.TextOps.hash32(col("term")), lit(buckets.toLong)))
     Layout.writePartitioned(
-      withBucket.select("bucket", "term", "doc_id", "tf", "dlen"),
+      withBucket.select("bucket", "term", "doc_id", "tf", "dlen", "positions"),
       s"$seg/postings", Seq("bucket"), sortCols = Seq("term", "doc_id"))
     // df = posting rows per term (one row per (doc, term)); bucket is a
     // function of term, so grouping by both is the per-term count.
@@ -269,9 +278,41 @@ object Retrieval {
     */
   def phraseMatches(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val tok = docs.select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
-      .where(col("term").isin(phrase: _*))
+    phraseFold(
+      docs.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+        .where(col("term").isin(phrase: _*)),
+      phrase)
+  }
+
+  /** Phrase retrieval served from a SEGMENTED index's positional
+    * postings: reads only the phrase words' bucket directories, explodes
+    * the stored position lists, and runs the same positional
+    * intersection as [[phraseMatches]] — spec-proved equal to the
+    * in-plan spelling on the same corpus. Documents never re-tokenize
+    * at query time; the arriving rows are already (term, doc) grouped.
+    */
+  def phraseMatchesFromIndex(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val segs = listSegments(path)
+    val buckets = spark.read.parquet(s"$path/segments/${segs.head}/meta")
+      .head().getAs[Int]("buckets")
+    val bs = phrase.map(termBucket(_, buckets)).distinct
+    val tok = segs.map { s =>
+      spark.read.parquet(s"$path/segments/$s/postings")
+        .where(col("bucket").isin(bs: _*) && col("term").isin(phrase: _*))
+        .select(col("doc_id"), col("term"),
+          explode(col("positions")).as("pos"))
+    }.reduce(_ unionByName _)
+    phraseFold(tok, phrase)
+  }
+
+  /** Positional intersection over (doc_id, term, pos) rows: anchors at
+    * the first word's positions, one left-semi equi-join per further
+    * word at offset j.
+    */
+  private def phraseFold(tok: DataFrame, phrase: Seq[String]): DataFrame = {
     val anchors = tok.where(col("term") === phrase.head)
       .select(col("doc_id"), col("pos").as("p0"))
     val matched = phrase.zipWithIndex.drop(1).foldLeft(anchors) {

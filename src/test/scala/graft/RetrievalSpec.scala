@@ -162,6 +162,27 @@ class RetrievalSpec extends SparkSpec {
     assert(m(Seq("z")).isEmpty)
   }
 
+  test("phrase retrieval from the positional index == in-plan, across segments") {
+    val docs = Tables.documents(spark, sf0001)
+    val path = Files.createTempDirectory("graft_phrase_idx").toString + "/index"
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
+    val phrase = Seq("spark", "vector")
+    val inPlan = Retrieval.phraseMatches(docs, phrase)
+      .as[(Long, Long)].collect().toMap
+    val served = Retrieval.phraseMatchesFromIndex(spark, path, phrase)
+      .as[(Long, Long)].collect().toMap
+    assert(inPlan.nonEmpty, "fixture should contain the phrase")
+    assert(served == inPlan)
+    // the BM25 scoring path over the SAME positional segments is
+    // untouched by the positions column (pruned from its scan)
+    val scores = Retrieval.bm25TopKSegmented(spark, path, phrase, 5)
+    assert(scores.count() == 5)
+    val scan = scores.queryExecution.executedPlan.toString
+    assert(!scan.contains("positions"),
+      "scoring scan must prune the positions column")
+  }
+
   test("term_tfs kernel == declarative per-term filter counts (nulls, unicode, duplicates)") {
     val terms = Seq("spark", "dup", "ünï ✓")
     val rows: Seq[Seq[String]] = Seq(
