@@ -308,6 +308,33 @@ object Retrieval {
     phraseFold(tok, phrase)
   }
 
+  /** PER-ROW phrase occurrence count — the streaming/percolation
+    * spelling of [[phraseMatches]]: the document's own token array is
+    * zipped against itself at offsets 1..m−1 (`arrays_zip(slice, slice)`
+    * — fully codegen, the lm_bigram lesson: never an interpreted
+    * per-element lambda on a token stream) and consecutive windows
+    * equal to the phrase are counted. A pure projection, so a standing
+    * phrase query runs on an unbounded stream with no state — and
+    * spec-proved to agree with the distributed positional-intersection
+    * spelling row for row.
+    */
+  def phraseCount(textCol: org.apache.spark.sql.Column,
+      phrase: Seq[String]): org.apache.spark.sql.Column = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = TextOps.tokens(textCol)
+    val m = phrase.length
+    if (m == 1) size(filter(toks, x => x === lit(phrase.head)))
+    else {
+      val n1 = size(toks) - (m - 1)
+      val zipped = arrays_zip(
+        (0 until m).map(j => slice(toks, lit(j + 1), n1)): _*)
+      val hit = filter(zipped, w =>
+        (0 until m).map(j => w.getField(j.toString) === lit(phrase(j)))
+          .reduce(_ && _))
+      when(size(toks) >= m, size(hit)).otherwise(lit(0))
+    }
+  }
+
   /** Positional intersection over (doc_id, term, pos) rows: anchors at
     * the first word's positions, one left-semi equi-join per further
     * word at offset j.

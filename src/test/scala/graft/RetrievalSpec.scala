@@ -183,6 +183,50 @@ class RetrievalSpec extends SparkSpec {
       "scoring scan must prune the positions column")
   }
 
+  test("streaming standing phrase query: per-row phraseCount == positional intersection") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf0001)
+    val phrase = Seq("spark", "vector")
+    val batch = Retrieval.phraseMatches(docs, phrase)
+      .as[(Long, Long)].collect().toMap
+
+    // per-row spelling agrees on the whole corpus (incl. docs shorter
+    // than the phrase and zero-match docs)
+    val perRow = docs.select($"doc_id",
+        Retrieval.phraseCount($"text", phrase).cast("long").as("n"))
+      .where($"n" > 0).as[(Long, Long)].collect().toMap
+    assert(perRow == batch)
+    // repeated-word + overlap edge cases per row
+    val edge = docsDf((1L, "a b a b a"), (2L, "a a a"), (3L, "b"), (4L, "a"))
+    val e = edge.select($"doc_id",
+        Retrieval.phraseCount($"text", Seq("a", "b", "a")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(e == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val single = edge.select($"doc_id",
+        Retrieval.phraseCount($"text", Seq("a")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 3L, 2L -> 3L, 3L -> 0L, 4L -> 1L))
+
+    // and it streams: stateless projection over a MemoryStream
+    val sample = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(40)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id",
+        Retrieval.phraseCount($"text", phrase).cast("long").as("n"))
+      .where($"n" > 0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("phrase_stream").start()
+    try {
+      input.addData(sample.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("phrase_stream")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == sample.map(_._1).filter(batch.contains)
+      .map(id => id -> batch(id)).toMap)
+  }
+
   test("term_tfs kernel == declarative per-term filter counts (nulls, unicode, duplicates)") {
     val terms = Seq("spark", "dup", "ünï ✓")
     val rows: Seq[Seq[String]] = Seq(
