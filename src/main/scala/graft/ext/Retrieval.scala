@@ -83,15 +83,18 @@ object Retrieval {
 
   /** BM25 scores of every document matching ≥1 query term:
     * (doc_id, n_matched, score) with score = Σ_t idf·tf-saturation,
-    * micro-unit exact. No joins beyond the doc-keyed dlen attach; df is a
-    * whole-partition window count over the matched postings (term is the
-    * partition key — at most |query| groups, each df rows).
+    * micro-unit exact. df is a groupBy aggregate broadcast back onto
+    * the postings — NOT a `Window.partitionBy(term)` count: a window
+    * materializes each term's whole posting list on ONE task, so a
+    * stop-word query term would concentrate corpus-sized rows there,
+    * while the aggregate partial-combines map-side and its result is a
+    * |query|-row broadcast.
     */
   def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val p = postings(docs, Some(terms))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
     bm25FromPostings(
-      p.withColumn("df", count(lit(1)).over(byTerm))
+      p.join(broadcast(dfs), Seq("term"))
         .join(docLengths(docs), Seq("doc_id"))
         .crossJoin(broadcast(corpusStats(docs))))
   }
@@ -125,9 +128,15 @@ object Retrieval {
     */
   def writeInvertedIndex(docs: DataFrame, path: String,
       buckets: Int = IndexBuckets): Unit = {
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-    val rows = postings(docs, None)
-      .withColumn("df", count(lit(1)).over(byTerm))
+    val p = postings(docs, None)
+    // df via groupBy + keyed join-back, not a per-term window: the
+    // window form puts each term's whole posting list on one task — a
+    // corpus-scale stop word becomes a single-task straggler. The
+    // aggregate partial-combines map-side; the vocabulary-sized df
+    // table joins back on term (AQE skew-splittable for hot terms).
+    val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val rows = p
+      .join(dfs, Seq("term"))
       .join(docLengths(docs), Seq("doc_id"))
       .withColumn("bucket",
         pmod(graft.ext.TextOps.hash32(col("term")), lit(buckets.toLong)))
