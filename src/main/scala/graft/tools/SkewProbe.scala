@@ -119,7 +119,22 @@ object SkewProbe {
   private val probeQueries = Seq(
     "zipf_token_freq", "ngram_top_bigrams", "lm_bigram_score",
     "dup_span_ratio", "dup_span_strip", "text_tfidf_top_terms", "text_rarity",
-    "boilerplate_ngrams", "quantile_bucket_tokens")
+    "boilerplate_ngrams", "quantile_bucket_tokens", "text_bm25_hot")
+
+  /** text_bm25_hot is a probe-only spelling: BM25 where the QUERY
+    * CONTAINS the hot token (50% of the whole token stream) — the
+    * stop-word-in-the-query worst case. Claims under test: the (doc,
+    * term) tf aggregation partial-combines map-side (doc keys are
+    * distinct even for the hot term), and df is a groupBy aggregate,
+    * not a per-term window that would put the hot term's whole posting
+    * list on one task.
+    */
+  private def probeQuery(spark: SparkSession, q: String,
+      dir: String): org.apache.spark.sql.DataFrame =
+    if (q == "text_bm25_hot")
+      graft.ext.Retrieval.bm25TopK(Tables.documents(spark, dir),
+        Seq(HotToken, "spark", "dup"), 10)
+    else graft.SparkEntry.queries(q)(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
@@ -143,7 +158,7 @@ object SkewProbe {
 
     val selected = if (only.isEmpty) probeQueries else probeQueries.filter(only)
     for (q <- selected) // JIT/codegen warm-up off the small fixture
-      try graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      try probeQuery(spark, q, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
 
     println(f"${"query"}%-24s ${"sec"}%7s ${"maxTask"}%8s ${"skew"}%6s ${"maxShufMB"}%10s")
@@ -153,7 +168,7 @@ object SkewProbe {
       // toRdd.count(), not df.count(): count() lets Catalyst prune payload
       // columns (the ScaleProbe lesson) — skew in the pruned-away work
       // (e.g. dup_span_strip's reassembly agg) would go unmeasured.
-      graft.SparkEntry.queries(q)(spark, out).queryExecution.toRdd.count()
+      probeQuery(spark, q, out).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // let the listener bus drain (public API only)
       val (maxMs, skew, maxShufMb) = listener.worst()
