@@ -522,7 +522,14 @@ object Multimodal {
               var hash = 0L
               var b = 0
               while (b < 64) {
-                if (sums(b) * totalCnt > totalSum * counts(b)) hash |= (1L << b)
+                // cross-multiplied mean compare in BigInt: the Long
+                // spelling sums(b)*totalCnt overflows near 1e8 px
+                // (sums(b) ≤ 765·P/64, totalCnt = P → product ~ 12·P²),
+                // silently flipping bits on large bright images. 128
+                // exact big-int products per image is noise next to the
+                // decode; bit-stability is preserved.
+                if (BigInt(sums(b)) * totalCnt > BigInt(totalSum) * counts(b))
+                  hash |= (1L << b)
                 b += 1
               }
               ImageHash(id, w, h, hash, ok = true)

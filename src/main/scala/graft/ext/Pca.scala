@@ -56,10 +56,8 @@ object Pca {
     */
   case class Component(mu: Array[Double], v: Array[Double], lambda: Double)
 
-  private def ltrDot(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-  }
+  private def ltrDot(a: Array[Double], b: Array[Double]): Double =
+    Exact.ltrDot(a, b)
 
   /** Per-dimension sums of a micro-unit array column, plus the row
     * count (free from the same aggregation): posexplode →

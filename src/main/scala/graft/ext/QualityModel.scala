@@ -165,8 +165,7 @@ object QualityModel {
       .withColumn("keep", col("score") >= 0.5)
 
   /** Round-half-up to 6 places, matching Spark's `round` and DuckDB. */
-  def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  def r6(x: Double): Double = Exact.r6(x)
 
   /** Mean log-loss of model `m` over the corpus (diagnostic — the
     * quantity gradient descent minimizes; σ̃ never saturates to 0/1 so

@@ -59,14 +59,6 @@ object Retrieval {
     docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("dlen"))
 
-  /** One broadcastable row: (n_docs, avgdl). avgdl is one division of two
-    * exact integers — identical in any engine.
-    */
-  def corpusStats(docs: DataFrame): DataFrame =
-    docLengths(docs).agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
-
   /** Per-(doc, term) BM25 contribution in integer micro-units, given
     * `tf`, `df`, `dlen` columns and broadcast `n_docs`/`avgdl`.
     * Micro-unit rounding here (not after the per-doc sum) makes the sum
@@ -93,10 +85,19 @@ object Retrieval {
   def bm25Scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val p = postings(docs, Some(terms))
     val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
+    // ONE tokenCount pass serves BOTH the per-doc length join and the
+    // corpus stats: dlens is a doc-count-sized (id, long) frame — inside
+    // the §8 localCheckpoint allowance — so the text column is scanned
+    // twice per query (tokenize+filter for postings, tokenCount here),
+    // not three times as separate docLengths/corpusStats subplans would.
+    val dlens = docLengths(docs).localCheckpoint(false)
+    val stats = dlens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
     bm25FromPostings(
       p.join(broadcast(dfs), Seq("term"))
-        .join(docLengths(docs), Seq("doc_id"))
-        .crossJoin(broadcast(corpusStats(docs))))
+        .join(dlens, Seq("doc_id"))
+        .crossJoin(broadcast(stats)))
   }
 
   /** Final per-doc reduction over denormalized posting rows carrying
@@ -135,15 +136,23 @@ object Retrieval {
     // aggregate partial-combines map-side; the vocabulary-sized df
     // table joins back on term (AQE skew-splittable for hot terms).
     val dfs = p.groupBy("term").agg(count(lit(1)).as("df"))
+    // One tokenCount pass feeds both the dlen join and the meta stats
+    // (doc-count-sized checkpoint, §8 rule); p's aggregate exchange is
+    // referenced twice (rows + dfs) and reuses, so the postings write is
+    // ONE tokenize pass, and meta costs no corpus scan at all.
+    val dlens = docLengths(docs).localCheckpoint(false)
     val rows = p
       .join(dfs, Seq("term"))
-      .join(docLengths(docs), Seq("doc_id"))
+      .join(dlens, Seq("doc_id"))
       .withColumn("bucket",
         pmod(graft.ext.TextOps.hash32(col("term")), lit(buckets.toLong)))
       .select("bucket", "term", "doc_id", "tf", "df", "dlen")
     Layout.writePartitioned(rows, s"$path/postings", Seq("bucket"),
       sortCols = Seq("term", "doc_id"))
-    corpusStats(docs).withColumn("buckets", lit(buckets))
+    dlens.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -178,7 +187,11 @@ object Retrieval {
     postings(docs, Some(terms))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
-      .where(col("n_terms") === terms.length)
+      // n_terms counts DISTINCT matched terms (postings aggregate per
+      // (doc, term)), so the AND width is the distinct query vocabulary —
+      // comparing against terms.length would make any query with a
+      // repeated word unsatisfiable.
+      .where(col("n_terms") === terms.distinct.length)
       .select("doc_id", "total_tf")
 
   // ---------------------------------------------------------------------
@@ -203,7 +216,11 @@ object Retrieval {
     */
   def writeIndexSegment(docs: DataFrame, path: String, name: String,
       buckets: Int = IndexBuckets): Unit = {
+    val spark = docs.sparkSession
     val seg = s"$path/segments/$name"
+    // One tokenCount pass shared by the dlen join and the meta write
+    // (doc-count-sized checkpoint, §8 rule).
+    val dlens = docLengths(docs).localCheckpoint(false)
     // POSITIONAL postings: token positions ride per (term, doc) row so
     // the same segment serves phrase queries (positions intersect) —
     // scoring reads never pay for them (parquet column pruning drops
@@ -214,29 +231,123 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
     val withBucket = posed
-      .join(docLengths(docs), Seq("doc_id"))
+      .join(dlens, Seq("doc_id"))
       .withColumn("bucket",
         pmod(graft.ext.TextOps.hash32(col("term")), lit(buckets.toLong)))
     Layout.writePartitioned(
       withBucket.select("bucket", "term", "doc_id", "tf", "dlen", "positions"),
       s"$seg/postings", Seq("bucket"), sortCols = Seq("term", "doc_id"))
     // df = posting rows per term (one row per (doc, term)); bucket is a
-    // function of term, so grouping by both is the per-term count.
+    // function of term, so grouping by both is the per-term count. It
+    // derives from the postings JUST WRITTEN (a 2-column pruned parquet
+    // read), not from `withBucket`: each write is its own action, and a
+    // second action over withBucket would re-run the whole
+    // tokenize+explode+aggregate on the corpus.
     Layout.writePartitioned(
-      withBucket.groupBy("bucket", "term").agg(count(lit(1)).as("df")),
+      spark.read.parquet(s"$seg/postings")
+        .groupBy("bucket", "term").agg(count(lit(1)).as("df")),
       s"$seg/df", Seq("bucket"), sortCols = Seq("term"))
-    docLengths(docs)
+    dlens
       .agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("sum_dlen"))
       .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$seg/meta")
+    // COMMIT POINT: the segment becomes live only when the manifest
+    // names it — a crash anywhere above leaves the previous manifest
+    // (and thus the served index) untouched.
+    commitSegment(path, name)
   }
 
-  private def listSegments(path: String): Seq[String] = {
+  // -------------------------------------------------------------------
+  // Segment manifest — the index's COMMIT POINT (the Lucene segments_N
+  // model). The LIVE segment set is what the manifest file says, never
+  // what the directory happens to contain: every mutation (ingest,
+  // compaction) prepares its data under segments/ first and then
+  // atomically replaces the manifest, so a crash at ANY point leaves the
+  // previously-committed view serving — at worst with orphan
+  // directories that [[vacuumSegments]] garbage-collects. Indexes
+  // written before the manifest existed fall back to a directory
+  // listing and adopt a manifest on their next mutation.
+  // -------------------------------------------------------------------
+
+  private def manifestFile(path: String): java.io.File =
+    new java.io.File(s"$path/segments.manifest")
+
+  private def readManifest(path: String): Option[Seq[String]] = {
+    val f = manifestFile(path)
+    if (!f.exists()) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  private def writeManifest(path: String, segs: Seq[String]): Unit = {
+    val tmp = new java.io.File(s"$path/segments.manifest.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      segs.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Add a fully-written segment to the live set (one atomic manifest
+    * replace). A pre-manifest index adopts its current directory listing
+    * as the baseline live set.
+    */
+  private def commitSegment(path: String, name: String): Unit = {
+    val cur = readManifest(path).getOrElse(listSegmentDirs(path))
+    writeManifest(path, (cur :+ name).distinct)
+  }
+
+  /** What physically exists on disk — NOT authority on liveness. */
+  private def listSegmentDirs(path: String): Seq[String] = {
     val dir = new java.io.File(s"$path/segments")
-    val segs = Option(dir.listFiles()).getOrElse(Array.empty)
+    Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
+  /** Delete segment directories the manifest does not reference — the
+    * garbage a crash between data-write and manifest-commit (or between
+    * commit and cleanup) leaves behind. No-op on a pre-manifest index:
+    * without a manifest there is no authority to call a directory dead.
+    */
+  def vacuumSegments(path: String): Unit =
+    readManifest(path).foreach { live =>
+      val liveSet = live.toSet
+      listSegmentDirs(path).filterNot(liveSet).foreach(s =>
+        rmTree(new java.io.File(s"$path/segments/$s")))
+    }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  /** The LIVE segments: the manifest's list (each entry required to
+    * exist), or the directory listing for pre-manifest indexes.
+    */
+  private def listSegments(path: String): Seq[String] = {
+    val segs = readManifest(path).getOrElse(listSegmentDirs(path))
     require(segs.nonEmpty, s"no index segments under $path/segments")
-    segs
+    segs.foreach(s => require(
+      new java.io.File(s"$path/segments/$s").isDirectory,
+      s"manifest lists segment '$s' but $path/segments/$s is missing"))
+    segs.sorted
+  }
+
+  /** Per-segment meta rows plus the agreed bucket count; FAILS LOUDLY if
+    * segments were built with different bucket counts — a mixed index
+    * would prune mod the wrong base and silently drop postings.
+    */
+  private def segMetas(spark: SparkSession, path: String,
+      segs: Seq[String]): (Int, Seq[org.apache.spark.sql.Row]) = {
+    val metas = segs.map(s =>
+      spark.read.parquet(s"$path/segments/$s/meta").head())
+    val bs = metas.map(_.getAs[Int]("buckets")).distinct
+    require(bs.size == 1,
+      s"segments disagree on bucket count under $path: $bs")
+    (bs.head, metas)
   }
 
   /** Serve BM25 top-k across every segment of a segmented index. Per
@@ -250,11 +361,7 @@ object Retrieval {
       terms: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.Row
     val segs = listSegments(path)
-    val metas = segs.map(s =>
-      spark.read.parquet(s"$path/segments/$s/meta").head())
-    val buckets = metas.head.getAs[Int]("buckets")
-    require(metas.forall(_.getAs[Int]("buckets") == buckets),
-      s"segments disagree on bucket count under $path")
+    val (buckets, metas) = segMetas(spark, path, segs)
     val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
     val avgdl = metas.map(_.getAs[Long]("sum_dlen")).sum.toDouble / nDocs
     val bs = terms.map(termBucket(_, buckets)).distinct
@@ -305,8 +412,10 @@ object Retrieval {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val segs = listSegments(path)
-    val buckets = spark.read.parquet(s"$path/segments/${segs.head}/meta")
-      .head().getAs[Int]("buckets")
+    // bucket count must agree ACROSS segments (segMetas fails loudly) —
+    // pruning a segment mod the wrong base would silently drop its
+    // phrase occurrences.
+    val (buckets, _) = segMetas(spark, path, segs)
     val bs = phrase.map(termBucket(_, buckets)).distinct
     val tok = segs.map { s =>
       spark.read.parquet(s"$path/segments/$s/postings")
@@ -367,38 +476,42 @@ object Retrieval {
     * bit-identically to the multi-segment index (same recombination
     * arithmetic, now with one term, one row in df) — compaction is the
     * read-amplification knob: s segments cost s pruned scans per query,
-    * one segment costs one. Writes to a staging name then swaps, so a
-    * crash never leaves a half-compacted index.
+    * one segment costs one.
+    *
+    * Crash safety is the manifest commit point: the compacted data is
+    * fully written to an UNREFERENCED directory first, then ONE atomic
+    * manifest replace swaps the live set from the old segments to the
+    * compacted one. A crash before the swap leaves the old index
+    * serving (staged dir = unreferenced garbage); a crash after leaves
+    * the compacted index serving (old dirs = garbage); no interleaving
+    * ever serves a partial view — unlike a delete-then-rename swap,
+    * whose mid-delete crash silently serves a subset of the corpus.
     */
   def compactSegments(spark: SparkSession, path: String,
       compactedName: String = "compacted"): Unit = {
     val segs = listSegments(path)
     require(!segs.contains(compactedName),
       s"segment name '$compactedName' already exists under $path")
-    val bucketCounts = segs.map(s =>
-      spark.read.parquet(s"$path/segments/$s/meta").head().getAs[Int]("buckets"))
-    require(bucketCounts.distinct.size == 1,
-      s"segments disagree on bucket count under $path: $bucketCounts")
+    // A pre-manifest index adopts its directory listing NOW, so the
+    // staged directory below is invisible to serving even if we crash.
+    if (readManifest(path).isEmpty) writeManifest(path, segs)
+    val (buckets, _) = segMetas(spark, path, segs)
     def union(sub: String) = segs.map(s =>
       spark.read.parquet(s"$path/segments/$s/$sub")).reduce(_ unionByName _)
-    val staging = s"$path/_compacting/$compactedName"
-    Layout.writePartitioned(union("postings"), s"$staging/postings",
+    val staged = s"$path/segments/$compactedName"
+    Layout.writePartitioned(union("postings"), s"$staged/postings",
       Seq("bucket"), sortCols = Seq("term", "doc_id"))
     Layout.writePartitioned(
       union("df").groupBy("bucket", "term").agg(sum(col("df")).as("df")),
-      s"$staging/df", Seq("bucket"), sortCols = Seq("term"))
+      s"$staged/df", Seq("bucket"), sortCols = Seq("term"))
     union("meta")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dlen")).as("sum_dlen"),
-        max(col("buckets")).as("buckets"))
-      .write.mode("overwrite").parquet(s"$staging/meta")
-    // swap: drop the old segments, move the staged one in
-    val fs = new java.io.File(s"$path/segments")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    segs.foreach(s => rm(new java.io.File(fs, s)))
-    require(new java.io.File(staging).renameTo(new java.io.File(fs, compactedName)),
-      s"failed to move compacted segment into place under $path")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dlen")).as("sum_dlen"))
+      .withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(s"$staged/meta")
+    // COMMIT POINT
+    writeManifest(path, Seq(compactedName))
+    // pure cleanup — re-runnable, crash leaves only unreferenced dirs
+    vacuumSegments(path)
   }
 
   /** Frozen corpus statistics of a segmented index, restricted to a
@@ -409,9 +522,7 @@ object Retrieval {
       terms: Seq[String]): (Map[String, Long], Long, Double) = {
     import org.apache.spark.sql.Row
     val segs = listSegments(path)
-    val metas = segs.map(s =>
-      spark.read.parquet(s"$path/segments/$s/meta").head())
-    val buckets = metas.head.getAs[Int]("buckets")
+    val (buckets, metas) = segMetas(spark, path, segs)
     val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
     val avgdl = metas.map(_.getAs[Long]("sum_dlen")).sum.toDouble / nDocs
     val bs = terms.map(termBucket(_, buckets)).distinct
@@ -443,8 +554,13 @@ object Retrieval {
     * replaces re-tokenized per term reference (no CSE: the
     * greedy_piece_stats lesson, plan-proved in RetrievalSpec).
     */
-  def percolate(docs: DataFrame, terms: Seq[String],
+  def percolate(docs: DataFrame, rawTerms: Seq[String],
       dfMap: Map[String, Long], nDocs: Long, avgdl: Double): DataFrame = {
+    // Duplicate query terms collapse to one, matching the batch scorer's
+    // (doc, term) aggregation — without this a repeated term would score
+    // (and bump n_matched) once per repetition here but once total in
+    // bm25Scores, breaking the bit-identity contract.
+    val terms = rawTerms.distinct
     val k = terms.length
     val stats = graft.functions.TextExpressions.term_tfs(
       TextOps.tokens(col("text")), terms)

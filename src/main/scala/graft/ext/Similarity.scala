@@ -441,13 +441,8 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queryVec: Array[Double], nprobe: Int,
       topK: Int): DataFrame = {
-    def dotLtr(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotLtr(a: Array[Double], b: Array[Double]): Double = Exact.ltrDot(a, b)
+    def r6(x: Double): Double = Exact.r6(x)
     // ONE read of the constant side tables: id column and m come from the
     // meta table writeIvfPqIndexWith persisted (never inferred by
     // exclusion from the codes schema), and an empty/absent index fails

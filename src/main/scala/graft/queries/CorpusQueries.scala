@@ -361,11 +361,13 @@ object CorpusQueries extends QueryPack {
     // chunk hash is the only corpus-wide shuffle key.
     "cdc_dedup_ratio" -> ((s, d) => {
       val ch = Dedup.cdcChunks(documents(s, d), "doc_id", "text")
-      val byH = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("chunk_hash"))
+      // per-hash doc count via groupBy, NOT Window.partitionBy(chunk_hash):
+      // a boilerplate chunk shared by most of the corpus would land its
+      // whole (hash, doc) group on one window task, while the aggregate
+      // partial-combines map-side (the BM25-df lesson, commit 079bdab)
       val dupH = ch.select("chunk_hash", "doc_id").distinct()
-        .withColumn("ndoc", count(lit(1)).over(byH))
-        .where(col("ndoc") > 1).select("chunk_hash").distinct()
+        .groupBy("chunk_hash").agg(count(lit(1)).as("ndoc"))
+        .where(col("ndoc") > 1).select("chunk_hash")
         .withColumn("_dup", lit(1L))
       ch.join(dupH, Seq("chunk_hash"), "left")
         .groupBy("doc_id")

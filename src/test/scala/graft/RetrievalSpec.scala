@@ -327,4 +327,87 @@ class RetrievalSpec extends SparkSpec {
     // sanity: the corpus actually chunks (not one chunk per doc)
     assert(orig.size > 1)
   }
+
+  test("compaction crash-safety: uncommitted staged data is invisible and vacuumable") {
+    val docs = Tables.documents(spark, sf0001)
+    val terms = Seq("spark", "vector", "dup")
+    val path = Files.createTempDirectory("graft_bm25_crash").toString + "/index"
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
+    Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
+    val before = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // Simulate a compaction (or ingest) that CRASHED after fully writing
+    // its segment data but BEFORE the manifest commit: a complete
+    // segment directory appears under segments/ that the manifest does
+    // not reference. The live view must be unchanged — a
+    // directory-listing authority would double-count every document.
+    val other = Files.createTempDirectory("graft_bm25_crash2").toString + "/index"
+    Retrieval.writeIndexSegment(docs, other, "halfdone")
+    assert(new java.io.File(s"$other/segments/halfdone")
+      .renameTo(new java.io.File(s"$path/segments/halfdone")))
+    val withOrphan = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(withOrphan == before, "orphan segment leaked into serving")
+
+    // vacuum garbage-collects exactly the unreferenced directory
+    Retrieval.vacuumSegments(path)
+    assert(new java.io.File(s"$path/segments").listFiles()
+      .map(_.getName).sorted.toSeq == Seq("s0", "s1"))
+
+    // and a real compaction over the recovered index serves identically
+    Retrieval.compactSegments(spark, path)
+    val after = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("mixed bucket counts fail loudly on every segmented read path") {
+    val docs = docsDf((1L, "alpha beta"), (2L, "beta gamma"))
+    val path = Files.createTempDirectory("graft_bm25_mix").toString + "/index"
+    Retrieval.writeIndexSegment(docs.where($"doc_id" === 1), path, "s0",
+      buckets = 64)
+    Retrieval.writeIndexSegment(docs.where($"doc_id" === 2), path, "s1",
+      buckets = 32)
+    // pruning mod the wrong base would silently drop s1's postings —
+    // the engine refuses instead, on every path that prunes by bucket
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKSegmented(spark, path, Seq("beta"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatchesFromIndex(spark, path, Seq("beta"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.frozenStats(spark, path, Seq("beta"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.compactSegments(spark, path)
+    }
+  }
+
+  test("duplicate query terms collapse identically across batch, percolate, conjunctive") {
+    val docs = docsDf(
+      (1L, "cat cat runs"),
+      (2L, "cat dog"),
+      (3L, "bird"))
+    val dup = Seq("cat", "cat", "dog")
+    val base = Retrieval.bm25Scores(docs, dup).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val uniq = Retrieval.bm25Scores(docs, Seq("cat", "dog"))
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(base == uniq, "bm25Scores treats a repeated term differently")
+
+    // percolate under frozen stats equal to the corpus stats must stay
+    // bit-identical to the batch scorer even with the repeated term
+    // (N=3, avgdl=(3+2+1)/3=2, df: cat=2, dog=1)
+    val perc = Retrieval.percolate(docs, dup,
+        Map("cat" -> 2L, "dog" -> 1L), 3L, 2.0)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(perc == base, "percolate double-counts a repeated query term")
+
+    // AND semantics over the distinct vocabulary: doc 2 has both terms
+    assert(Retrieval.conjunctive(docs, dup)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 2L)))
+  }
 }
