@@ -257,6 +257,30 @@ object Retrieval {
     commitSegment(path, name)
   }
 
+  /** STREAMING ingest into the segmented index: each micro-batch becomes
+    * one immutable segment named by its BATCH ID, committed through the
+    * manifest. A foreachBatch retry of batch b therefore overwrites and
+    * re-commits the SAME segment name — effectively-once index ingest —
+    * and a crash between data-write and manifest-commit leaves the
+    * previously-committed view serving while the restarted batch
+    * rewrites the orphan in place. Serving (bm25TopKSegmented /
+    * phraseMatchesFromIndex / frozenStats) stays bit-equal to a batch
+    * rebuild over the union of every ingested row: the segment
+    * recombination proof carries over unchanged, so an index can be
+    * QUERIED mid-stream with exact statistics at every trigger.
+    * Compaction bounds the read amplification as segments accumulate.
+    */
+  def ingestStream(docs: DataFrame, path: String,
+      buckets: Int = IndexBuckets)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty triggers commit no segment: a zero-row postings dir
+        // would break the df read-back's schema inference and add a
+        // useless per-query segment scan
+        if (!batch.isEmpty) writeIndexSegment(batch, path, f"b$batchId%09d", buckets)
+      }
+
   // -------------------------------------------------------------------
   // Segment manifest — the index's COMMIT POINT (the Lucene segments_N
   // model). The LIVE segment set is what the manifest file says, never

@@ -98,11 +98,37 @@ object RetrievalQueries extends QueryPack {
     // on (doc, pos), phrase-vocabulary filter pushed to the token
     // stream) — the third retrieval mode beside ranked and boolean.
     "text_phrase_match" -> ((s, d) =>
-      Retrieval.phraseMatches(documents(s, d), Phrase).orderBy("doc_id")))
+      Retrieval.phraseMatches(documents(s, d), Phrase).orderBy("doc_id")),
+
+    // HYBRID retrieval: lexical (BM25 top-HybridCand) and vector (IVF
+    // cell-pruned cosine top-HybridCand; embeddings vec_id ≡ documents
+    // doc_id in the fixture) candidate lists fused by reciprocal rank —
+    // no score calibration across the two incomparable scales. Each
+    // branch keeps its own pruned corpus-scale plan; the fusion stage is
+    // candidate-sized (ext/Fusion), so the hybrid adds no data-sized
+    // work to either branch.
+    "hybrid_rrf_topk" -> ((s, d) => {
+      val text = Retrieval.bm25TopK(documents(s, d), QueryTerms, HybridCand)
+      val vec = graft.ext.Similarity.ivfTopK(embeddings(s, d), "vec_id",
+        "embedding", queryId = HybridQueryId, numCells = 16, nprobe = 4,
+        k = HybridCand)
+      graft.ext.Fusion.rrf(Seq(
+          graft.ext.Fusion.ranked(text, "doc_id",
+            Seq(col("score").desc, col("doc_id"))),
+          graft.ext.Fusion.ranked(vec, "vec_id",
+            Seq(col("cos_sim").desc, col("vec_id")))))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(TopK)
+    }))
 
   /** More-like-this query document and its query-vocabulary width. */
   val MltDocId = 1L
   val MltTerms = 3
+
+  /** Hybrid fusion: per-branch candidate width and the vector branch's
+    * query id (vec_id whose embedding is the query vector).
+    */
+  val HybridCand = 20
+  val HybridQueryId = 0L
 
   /** Exact-phrase query for the positional-retrieval entry. */
   val Phrase = Seq("spark", "vector")
@@ -152,7 +178,51 @@ object RetrievalQueries extends QueryPack {
        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
   }
 
+  /** Hybrid oracle: the shared BM25 chain plus a self-contained mirror
+    * of Similarity.ivfAssign/ivfTopK (CTEs prefixed `v` — the assign
+    * chain's own `scored` name would collide with the BM25 chain's),
+    * fused with the same micro-unit 1e6/(k0+rank) contributions.
+    */
+  private def duckHybridRrf: String =
+    s"""WITH ${duckBm25Chain()},
+       |tcand AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored ORDER BY score DESC, doc_id LIMIT $HybridCand),
+       |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings),
+       |vn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |       FROM ve),
+       |vcent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM vn
+       |          WHERE vec_id < 16),
+       |vsc AS (SELECT a.vec_id, a.v, a.nrm, c.cell_id,
+       |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
+       |          / (a.nrm * c.cnrm), 6) AS ccos
+       |  FROM vn a, vcent c),
+       |vassign AS (SELECT vec_id, v, nrm, cell_id AS cell FROM vsc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1),
+       |vq AS (SELECT v AS qv, nrm AS qnrm FROM vn WHERE vec_id = $HybridQueryId),
+       |vprobe AS (SELECT cell_id AS cell FROM vcent, vq
+       |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
+       |                 / (cnrm * qnrm), 6) DESC, cell_id LIMIT 4),
+       |vres AS (SELECT a.vec_id AS doc_id,
+       |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * qv[i]))
+       |          / (a.nrm * qnrm), 6) AS cos_sim
+       |  FROM vassign a JOIN vprobe USING (cell), vq),
+       |vcand AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+       |  FROM vres ORDER BY cos_sim DESC, doc_id LIMIT $HybridCand),
+       |u AS (
+       |  SELECT doc_id, CAST(round(1e6 / (${graft.ext.Fusion.K0} + rank), 0) AS BIGINT) AS cmu
+       |  FROM tcand
+       |  UNION ALL
+       |  SELECT doc_id, CAST(round(1e6 / (${graft.ext.Fusion.K0} + rank), 0) AS BIGINT)
+       |  FROM vcand)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_branches,
+       |  CAST(sum(cmu) AS DOUBLE) / 1e6 AS rrf
+       |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "hybrid_rrf_topk" -> duckHybridRrf,
     "text_bm25_topk" -> duckBm25TopK,
     "text_bm25_from_index" -> duckBm25TopK,
     "text_bm25_segmented" -> duckBm25TopK,

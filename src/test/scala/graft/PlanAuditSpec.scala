@@ -284,6 +284,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_hard_negatives",     // same broadcast-anchor shape
       "text_bm25_topk",         // 1-row corpus-stats (N, avgdl) attach
       "text_more_like_this",    // same 1-row corpus-stats attach
+      "hybrid_rrf_topk",        // both branches' labeled attaches: the
+                                // BM25 1-row corpus-stats and the IVF
+                                // centroid/query-vector constants
       "pipeline_curriculum")    // 1-row total-token-mass attach
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))

@@ -410,4 +410,84 @@ class RetrievalSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long)].collect().toSeq ==
       Seq((2L, 2L)))
   }
+
+  test("streaming index ingest: per-batch segments serve bit-equal to a batch rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val (firstHalf, secondHalf) = docs.splitAt(docs.length / 2)
+    val terms = Seq("spark", "vector", "dup")
+    val path = Files.createTempDirectory("graft_bm25_stream").toString + "/index"
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Retrieval.ingestStream(
+      input.toDF().toDF("doc_id", "text"), path).start()
+    try {
+      input.addData(firstHalf.toSeq); q.processAllAvailable()
+      // the index is QUERYABLE mid-stream, with exact stats over what
+      // has arrived so far
+      val mid = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
+      val midExpected = Retrieval.bm25TopK(
+          firstHalf.toSeq.toDF("doc_id", "text"), terms, 10)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(mid == midExpected)
+
+      input.addData(secondHalf.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // two batches became two committed segments
+    val segNames = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$path/segments.manifest"))
+    assert(segNames.size == 2, s"expected 2 segments, got $segNames")
+
+    val streamed = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val rebuilt = Retrieval.bm25TopK(
+        Tables.documents(spark, sf0001), terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(streamed == rebuilt)
+
+    // a foreachBatch RETRY re-writes the same segment name: serving is
+    // unchanged (effectively-once ingest through the manifest)
+    import scala.jdk.CollectionConverters._
+    Retrieval.writeIndexSegment(
+      secondHalf.toSeq.toDF("doc_id", "text"), path, segNames.asScala.last)
+    val afterRetry = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(afterRetry == rebuilt)
+  }
+
+  test("hybrid RRF fusion == driver recomputation over the two candidate lists") {
+    import graft.queries.RetrievalQueries._
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val text = Retrieval.bm25TopK(docs, QueryTerms, HybridCand)
+      .as[(Long, Long, Double)].collect().toSeq
+    val vec = graft.ext.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryId = HybridQueryId, numCells = 16, nprobe = 4, k = HybridCand)
+      .as[(Long, Double)].collect().toSeq
+
+    // independent RRF spelling: micro-unit 1e6/(60+rank) per branch, sum
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    def add(ids: Seq[Long]): Unit = ids.zipWithIndex.foreach { case (id, i) =>
+      val c = math.round(1e6 / (graft.ext.Fusion.K0 + i + 1.0))
+      val (n, s) = acc.getOrElse(id, (0L, 0L))
+      acc(id) = (n + 1, s + c)
+    }
+    add(text.sortBy(t => (-t._3, t._1)).map(_._1))
+    add(vec.sortBy(v => (-v._2, v._1)).map(_._1))
+    val expected = acc.toSeq
+      .map { case (id, (n, s)) => (id, n, s / 1e6) }
+      .sortBy { case (id, _, r) => (-r, id) }.take(10)
+
+    val got = graft.queries.RetrievalQueries
+      .queries("hybrid_rrf_topk")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    // both branches genuinely contribute: someone in the fused top-10
+    // was ranked by the text branch and someone by the vector branch
+    assert(got.exists(g => text.exists(_._1 == g._1)))
+    assert(got.exists(g => vec.exists(_._1 == g._1)))
+  }
 }
