@@ -215,7 +215,7 @@ object Retrieval {
     * `path/segments/<name>`.
     */
   def writeIndexSegment(docs: DataFrame, path: String, name: String,
-      buckets: Int = IndexBuckets): Unit = {
+      buckets: Int = IndexBuckets, watermark: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val seg = s"$path/segments/$name"
     // One tokenCount pass shared by the dlen join and the meta write
@@ -254,7 +254,7 @@ object Retrieval {
     // COMMIT POINT: the segment becomes live only when the manifest
     // names it — a crash anywhere above leaves the previous manifest
     // (and thus the served index) untouched.
-    commitSegment(path, name)
+    commitSegment(path, name, watermark)
   }
 
   /** STREAMING ingest into the segmented index: each micro-batch becomes
@@ -271,15 +271,47 @@ object Retrieval {
     * Compaction bounds the read amplification as segments accumulate.
     */
   def ingestStream(docs: DataFrame, path: String,
-      buckets: Int = IndexBuckets)
+      buckets: Int = IndexBuckets, maxSegments: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // empty triggers commit no segment: a zero-row postings dir
-        // would break the df read-back's schema inference and add a
-        // useless per-query segment scan
-        if (!batch.isEmpty) writeIndexSegment(batch, path, f"b$batchId%09d", buckets)
+        ingestBatch(batch, batchId, path, buckets, maxSegments)
       }
+
+  /** One streaming ingest step (the [[ingestStream]] foreachBatch body,
+    * exposed for direct testing and for callers with their own batch
+    * loop). Effectively-once across ALL crash windows:
+    *
+    *  - the manifest carries a BATCH WATERMARK (`#maxBatch=`) updated in
+    *    the same atomic replace that commits the segment, so a replayed
+    *    batch id ≤ watermark is a NO-OP — including after a compaction
+    *    has folded the batch's segment name away (name-existence alone
+    *    cannot detect that replay, and re-ingesting would double-count
+    *    every document of the batch);
+    *  - a crash between data-write and commit leaves the previous
+    *    manifest serving; the replayed batch rewrites the orphan.
+    *
+    * With `maxSegments` > 0, any commit that leaves more than that many
+    * live segments triggers a compaction (named after the triggering
+    * batch) — an LSM-style bound on read amplification: serving cost
+    * stays ≤ maxSegments+1 pruned scans no matter how many batches ever
+    * arrived. Single maintainer (the stream) assumed, and batch replays
+    * must carry the same rows (the Structured Streaming replayable-
+    * source contract).
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, path: String,
+      buckets: Int = IndexBuckets, maxSegments: Int = 0): Unit = {
+    if (readManifestData(path).flatMap(_.maxBatch).exists(batchId <= _))
+      return // replay of an already-committed batch
+    // empty triggers commit no segment: a zero-row postings dir would
+    // break the df read-back's schema inference and add a useless
+    // per-query segment scan
+    if (batch.isEmpty) return
+    writeIndexSegment(batch, path, f"b$batchId%09d", buckets,
+      watermark = Some(batchId))
+    if (maxSegments > 0 && readManifest(path).exists(_.size > maxSegments))
+      compactSegments(batch.sparkSession, path, f"c$batchId%09d")
+  }
 
   // -------------------------------------------------------------------
   // Segment manifest — the index's COMMIT POINT (the Lucene segments_N
@@ -296,19 +328,39 @@ object Retrieval {
   private def manifestFile(path: String): java.io.File =
     new java.io.File(s"$path/segments.manifest")
 
-  private def readManifest(path: String): Option[Seq[String]] = {
+  /** Manifest contents: live segment names plus the streaming-ingest
+    * batch watermark (`#maxBatch=` header line), both replaced in ONE
+    * atomic file move so segment liveness and replay detection can
+    * never disagree.
+    */
+  private case class Manifest(segs: Seq[String], maxBatch: Option[Long])
+
+  private def readManifestData(path: String): Option[Manifest] = {
     val f = manifestFile(path)
     if (!f.exists()) None
-    else Some(new String(
-      java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      Some(Manifest(
+        lines.filterNot(_.startsWith("#")),
+        lines.collectFirst {
+          case l if l.startsWith("#maxBatch=") =>
+            l.stripPrefix("#maxBatch=").toLong
+        }))
+    }
   }
 
-  private def writeManifest(path: String, segs: Seq[String]): Unit = {
+  private def readManifest(path: String): Option[Seq[String]] =
+    readManifestData(path).map(_.segs)
+
+  private def writeManifest(path: String, segs: Seq[String],
+      maxBatch: Option[Long] = None): Unit = {
     val tmp = new java.io.File(s"$path/segments.manifest.tmp")
+    val header = maxBatch.map(b => s"#maxBatch=$b\n").getOrElse("")
     java.nio.file.Files.write(tmp.toPath,
-      segs.sorted.mkString("", "\n", "\n")
+      (header + segs.sorted.mkString("", "\n", "\n"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -316,12 +368,17 @@ object Retrieval {
   }
 
   /** Add a fully-written segment to the live set (one atomic manifest
-    * replace). A pre-manifest index adopts its current directory listing
-    * as the baseline live set.
+    * replace), advancing the batch watermark when the segment came from
+    * a streaming batch. A pre-manifest index adopts its current
+    * directory listing as the baseline live set.
     */
-  private def commitSegment(path: String, name: String): Unit = {
-    val cur = readManifest(path).getOrElse(listSegmentDirs(path))
-    writeManifest(path, (cur :+ name).distinct)
+  private def commitSegment(path: String, name: String,
+      watermark: Option[Long]): Unit = {
+    val cur = readManifestData(path)
+      .getOrElse(Manifest(listSegmentDirs(path), None))
+    val wm = (cur.maxBatch.toSeq ++ watermark.toSeq)
+      .reduceOption(_ max _)
+    writeManifest(path, (cur.segs :+ name).distinct, wm)
   }
 
   /** What physically exists on disk — NOT authority on liveness. */
@@ -532,8 +589,10 @@ object Retrieval {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dlen")).as("sum_dlen"))
       .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$staged/meta")
-    // COMMIT POINT
-    writeManifest(path, Seq(compactedName))
+    // COMMIT POINT — the batch watermark survives compaction (it is the
+    // only remaining record that the folded segments' batches happened)
+    writeManifest(path, Seq(compactedName),
+      readManifestData(path).flatMap(_.maxBatch))
     // pure cleanup — re-runnable, crash leaves only unreferenced dirs
     vacuumSegments(path)
   }

@@ -436,9 +436,11 @@ class RetrievalSpec extends SparkSpec {
       input.addData(secondHalf.toSeq); q.processAllAvailable()
     } finally q.stop()
 
-    // two batches became two committed segments
+    // two batches became two committed segments (past the `#maxBatch=`
+    // replay-watermark header)
     val segNames = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$path/segments.manifest"))
+        java.nio.file.Paths.get(s"$path/segments.manifest"))
+      .toArray.map(_.toString).filterNot(_.startsWith("#")).toSeq
     assert(segNames.size == 2, s"expected 2 segments, got $segNames")
 
     val streamed = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
@@ -450,12 +452,52 @@ class RetrievalSpec extends SparkSpec {
 
     // a foreachBatch RETRY re-writes the same segment name: serving is
     // unchanged (effectively-once ingest through the manifest)
-    import scala.jdk.CollectionConverters._
     Retrieval.writeIndexSegment(
-      secondHalf.toSeq.toDF("doc_id", "text"), path, segNames.asScala.last)
+      secondHalf.toSeq.toDF("doc_id", "text"), path, segNames.last)
     val afterRetry = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
       .as[(Long, Long, Double)].collect().toSeq
     assert(afterRetry == rebuilt)
+  }
+
+  test("auto-compaction bounds segments; a replayed batch is a no-op even after compaction") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val slices = docs.grouped(math.max(1, docs.length / 4)).toSeq.take(4)
+    val terms = Seq("spark", "vector", "dup")
+    val path = Files.createTempDirectory("graft_bm25_auto").toString + "/index"
+    def segNames = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$path/segments.manifest"))
+      .toArray.map(_.toString).filterNot(_.startsWith("#")).sorted.toSeq
+    def serve = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    def rebuilt(n: Int) = Retrieval.bm25TopK(
+        slices.take(n).flatten.toSeq.toDF("doc_id", "text"), terms, 10)
+      .as[(Long, Long, Double)].collect().toSeq
+
+    Retrieval.ingestBatch(slices(0).toSeq.toDF("doc_id", "text"), 0, path,
+      maxSegments = 2)
+    Retrieval.ingestBatch(slices(1).toSeq.toDF("doc_id", "text"), 1, path,
+      maxSegments = 2)
+    assert(segNames == Seq("b000000000", "b000000001"))
+    // third batch pushes past the bound -> compaction folds all three
+    Retrieval.ingestBatch(slices(2).toSeq.toDF("doc_id", "text"), 2, path,
+      maxSegments = 2)
+    assert(segNames == Seq("c000000002"))
+    assert(serve == rebuilt(3))
+
+    // REPLAY of batch 2 after its segment was folded away: the batch
+    // watermark (not segment-name existence) must make it a no-op —
+    // re-ingesting would double-count every document of the batch
+    Retrieval.ingestBatch(slices(2).toSeq.toDF("doc_id", "text"), 2, path,
+      maxSegments = 2)
+    assert(segNames == Seq("c000000002"))
+    assert(serve == rebuilt(3))
+
+    // and ingest continues normally past the compaction
+    Retrieval.ingestBatch(slices(3).toSeq.toDF("doc_id", "text"), 3, path,
+      maxSegments = 2)
+    assert(segNames == Seq("b000000003", "c000000002"))
+    assert(serve == rebuilt(4))
   }
 
   test("hybrid RRF fusion == driver recomputation over the two candidate lists") {
