@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.ops.Layout
+import graft.ops.{Layout, Manifest}
 
 /** Full-text ranked retrieval: BM25 scoring and a materialized inverted
   * index — the text-side analog of the IVF-PQ vector index (the two
@@ -328,44 +328,15 @@ object Retrieval {
   private def manifestFile(path: String): java.io.File =
     new java.io.File(s"$path/segments.manifest")
 
-  /** Manifest contents: live segment names plus the streaming-ingest
-    * batch watermark (`#maxBatch=` header line), both replaced in ONE
-    * atomic file move so segment liveness and replay detection can
-    * never disagree.
-    */
-  private case class Manifest(segs: Seq[String], maxBatch: Option[Long])
-
-  private def readManifestData(path: String): Option[Manifest] = {
-    val f = manifestFile(path)
-    if (!f.exists()) None
-    else {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-      Some(Manifest(
-        lines.filterNot(_.startsWith("#")),
-        lines.collectFirst {
-          case l if l.startsWith("#maxBatch=") =>
-            l.stripPrefix("#maxBatch=").toLong
-        }))
-    }
-  }
+  private def readManifestData(path: String): Option[Manifest.State] =
+    Manifest.read(manifestFile(path))
 
   private def readManifest(path: String): Option[Seq[String]] =
-    readManifestData(path).map(_.segs)
+    readManifestData(path).map(_.entries)
 
   private def writeManifest(path: String, segs: Seq[String],
-      maxBatch: Option[Long] = None): Unit = {
-    val tmp = new java.io.File(s"$path/segments.manifest.tmp")
-    val header = maxBatch.map(b => s"#maxBatch=$b\n").getOrElse("")
-    java.nio.file.Files.write(tmp.toPath,
-      (header + segs.sorted.mkString("", "\n", "\n"))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      maxBatch: Option[Long] = None): Unit =
+    Manifest.write(manifestFile(path), segs, maxBatch)
 
   /** Add a fully-written segment to the live set (one atomic manifest
     * replace), advancing the batch watermark when the segment came from
@@ -373,13 +344,9 @@ object Retrieval {
     * directory listing as the baseline live set.
     */
   private def commitSegment(path: String, name: String,
-      watermark: Option[Long]): Unit = {
-    val cur = readManifestData(path)
-      .getOrElse(Manifest(listSegmentDirs(path), None))
-    val wm = (cur.maxBatch.toSeq ++ watermark.toSeq)
-      .reduceOption(_ max _)
-    writeManifest(path, (cur.segs :+ name).distinct, wm)
-  }
+      watermark: Option[Long]): Unit =
+    Manifest.commit(manifestFile(path), name, watermark,
+      adopt = listSegmentDirs(path))
 
   /** What physically exists on disk — NOT authority on liveness. */
   private def listSegmentDirs(path: String): Seq[String] = {
@@ -394,16 +361,7 @@ object Retrieval {
     * without a manifest there is no authority to call a directory dead.
     */
   def vacuumSegments(path: String): Unit =
-    readManifest(path).foreach { live =>
-      val liveSet = live.toSet
-      listSegmentDirs(path).filterNot(liveSet).foreach(s =>
-        rmTree(new java.io.File(s"$path/segments/$s")))
-    }
-
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete()
-  }
+    Manifest.vacuum(manifestFile(path), new java.io.File(s"$path/segments"))
 
   /** The LIVE segments: the manifest's list (each entry required to
     * exist), or the directory listing for pre-manifest indexes.

@@ -356,8 +356,15 @@ object Similarity {
       .select(col("cell"), col(idCol),
         graft.functions.VectorExpressions.pq_codes(col("vecd"),
           book.map(_._2), book.map(_._1), m).as("codes"))
-    graft.ops.Layout.writePartitioned(indexed, s"$path/codes",
+    // codes live in manifest-committed DELTA directories (the inverted
+    // index's segment model): the base build is delta "base", appends
+    // add deltas, and the live set is codes.manifest — so an append
+    // that crashes mid-write is never served half-done (SaveMode.Append
+    // into shared cell partitions would be), and a retried append
+    // overwrites its own delta idempotently.
+    graft.ops.Layout.writePartitioned(indexed, s"$path/codes/base",
       Seq("cell"), Seq(idCol))
+    graft.ops.Manifest.write(codesManifest(path), Seq("base"))
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cell_id", "vecd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -370,6 +377,30 @@ object Similarity {
     pqReconErrorWith(embeddings, idCol, vecCol, cents, book, m)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/health")
   }
+
+  private def codesManifest(path: String): java.io.File =
+    new java.io.File(s"$path/codes.manifest")
+
+  /** Garbage-collect code-delta directories the manifest does not
+    * reference (the residue of a crashed append).
+    */
+  def vacuumCodes(path: String): Unit =
+    graft.ops.Manifest.vacuum(codesManifest(path),
+      new java.io.File(s"$path/codes"))
+
+  /** The LIVE codes table: union of the manifest's delta directories —
+    * each delta scan keeps its own cell-partition pruning, so a filter
+    * on `cell` above the union still opens only probed directories. A
+    * pre-delta index (no manifest) reads the flat codes table as before.
+    */
+  def readCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.ops.Manifest.read(codesManifest(path)) match {
+      case Some(st) =>
+        st.entries.map(d => spark.read.parquet(s"$path/codes/$d"))
+          .reduce(_ unionByName _)
+      case None => spark.read.parquet(s"$path/codes")
+    }
 
   /** Read back the constant side tables of a materialized index. */
   def readIndexSides(spark: org.apache.spark.sql.SparkSession,
@@ -394,10 +425,15 @@ object Similarity {
   /** Incremental index maintenance — the 100-TB serving reality is
     * appends, not rebuilds. New vectors are assigned and encoded against
     * the index's FROZEN centroids/codebook (read back from the side
-    * tables) and appended into the cell partitions; serving needs no
-    * change and no downtime, and the result is row-identical to a full
-    * [[writeIvfPqIndexWith]] rebuild of the union corpus under the same
-    * constants (proved in LayoutSpec).
+    * tables) into a cell-partitioned DELTA directory made live by one
+    * atomic manifest commit — crash-safe and retry-idempotent the same
+    * way the inverted index's segments are (a raw SaveMode.Append into
+    * shared cell partitions would serve half-written files immediately
+    * and duplicate the batch on retry). Serving unions the live deltas
+    * with per-delta cell pruning intact, with no downtime, and the
+    * result is row-identical to a full [[writeIvfPqIndexWith]] rebuild
+    * of the union corpus under the same constants (proved in
+    * LayoutSpec).
     *
     * Returns the staleness report: per cell, the appended rows'
     * reconstruction error against the build-time `health` baseline.
@@ -406,16 +442,25 @@ object Similarity {
     * rows show err_ratio (appended avg_err / build avg_err) above ~1.5,
     * or when the corpus-weighted mean ratio exceeds ~1.2.
     */
-  def appendIvfPqIndex(newVectors: DataFrame, path: String): DataFrame = {
+  def appendIvfPqIndex(newVectors: DataFrame, path: String,
+      deltaName: String = "a1"): DataFrame = {
     val spark = newVectors.sparkSession
+    require(deltaName != "base", "delta name 'base' is reserved")
+    require(codesManifest(path).exists(),
+      s"index at $path predates the delta layout; rebuild with " +
+        "writeIvfPqIndex before appending")
     val (idCol, vecCol, m, cents, book) = readIndexSides(spark, path)
     val indexed = ivfAssignWith(newVectors, idCol, vecCol, cents)
       .select(col("cell"), col(idCol),
         graft.functions.VectorExpressions.pq_codes(col("vecd"),
           book.map(_._2), book.map(_._1), m).as("codes"))
-    graft.ops.Layout.writePartitioned(indexed, s"$path/codes",
-      Seq("cell"), Seq(idCol),
-      mode = org.apache.spark.sql.SaveMode.Append)
+    // delta fully written first, THEN the manifest commit makes it live
+    // (crash before the commit leaves the old view serving; a retried
+    // append overwrites this delta and re-commits the same name)
+    graft.ops.Layout.writePartitioned(indexed, s"$path/codes/$deltaName",
+      Seq("cell"), Seq(idCol))
+    graft.ops.Manifest.commit(codesManifest(path), deltaName,
+      watermark = None, adopt = Seq("base"))
     val appended = pqReconErrorWith(newVectors, idCol, vecCol, cents, book, m)
       .withColumnRenamed("n_vecs", "n_appended")
       .withColumnRenamed("avg_err", "appended_err")
@@ -454,7 +499,7 @@ object Similarity {
       (-r6(dotLtr(cv, queryVec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid)
     }.sorted.take(nprobe).map(_._2)
     val lut = adcLut(bookRows, queryVec, m)
-    spark.read.parquet(s"$path/codes")
+    readCodes(spark, path)
       .where(col("cell").isin(probed.map(Long.box): _*))
       .select(col(idCol),
         (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,

@@ -1,0 +1,86 @@
+package graft.ops
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, StandardCopyOption}
+
+/** Atomic file-based COMMIT POINT for multi-directory index structures
+  * (the Lucene segments_N model, shared by the inverted-index segments
+  * and the IVF-PQ code deltas): the LIVE set of data directories is
+  * what the manifest file says, never what the filesystem happens to
+  * contain. Mutators fully write their data first and then replace the
+  * manifest in ONE atomic move, so a crash at any point leaves the
+  * previously-committed view serving — at worst with orphan directories
+  * that [[vacuum]] garbage-collects.
+  *
+  * The manifest optionally carries a streaming batch WATERMARK
+  * (`#maxBatch=` header) updated in the same atomic replace, letting a
+  * streaming ingester detect the replay of a batch whose entry a later
+  * compaction folded away — the one replay window entry-name existence
+  * cannot detect.
+  */
+object Manifest {
+
+  case class State(entries: Seq[String], maxBatch: Option[Long])
+
+  def read(file: File): Option[State] =
+    if (!file.exists()) None
+    else {
+      val lines = new String(Files.readAllBytes(file.toPath), UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      Some(State(
+        lines.filterNot(_.startsWith("#")),
+        lines.collectFirst {
+          case l if l.startsWith("#maxBatch=") =>
+            l.stripPrefix("#maxBatch=").toLong
+        }))
+    }
+
+  /** Replace the manifest atomically (tmp-file + rename). */
+  def write(file: File, entries: Seq[String],
+      maxBatch: Option[Long] = None): Unit = {
+    val tmp = new File(file.getParentFile, file.getName + ".tmp")
+    val header = maxBatch.map(b => s"#maxBatch=$b\n").getOrElse("")
+    Files.write(tmp.toPath,
+      (header + entries.sorted.mkString("", "\n", "\n")).getBytes(UTF_8))
+    Files.move(tmp.toPath, file.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Add a fully-written entry to the live set (one atomic replace),
+    * advancing the batch watermark if given. `adopt` supplies the
+    * baseline live set for pre-manifest structures (typically the
+    * current directory listing).
+    */
+  def commit(file: File, entry: String, watermark: Option[Long],
+      adopt: => Seq[String]): Unit = {
+    val cur = read(file).getOrElse(State(adopt, None))
+    val wm = (cur.maxBatch.toSeq ++ watermark.toSeq).reduceOption(_ max _)
+    write(file, (cur.entries :+ entry).distinct, wm)
+  }
+
+  /** Delete subdirectories of `dir` the manifest does not reference —
+    * the garbage a crash between data-write and commit (or between
+    * commit and cleanup) leaves behind. No-op without a manifest: there
+    * is then no authority to call a directory dead.
+    *
+    * Single-maintainer assumption: a reader that listed the PREVIOUS
+    * manifest and is still mid-scan can race a concurrent vacuum of the
+    * directories it is reading; deployments with long-running external
+    * readers should delay vacuum past their read horizon (generation
+    * grace period). The engine's own jobs plan and execute within one
+    * maintainer, where the swap is safe.
+    */
+  def vacuum(file: File, dir: File): Unit =
+    read(file).foreach { st =>
+      val live = st.entries.toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live(f.getName))
+        .foreach(rmTree)
+    }
+
+  def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+}

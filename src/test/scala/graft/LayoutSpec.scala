@@ -60,7 +60,7 @@ class LayoutSpec extends SparkSpec {
     // cell directories, and the probed-cell filter reaches the scan as a
     // PartitionFilter (same proof shape as the writePartitioned test) —
     // at 10^9 vectors the unprobed directories are never opened
-    val cellDirs = new java.io.File(path + "/codes").listFiles()
+    val cellDirs = new java.io.File(path + "/codes/base").listFiles()
       .count(_.getName.startsWith("cell="))
     assert(cellDirs > 4, s"expected many cell dirs, got $cellDirs")
     // recompute the probed cells with the serving rule (top-4 round-6
@@ -77,7 +77,7 @@ class LayoutSpec extends SparkSpec {
     val probed = cents.map { case (cid, cv) =>
       (-r6(dotLtr(cv, qvec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid)
     }.sorted.take(4).map(_._2)
-    val prunedRead = spark.read.parquet(path + "/codes")
+    val prunedRead = Similarity.readCodes(spark, path)
       .where($"cell".isin(probed.map(Long.box): _*))
     val scan = prunedRead.queryExecution.executedPlan.collectFirst {
       case s: FileSourceScanExec => s
@@ -113,11 +113,11 @@ class LayoutSpec extends SparkSpec {
     Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents, book,
       m, rebuilt)
 
-    // row-identical codes tables (append added files, not different rows)
-    val aRows = spark.read.parquet(base + "/codes")
+    // row-identical codes tables (append added a delta, not different rows)
+    val aRows = Similarity.readCodes(spark, base)
       .select($"cell", $"vec_id", $"codes".cast("array<string>"))
       .as[(Long, Long, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
-    val bRows = spark.read.parquet(rebuilt + "/codes")
+    val bRows = Similarity.readCodes(spark, rebuilt)
       .select($"cell", $"vec_id", $"codes".cast("array<string>"))
       .as[(Long, Long, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(aRows == bRows)
@@ -131,6 +131,27 @@ class LayoutSpec extends SparkSpec {
     val servedRebuild = Similarity.ivfPqTopKFromIndex(spark, rebuilt, qvec,
       nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
     assert(servedAppend == servedRebuild)
+
+    // CRASH SAFETY: an append that wrote its delta but died before the
+    // manifest commit must be invisible to serving (the raw
+    // SaveMode.Append design would serve its half-written files
+    // immediately); vacuum then garbage-collects exactly that orphan
+    val orphan = new java.io.File(base + "/codes/orphan")
+    assert(new java.io.File(rebuilt + "/codes/base").renameTo(orphan))
+    val withOrphan = Similarity.ivfPqTopKFromIndex(spark, base, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    assert(withOrphan == servedAppend, "uncommitted delta leaked into serving")
+    Similarity.vacuumCodes(base)
+    assert(!orphan.exists())
+    assert(new java.io.File(base + "/codes").listFiles()
+      .map(_.getName).sorted.toSeq == Seq("a1", "base"))
+
+    // a RETRIED append (same delta name) overwrites in place: still
+    // row-identical to the rebuild, no duplicates
+    Similarity.appendIvfPqIndex(rest, base)
+    val afterRetry = Similarity.readCodes(spark, base)
+      .select($"cell", $"vec_id").as[(Long, Long)].collect().sortBy(identity).toSeq
+    assert(afterRetry == bRows.map(r => (r._1, r._2)).sorted)
   }
 
   test("z-order layout prunes 2-d box predicates better than lexicographic sort") {
