@@ -381,6 +381,36 @@ object Similarity {
   private def codesManifest(path: String): java.io.File =
     new java.io.File(s"$path/codes.manifest")
 
+  /** STREAMING ANN ingest — the vector twin of
+    * `Retrieval.ingestStream`: each micro-batch appends one
+    * manifest-committed delta named by its batch id, encoding against
+    * the index's frozen constants. Effectively-once across every crash
+    * window by the same two mechanisms: an uncommitted delta is
+    * invisible (rewritten on replay), and the manifest's batch
+    * watermark makes a replayed batch id a no-op — so a retry can
+    * never double-insert vectors. The index must exist (base build)
+    * before the stream starts; the health/staleness baseline governs
+    * when to retrain and rebuild.
+    */
+  def ingestStream(vectors: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, path)
+      }
+
+  /** One streaming ANN ingest step (the [[ingestStream]] foreachBatch
+    * body, exposed for direct testing).
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, path: String): Unit = {
+    if (graft.ops.Manifest.read(codesManifest(path))
+        .flatMap(_.maxBatch).exists(batchId <= _))
+      return // replay of an already-committed batch
+    if (batch.isEmpty) return
+    appendIvfPqIndex(batch, path, f"b$batchId%09d",
+      watermark = Some(batchId))
+  }
+
   /** Garbage-collect code-delta directories the manifest does not
     * reference (the residue of a crashed append).
     */
@@ -443,7 +473,7 @@ object Similarity {
     * or when the corpus-weighted mean ratio exceeds ~1.2.
     */
   def appendIvfPqIndex(newVectors: DataFrame, path: String,
-      deltaName: String = "a1"): DataFrame = {
+      deltaName: String = "a1", watermark: Option[Long] = None): DataFrame = {
     val spark = newVectors.sparkSession
     require(deltaName != "base", "delta name 'base' is reserved")
     require(codesManifest(path).exists(),
@@ -460,7 +490,7 @@ object Similarity {
     graft.ops.Layout.writePartitioned(indexed, s"$path/codes/$deltaName",
       Seq("cell"), Seq(idCol))
     graft.ops.Manifest.commit(codesManifest(path), deltaName,
-      watermark = None, adopt = Seq("base"))
+      watermark, adopt = Seq("base"))
     val appended = pqReconErrorWith(newVectors, idCol, vecCol, cents, book, m)
       .withColumnRenamed("n_vecs", "n_appended")
       .withColumnRenamed("avg_err", "appended_err")

@@ -154,6 +154,54 @@ class LayoutSpec extends SparkSpec {
     assert(afterRetry == bRows.map(r => (r._1, r._2)).sorted)
   }
 
+  test("streaming ANN ingest: per-batch deltas == frozen-constant rebuild; replay is a no-op") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables.embeddings(spark, sf0001)
+    val half = e.count() / 2
+    val first = e.where($"vec_id" < half)
+    val rest = e.where($"vec_id" >= half)
+    val tmp = Files.createTempDirectory("graft_ivfpq_stream").toString
+    val base = tmp + "/idx"
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding",
+      numCells = 16, m = 8, k = 16, dims = 64, path = base, trainIters = 2)
+
+    // stream the remaining vectors in two micro-batches
+    val restRows = rest.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val (rA, rB) = restRows.splitAt(restRows.length / 2)
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Similarity.ingestStream(
+      input.toDF().toDF("vec_id", "embedding"), base).start()
+    try {
+      input.addData(rA.toSeq); q.processAllAvailable()
+      input.addData(rB.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // serving == a rebuild of the union under the SAME frozen constants
+    val (_, _, m, cents, book) = Similarity.readIndexSides(spark, base)
+    val rebuilt = tmp + "/idx_rebuild"
+    Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents, book,
+      m, rebuilt)
+    val qvec = e.where($"vec_id" === 0L)
+      .select($"embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .map(_.toDouble).toArray
+    val servedStream = Similarity.ivfPqTopKFromIndex(spark, base, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    val servedRebuild = Similarity.ivfPqTopKFromIndex(spark, rebuilt, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    assert(servedStream == servedRebuild)
+
+    // a REPLAYED batch id is a no-op via the manifest watermark — a
+    // re-insert would duplicate every vector of the batch
+    val deltas = new java.io.File(base + "/codes").listFiles()
+      .map(_.getName).sorted.toSeq
+    Similarity.ingestBatch(rB.toSeq.toDF("vec_id", "embedding"), 1, base)
+    assert(new java.io.File(base + "/codes").listFiles()
+      .map(_.getName).sorted.toSeq == deltas)
+    assert(Similarity.readCodes(spark, base).count() == e.count())
+  }
+
   test("z-order layout prunes 2-d box predicates better than lexicographic sort") {
     // 150 users x 20 value-buckets; same file count both layouts.
     val ev = Tables.events(spark, sf0001)
