@@ -218,6 +218,13 @@ object Retrieval {
       buckets: Int = IndexBuckets, watermark: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val seg = s"$path/segments/$name"
+    // Adopt a manifest BEFORE this segment's directory exists: on a
+    // fresh (or legacy) index, deferring adoption to commit time would
+    // let a crashed half-written segment be promoted to live by the
+    // NEXT successful commit's directory-listing adoption. Eager
+    // adoption pins the baseline to what was fully written before us.
+    if (!manifestFile(path).exists())
+      writeManifest(path, listSegmentDirs(path))
     // One tokenCount pass shared by the dlen join and the meta write
     // (doc-count-sized checkpoint, §8 rule).
     val dlens = docLengths(docs).localCheckpoint(false)
@@ -301,14 +308,22 @@ object Retrieval {
     */
   def ingestBatch(batch: DataFrame, batchId: Long, path: String,
       buckets: Int = IndexBuckets, maxSegments: Int = 0): Unit = {
-    if (readManifestData(path).flatMap(_.maxBatch).exists(batchId <= _))
-      return // replay of an already-committed batch
-    // empty triggers commit no segment: a zero-row postings dir would
-    // break the df read-back's schema inference and add a useless
-    // per-query segment scan
-    if (batch.isEmpty) return
-    writeIndexSegment(batch, path, f"b$batchId%09d", buckets,
-      watermark = Some(batchId))
+    val replay =
+      readManifestData(path).flatMap(_.maxBatch).exists(batchId <= _)
+    if (!replay) {
+      // empty triggers commit no segment: a zero-row postings dir would
+      // break the df read-back's schema inference and add a useless
+      // per-query segment scan
+      if (batch.isEmpty) return
+      writeIndexSegment(batch, path, f"b$batchId%09d", buckets,
+        watermark = Some(batchId))
+    }
+    // The compaction check runs on the REPLAY path too: a crash between
+    // a batch's segment commit and its triggered compaction would
+    // otherwise never be retried (the replayed batch no-ops at the
+    // watermark), leaving the index over the bound until the next
+    // non-empty batch — indefinitely on a paused stream. Re-running
+    // compaction for the same batch overwrites its own staged name.
     if (maxSegments > 0 && readManifest(path).exists(_.size > maxSegments))
       compactSegments(batch.sparkSession, path, f"c$batchId%09d")
   }

@@ -473,24 +473,33 @@ object Similarity {
     * or when the corpus-weighted mean ratio exceeds ~1.2.
     */
   def appendIvfPqIndex(newVectors: DataFrame, path: String,
-      deltaName: String = "a1", watermark: Option[Long] = None): DataFrame = {
+      deltaName: String, watermark: Option[Long] = None): DataFrame = {
+    // deltaName is REQUIRED and must be unique per logical append: the
+    // manifest's .distinct + writePartitioned's Overwrite make a reused
+    // name REPLACE that delta (the retry semantics) — a defaulted name
+    // would silently destroy the previous append's vectors.
     val spark = newVectors.sparkSession
     require(deltaName != "base", "delta name 'base' is reserved")
     require(codesManifest(path).exists(),
       s"index at $path predates the delta layout; rebuild with " +
         "writeIvfPqIndex before appending")
     val (idCol, vecCol, m, cents, book) = readIndexSides(spark, path)
-    val indexed = ivfAssignWith(newVectors, idCol, vecCol, cents)
-      .select(col("cell"), col(idCol),
-        graft.functions.VectorExpressions.pq_codes(col("vecd"),
-          book.map(_._2), book.map(_._1), m).as("codes"))
-    // delta fully written first, THEN the manifest commit makes it live
-    // (crash before the commit leaves the old view serving; a retried
-    // append overwrites this delta and re-commits the same name)
-    graft.ops.Layout.writePartitioned(indexed, s"$path/codes/$deltaName",
-      Seq("cell"), Seq(idCol))
-    graft.ops.Manifest.commit(codesManifest(path), deltaName,
-      watermark, adopt = Seq("base"))
+    // an empty append must commit nothing: a dataless delta directory
+    // (a lone _SUCCESS, no parquet footers) would make every subsequent
+    // readCodes fail schema inference — the whole index unservable
+    if (!newVectors.isEmpty) {
+      val indexed = ivfAssignWith(newVectors, idCol, vecCol, cents)
+        .select(col("cell"), col(idCol),
+          graft.functions.VectorExpressions.pq_codes(col("vecd"),
+            book.map(_._2), book.map(_._1), m).as("codes"))
+      // delta fully written first, THEN the manifest commit makes it
+      // live (crash before the commit leaves the old view serving; a
+      // retried append overwrites this delta and re-commits the name)
+      graft.ops.Layout.writePartitioned(indexed, s"$path/codes/$deltaName",
+        Seq("cell"), Seq(idCol))
+      graft.ops.Manifest.commit(codesManifest(path), deltaName,
+        watermark, adopt = Seq("base"))
+    }
     val appended = pqReconErrorWith(newVectors, idCol, vecCol, cents, book, m)
       .withColumnRenamed("n_vecs", "n_appended")
       .withColumnRenamed("avg_err", "appended_err")

@@ -36,15 +36,34 @@ object Manifest {
         }))
     }
 
-  /** Replace the manifest atomically (tmp-file + rename). */
+  /** Replace the manifest atomically AND durably: the tmp file is
+    * fsync'd before the rename and the parent directory after it (the
+    * Lucene segments_N recipe) — without both, a power loss shortly
+    * after the move can surface an empty or truncated manifest at
+    * reboot, which is exactly the silent-partial-view failure the
+    * commit point exists to prevent. Directory fsync is best-effort
+    * (not supported on every filesystem).
+    */
   def write(file: File, entries: Seq[String],
       maxBatch: Option[Long] = None): Unit = {
+    Option(file.getParentFile).foreach(_.mkdirs())
     val tmp = new File(file.getParentFile, file.getName + ".tmp")
     val header = maxBatch.map(b => s"#maxBatch=$b\n").getOrElse("")
-    Files.write(tmp.toPath,
-      (header + entries.sorted.mkString("", "\n", "\n")).getBytes(UTF_8))
+    val bytes = (header + entries.sorted.mkString("", "\n", "\n"))
+      .getBytes(UTF_8)
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
     Files.move(tmp.toPath, file.toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val dir = java.nio.channels.FileChannel.open(
+        file.getParentFile.toPath, java.nio.file.StandardOpenOption.READ)
+      try dir.force(true) finally dir.close()
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Add a fully-written entry to the live set (one atomic replace),

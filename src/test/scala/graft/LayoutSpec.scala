@@ -100,7 +100,7 @@ class LayoutSpec extends SparkSpec {
 
     // append encodes the new half against the FROZEN trained constants
     // and returns the staleness report vs the build-time health baseline
-    val report = Similarity.appendIvfPqIndex(rest, base).collect()
+    val report = Similarity.appendIvfPqIndex(rest, base, "a1").collect()
     assert(report.nonEmpty)
     assert(report.forall(r => r.getAs[Long]("n_appended") > 0))
     // appended rows were never seen by training: their error should be
@@ -148,10 +148,17 @@ class LayoutSpec extends SparkSpec {
 
     // a RETRIED append (same delta name) overwrites in place: still
     // row-identical to the rebuild, no duplicates
-    Similarity.appendIvfPqIndex(rest, base)
+    Similarity.appendIvfPqIndex(rest, base, "a1")
     val afterRetry = Similarity.readCodes(spark, base)
       .select($"cell", $"vec_id").as[(Long, Long)].collect().sortBy(identity).toSeq
     assert(afterRetry == bRows.map(r => (r._1, r._2)).sorted)
+
+    // an EMPTY append commits nothing — a dataless delta directory
+    // would make every later readCodes fail schema inference
+    Similarity.appendIvfPqIndex(e.where($"vec_id" < 0), base, "a9")
+    assert(new java.io.File(base + "/codes").listFiles()
+      .map(_.getName).sorted.toSeq == Seq("a1", "base"))
+    assert(Similarity.readCodes(spark, base).count() == e.count())
   }
 
   test("streaming ANN ingest: per-batch deltas == frozen-constant rebuild; replay is a no-op") {

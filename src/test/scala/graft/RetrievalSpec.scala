@@ -498,6 +498,39 @@ class RetrievalSpec extends SparkSpec {
       maxSegments = 2)
     assert(segNames == Seq("b000000003", "c000000002"))
     assert(serve == rebuilt(4))
+
+    // CRASH between a batch's segment commit and its triggered
+    // compaction: simulate by committing a segment directly (what
+    // ingestBatch does first), leaving the index over the bound with
+    // the watermark already advanced — the REPLAYED batch must still
+    // run the pending compaction even though its ingest no-ops
+    Retrieval.writeIndexSegment(
+      slices(0).toSeq.toDF("doc_id", "text")
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      path, "b000000004", watermark = Some(4L))
+    assert(segNames.size == 3) // over the bound, compaction pending
+    Retrieval.ingestBatch(slices(0).toSeq.toDF("doc_id", "text"), 4, path,
+      maxSegments = 2)
+    assert(segNames == Seq("c000000004"), s"pending compaction not retried: $segNames")
+  }
+
+  test("a crashed first segment on a fresh index is never adopted") {
+    // state a crash leaves: the (empty) manifest was adopted eagerly,
+    // segment data only half-written — here a bare directory
+    val path = Files.createTempDirectory("graft_bm25_fresh").toString + "/index"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/segments/s0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/segments.manifest"),
+      Array.emptyByteArray)
+    // the next successful ingest must NOT promote the partial s0
+    Retrieval.writeIndexSegment(docsDf((1L, "alpha beta")), path, "s1")
+    val got = Retrieval.bm25TopKSegmented(spark, path, Seq("alpha"), 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L))
+    Retrieval.vacuumSegments(path)
+    assert(new java.io.File(s"$path/segments").listFiles()
+      .map(_.getName).toSeq == Seq("s1"))
   }
 
   test("hybrid RRF fusion == driver recomputation over the two candidate lists") {
