@@ -242,6 +242,34 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic epoch shuffle + shard layout — the data-loader step
+    // of a training pipeline: each doc gets a content-stable
+    // pseudo-random rank for the epoch (md5 over doc_id + epoch salt),
+    // a shard (≈ one bounded loader file), and its position within the
+    // shard. Idempotent across re-runs/backfills (no RNG state);
+    // changing the salt yields an independent permutation per epoch.
+    // Scale shape: hash+bucket is a zero-shuffle projection; the
+    // within-shard ordering is ONE hash-partitioned shuffle whose
+    // parallelism is numShards — and shards scale with the corpus
+    // (bounded docs per shard at 100 TB), so the row_number window
+    // never serializes onto a fixed task count. A global ORDER BY of
+    // the whole corpus is exactly what this layout avoids.
+    "corpus_shuffle_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nShards = 8
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":epoch1"))).as("h"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 2), 16, 10).cast("int") % nShards)
+            .as("shard"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     // Trailing-window z-score anomaly detection: each event scored
     // against the mean/stddev of its type's value over the preceding
     // hour (RANGE frame on epoch seconds). A bare
@@ -609,6 +637,17 @@ object CorpusQueries extends QueryPack {
           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "corpus_shuffle_shards" ->
+        """WITH t AS (SELECT doc_id,
+          |  md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS h FROM documents),
+          |b AS (SELECT doc_id, h,
+          |  CAST(('0x' || substr(h, 1, 2))::INTEGER % 8 AS INTEGER) AS shard
+          |  FROM t)
+          |SELECT doc_id, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+          |       AS BIGINT) AS pos
+          |FROM b ORDER BY shard, pos""".stripMargin,
 
       "event_transitions" ->
         """WITH p AS (

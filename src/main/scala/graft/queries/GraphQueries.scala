@@ -49,10 +49,48 @@ object GraphQueries extends QueryPack {
       .unionAll(lab.select(col("sp").as("src"), col("c").as("dst")))
   }
 
+  /** Supplier co-occurrence edges: undirected (u < v) supplier pairs
+    * that ship lines of the same order. Per-order fan-out is bounded by
+    * the order's line count (≤ 7 in TPC-H), so the per-orderkey
+    * self-join is constant work per order — the pair build is linear in
+    * lineitem, never quadratic in suppliers.
+    *
+    * The edge set is then DOULION-sparsified (Tsourakakis et al., KDD
+    * 2009): each edge survives with probability p = 1/8 under a
+    * CONTENT-STABLE coin (first md5 nibble of "u:v" < 2), so the sample
+    * is reproducible across runs and engines, and the sampled triangle
+    * count t estimates the true count as t/p³. Sparsification is the
+    * standard scale move for triangle counting — the fixture's co-trade
+    * graph is near-complete (every supplier pair shares some order), and
+    * counting on the full K_n would be Θ(n³) wedges by construction.
+    */
+  private def supplierCoEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      .where(substring(md5(concat(col("u").cast("string"), lit(":"),
+        col("v").cast("string"))), 1, 1) < "2")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) =>
       Graph.pageRank(tradeEdges(s, d), "src", "dst", PageRankIters)
-        .orderBy("node")))
+        .orderBy("node")),
+
+    // Triangle census of the (DOULION-sparsified) supplier co-trade
+    // graph — `Graph.triangleCensus` (degree-oriented compact-forward;
+    // see its doc for the skew/complexity argument) plus the DOULION
+    // unbiased estimate of the UNSAMPLED graph's triangle count:
+    // t / p^3 with p = 1/8. On the fixture the co-trade graph is the
+    // complete K_n, so est_triangles ≈ C(n,3) validates the estimator
+    // end-to-end (sf0.01: est 162,304 vs true 161,700 — 0.4% off).
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangleCensus(supplierCoEdges(s, d), "u", "v")
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          (col("n_triangles") * 512L).as("est_triangles"),
+          col("clustering"))))
 
   private def duckPageRank(iters: Int): String = {
     val S = Graph.Scale
@@ -95,5 +133,37 @@ object GraphQueries extends QueryPack {
     "graph_pagerank" ->
       s"""WITH ${duckPageRank(PageRankIters)}
          |SELECT node, r AS rank_pico FROM r$PageRankIters
-         |ORDER BY node""".stripMargin)
+         |ORDER BY node""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        |e AS (SELECT u, v FROM e0
+        |      WHERE substr(md5(CAST(u AS VARCHAR) || ':' ||
+        |                        CAST(v AS VARCHAR)), 1, 1) < '2'),
+        |deg AS (SELECT node, count(*) AS dg FROM
+        |        (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.dg <= dv.dg THEN e.u ELSE e.v END AS src,
+        |             CASE WHEN du.dg <= dv.dg THEN e.v ELSE e.u END AS dst
+        |      FROM e JOIN deg du ON du.node = e.u
+        |             JOIN deg dv ON dv.node = e.v),
+        |o2 AS (SELECT o.src, o.dst, d.dg AS ddst
+        |       FROM o JOIN deg d ON d.node = o.dst),
+        |w AS (SELECT a.dst AS wb, b.dst AS wc
+        |      FROM o2 a JOIN o2 b ON a.src = b.src
+        |       AND (a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst))),
+        |tri AS (SELECT count(*) AS nt FROM w
+        |        WHERE EXISTS (SELECT 1 FROM o
+        |                      WHERE o.src = w.wb AND o.dst = w.wc)),
+        |ne AS (SELECT count(*) AS n FROM e),
+        |nw AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n FROM deg)
+        |SELECT ne.n AS n_edges, nw.n AS n_wedges,
+        |  CAST(tri.nt AS BIGINT) AS n_triangles,
+        |  CAST(tri.nt * 512 AS BIGINT) AS est_triangles,
+        |  CASE WHEN nw.n > 0 THEN round(tri.nt * 3.0 / nw.n, 6) END
+        |    AS clustering
+        |FROM ne, nw, tri""".stripMargin)
 }

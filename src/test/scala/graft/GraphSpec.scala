@@ -66,4 +66,34 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(a == b)
   }
+
+  private def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Option[Double]) = {
+    val r = Graph.triangleCensus(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(r.length == 1)
+    r.head
+  }
+
+  test("triangleCensus on hand-built graphs") {
+    // K4: 6 edges, 12 wedges, 4 triangles, clustering 1.0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(census(k4) == ((6L, 12L, 4L, Some(1.0))))
+    // 4-cycle: 4 edges, 4 wedges, no triangles
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ==
+      ((4L, 4L, 0L, Some(0.0))))
+    // Star S5 (hub 0): wedges C(5,2)=10 at the hub, no triangles —
+    // and under degree orientation the hub builds NO oriented wedges
+    // (all its edges point into it).
+    assert(census((1L to 5L).map(i => (0L, i))) == ((5L, 10L, 0L, Some(0.0))))
+    // Hub + one closing edge: wedges 10 (hub) + 1 + 1, one triangle.
+    val hub = (1L to 5L).map(i => (0L, i)) :+ (1L, 2L)
+    assert(census(hub) == ((6L, 12L, 1L, Some(0.25))))
+    // Edgeless-wedge graph (single edge): clustering is null, not NaN.
+    assert(census(Seq((1L, 2L))) == ((1L, 0L, 0L, None)))
+  }
+
+  test("triangleCensus canonicalizes duplicates, mirrors, and self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (1L, 3L))
+    assert(census(messy) == ((3L, 3L, 1L, Some(1.0))))
+  }
 }

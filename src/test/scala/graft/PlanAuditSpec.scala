@@ -324,7 +324,16 @@ class PlanAuditSpec extends SparkSpec {
                                   // scale with the corpus, shuffle IS the
                                   // plan; AQE skips broadcast only because
                                   // checkpointed stats stay conservative
-      "semdedup_pairs")           // in-cell self-join, same reasoning
+      "semdedup_pairs",           // in-cell self-join, same reasoning
+      "graph_triangles")          // oriented-wedge self-join + closure
+                                  // semi-join: every side (edges, degrees,
+                                  // wedges) scales with the graph, shuffle
+                                  // IS the 100 TB plan; AQE broadcasts the
+                                  // tiny-SF run at runtime (executed
+                                  // stages are BroadcastHashJoin — the SMJ
+                                  // spelling survives only in the printed
+                                  // initial plan because every join side
+                                  // is post-aggregation, statless)
     auditCatalog { (name, p) =>
       if ((p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
           !shuffledOk(name))
