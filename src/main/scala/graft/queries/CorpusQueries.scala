@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Dedup, Drift, QualityModel, TextOps}
+import graft.ext.{Dedup, Drift, QualityModel, TextOps, Unigram}
 
 /** Corpus-level training-data preparation operators (round 4): exact
   * substring-duplication measurement (the Lee et al. 2022 "deduplicating
@@ -242,6 +242,28 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
+    // member of the tokenizer family (BPE merges train the vocab
+    // bottom-up, greedy WordPiece serves longest-match; unigram scores
+    // pieces and Viterbi-segments): substring candidates → one EM-style
+    // round (Viterbi segment, usage recount) → top-V prune. Integer
+    // objective throughout (ext/Unigram doc) so the DuckDB replay — a
+    // generated 16-stage DP chain + recursive walkback — compares
+    // EXACTLY. All post-corpus stages are vocab-sized.
+    "unigram_vocab" -> ((s, d) =>
+      Unigram.trainVocab(documents(s, d), "text").orderBy("token_id")),
+
+    // Viterbi ENCODING under the trained unigram vocabulary: per doc,
+    // every word's segmentation in document order (kernel once per
+    // DISTINCT word, broadcast join back — the greedyTokenizeWith
+    // plan). The oracle replays training AND re-runs the DP under the
+    // final vocab.
+    "unigram_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      Unigram.encodeWith(docs, "doc_id", "text",
+        Unigram.trainedVocab(docs, "text")).orderBy("doc_id")
+    }),
+
     // Deterministic epoch shuffle + shard layout — the data-loader step
     // of a training pipeline: each doc gets a content-stable
     // pseudo-random rank for the epoch (md5 over doc_id + epoch salt),
@@ -477,10 +499,120 @@ object CorpusQueries extends QueryPack {
     sb.toString
   }
 
+  // ---- unigram tokenizer oracle generation ---------------------------
+  private val UniPieceCost = graft.functions.UnigramVocab.PieceCost
+  private val UniMaxWordLen = graft.functions.UnigramVocab.MaxWordLen
+
+  /** Generated Viterbi DP chain (one MATERIALIZED stage per prefix
+    * length — the PageRank/quality-train oracle pattern; DuckDB has no
+    * best-per-state recursion) + a recursive walkback, under vocabulary
+    * CTE `candCte` (piece, w). Emits `{pfx}seg(word, pos, piece)` for
+    * every reachable ≤MaxWordLen word of `wseg`. Mirrors
+    * `UnigramVocab.pieces` exactly: integer cost, ties to the longest
+    * last piece.
+    */
+  private def duckViterbi(pfx: String, candCte: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${pfx}dp0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+      |  CAST(NULL AS VARCHAR) AS bp FROM wseg)""".stripMargin
+    for (p <- 1 to UniMaxWordLen) {
+      val branches = (1 to math.min(Unigram.MaxPieceLen, p)).map { l =>
+        s"""SELECT d.word, d.cost + $UniPieceCost - v.w AS cost, v.piece AS bp
+           |      FROM ${pfx}dp${p - l} d JOIN $candCte v
+           |        ON v.piece = substr(d.word, ${p - l + 1}, $l)
+           |      WHERE len(d.word) >= $p""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      sb ++= s""",
+        |${pfx}dp$p AS MATERIALIZED (
+        |  SELECT word, $p AS pos, cost, bp FROM (
+        |    SELECT word, cost, bp, row_number() OVER (PARTITION BY word
+        |      ORDER BY cost, len(bp) DESC, bp) AS rk
+        |    FROM ($branches))
+        |  WHERE rk = 1)""".stripMargin
+    }
+    sb ++= s""",
+      |${pfx}dpall AS MATERIALIZED (${(1 to UniMaxWordLen)
+        .map(p => s"SELECT * FROM ${pfx}dp$p").mkString(" UNION ALL ")}),
+      |${pfx}wb AS (
+      |  SELECT word, pos FROM ${pfx}dpall WHERE pos = len(word)
+      |  UNION ALL
+      |  SELECT w.word, w.pos - len(d.bp) FROM ${pfx}wb w
+      |    JOIN ${pfx}dpall d ON d.word = w.word AND d.pos = w.pos
+      |  WHERE w.pos > 0),
+      |${pfx}seg AS MATERIALIZED (
+      |  SELECT w.word, d.pos, d.bp AS piece FROM ${pfx}wb w
+      |  JOIN ${pfx}dpall d ON d.word = w.word AND d.pos = w.pos)""".stripMargin
+    sb.toString
+  }
+
+  /** Shared training chain: word freqs → substring candidates (top-K ∪
+    * single chars) → round-1 Viterbi → usage recount → final vocab.
+    */
+  private def duckUnigramBase: String =
+    s"""wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT piece, sum(freq) AS w FROM (
+       |    SELECT substr(w.word, i.i, l.l) AS piece, w.freq
+       |    FROM wf w,
+       |         unnest(generate_series(1, len(w.word))) AS i(i),
+       |         unnest(generate_series(1, ${Unigram.MaxPieceLen})) AS l(l)
+       |    WHERE i.i + l.l - 1 <= len(w.word))
+       |  GROUP BY 1),
+       |cand0 AS (SELECT piece, w FROM subs
+       |          ORDER BY w DESC, piece LIMIT ${Unigram.CandK}),
+       |cand AS MATERIALIZED (
+       |  SELECT piece, max(w) AS w FROM (
+       |    SELECT piece, w FROM cand0
+       |    UNION ALL SELECT piece, w FROM subs WHERE len(piece) = 1)
+       |  GROUP BY 1),
+       |wseg AS MATERIALIZED (SELECT word, freq FROM wf
+       |                      WHERE len(word) <= $UniMaxWordLen),
+       |${duckViterbi("r1", "cand")},
+       |usage_ AS MATERIALIZED (
+       |  SELECT s.piece, sum(w.freq) AS usage FROM r1seg s
+       |  JOIN wseg w USING (word) GROUP BY 1),
+       |vocabf0 AS MATERIALIZED (SELECT piece, usage FROM usage_
+       |                         ORDER BY usage DESC, piece LIMIT ${Unigram.TopV}),
+       |vocabf AS MATERIALIZED (SELECT piece, usage AS w FROM vocabf0)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "unigram_vocab" ->
+        s"""WITH RECURSIVE $duckUnigramBase
+           |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) - 1
+           |            AS INT) AS token_id,
+           |  piece, CAST(usage AS BIGINT) AS usage
+           |FROM vocabf0 ORDER BY token_id""".stripMargin,
+
+      "unigram_encode" ->
+        s"""WITH RECURSIVE $duckUnigramBase,
+           |${duckViterbi("r2", "vocabf")},
+           |docwords AS (
+           |  SELECT doc_id, wpos, word FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split_regex(lower(text), '\\s+')) AS word,
+           |      generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS wpos
+           |    FROM documents) WHERE word <> ''),
+           |wordsx AS (SELECT DISTINCT word FROM docwords),
+           |segag AS (SELECT word, string_agg(piece, ' ' ORDER BY pos) AS outp,
+           |                 count(*) AS np
+           |          FROM r2seg GROUP BY word),
+           |wp AS (
+           |  SELECT w.word, coalesce(s.outp, '<unk>') AS outp,
+           |    coalesce(s.np, 1) AS np, s.word IS NULL AS isunk
+           |  FROM wordsx w LEFT JOIN segag s USING (word))
+           |SELECT d.doc_id,
+           |  CAST(sum(w.np) AS BIGINT) AS n_pieces,
+           |  CAST(sum(CASE WHEN w.isunk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+           |  string_agg(w.outp, ' ' ORDER BY d.wpos) AS pieces
+           |FROM docwords d JOIN wp w USING (word)
+           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
       "quality_train_weights" ->
         s"""WITH ${duckQualityTrainChain(qT)}
            |SELECT feature, weight FROM (
