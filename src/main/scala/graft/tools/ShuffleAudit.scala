@@ -7,13 +7,28 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query data-movement audit: run each catalog query and account the
-  * bytes that actually moved — input scanned, shuffle written, shuffle
-  * read, memory/disk spill — via a task-metrics listener. This is the
-  * measured form of the 100-TB argument: a query whose shuffle volume is
-  * a small fraction of its scan is shuffling keys/sketches, not the
-  * corpus; one that shuffles ≈ what it scans (or spills) is moving the
-  * data and needs a justification. Emits one JSON line per query plus a
-  * shuffle-heaviest summary table.
+  * bytes that actually moved — shuffle written, shuffle read,
+  * memory/disk spill, and instrumented reads — via a task-metrics
+  * listener. This is the measured form of the 100-TB argument: a query
+  * whose shuffle volume is small relative to its data is shuffling
+  * keys/sketches, not the corpus; one that shuffles everything (or
+  * spills) is moving the data and needs a justification.
+  *
+  * Metric semantics (measured on this platform, r8): SHUFFLE and SPILL
+  * task metrics are authoritative. `input_mb` is NOT a parquet-scan
+  * gauge here — the local-fs vectorized parquet reader reports 0 bytes
+  * through `inputMetrics` (the Hadoop-statistics thread-local misses
+  * it), while CACHED-BLOCK reads (localCheckpoint pins) DO count. So a
+  * large `input_mb` flags heavy cache re-read traffic (e.g.
+  * graph_pagerank re-reading its pinned edge frame once per iteration —
+  * the documented iterative design), and `shuffle_to_input` is
+  * indicative only.
+  *
+  * r8 full-catalog result at sf0.1 (179 queries): total shuffle write
+  * 226.9 MB, ZERO spill anywhere, max single query 30.3 MB
+  * (math_funcs — the deterministic final ORDER BY range-shuffling the
+  * full projected result, an output-contract artifact), max
+  * read/write amplification 3.8× (multi-consumer exchange reuse).
   *
   * Usage: runMain graft.tools.ShuffleAudit [queryName...]
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
