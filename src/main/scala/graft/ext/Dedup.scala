@@ -382,4 +382,152 @@ object Dedup {
     }
     labels
   }
+
+  // ---- incremental near-dup cluster maintenance ----------------------
+
+  /** Shingle-hash sets of a doc frame: (doc_id, toks) with toks sorted
+    * distinct — the exact-verification side of the minhash pipeline
+    * (same staging the batch `dedup_minhash_pairs` family uses).
+    */
+  def shingleSetsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"), hashAll(col("_t")).as("_th"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(shingleHashes(col("_th")))).as("toks"))
+
+  private def clusterManifest(path: String): java.io.File =
+    new java.io.File(path, "clusters.manifest")
+
+  /** The live cluster-label table (doc_id, label) of an incremental
+    * store, or None before the first committed batch.
+    */
+  def readClusterLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    graft.ops.Manifest.read(clusterManifest(path)).flatMap(st =>
+      st.entries.find(_.startsWith("labels-g"))
+        .map(e => spark.read.parquet(s"$path/$e")))
+
+  /** Ingest one document batch into a persisted near-dup CLUSTER store —
+    * the incremental twin of `minhash pairs → connectedComponents`: the
+    * 100 TB crawl reality is that batches arrive forever and the cluster
+    * assignment must absorb them without re-pairing the whole corpus.
+    *
+    * Store layout under `path`, all behind ONE atomic manifest commit
+    * point (`ops/Manifest` — the index-segment model): append-only
+    * `bands-b<id>` (LSH band keys) and `sets-b<id>` (shingle sets)
+    * deltas per batch, plus exactly one live `labels-g<n>` generation.
+    * A crash before the commit leaves orphan dirs for vacuum; the
+    * watermark makes foreachBatch replays no-ops.
+    *
+    * Work per batch scales with the BATCH, not the corpus: new band
+    * keys hash-join the banded history (keyed shuffle of band keys,
+    * never documents), exact-Jaccard verification touches only
+    * candidate sets, and the label merge runs [[connectedComponents]]
+    * on a mini-graph of (new pairs ∪ affected docs' label edges) — old
+    * clusters ride in as single label NODES, so merging two million-doc
+    * clusters costs one label-map row, and the corpus-sized label table
+    * is updated by one broadcast relabel join. Completeness argument:
+    * any same-band pair (a, b) of the union corpus is surfaced when its
+    * LATER member arrives (the earlier one is in the banded history),
+    * so after N batches the labels equal the batch pipeline's clusters
+    * over the union — [[ClusterIngestSpec]] proves exactly that,
+    * including the cross-batch cluster-merge case.
+    */
+  def ingestClusterBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long, jaccardThreshold: Double = 0.5): Unit = {
+    val mf = clusterManifest(path)
+    val st = graft.ops.Manifest.read(mf)
+    if (st.exists(_.maxBatch.exists(batchId <= _))) return // replayed batch
+    val entries = st.map(_.entries).getOrElse(Seq.empty)
+
+    // Batch staging: shingle sets + LSH bands, pinned (two consumers
+    // each: the delta write and the pair build must see one evaluation).
+    val sets = shingleSetsOf(batch, idCol, textCol).localCheckpoint(false)
+    val sigs = sets.select(col("doc_id") +: signaturesFromHashes(col("toks")): _*)
+    val bands = minhashBands(sigs, "doc_id").localCheckpoint(false)
+    val setsDir = s"sets-b$batchId"
+    val bandsDir = s"bands-b$batchId"
+    sets.write.mode("overwrite").parquet(s"$path/$setsDir")
+    bands.write.mode("overwrite").parquet(s"$path/$bandsDir")
+
+    // Candidates: within-batch banding plus new-vs-history band probes.
+    val bk = Seq("band_ix", "band_key")
+    val within = bands.as("l").join(bands.as("r"),
+        col("l.band_ix") === col("r.band_ix") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+    val histBandDirs = entries.filter(_.startsWith("bands-"))
+    val cand0 =
+      if (histBandDirs.isEmpty) within
+      else {
+        val hist = spark.read.parquet(histBandDirs.map(e => s"$path/$e"): _*)
+        within.unionByName(hist.join(bands.withColumnRenamed("doc_id", "_new"), bk)
+          .select(least(col("doc_id"), col("_new")).as("id_a"),
+            greatest(col("doc_id"), col("_new")).as("id_b"))
+          .where(col("id_a") =!= col("id_b")))
+      }
+    val cand = cand0.distinct()
+
+    // Exact-Jaccard verification over the candidate sets only (history
+    // sets are read but immediately semi-pruned by the candidate join).
+    val allSets = {
+      val histSetDirs = entries.filter(_.startsWith("sets-"))
+      if (histSetDirs.isEmpty) sets
+      else sets.unionByName(
+        spark.read.parquet(histSetDirs.map(e => s"$path/$e"): _*))
+    }
+    val pairs = cand
+      .join(allSets.select(col("doc_id").as("id_a"), col("toks").as("_ta")), Seq("id_a"))
+      .join(allSets.select(col("doc_id").as("id_b"), col("toks").as("_tb")), Seq("id_b"))
+      .where(jaccardHashed(col("_ta"), col("_tb")) >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false)
+
+    // Label merge on the mini-graph: new pairs, plus one (doc -> label)
+    // edge per affected OLD doc — its whole cluster rides in as the
+    // label node.
+    val curLabels = entries.find(_.startsWith("labels-g"))
+      .map(e => spark.read.parquet(s"$path/$e"))
+    val gen = entries.find(_.startsWith("labels-g"))
+      .map(_.stripPrefix("labels-g").toLong + 1).getOrElse(0L)
+    val endpoints = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val miniEdges = curLabels match {
+      case None => pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      case Some(l) =>
+        pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+          .unionByName(l.join(endpoints, Seq("doc_id"))
+            .select(col("doc_id").as("a"), col("label").as("b")))
+    }
+    val updated =
+      if (miniEdges.isEmpty) {
+        val newRows = sets.select(col("doc_id"), col("doc_id").as("label"))
+        curLabels.map(_.unionByName(newRows)).getOrElse(newRows)
+      } else {
+        val cc = connectedComponents(miniEdges, "a", "b").localCheckpoint(false)
+        val relabeledOld = curLabels.map(l =>
+          l.join(broadcast(cc.select(col("node").as("label"), col("label").as("_nl"))),
+              Seq("label"), "left")
+            .select(col("doc_id"), coalesce(col("_nl"), col("label")).as("label")))
+        val newRows = sets.select(col("doc_id"))
+          .join(broadcast(cc.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+        relabeledOld.map(_.unionByName(newRows)).getOrElse(newRows)
+      }
+    updated.write.mode("overwrite").parquet(s"$path/labels-g$gen")
+
+    // ONE atomic commit: deltas + the new label generation + watermark.
+    val keep = entries.filterNot(_.startsWith("labels-g"))
+    val wm = (st.flatMap(_.maxBatch).toSeq :+ batchId).max
+    graft.ops.Manifest.write(mf,
+      keep ++ Seq(setsDir, bandsDir, s"labels-g$gen"), Some(wm))
+  }
+
+  /** Garbage-collect directories the cluster manifest no longer
+    * references (superseded label generations, crash orphans).
+    */
+  def vacuumClusterStore(path: String): Unit =
+    graft.ops.Manifest.vacuum(clusterManifest(path), new java.io.File(path))
 }

@@ -204,6 +204,26 @@ object ExtensionQueries extends QueryPack {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // INCREMENTAL cluster maintenance (Dedup.ingestClusterBatch): the
+    // corpus arrives as two batches folding into a persisted store (LSH
+    // probe vs banded history + mini-graph label merge behind one atomic
+    // manifest commit — the 100 TB crawl shape where re-pairing the
+    // corpus per batch is impossible), and the final labels must equal
+    // the batch pipeline over the union: the oracle is dedup_clusters'
+    // SQL extended with self-labeled singletons.
+    "dedup_clusters_incremental" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_clusters_q").toString
+      val docs = documents(s, d)
+      Dedup.ingestClusterBatch(s, path, docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 0L)
+      Dedup.ingestClusterBatch(s, path, docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 1L)
+      Dedup.readClusterLabels(s, path).get
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash sketch per document (tokens/hashes staged as attributes so
     // the 32-bit loop doesn't re-split/re-hash per bit).
     "dedup_simhash" -> ((s, d) =>
@@ -1430,6 +1450,20 @@ object ExtensionQueries extends QueryPack {
            |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
            |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
            |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+
+      "dedup_clusters_incremental" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(n, m) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+           |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |       FROM reach GROUP BY n)
+           |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+           |FROM documents d LEFT JOIN cl USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_simhash" -> s"$duckSimhashSel\nORDER BY doc_id",
 

@@ -49,4 +49,23 @@ object DedupStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_content_md5")
       .drop("_content_md5")
+
+  /** Streaming NEAR-dup cluster maintenance: every micro-batch folds
+    * into the persisted cluster store through
+    * `ext/Dedup.ingestClusterBatch` — LSH probe against the banded
+    * history, exact-Jaccard verify, label merge, one atomic manifest
+    * commit. The store watermark makes a failure-replayed epoch a
+    * no-op, so the sink is effectively exactly-once; after any prefix
+    * of batches the labels equal the batch pipeline over the union
+    * corpus (`ClusterIngestSpec` equality proof — the streaming query
+    * is the same code path with Spark supplying `batchId`).
+    */
+  def clusterIngest(docs: DataFrame, storePath: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ext.Dedup.ingestClusterBatch(batch.sparkSession, storePath,
+          batch, idCol, textCol, batchId)
+    }
 }
