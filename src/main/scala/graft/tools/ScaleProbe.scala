@@ -229,7 +229,16 @@ object ScaleProbe {
     // round-8 additions (cont.): deflation PCA — k·iters corpus passes,
     // each a scan + dims-sized keyed sum; the reduce serving path chains
     // k residual projections per row (constant per-row work)
-    "embed_pca_top4", "embed_pca_reduce")
+    "embed_pca_top4", "embed_pca_reduce",
+    // round-8 wave-4 additions: triangle census (copy-disjoint supplier
+    // graphs — 8 independent components, wedge work per copy unchanged),
+    // shard layout (hash projection + numShards-parallel windows),
+    // unigram training/encode (distinct-word DP, vocab-capped
+    // candidates; the corpus pass is word counting), and incremental
+    // clustering (two store batches per run — per-batch band probes and
+    // mini-graph merges over copy-disjoint pair families)
+    "graph_triangles", "corpus_shuffle_shards", "unigram_vocab",
+    "unigram_encode", "dedup_clusters_incremental")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
