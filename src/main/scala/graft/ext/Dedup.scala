@@ -398,14 +398,40 @@ object Dedup {
   private def clusterManifest(path: String): java.io.File =
     new java.io.File(path, "clusters.manifest")
 
-  /** The live cluster-label table (doc_id, label) of an incremental
+  /** Replay the label LSM: base generation, then per-batch (label-map,
+    * new-docs) deltas in batch order — apply the map (one broadcast
+    * join per delta; merges are affected-cluster-sized), then append
+    * the batch's docs. Chain depth is bounded by the ingest's
+    * compaction policy.
+    */
+  private def foldLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String, entries: Seq[String]): Option[DataFrame] =
+    entries.find(_.startsWith("labels-g")).map { baseEntry =>
+      val base = spark.read.parquet(s"$path/$baseEntry")
+      val deltaIds = entries
+        .collect { case e if e.startsWith("lmap-b") || e.startsWith("ndocs-b") =>
+          e.substring(e.indexOf("-b") + 2).toLong }
+        .distinct.sorted
+      deltaIds.foldLeft(base) { (acc, id) =>
+        val mapped =
+          if (!entries.contains(s"lmap-b$id")) acc
+          else acc.join(broadcast(spark.read.parquet(s"$path/lmap-b$id")
+              .withColumnRenamed("old_label", "label")),
+              Seq("label"), "left")
+            .select(col("doc_id"),
+              coalesce(col("new_label"), col("label")).as("label"))
+        if (!entries.contains(s"ndocs-b$id")) mapped
+        else mapped.unionByName(spark.read.parquet(s"$path/ndocs-b$id"))
+      }
+    }
+
+  /** The live cluster-label view (doc_id, label) of an incremental
     * store, or None before the first committed batch.
     */
   def readClusterLabels(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] =
     graft.ops.Manifest.read(clusterManifest(path)).flatMap(st =>
-      st.entries.find(_.startsWith("labels-g"))
-        .map(e => spark.read.parquet(s"$path/$e")))
+      foldLabels(spark, path, st.entries))
 
   /** Ingest one document batch into a persisted near-dup CLUSTER store —
     * the incremental twin of `minhash pairs → connectedComponents`: the
@@ -415,31 +441,45 @@ object Dedup {
     * Store layout under `path`, all behind ONE atomic manifest commit
     * point (`ops/Manifest` — the index-segment model): append-only
     * `bands-b<id>` (LSH band keys) and `sets-b<id>` (shingle sets)
-    * deltas per batch, plus exactly one live `labels-g<n>` generation.
-    * A crash before the commit leaves orphan dirs for vacuum; the
-    * watermark makes foreachBatch replays no-ops.
+    * deltas per batch, and an LSM of labels — one `labels-g<n>` BASE
+    * generation plus per-batch `lmap-b<id>` (old_label → new_label
+    * merge maps, affected-cluster-sized) and `ndocs-b<id>` (the batch's
+    * own labels) deltas. Once the delta chain exceeds `maxDeltas`
+    * batches, ingest folds everything into a new base generation in the
+    * SAME commit (the index auto-compaction policy). A crash before the
+    * commit leaves orphan dirs for vacuum; the watermark makes
+    * foreachBatch replays no-ops.
     *
     * Work per batch scales with the BATCH, not the corpus: new band
     * keys hash-join the banded history (keyed shuffle of band keys,
     * never documents), exact-Jaccard verification touches only
-    * candidate sets, and the label merge runs [[connectedComponents]]
-    * on a mini-graph of (new pairs ∪ affected docs' label edges) — old
+    * candidate sets, the label merge runs [[connectedComponents]] on a
+    * mini-graph of (new pairs ∪ affected docs' label edges) — old
     * clusters ride in as single label NODES, so merging two million-doc
-    * clusters costs one label-map row, and the corpus-sized label table
-    * is updated by one broadcast relabel join. Completeness argument:
+    * clusters costs one label-map row — and a non-compacting commit
+    * WRITES only batch-sized deltas (the corpus-sized base is rewritten
+    * only every `maxDeltas` batches, amortizing the rewrite the same
+    * way segment compaction amortizes read-amp). Completeness argument:
     * any same-band pair (a, b) of the union corpus is surfaced when its
     * LATER member arrives (the earlier one is in the banded history),
     * so after N batches the labels equal the batch pipeline's clusters
     * over the union — [[ClusterIngestSpec]] proves exactly that,
-    * including the cross-batch cluster-merge case.
+    * including the cross-batch cluster-merge case and compaction
+    * boundaries.
     */
   def ingestClusterBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
-      batchId: Long, jaccardThreshold: Double = 0.5): Unit = {
+      batchId: Long, jaccardThreshold: Double = 0.5,
+      maxDeltas: Int = 4): Unit = {
     val mf = clusterManifest(path)
     val st = graft.ops.Manifest.read(mf)
     if (st.exists(_.maxBatch.exists(batchId <= _))) return // replayed batch
     val entries = st.map(_.entries).getOrElse(Seq.empty)
+    if (batch.isEmpty) { // advance the watermark only — no dataless deltas
+      graft.ops.Manifest.write(mf, entries,
+        Some((st.flatMap(_.maxBatch).toSeq :+ batchId).max))
+      return
+    }
 
     // Batch staging: shingle sets + LSH bands, pinned (two consumers
     // each: the delta write and the pair build must see one evaluation).
@@ -487,11 +527,8 @@ object Dedup {
 
     // Label merge on the mini-graph: new pairs, plus one (doc -> label)
     // edge per affected OLD doc — its whole cluster rides in as the
-    // label node.
-    val curLabels = entries.find(_.startsWith("labels-g"))
-      .map(e => spark.read.parquet(s"$path/$e"))
-    val gen = entries.find(_.startsWith("labels-g"))
-      .map(_.stripPrefix("labels-g").toLong + 1).getOrElse(0L)
+    // label node (labels looked up in the folded LSM view).
+    val curLabels = foldLabels(spark, path, entries)
     val endpoints = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
     val miniEdges = curLabels match {
@@ -501,28 +538,63 @@ object Dedup {
           .unionByName(l.join(endpoints, Seq("doc_id"))
             .select(col("doc_id").as("a"), col("label").as("b")))
     }
-    val updated =
-      if (miniEdges.isEmpty) {
-        val newRows = sets.select(col("doc_id"), col("doc_id").as("label"))
-        curLabels.map(_.unionByName(newRows)).getOrElse(newRows)
-      } else {
-        val cc = connectedComponents(miniEdges, "a", "b").localCheckpoint(false)
-        val relabeledOld = curLabels.map(l =>
-          l.join(broadcast(cc.select(col("node").as("label"), col("label").as("_nl"))),
-              Seq("label"), "left")
-            .select(col("doc_id"), coalesce(col("_nl"), col("label")).as("label")))
-        val newRows = sets.select(col("doc_id"))
-          .join(broadcast(cc.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-        relabeledOld.map(_.unionByName(newRows)).getOrElse(newRows)
-      }
-    updated.write.mode("overwrite").parquet(s"$path/labels-g$gen")
+    // Batch outcome as LSM deltas: the merge map (safe to take straight
+    // from cc — a node can only equal ITS OWN cluster's label, doc ids
+    // are unique, so non-label node entries match nothing) and the
+    // batch's own labels.
+    val ccOpt =
+      if (miniEdges.isEmpty) None
+      else Some(connectedComponents(miniEdges, "a", "b").localCheckpoint(false))
+    val lmap = ccOpt.map(_.where(col("node") =!= col("label"))
+      .select(col("node").as("old_label"), col("label").as("new_label")))
+    val newRows = ccOpt match {
+      case None => sets.select(col("doc_id"), col("doc_id").as("label"))
+      case Some(cc) => sets.select(col("doc_id"))
+        .join(broadcast(cc.withColumnRenamed("node", "doc_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    }
 
-    // ONE atomic commit: deltas + the new label generation + watermark.
-    val keep = entries.filterNot(_.startsWith("labels-g"))
     val wm = (st.flatMap(_.maxBatch).toSeq :+ batchId).max
-    graft.ops.Manifest.write(mf,
-      keep ++ Seq(setsDir, bandsDir, s"labels-g$gen"), Some(wm))
+    val keep = entries :+ setsDir :+ bandsDir
+    val deltaBatches = entries.count(_.startsWith("ndocs-b")) + 1
+    if (curLabels.isEmpty || deltaBatches > maxDeltas) {
+      // Compacting commit: fold base + all deltas + this batch into a
+      // fresh base generation; the delta entries leave the live set.
+      val gen = entries.find(_.startsWith("labels-g"))
+        .map(_.stripPrefix("labels-g").toLong + 1).getOrElse(0L)
+      val folded = curLabels match {
+        case None => newRows
+        case Some(l) =>
+          val mapped = lmap.map(m =>
+            l.join(broadcast(m.withColumnRenamed("old_label", "label")),
+                Seq("label"), "left")
+              .select(col("doc_id"),
+                coalesce(col("new_label"), col("label")).as("label")))
+            .getOrElse(l)
+          mapped.unionByName(newRows)
+      }
+      folded.write.mode("overwrite").parquet(s"$path/labels-g$gen")
+      graft.ops.Manifest.write(mf,
+        keep.filterNot(e => e.startsWith("labels-g") ||
+          e.startsWith("lmap-b") || e.startsWith("ndocs-b")) :+ s"labels-g$gen",
+        Some(wm))
+    } else {
+      // Delta commit: batch-sized writes only.
+      val lmapEntry = lmap.filter(!_.isEmpty).map { m =>
+        val e = s"lmap-b$batchId"
+        m.write.mode("overwrite").parquet(s"$path/$e")
+        e
+      }
+      val ndocsEntry =
+        if (newRows.isEmpty) None
+        else {
+          val e = s"ndocs-b$batchId"
+          newRows.write.mode("overwrite").parquet(s"$path/$e")
+          Some(e)
+        }
+      graft.ops.Manifest.write(mf,
+        keep ++ lmapEntry.toSeq ++ ndocsEntry.toSeq, Some(wm))
+    }
   }
 
   /** Garbage-collect directories the cluster manifest no longer

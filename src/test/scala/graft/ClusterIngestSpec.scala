@@ -118,11 +118,38 @@ class ClusterIngestSpec extends SparkSpec {
     Dedup.ingestClusterBatch(spark, dir, df(99L -> tD), "doc_id", "text", 0L)
     assert(storeLabels(dir) == before)
     Dedup.ingestClusterBatch(spark, dir, df(3L -> tA), "doc_id", "text", 1L)
-    // two label generations exist on disk until vacuum; live view wins
     Dedup.vacuumClusterStore(dir)
     val after = storeLabels(dir)
     assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // batch 0 = compacting base commit; batch 1 = LSM delta commit
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("sets-b0", "bands-b0", "sets-b1", "bands-b1", "labels-g1"))
+    assert(dirs == Set("sets-b0", "bands-b0", "sets-b1", "bands-b1",
+      "labels-g0", "lmap-b1", "ndocs-b1"))
+  }
+
+  test("label compaction folds the delta chain without changing the view") {
+    val dir = Files.createTempDirectory("clusterstore").toFile.getAbsolutePath
+    // maxDeltas=2: batches 0 (base), 1, 2 (deltas), 3 (compacts), 4, 5
+    val batches = Seq(
+      df(1L -> tA, 2L -> tA), df(10L -> tB), df(3L -> tA),
+      df(11L -> tB, 20L -> tC), df(4L -> tA), df(21L -> tC, 12L -> tB))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Dedup.ingestClusterBatch(spark, dir, b, "doc_id", "text", i.toLong,
+        maxDeltas = 2)
+      val union = batches.take(i + 1).reduce(_.unionByName(_))
+      assert(storeLabels(dir) == batchReference(union), s"after batch $i")
+    }
+    // the chain compacted at least once: live base generation > g0,
+    // and after vacuum no stale generations or folded deltas remain
+    Dedup.vacuumClusterStore(dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val gens = dirs.filter(_.startsWith("labels-g"))
+    assert(gens.size == 1 && gens.head != "labels-g0", s"dirs=$dirs")
+    // an empty batch advances the watermark without writing deltas
+    Dedup.ingestClusterBatch(spark, dir, df(), "doc_id", "text", 6L)
+    assert(new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == dirs)
+    Dedup.ingestClusterBatch(spark, dir, df(99L -> tD), "doc_id", "text", 6L)
+    assert(!storeLabels(dir).contains(99L), "replayed batch id must no-op")
   }
 }
