@@ -854,6 +854,36 @@ object ExtensionQueries extends QueryPack {
     "text_quality_score" -> ((s, d) =>
       qualityScored(s, d).orderBy("doc_id")),
 
+    // Preference-PAIR mining (the DPO/RLHF data-prep shape): within each
+    // (source, lang) group, pair the best-quality doc against the worst
+    // (deterministic ties: chosen -> smallest id, rejected -> largest, so
+    // any >=2-doc group yields one distinct pair). Per-group windows
+    // partition cleanly — group count grows with the corpus, never the
+    // window size; the quality pass is the shared one-text-scan chain.
+    "preference_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = qualityScored(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+          Seq("doc_id"))
+      val g = Window.partitionBy(col("source"), col("lang"))
+      val ranked = q
+        .withColumn("_rc", row_number().over(
+          g.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("_rr", row_number().over(
+          g.orderBy(col("quality").asc, col("doc_id").desc)))
+        .withColumn("_n", count(lit(1)).over(g))
+        .where(col("_n") >= 2)
+      // one conditional agg on the windows' own partitioning — no
+      // chosen-vs-rejected self-join, no second shuffle
+      ranked.where(col("_rc") === 1 || col("_rr") === 1)
+        .groupBy(col("source"), col("lang"))
+        .agg(max(when(col("_rc") === 1, col("doc_id"))).as("chosen_id"),
+          max(when(col("_rr") === 1, col("doc_id"))).as("rejected_id"),
+          round(max(when(col("_rc") === 1, col("quality"))) -
+            max(when(col("_rr") === 1, col("quality"))), 6).as("margin"))
+        .orderBy("source", "lang")
+    }),
+
     // The full dedup pipeline end-to-end: LSH pairs -> connected-component
     // clusters -> ONE survivor per cluster, chosen by (quality desc,
     // doc_id) — per-cluster windows only, every stage a keyed join/agg.
@@ -1946,6 +1976,26 @@ object ExtensionQueries extends QueryPack {
       "text_quality_score" ->
         s"""WITH $duckQualityCtes
            |SELECT doc_id, quality FROM quality ORDER BY doc_id""".stripMargin,
+
+      "preference_pairs" ->
+        s"""WITH $duckQualityCtes,
+           |qd AS (SELECT q.doc_id, q.quality, d.source, d.lang
+           |       FROM quality q JOIN documents d USING (doc_id)),
+           |rk AS (SELECT *,
+           |  row_number() OVER (PARTITION BY source, lang
+           |                     ORDER BY quality DESC, doc_id) AS rc,
+           |  row_number() OVER (PARTITION BY source, lang
+           |                     ORDER BY quality ASC, doc_id DESC) AS rr,
+           |  count(*) OVER (PARTITION BY source, lang) AS n
+           |  FROM qd)
+           |SELECT source, lang,
+           |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+           |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+           |  round(max(CASE WHEN rc = 1 THEN quality END)
+           |        - max(CASE WHEN rr = 1 THEN quality END), 6) AS margin
+           |FROM rk WHERE (rc = 1 OR rr = 1) AND n >= 2
+           |GROUP BY source, lang
+           |ORDER BY source, lang""".stripMargin,
 
       "dedup_survivors" ->
         s"""WITH RECURSIVE $minhashPairCtes,
