@@ -136,4 +136,57 @@ object Unigram {
           transform(array_sort(collect_list(struct(col("wpos"), col("wp")))),
             s => s("wp")), " ").as("pieces"))
   }
+
+  /** Per-ROW Viterbi encoding of one document — the serving/streaming
+    * spelling of [[encodeWith]] (which dedups distinct words first):
+    * a pure projection, so it runs stateless inside a streaming query.
+    * The kernel runs once per word inside the `transform`; the fold
+    * only reads the materialized piece arrays. Values identical to the
+    * batch plan's per-doc row.
+    */
+  def unigramPiecesPerDoc(textCol: org.apache.spark.sql.Column,
+      v: graft.functions.UnigramVocab): org.apache.spark.sql.Column = {
+    val words = filter(split(lower(textCol), "\\s+"), w => w =!= "")
+    val perWord = transform(words,
+      w => UnigramExpressions.unigram_pieces(w, v))
+    val zero = struct(lit(0L).as("n_pieces"), lit(0L).as("n_unk_words"),
+      lit("").as("pieces"))
+    aggregate(perWord, zero, (acc, a) => struct(
+      (acc("n_pieces") + size(a).cast("long")).as("n_pieces"),
+      (acc("n_unk_words") +
+        when(a === UnkArray, 1L).otherwise(0L)).as("n_unk_words"),
+      when(acc("pieces") === "", array_join(a, " "))
+        .otherwise(concat(acc("pieces"), lit(" "), array_join(a, " ")))
+        .as("pieces")))
+  }
+
+  /** Encode the corpus to ordered TOKEN-ID sequences under the trained
+    * vocabulary — the artifact a training pipeline consumes (the
+    * bpe_tokenize shape): per doc, every word's Viterbi pieces mapped
+    * through the dense (usage DESC, piece) ids, in document order;
+    * `<unk>` words emit id -1. Ids ride comma-joined for cross-engine
+    * comparison. Reassembly is an `array_sort` over (wpos, ppos)
+    * structs — deterministic order, no global sort.
+    */
+  def tokenIds(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val vdf = trainVocab(docs, textCol).localCheckpoint(true)
+    val v = vocabConst(vdf.select(col("piece"), col("usage").as("w")))
+    val dw = docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+    val encoded = dw.select(col("word")).distinct()
+      .select(col("word"),
+        UnigramExpressions.unigram_pieces(col("word"), v).as("_p"))
+    dw.join(broadcast(encoded), Seq("word"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("_p")).as(Seq("ppos", "piece")))
+      .join(broadcast(vdf.select(col("piece"), col("token_id"))),
+        Seq("piece"), "left")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ppos"),
+          coalesce(col("token_id"), lit(-1)).as("tid")))),
+        s => s("tid").cast("string")), ",").as("token_ids"))
+  }
 }

@@ -264,6 +264,14 @@ object CorpusQueries extends QueryPack {
         Unigram.trainedVocab(docs, "text")).orderBy("doc_id")
     }),
 
+    // Token-ID sequences under the trained unigram vocabulary — the
+    // bpe_tokenize twin for the Viterbi tokenizer: the artifact a
+    // training pipeline consumes (dense ids in document order, <unk>
+    // words as -1), reassembled via (wpos, ppos) struct sort — no
+    // global sort.
+    "unigram_tokenize" -> ((s, d) =>
+      Unigram.tokenIds(documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
     // Deterministic epoch shuffle + shard layout — the data-loader step
     // of a training pipeline: each doc gets a content-stable
     // pseudo-random rank for the epoch (md5 over doc_id + epoch salt),
@@ -589,6 +597,30 @@ object CorpusQueries extends QueryPack {
            |            AS INT) AS token_id,
            |  piece, CAST(usage AS BIGINT) AS usage
            |FROM vocabf0 ORDER BY token_id""".stripMargin,
+
+      "unigram_tokenize" ->
+        s"""WITH RECURSIVE $duckUnigramBase,
+           |${duckViterbi("r2", "vocabf")},
+           |vid AS (SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece)
+           |                    - 1 AS INT) AS token_id, piece FROM vocabf0),
+           |docwords AS (
+           |  SELECT doc_id, wpos, word FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split_regex(lower(text), '\\s+')) AS word,
+           |      generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS wpos
+           |    FROM documents) WHERE word <> ''),
+           |segw AS (SELECT DISTINCT word FROM r2seg),
+           |ids AS (SELECT d.doc_id, d.wpos, p.pos AS ppos,
+           |               coalesce(v.token_id, -1) AS tid
+           |        FROM docwords d JOIN r2seg p USING (word)
+           |        LEFT JOIN vid v ON v.piece = p.piece),
+           |unkw AS (SELECT d.doc_id, d.wpos, 1 AS ppos, -1 AS tid
+           |         FROM docwords d LEFT JOIN segw s USING (word)
+           |         WHERE s.word IS NULL)
+           |SELECT doc_id,
+           |  array_to_string(list(tid ORDER BY wpos, ppos), ',') AS token_ids
+           |FROM (SELECT * FROM ids UNION ALL SELECT * FROM unkw)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "unigram_encode" ->
         s"""WITH RECURSIVE $duckUnigramBase,

@@ -56,6 +56,19 @@ object ModelServing {
         .start()
   }
 
+  /** Viterbi-tokenize a DOC STREAM with the trained unigram vocab —
+    * the unigram twin of [[tokenizeStream]]: one stateless projection
+    * (native DP kernel per word inside per-doc array HOFs), values
+    * identical to the batch `Unigram.encodeWith` plan per document.
+    */
+  def unigramStream(docs: DataFrame,
+      v: graft.functions.UnigramVocab): DataFrame =
+    docs.select(col("doc_id"),
+        graft.ext.Unigram.unigramPiecesPerDoc(col("text"), v).as("_t"))
+      .select(col("doc_id"), col("_t.n_pieces").as("n_pieces"),
+        col("_t.n_unk_words").as("n_unk_words"), col("_t.pieces").as("pieces"))
+      .where(col("n_pieces") > 0L)
+
   /** Tokenize a DOC STREAM with the trained greedy (WordPiece) vocab —
     * stateless per-row serving: the whole tokenization is one projection
     * (native greedy kernel per word inside per-doc array HOFs), values

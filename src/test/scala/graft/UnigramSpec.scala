@@ -74,6 +74,49 @@ class UnigramSpec extends SparkSpec {
     assert(enc.count() == docs.where(length(trim(col("text"))) > 0).count())
   }
 
+  test("trained unigram tokenizer serves a stream identically to the batch plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val v = Unigram.trainedVocab(docs, "text")
+    val batch = Unigram.encodeWith(docs, "doc_id", "text", v)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val sample = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().take(25)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.stream.ModelServing.unigramStream(
+        input.toDF().toDF("doc_id", "text"), v)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("uni_stream").start()
+    try {
+      input.addData(sample.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("uni_stream")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(streamed.size == sample.length)
+    streamed.foreach { case (id, t) => assert(batch(id) == t, s"doc $id") }
+  }
+
+  test("tokenIds aligns with encode: id count == piece count, ids decode back") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val vdf = Unigram.trainVocab(docs, "text")
+    val idOf = vdf.collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Int]("token_id")).toMap
+    val enc = Unigram.encodeWith(docs, "doc_id", "text",
+        Unigram.trainedVocab(docs, "text"))
+      .select(col("doc_id"), col("pieces")).as[(Long, String)].collect().toMap
+    val ids = Unigram.tokenIds(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(ids.keySet == enc.keySet)
+    ids.foreach { case (doc, seq) =>
+      val got = seq.split(",").map(_.toInt).toSeq
+      val expect = enc(doc).split(" ").map(p => idOf.getOrElse(p, -1)).toSeq
+      assert(got == expect, s"doc $doc")
+    }
+  }
+
   test("batch encode equals the per-word kernel replay") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val v = Unigram.trainedVocab(docs, "text")
