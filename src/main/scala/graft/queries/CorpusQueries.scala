@@ -264,6 +264,67 @@ object CorpusQueries extends QueryPack {
         Unigram.trainedVocab(docs, "text")).orderBy("doc_id")
     }),
 
+    // T5/UL2-style SPAN CORRUPTION for denoising objectives: tokens
+    // partition into fixed 3-token blocks; a block is masked iff the
+    // content-stable coin md5(doc_id:block) < 1/4 — per-token-independent
+    // (no sequential scan), reproducible, and span-shaped by
+    // construction. The input replaces each masked block with its
+    // sentinel <Xk> (k = per-doc rank of the masked block); the target
+    // is the sentinel-prefixed masked content — exactly the (input,
+    // target) pair a denoising trainer consumes. One explode + per-doc
+    // keyed windows/aggs; reassembly via (pos) struct sort, no global
+    // sort.
+    "span_corrupt" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), "\\s+")).as(Seq("wpos", "tok")))
+        .where(col("tok") =!= "")
+        .withColumn("blk", (col("wpos") / 3).cast("long"))
+        .withColumn("masked",
+          substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("blk").cast("string"))), 1, 1) < "4")
+      // 0-based sentinel rank k per masked block, in document order
+      val blocks = toks.where(col("masked"))
+        .select(col("doc_id"), col("blk")).distinct()
+        .withColumn("k", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("blk"))) - 1)
+      val joined = toks.join(blocks, Seq("doc_id", "blk"), "left")
+        .withColumn("_fp", min(col("wpos")).over(
+          Window.partitionBy(col("doc_id"), col("blk"))))
+      // input: unmasked tokens verbatim; each masked block collapses to
+      // one <Xk> anchored at the block's first token position
+      val input = joined
+        .where(col("k").isNull || col("wpos") === col("_fp"))
+        .select(col("doc_id"),
+          struct(col("wpos").as("p"),
+            when(col("k").isNull, col("tok"))
+              .otherwise(concat(lit("<X"), col("k"), lit(">"))).as("t"))
+            .as("part"))
+        .groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(col("part"))),
+          s => s("t")), " ").as("input"))
+      // target: per masked block, <Xk> followed by the masked tokens
+      val tgt = joined.where(col("k").isNotNull)
+        .select(col("doc_id"),
+          struct(col("wpos").as("p"),
+            when(col("wpos") === col("_fp"),
+              concat(lit("<X"), col("k"), lit("> "), col("tok")))
+              .otherwise(col("tok")).as("t")).as("part"))
+        .groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(col("part"))),
+          s => s("t")), " ").as("target"),
+          count(lit(1)).as("n_masked_tokens"))
+      val spans = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      input.join(tgt, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("input"),
+          coalesce(col("target"), lit("")).as("target"),
+          coalesce(col("n_masked_tokens"), lit(0L)).as("n_masked_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        .orderBy("doc_id")
+    }),
+
     // Token-ID sequences under the trained unigram vocabulary — the
     // bpe_tokenize twin for the Viterbi tokenizer: the artifact a
     // training pipeline consumes (dense ids in document order, <unk>
@@ -597,6 +658,40 @@ object CorpusQueries extends QueryPack {
            |            AS INT) AS token_id,
            |  piece, CAST(usage AS BIGINT) AS usage
            |FROM vocabf0 ORDER BY token_id""".stripMargin,
+
+      "span_corrupt" ->
+        """WITH t AS (
+          |  SELECT doc_id, wpos - 1 AS wpos, tok FROM (
+          |    SELECT doc_id,
+          |      unnest(string_split_regex(lower(text), '\s+')) AS tok,
+          |      generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS wpos
+          |    FROM documents) WHERE tok <> ''),
+          |b AS (SELECT doc_id, wpos, tok, wpos // 3 AS blk,
+          |  substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          |             CAST(wpos // 3 AS VARCHAR)), 1, 1) < '4' AS masked
+          |  FROM t),
+          |blocks AS (SELECT doc_id, blk,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY blk) - 1
+          |         AS INT) AS k
+          |  FROM (SELECT DISTINCT doc_id, blk FROM b WHERE masked)),
+          |j AS (SELECT b.doc_id, b.wpos, b.tok, b.blk, blocks.k,
+          |    min(b.wpos) OVER (PARTITION BY b.doc_id, b.blk) AS fp
+          |  FROM b LEFT JOIN blocks USING (doc_id, blk)),
+          |inp AS (SELECT doc_id,
+          |    string_agg(CASE WHEN k IS NULL THEN tok
+          |                    ELSE '<X' || k || '>' END, ' ' ORDER BY wpos) AS input
+          |  FROM j WHERE k IS NULL OR wpos = fp GROUP BY doc_id),
+          |tg AS (SELECT doc_id,
+          |    string_agg(CASE WHEN wpos = fp THEN '<X' || k || '> ' || tok
+          |                    ELSE tok END, ' ' ORDER BY wpos) AS target,
+          |    count(*) AS n_masked
+          |  FROM j WHERE k IS NOT NULL GROUP BY doc_id),
+          |sp AS (SELECT doc_id, count(*) AS n_spans FROM blocks GROUP BY doc_id)
+          |SELECT i.doc_id, i.input, coalesce(tg.target, '') AS target,
+          |  CAST(coalesce(tg.n_masked, 0) AS BIGINT) AS n_masked_tokens,
+          |  CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans
+          |FROM inp i LEFT JOIN tg USING (doc_id) LEFT JOIN sp USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "unigram_tokenize" ->
         s"""WITH RECURSIVE $duckUnigramBase,
