@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.Similarity
+
+/** Evaluation surface (round 8, fifth wave): the measurement operators a
+  * training-data pipeline runs over its OWN outputs — retrieval-quality
+  * scoring of the ANN stack and preference-strength ratings from mined
+  * pairwise comparisons. Both are expressed as the same oracle-checked
+  * catalog queries as everything else: an eval harness you cannot verify
+  * is just another unverified program.
+  *
+  * - `rank_eval_ndcg` grades the IVF ANN ranking against the exact-cosine
+  *   ground truth on a deterministic query sample: recall@10 and binary-
+  *   relevance NDCG@10 per query, all in integer micro-units (the gain
+  *   table is precomputed to integer constants shared verbatim by both
+  *   engines, so the comparison is EXACT). The ground-truth pass is
+  *   |Q|·N cosines — the eval-time budget every ANN paper pays; |Q| is a
+  *   fixed-rate sample of the corpus, each query one broadcast row.
+  * - `preference_bt_scores` fits Bradley-Terry strengths over the
+  *   preference matches implied by per-(lang, source) quality: each lang
+  *   acts as a judge over source pairs (winner = higher mean quality,
+  *   compared by exact integer cross-multiplication — no float division),
+  *   then [[BtIters]] minorization-maximization rounds (Hunter 2004) in
+  *   integer micro-units. Every iteration is one keyed join+agg over the
+  *   roster-sized match matrix; the corpus-scale work (quality scan,
+  *   cell aggregation) happens exactly once. The oracle replays the full
+  *   MM chain as one CTE block per iteration (the PageRank pattern) —
+  *   EXACT integer comparison.
+  *
+  * No reference citation: the reference has no eval operators (its
+  * "evaluation" is matplotlib plots of the metrics CSV) — north-star
+  * surface alongside the pipeline/retrieval packs.
+  */
+object EvalQueries extends QueryPack {
+
+  /** Query sample rate: vec_id % QStep == 0 → 4 queries at sf0.01 (500
+    * vectors), 16 at sf0.1 (2000) — the sample grows with the corpus.
+    */
+  val QStep = 125
+  val NdcgK = 10
+  val NumCells = 16
+  val NProbe = 4
+
+  /** Binary-relevance DCG gain for rank i (1-based), in micro-units:
+    * round(1e6 / log2(i+1)). Computed once here and embedded as literals
+    * in BOTH plans, so no runtime transcendental ever crosses engines.
+    */
+  val GainMicro: Seq[Long] =
+    (1 to NdcgK).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+  val IdcgMicro: Long = GainMicro.sum
+
+  val BtIters = 5
+
+  // ---------------------------------------------------------------- NDCG
+
+  private def rankEval(s: SparkSession, d: String): DataFrame = {
+    import Similarity.{asDouble, dot, norm}
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = broadcast(e.where(col("vec_id") % QStep === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")))
+    def cos(vc: Column, nc: Column) =
+      round(dot(vc, col("qv")) / (nc * col("qnrm")), 6)
+
+    // ground truth: exact cosine top-k per query (the eval-time full scan)
+    val exact = e.crossJoin(q).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos(col("v"), col("nrm")).as("cos"))
+    val truth = graft.plans.TopK.perKey(exact, Seq("qid"),
+        Seq(("cos", true), ("vec_id", false)), NdcgK)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+
+    // system under test: the IVF serving plan (broadcast-argmax assign,
+    // nprobe cell pruning) — identical spelling to sim_ivf_topk
+    val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", NumCells)
+    val cents = broadcast(e.where(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val probe = graft.plans.TopK.perKey(
+        cents.crossJoin(q).select(col("qid"), col("cell"),
+          cos(col("cv"), col("cnrm")).as("qcos")),
+        Seq("qid"), Seq(("qcos", true), ("cell", false)), NProbe)
+      .select(col("qid"), col("cell"))
+    val cand = assign.join(broadcast(probe), Seq("cell"))
+      .join(q, Seq("qid"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos(col("vecd"), col("nrm")).as("cos"))
+    val sys = graft.plans.TopK.perKey(cand, Seq("qid"),
+      Seq(("cos", true), ("vec_id", false)), NdcgK)
+
+    val ranked = sys.withColumn("rank", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+    ranked.join(truth, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("n_hits"),
+        coalesce(sum(when(col("hit").isNotNull,
+          element_at(lit(GainMicro.toArray), col("rank")))), lit(0L)).as("dcg_w"))
+      .select(col("qid"), col("n_hits"), col("dcg_w"),
+        expr(s"dcg_w * 1000000 div $IdcgMicro").as("ndcg_micro"),
+        expr(s"n_hits * 1000000 div $NdcgK").as("recall_micro"))
+      .orderBy("qid")
+  }
+
+  // ------------------------------------------------------- Bradley-Terry
+
+  /** Matches: per lang (judge), every source pair with distinct mean
+    * quality — winner by exact integer cross-multiplication
+    * qsum_a·n_b vs qsum_b·n_a (means never materialized as floats).
+    */
+  private def btMatches(s: SparkSession, d: String): DataFrame = {
+    val qm = ExtensionQueries.qualityScored(s, d)
+      .select(col("doc_id"),
+        expr("cast(round(quality * 1000000) as bigint)").as("qm"))
+    val cell = qm
+      .join(documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("qm")).as("qsum"), count(lit(1)).as("nd"))
+    val a = cell.select(col("lang"), col("source").as("sa"),
+      col("qsum").as("qa"), col("nd").as("na"))
+    val b = cell.select(col("lang"), col("source").as("sb"),
+      col("qsum").as("qb"), col("nd").as("nb"))
+    a.join(b, Seq("lang")).where(col("sa") < col("sb"))
+      .where(col("qa") * col("nb") =!= col("qb") * col("na"))
+      .select(col("lang"), col("sa"), col("sb"),
+        when(col("qa") * col("nb") > col("qb") * col("na"), col("sa"))
+          .otherwise(col("sb")).as("winner"))
+  }
+
+  /** MM iterations in integer micro-units. Per round, for each player i:
+    * D_i = Σ_j n_ij·1e12 div (s_i + s_j); raw_i = clamp(W_i·1e12 div D_i);
+    * then anchor-normalize so the lexicographically-first source sits at
+    * exactly 1e6. Clamps ([1, 1e9] after normalize, 1e10 before) bound
+    * every product inside int64 — deterministic, and inert on any
+    * non-degenerate match matrix. Roster-sized frames; localCheckpoint per
+    * round cuts the lazy-chain blowup (the PageRank lesson).
+    */
+  private def btScores(s: SparkSession, d: String): DataFrame = {
+    val m = btMatches(s, d).localCheckpoint(false)
+    val roster = m.select(col("sa").as("source"))
+      .unionAll(m.select(col("sb").as("source"))).distinct()
+    val played = m.select(col("sa").as("source"), col("sb").as("opp"))
+      .unionAll(m.select(col("sb").as("source"), col("sa").as("opp")))
+    val nij = played.groupBy(col("source"), col("opp"))
+      .agg(count(lit(1)).as("nm")).localCheckpoint(false)
+    val wins = m.groupBy(col("winner").as("source"))
+      .agg(count(lit(1)).as("w")).localCheckpoint(false)
+
+    var rating = roster.select(col("source"), lit(1000000L).as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to BtIters) {
+      val sj = rating.select(col("source").as("opp"), col("r").as("rj"))
+      val den = nij.join(rating, Seq("source")).join(sj, Seq("opp"))
+        .groupBy(col("source"))
+        .agg(sum(expr("nm * 1000000000000 div (r + rj)")).as("den"))
+      val raw = rating.join(den, Seq("source"), "left")
+        .join(wins, Seq("source"), "left")
+        .select(col("source"),
+          greatest(lit(1L),
+            when(col("den").isNull || col("den") === 0, col("r"))
+              .otherwise(least(
+                expr("coalesce(w, 0) * 1000000000000 div den"),
+                lit(10000000000L)))).as("r0"))
+      val an = raw.agg(min_by(col("r0"), col("source")).as("anch"))
+      rating = raw.crossJoin(broadcast(an))
+        .select(col("source"),
+          greatest(lit(1L), least(expr("r0 * 1000000 div anch"),
+            lit(1000000000L))).as("r"))
+        .localCheckpoint(false)
+    }
+    val totals = nij.groupBy(col("source")).agg(sum(col("nm")).as("n_matches"))
+    rating.join(wins, Seq("source"), "left").join(totals, Seq("source"), "left")
+      .select(col("source"), coalesce(col("w"), lit(0L)).as("wins"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("r").as("bt_micro"))
+      .orderBy("source")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rank_eval_ndcg" -> ((s, d) => rankEval(s, d)),
+    "preference_bt_scores" -> ((s, d) => btScores(s, d)))
+
+  // ------------------------------------------------------------- oracles
+
+  private val duckVecBase =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  private def duckCos(a: String, an: String, b: String, bn: String) =
+    s"round(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])) / ($an * $bn), 6)"
+
+  private val duckNdcg: String = {
+    val gains = GainMicro.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH $duckVecBase,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % $QStep = 0),
+       |exact AS (SELECT q.qid, a.vec_id,
+       |    ${duckCos("a.v", "a.nrm", "q.qv", "q.qnrm")} AS cos
+       |  FROM n a, q WHERE a.vec_id <> q.qid),
+       |truth AS (SELECT qid, vec_id FROM exact
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= $NdcgK),
+       |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCells),
+       |scored AS (SELECT a.vec_id, a.v, a.nrm, c.cell_id,
+       |    ${duckCos("a.v", "a.nrm", "c.cv", "c.cnrm")} AS ccos
+       |  FROM n a, cent c),
+       |assign AS (SELECT vec_id, v, nrm, cell_id AS cell FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1),
+       |pq AS (SELECT q.qid, c.cell_id AS cell,
+       |    ${duckCos("c.cv", "c.cnrm", "q.qv", "q.qnrm")} AS qcos
+       |  FROM cent c, q),
+       |probe AS (SELECT qid, cell FROM pq
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cell) <= $NProbe),
+       |cand AS (SELECT p.qid, a.vec_id,
+       |    ${duckCos("a.v", "a.nrm", "q.qv", "q.qnrm")} AS cos
+       |  FROM assign a JOIN probe p ON a.cell = p.cell JOIN q ON q.qid = p.qid
+       |  WHERE a.vec_id <> p.qid),
+       |sys AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM cand QUALIFY rnk <= $NdcgK),
+       |w(rnk, wg) AS (VALUES $gains),
+       |agg AS (SELECT s.qid, CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       |    CAST(coalesce(sum(CASE WHEN t.vec_id IS NOT NULL THEN w.wg END), 0) AS BIGINT) AS dcg_w
+       |  FROM sys s JOIN w ON w.rnk = s.rnk
+       |  LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+       |  GROUP BY s.qid)
+       |SELECT qid, n_hits, dcg_w,
+       |  CAST(dcg_w * 1000000 // $IdcgMicro AS BIGINT) AS ndcg_micro,
+       |  CAST(n_hits * 1000000 // $NdcgK AS BIGINT) AS recall_micro
+       |FROM agg ORDER BY qid""".stripMargin
+  }
+
+  private val duckBt: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${ExtensionQueries.duckQualityCtes},
+      |dq AS MATERIALIZED (SELECT q.doc_id,
+      |    CAST(round(q.quality * 1000000) AS BIGINT) AS qm, d.source, d.lang
+      |  FROM quality q JOIN documents d USING (doc_id)),
+      |cell AS MATERIALIZED (SELECT lang, source, CAST(sum(qm) AS BIGINT) AS qsum,
+      |    CAST(count(*) AS BIGINT) AS nd FROM dq GROUP BY 1, 2),
+      |mt AS MATERIALIZED (SELECT a.lang, a.source AS sa, b.source AS sb,
+      |    CASE WHEN a.qsum * b.nd > b.qsum * a.nd THEN a.source ELSE b.source END AS winner
+      |  FROM cell a JOIN cell b ON a.lang = b.lang AND a.source < b.source
+      |  WHERE a.qsum * b.nd <> b.qsum * a.nd),
+      |roster AS MATERIALIZED (SELECT DISTINCT source FROM
+      |  (SELECT sa AS source FROM mt UNION ALL SELECT sb FROM mt)),
+      |played AS (SELECT sa AS source, sb AS opp FROM mt
+      |           UNION ALL SELECT sb, sa FROM mt),
+      |nij AS MATERIALIZED (SELECT source, opp, CAST(count(*) AS BIGINT) AS nm
+      |  FROM played GROUP BY 1, 2),
+      |wins AS MATERIALIZED (SELECT winner AS source, CAST(count(*) AS BIGINT) AS w
+      |  FROM mt GROUP BY 1),
+      |r0 AS MATERIALIZED (SELECT source, CAST(1000000 AS BIGINT) AS r FROM roster)""".stripMargin
+    for (t <- 1 to BtIters) {
+      sb ++= s""",
+        |den$t AS MATERIALIZED (SELECT n.source,
+        |    CAST(sum(n.nm * 1000000000000 // (si.r + sj.r)) AS BIGINT) AS den
+        |  FROM nij n JOIN r${t - 1} si ON si.source = n.source
+        |             JOIN r${t - 1} sj ON sj.source = n.opp
+        |  GROUP BY 1),
+        |raw$t AS MATERIALIZED (SELECT si.source,
+        |    greatest(1, CASE WHEN d.den IS NULL OR d.den = 0 THEN si.r
+        |      ELSE least(coalesce(w.w, 0) * 1000000000000 // d.den, 10000000000)
+        |    END) AS r0v
+        |  FROM r${t - 1} si
+        |  LEFT JOIN den$t d ON d.source = si.source
+        |  LEFT JOIN wins w ON w.source = si.source),
+        |an$t AS MATERIALIZED (SELECT arg_min(r0v, source) AS anch FROM raw$t),
+        |r$t AS MATERIALIZED (SELECT source,
+        |    greatest(1, least(r0v * 1000000 // anch, 1000000000)) AS r
+        |  FROM raw$t, an$t)""".stripMargin
+    }
+    sb ++= s""",
+      |totals AS (SELECT source, CAST(sum(nm) AS BIGINT) AS n_matches
+      |           FROM nij GROUP BY 1)
+      |SELECT s.source, coalesce(w.w, 0) AS wins,
+      |  coalesce(t.n_matches, 0) AS n_matches, s.r AS bt_micro
+      |FROM r$BtIters s
+      |LEFT JOIN wins w ON w.source = s.source
+      |LEFT JOIN totals t ON t.source = s.source
+      |ORDER BY s.source""".stripMargin
+    sb.toString
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "rank_eval_ndcg" -> duckNdcg,
+    "preference_bt_scores" -> duckBt)
+}

@@ -75,6 +75,21 @@ object ExtensionQueries extends QueryPack {
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** Quality-score CTE chain ending in `quality` (mirrors
+    * [[qualityScored]]) — shared by the score/survivor oracles here and
+    * the preference/rating oracles in [[EvalQueries]].
+    */
+  private[queries] lazy val duckQualityCtes: String =
+    s"""tq AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+       |fq AS (SELECT doc_id,
+       |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
+       |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+       |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
+       |FROM tq),
+       |quality AS (SELECT doc_id,
+       |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
+       |FROM fq)""".stripMargin
+
   /** MinHash-LSH candidates verified by exact (hashed-shingle-set) Jaccard
     * — shared by the pair query and the clustering query. One
     * materialization of the sorted shingle-hash sets serves both join
@@ -140,7 +155,7 @@ object ExtensionQueries extends QueryPack {
   /** (doc_id, quality) — the composite quality score, shared by the score
     * query and the dedup survivor selection.
     */
-  private def qualityScored(s: SparkSession, d: String): DataFrame =
+  private[queries] def qualityScored(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
       .select(col("doc_id"),
@@ -1397,18 +1412,7 @@ object ExtensionQueries extends QueryPack {
          |        / (n.nrm * q.qnrm), 6) AS cos
          |FROM short s JOIN n ON n.vec_id = s.vec_id, q
          |ORDER BY cos DESC, s.vec_id LIMIT 10""".stripMargin
-    // Quality-score CTE chain ending in `quality` (mirrors qualityScored),
-    // shared by the score and dedup-survivor oracles.
-    val duckQualityCtes =
-      s"""tq AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
-         |fq AS (SELECT doc_id,
-         |  CAST(len(toks) AS DOUBLE) AS nt, CAST(len(text) AS DOUBLE) AS nc,
-         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
-         |  CAST(len(list_filter(toks, x -> list_contains(${TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS DOUBLE) AS ns
-         |FROM tq),
-         |quality AS (SELECT doc_id,
-         |  round(least(nt / 100.0, 1.0) * 0.3 + (1.0 - np / nc) * 0.4 + (ns / nt) * 0.3, 6) AS quality
-         |FROM fq)""".stripMargin
+    val duckQualityCtes = ExtensionQueries.duckQualityCtes
     // Simhash sketch select (mirrors Dedup.simhash32FromHashes), shared by
     // the sketch query and the banded-pair query.
     val duckSimhashSel =

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Warehouse-modeling surface (round 8, fifth wave): slowly-changing
+  * dimensions and table profiling — the data-management operators a
+  * training-data pipeline needs around its fact tables.
+  *
+  * - `scd2_build` derives a Type-2 dimension (validity intervals +
+  *   version numbers) from a change-event stream: the WRITE path of
+  *   temporal modeling. One shuffle on the dimension key; both window
+  *   passes reuse the same hash partitioning (exchange reuse), so the
+  *   change-point detection and the interval close are sorts, not extra
+  *   shuffles.
+  * - `scd2_point_lookup` serves the built dimension with a point-in-time
+  *   (as-of) join — the READ path — through the engine's existing
+  *   [[graft.ops.AsOfJoin]] union-and-fill plan: one co-partitioned
+  *   shuffle, no range cross-product. Build→serve composition mirrors
+  *   the train→serve edges elsewhere in the catalog (PQ, quality model,
+  *   unigram vocab).
+  * - `profile_columns` is the profiling pass a pipeline runs before
+  *   trusting a new drop: per-column null counts, exact distinct counts
+  *   and min/max, emitted as one row per column. Exact multi-column
+  *   distinct plans as Spark's expand (×|cols| row replication) — the
+  *   oracle-comparable twin. At 100-TB scale the same row shape comes
+  *   from one pass of mergeable sketches (`ext/Sketches` HLL per column)
+  *   with no expand; the exact spelling here is the verification
+  *   baseline, same contract as the labeled quadratics.
+  *
+  * No reference citation: the reference has no dimension modeling at all
+  * (its only state is a per-batch metrics CSV) — north-star surface.
+  */
+object WarehouseQueries extends QueryPack {
+
+  /** The changing attribute: a user's "tier" carried on signup events
+    * (`props.k % 4`). Signups are the dimension's change feed; other
+    * event types are facts that later look the dimension up.
+    */
+  private def tierChanges(s: SparkSession, d: String): DataFrame =
+    events(s, d).where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"),
+        tsMillis(col("ts")).as("ts_ms"),
+        (expr("try_cast(get_json_object(props, '$.k') as bigint)") % 4)
+          .as("tier"))
+
+  /** SCD2 build through [[graft.ops.Scd.type2]]: change points on tier,
+    * versions numbered, intervals closed by the next change (null =
+    * current). Deterministic ordering (ts_ms, event_id) on both engines.
+    */
+  private[queries] def scd2Dim(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scd.type2(tierChanges(s, d), "user_id", "ts_ms", "event_id", "tier")
+      .withColumnRenamed("valid_from", "valid_from_ms")
+      .withColumnRenamed("valid_to", "valid_to_ms")
+
+  /** Shared dimension CTE for the DuckDB oracles (the build replayed in
+    * SQL; intervals tile each user's timeline so the as-of backward match
+    * on valid_from alone is the active version).
+    */
+  private val duckDim =
+    """su AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS tier
+      |  FROM events WHERE event_type = 'signup'),
+      |chg AS (SELECT *, lag(tier) OVER
+      |    (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev FROM su),
+      |cp AS (SELECT user_id, event_id, ts_ms, tier FROM chg
+      |       WHERE prev IS NULL OR prev <> tier),
+      |dim AS (SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version, tier,
+      |  ts_ms AS valid_from_ms, lead(ts_ms) OVER w AS valid_to_ms
+      |  FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+      |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_build" -> ((s, d) =>
+      scd2Dim(s, d).orderBy("user_id", "version")),
+
+    // Point-in-time serve: every purchase event annotated with the tier
+    // version active at purchase time (null where the purchase predates
+    // the user's first signup). AsOfJoin.backward = union + one keyed
+    // window — no interval cross-join anywhere in the plan.
+    "scd2_point_lookup" -> ((s, d) => {
+      val purchases = events(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), tsMillis(col("ts")).as("ts_ms"))
+      graft.ops.AsOfJoin.backward(purchases, scd2Dim(s, d),
+          Seq("user_id"), "ts_ms", "valid_from_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("tier"), col("version"))
+        .orderBy("event_id")
+    }),
+
+    // Table profiling: one aggregate row (count / per-column non-null,
+    // exact distinct, min/max) unpivoted to a row per column. Numeric
+    // min/max surface as doubles (exact value selection — no arithmetic,
+    // so bit-identical cross-engine); the date column via epoch millis;
+    // string columns as strings.
+    "profile_columns" -> ((s, d) => {
+      val o = orders(s, d).withColumn("_od_ms", tsMillis(col("o_orderdate")))
+      def num(c: String) = Seq(
+        count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))
+      def str(c: String) = Seq(
+        count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        num("o_orderkey") ++ num("o_custkey") ++ num("o_totalprice") ++
+        num("_od_ms") ++ str("o_orderstatus") ++ str("o_orderpriority")
+      val row = o.agg(aggs.head, aggs.tail: _*)
+      def base(name: String, c: String) = Seq(
+        lit(name).as("col_name"), col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"c_$c")).as("n_nulls"),
+        col(s"d_$c").as("n_distinct"))
+      def numRow(name: String, c: String) = struct(base(name, c) ++ Seq(
+        col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str")): _*)
+      def strRow(name: String, c: String) = struct(base(name, c) ++ Seq(
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"mn_$c").as("min_str"), col(s"mx_$c").as("max_str")): _*)
+      row.select(explode(array(
+          numRow("o_orderkey", "o_orderkey"),
+          numRow("o_custkey", "o_custkey"),
+          numRow("o_totalprice", "o_totalprice"),
+          numRow("o_orderdate_ms", "_od_ms"),
+          strRow("o_orderstatus", "o_orderstatus"),
+          strRow("o_orderpriority", "o_orderpriority"))).as("r"))
+        .select(col("r.*"))
+        .orderBy("col_name")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "scd2_build" ->
+      s"""WITH $duckDim
+         |SELECT user_id, version, tier, valid_from_ms, valid_to_ms
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+
+    "scd2_point_lookup" ->
+      s"""WITH $duckDim
+         |SELECT p.event_id, p.user_id, p.ts_ms, dim.tier, dim.version
+         |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+         |      WHERE event_type = 'purchase') p
+         |ASOF LEFT JOIN dim
+         |  ON p.user_id = dim.user_id AND p.ts_ms >= dim.valid_from_ms
+         |ORDER BY p.event_id""".stripMargin,
+
+    "profile_columns" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n.n_rows,
+        |  n.n_rows - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'o_custkey', n.n_rows, n.n_rows - count(o_custkey),
+        |  count(DISTINCT o_custkey), CAST(min(o_custkey) AS DOUBLE),
+        |  CAST(max(o_custkey) AS DOUBLE), NULL, NULL
+        |FROM orders, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'o_totalprice', n.n_rows, n.n_rows - count(o_totalprice),
+        |  count(DISTINCT o_totalprice), min(o_totalprice), max(o_totalprice),
+        |  NULL, NULL
+        |FROM orders, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'o_orderdate_ms', n.n_rows, n.n_rows - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(epoch_ms(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_ms(max(o_orderdate)) AS DOUBLE), NULL, NULL
+        |FROM orders, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'o_orderstatus', n.n_rows, n.n_rows - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL,
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders, n GROUP BY n.n_rows
+        |UNION ALL
+        |SELECT 'o_orderpriority', n.n_rows, n.n_rows - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), NULL, NULL,
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders, n GROUP BY n.n_rows
+        |ORDER BY col_name""".stripMargin)
+}
