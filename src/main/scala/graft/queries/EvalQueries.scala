@@ -130,54 +130,13 @@ object EvalQueries extends QueryPack {
           .otherwise(col("sb")).as("winner"))
   }
 
-  /** MM iterations in integer micro-units. Per round, for each player i:
-    * D_i = Σ_j n_ij·1e12 div (s_i + s_j); raw_i = clamp(W_i·1e12 div D_i);
-    * then anchor-normalize so the lexicographically-first source sits at
-    * exactly 1e6. Clamps ([1, 1e9] after normalize, 1e10 before) bound
-    * every product inside int64 — deterministic, and inert on any
-    * non-degenerate match matrix. Roster-sized frames; localCheckpoint per
-    * round cuts the lazy-chain blowup (the PageRank lesson).
+  /** The MM fit lives in [[graft.ext.BradleyTerry]] (unit-tested on
+    * synthetic match matrices); this just renames the roster column.
     */
-  private def btScores(s: SparkSession, d: String): DataFrame = {
-    val m = btMatches(s, d).localCheckpoint(false)
-    val roster = m.select(col("sa").as("source"))
-      .unionAll(m.select(col("sb").as("source"))).distinct()
-    val played = m.select(col("sa").as("source"), col("sb").as("opp"))
-      .unionAll(m.select(col("sb").as("source"), col("sa").as("opp")))
-    val nij = played.groupBy(col("source"), col("opp"))
-      .agg(count(lit(1)).as("nm")).localCheckpoint(false)
-    val wins = m.groupBy(col("winner").as("source"))
-      .agg(count(lit(1)).as("w")).localCheckpoint(false)
-
-    var rating = roster.select(col("source"), lit(1000000L).as("r"))
-      .localCheckpoint(false)
-    for (_ <- 1 to BtIters) {
-      val sj = rating.select(col("source").as("opp"), col("r").as("rj"))
-      val den = nij.join(rating, Seq("source")).join(sj, Seq("opp"))
-        .groupBy(col("source"))
-        .agg(sum(expr("nm * 1000000000000 div (r + rj)")).as("den"))
-      val raw = rating.join(den, Seq("source"), "left")
-        .join(wins, Seq("source"), "left")
-        .select(col("source"),
-          greatest(lit(1L),
-            when(col("den").isNull || col("den") === 0, col("r"))
-              .otherwise(least(
-                expr("coalesce(w, 0) * 1000000000000 div den"),
-                lit(10000000000L)))).as("r0"))
-      val an = raw.agg(min_by(col("r0"), col("source")).as("anch"))
-      rating = raw.crossJoin(broadcast(an))
-        .select(col("source"),
-          greatest(lit(1L), least(expr("r0 * 1000000 div anch"),
-            lit(1000000000L))).as("r"))
-        .localCheckpoint(false)
-    }
-    val totals = nij.groupBy(col("source")).agg(sum(col("nm")).as("n_matches"))
-    rating.join(wins, Seq("source"), "left").join(totals, Seq("source"), "left")
-      .select(col("source"), coalesce(col("w"), lit(0L)).as("wins"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("r").as("bt_micro"))
+  private def btScores(s: SparkSession, d: String): DataFrame =
+    graft.ext.BradleyTerry.fit(btMatches(s, d), "sa", "sb", "winner", BtIters)
+      .withColumnRenamed("player", "source")
       .orderBy("source")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_eval_ndcg" -> ((s, d) => rankEval(s, d)),
