@@ -46,12 +46,15 @@ object BradleyTerry {
     var rating = roster.select(col("player"), lit(1000000L).as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
+      // every side here is player-count-sized (constant vs corpus) and
+      // post-checkpoint/post-agg (statless for AQE) — broadcast by design
       val sj = rating.select(col("player").as("opp"), col("r").as("rj"))
-      val den = nij.join(rating, Seq("player")).join(sj, Seq("opp"))
+      val den = nij.join(broadcast(rating), Seq("player"))
+        .join(broadcast(sj), Seq("opp"))
         .groupBy(col("player"))
         .agg(sum(expr("nm * 1000000000000 div (r + rj)")).as("den"))
-      val raw = rating.join(den, Seq("player"), "left")
-        .join(wins, Seq("player"), "left")
+      val raw = rating.join(broadcast(den), Seq("player"), "left")
+        .join(broadcast(wins), Seq("player"), "left")
         .select(col("player"),
           greatest(lit(1L),
             when(col("den").isNull || col("den") === 0, col("r"))
@@ -66,7 +69,8 @@ object BradleyTerry {
         .localCheckpoint(false)
     }
     val totals = nij.groupBy(col("player")).agg(sum(col("nm")).as("n_matches"))
-    rating.join(wins, Seq("player"), "left").join(totals, Seq("player"), "left")
+    rating.join(broadcast(wins), Seq("player"), "left")
+      .join(broadcast(totals), Seq("player"), "left")
       .select(col("player"), coalesce(col("w"), lit(0L)).as("wins"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("r").as("bt_micro"))

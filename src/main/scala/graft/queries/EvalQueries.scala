@@ -37,10 +37,15 @@ import graft.ext.Similarity
   */
 object EvalQueries extends QueryPack {
 
-  /** Query sample rate: vec_id % QStep == 0 → 4 queries at sf0.01 (500
-    * vectors), 16 at sf0.1 (2000) — the sample grows with the corpus.
+  /** Query sample: vec_id % QStep == 0, capped at MaxQ ids → 4 queries at
+    * sf0.01 (500 vectors), 16 at sf0.1 (2000). The cap bounds the broadcast
+    * query set to a CONSTANT regardless of corpus size — at 100 TB the
+    * eval still scans the corpus once per query batch, but |Q| never grows
+    * past MaxQ (an uncapped fixed-rate sample would make the broadcast
+    * side corpus-proportional).
     */
   val QStep = 125
+  val MaxQ = 64
   val NdcgK = 10
   val NumCells = 16
   val NProbe = 4
@@ -62,7 +67,8 @@ object EvalQueries extends QueryPack {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val q = broadcast(e.where(col("vec_id") % QStep === 0)
+    val q = broadcast(e.where(col("vec_id") % QStep === 0 &&
+        col("vec_id") < QStep.toLong * MaxQ)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")))
     def cos(vc: Column, nc: Column) =
       round(dot(vc, col("qv")) / (nc * col("qnrm")), 6)
@@ -93,7 +99,8 @@ object EvalQueries extends QueryPack {
 
     val ranked = sys.withColumn("rank", row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-    ranked.join(truth, Seq("qid", "vec_id"), "left")
+    // truth is |Q|·K rows (constant-bounded) — broadcast, don't shuffle
+    ranked.join(broadcast(truth), Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
       .agg(count(col("hit")).as("n_hits"),
         coalesce(sum(when(col("hit").isNotNull,
@@ -123,7 +130,9 @@ object EvalQueries extends QueryPack {
       col("qsum").as("qa"), col("nd").as("na"))
     val b = cell.select(col("lang"), col("source").as("sb"),
       col("qsum").as("qb"), col("nd").as("nb"))
-    a.join(b, Seq("lang")).where(col("sa") < col("sb"))
+    // cell is (lang × source)-sized — constant roster cardinality, so the
+    // self-join broadcasts by design (post-agg sides are statless for AQE)
+    a.join(broadcast(b), Seq("lang")).where(col("sa") < col("sb"))
       .where(col("qa") * col("nb") =!= col("qb") * col("na"))
       .select(col("lang"), col("sa"), col("sb"),
         when(col("qa") * col("nb") > col("qb") * col("na"), col("sa"))
@@ -156,7 +165,8 @@ object EvalQueries extends QueryPack {
     val gains = GainMicro.zipWithIndex
       .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }.mkString(", ")
     s"""WITH $duckVecBase,
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % $QStep = 0),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+       |  WHERE vec_id % $QStep = 0 AND vec_id < ${QStep.toLong * MaxQ}),
        |exact AS (SELECT q.qid, a.vec_id,
        |    ${duckCos("a.v", "a.nrm", "q.qv", "q.qnrm")} AS cos
        |  FROM n a, q WHERE a.vec_id <> q.qid),

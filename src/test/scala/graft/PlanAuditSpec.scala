@@ -287,7 +287,11 @@ class PlanAuditSpec extends SparkSpec {
       "hybrid_rrf_topk",        // both branches' labeled attaches: the
                                 // BM25 1-row corpus-stats and the IVF
                                 // centroid/query-vector constants
-      "pipeline_curriculum")    // 1-row total-token-mass attach
+      "pipeline_curriculum",    // 1-row total-token-mass attach
+      "rank_eval_ndcg")         // constant-bounded (≤MaxQ) broadcast query
+                                // sample + the IVF centroid attach — the
+                                // eval ground truth is |Q|·N exact cosines
+                                // by definition (the eval-time budget)
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
