@@ -102,6 +102,60 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_pico"))
   }
 
+  /** K-core of an undirected graph by synchronous peeling: drop every
+    * node whose degree among SURVIVORS is below k, for a fixed number
+    * of rounds (the constant is part of the query definition — the
+    * oracle replays exactly this many rounds; pick rounds ≥ measured
+    * fixpoint depth with margin, and assert fixpoint in the spec).
+    * k itself is adaptive — ceil of the `degQuantile` exact percentile
+    * of the initial degree distribution — so the same query stays
+    * nontrivial as the corpus (and its degree scale) grows.
+    *
+    * Scale shape: the EDGE list is pinned once (the pageRank iterative
+    * exception) and scanned once per round; the ITERATION STATE is the
+    * node-sized survivor set, broadcast into two semi-joins per round
+    * (billion-node graphs flip the broadcast to a keyed exchange of the
+    * node-sized side — same plan shape, same note as pageRank). The
+    * threshold k is a plan-time constant: one double to the driver,
+    * folded into every round's HAVING (the `n = nodes.count()` pattern).
+    * Peeling is monotone (survivor sets only shrink), so synchronous
+    * rounds converge to THE k-core regardless of execution order —
+    * reductions are integer counts, results partition-count-invariant.
+    *
+    * Returns (node, deg_core, k): core members with their within-core
+    * degree and the adaptive threshold actually applied.
+    */
+  def kCore(edges: DataFrame, uCol: String, vCol: String,
+      degQuantile: Double, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .where(col("u") < col("v")).distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    val deg0 = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val k = math.ceil(deg0
+        .agg(expr(s"percentile(dg, $degQuantile)").as("q"))
+        .first().getDouble(0)).toLong
+    def restrict(e: DataFrame, alive: DataFrame): DataFrame = e
+      .join(broadcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .join(broadcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+    var alive = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      alive = restrict(sym, alive)
+        .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(false)
+    }
+    restrict(sym, alive)
+      .groupBy(col("src")).agg(count(lit(1)).as("deg_core"))
+      .select(col("src").as("node"), col("deg_core"), lit(k).as("k"))
+  }
+
   /** Triangle census of an undirected graph via the degree-oriented
     * (compact-forward) algorithm: orient every edge from its lower
     * (degree, id) endpoint, build wedges only at a triangle's

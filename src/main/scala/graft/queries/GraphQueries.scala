@@ -26,6 +26,16 @@ object GraphQueries extends QueryPack {
     */
   val PageRankIters = 5
 
+  /** K-core peel rounds and the adaptive-threshold quantile. Measured
+    * fixpoint depth on the trade graph is 2 at every SF (one effective
+    * peel + one confirming round — the graph's upper-quartile core is
+    * cohesive); 4 rounds is 2× margin, and `GraphSpec` asserts the
+    * fixpoint (rounds vs rounds+1 identical) so a fixture change that
+    * deepens the cascade fails loudly instead of silently truncating.
+    */
+  val KCoreRounds = 4
+  val KCoreQuantile = 0.75
+
   /** Symmetrized trade edges: customer c ↔ supplier s for every distinct
     * (custkey, suppkey) pair that shares an order line. Node ids are
     * prefixed ('c…'/'s…') so the two key spaces never collide.
@@ -90,7 +100,17 @@ object GraphQueries extends QueryPack {
       Graph.triangleCensus(supplierCoEdges(s, d), "u", "v")
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
           (col("n_triangles") * 512L).as("est_triangles"),
-          col("clustering"))))
+          col("clustering"))),
+
+    // K-core of the trade graph at the adaptive upper-quartile
+    // threshold — the cohesion operator completing the graph family
+    // (CC finds WHICH nodes connect, PageRank HOW CENTRAL, triangles
+    // HOW CLUSTERED, k-core HOW COHESIVE). Exact integer compare:
+    // degrees are counts, the threshold is ceil of an exact percentile
+    // over integers (representable doubles end-to-end).
+    "graph_kcore" -> ((s, d) =>
+      Graph.kCore(tradeEdges(s, d), "src", "dst", KCoreQuantile, KCoreRounds)
+        .orderBy("node")))
 
   private def duckPageRank(iters: Int): String = {
     val S = Graph.Scale
@@ -129,7 +149,43 @@ object GraphQueries extends QueryPack {
     sb.toString
   }
 
+  /** The k-core peel chain: each survivor set a{t} is referenced three
+    * times by the next round (two endpoint joins + implicitly via the
+    * shared prefix), so every CTE is MATERIALIZED (the PageRank rule).
+    */
+  private def duckKCore(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""base AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+      |  's' || CAST(l_suppkey AS VARCHAR) AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |und AS MATERIALIZED (SELECT DISTINCT least(c, sp) AS u,
+      |  greatest(c, sp) AS v FROM base),
+      |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+      |  UNION ALL SELECT v, u FROM und),
+      |kv AS MATERIALIZED (SELECT CAST(ceil(quantile_cont(dg, $KCoreQuantile))
+      |    AS BIGINT) AS k
+      |  FROM (SELECT src, count(*) AS dg FROM e0 GROUP BY 1)),
+      |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0)""".stripMargin
+    for (t <- 1 to rounds) {
+      sb ++= s""",
+        |a$t AS MATERIALIZED (SELECT e.src AS node FROM e0 e
+        |  JOIN a${t - 1} x ON e.src = x.node
+        |  JOIN a${t - 1} y ON e.dst = y.node
+        |  GROUP BY 1 HAVING count(*) >= (SELECT k FROM kv))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg_core,
+      |  (SELECT k FROM kv) AS k
+      |FROM e0 e JOIN a$rounds x ON e.src = x.node
+      |JOIN a$rounds y ON e.dst = y.node
+      |GROUP BY 1 ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_kcore" -> s"WITH ${duckKCore(KCoreRounds)}",
+
     "graph_pagerank" ->
       s"""WITH ${duckPageRank(PageRankIters)}
          |SELECT node, r AS rank_pico FROM r$PageRankIters

@@ -96,4 +96,42 @@ class GraphSpec extends SparkSpec {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (1L, 3L))
     assert(census(messy) == ((3L, 3L, 1L, Some(1.0))))
   }
+
+  private def core(edges: Seq[(Long, Long)], q: Double, rounds: Int) =
+    Graph.kCore(edges.toDF("u", "v"), "u", "v", q, rounds)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+  test("kCore peels a pendant but keeps the triangle") {
+    // triangle a,b,c + pendant d on c. Degrees [1,2,2,3]: the exact
+    // median is 2, so q=0.5 -> k=2; the 2-core is the triangle with
+    // every within-core degree 2 (c loses the pendant edge).
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(core(g, 0.5, 4) == Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 2L, 2L)))
+  }
+
+  test("kCore cascades a chain peel across rounds") {
+    // triangle 1,2,3 + path 3-4-5. Degrees [1,2,2,2,3] -> k=2 at the
+    // median. Round 1 peels 5 (deg 1), round 2 peels 4 (deg dropped
+    // to 1), round 3 confirms — a genuinely multi-round cascade.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    assert(core(g, 0.5, 4) == Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 2L, 2L)))
+    // With only 1 round the cascade is TRUNCATED: node 4 survives the
+    // first peel (its degree was still 2) — proving rounds matter.
+    assert(core(g, 0.5, 1).map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("kCore reaches its fixpoint on the fixture within the catalog's round budget") {
+    import graft.queries.GraphQueries.{KCoreQuantile, KCoreRounds}
+    val orders = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val base = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst")).distinct()
+    def run(r: Int) = Graph.kCore(base, "src", "dst", KCoreQuantile, r)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val atBudget = run(KCoreRounds)
+    assert(atBudget.nonEmpty)
+    assert(atBudget == run(KCoreRounds + 1),
+      "peel had not converged within KCoreRounds — raise the budget")
+  }
 }
