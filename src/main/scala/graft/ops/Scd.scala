@@ -37,7 +37,7 @@ object Scd {
     *         null for the open current version
     */
   def type2(changes: DataFrame, key: String, time: String, tieBreak: String,
-      attr: String): DataFrame = {
+      attr: String, keepTieBreak: Boolean = false): DataFrame = {
     val byTime = Window.partitionBy(col(key)).orderBy(col(time), col(tieBreak))
     // lag over a STRUCT wrapper: null means "no previous row" even when
     // the attribute itself is null, so a leading null-attr run collapses
@@ -45,9 +45,14 @@ object Scd {
     val cp = changes
       .withColumn("_prev", lag(struct(col(attr)), 1).over(byTime))
       .where(col("_prev").isNull || !(col("_prev")(attr) <=> col(attr)))
-    cp.withColumn("version", row_number().over(byTime))
+    val out = cp.withColumn("version", row_number().over(byTime))
       .withColumn("valid_to", lead(col(time), 1).over(byTime))
-      .select(col(key), col("version"), col(attr),
-        col(time).as("valid_from"), col("valid_to"))
+    // keepTieBreak: incremental maintenance (ScdStore) re-sorts stored
+    // change points against later batches, so each version keeps the
+    // tie-break of the row that opened it
+    val cols = Seq(col(key), col("version"), col(attr),
+      col(time).as("valid_from"), col("valid_to")) ++
+      (if (keepTieBreak) Seq(col(tieBreak)) else Nil)
+    out.select(cols: _*)
   }
 }

@@ -76,6 +76,30 @@ object WarehouseQueries extends QueryPack {
     "scd2_build" -> ((s, d) =>
       scd2Dim(s, d).orderBy("user_id", "version")),
 
+    // INCREMENTAL dimension maintenance (ops/ScdStore): the change feed
+    // arrives as two time-ordered batches folding into a persisted
+    // key-level LSM behind one atomic manifest commit — the CDC shape
+    // where re-versioning the whole history per batch is impossible —
+    // and the folded view must equal the one-shot build: the oracle IS
+    // scd2_build's SQL. The split point is the exact median change time
+    // (a plan-time constant, the kCore pattern), so per-key arrival
+    // order holds and the quarantine stays empty.
+    "scd2_incremental" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scd2_q").toString
+      val chg = tierChanges(s, d)
+      val cut = chg.agg(expr("percentile(ts_ms, 0.5)")).first().getDouble(0)
+      graft.ops.ScdStore.ingestBatch(s, path, chg.where(col("ts_ms") <= cut),
+        "user_id", "ts_ms", "event_id", "tier", 0L)
+      graft.ops.ScdStore.ingestBatch(s, path, chg.where(col("ts_ms") > cut),
+        "user_id", "ts_ms", "event_id", "tier", 1L)
+      graft.ops.ScdStore.readDim(s, path).get
+        .select(col("key").as("user_id"), col("version"),
+          col("attr").as("tier"), col("valid_from").as("valid_from_ms"),
+          col("valid_to").as("valid_to_ms"))
+        .orderBy("user_id", "version")
+    }),
+
     // Point-in-time serve: every purchase event annotated with the tier
     // version active at purchase time (null where the purchase predates
     // the user's first signup). AsOfJoin.backward = union + one keyed
@@ -133,6 +157,11 @@ object WarehouseQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "scd2_build" ->
+      s"""WITH $duckDim
+         |SELECT user_id, version, tier, valid_from_ms, valid_to_ms
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+
+    "scd2_incremental" ->
       s"""WITH $duckDim
          |SELECT user_id, version, tier, valid_from_ms, valid_to_ms
          |FROM dim ORDER BY user_id, version""".stripMargin,
