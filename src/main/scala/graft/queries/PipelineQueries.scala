@@ -61,6 +61,13 @@ object PipelineQueries extends QueryPack {
     */
   val EwmaLevels = 5
 
+  /** DSIR feature space: unigrams + bigrams hashed into this many
+    * buckets (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023 — hashed n-gram features make
+    * the distribution fit bucket-count-sized regardless of vocabulary).
+    */
+  val DsirBuckets = 1024L
+
   // Shared DuckDB fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
@@ -71,7 +78,56 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("_toks"), size(col("_toks")).as("_n"))
 
+  /** (doc_id, lang, bucket) — one row per hashed n-gram OCCURRENCE
+    * (unigrams + bigrams into [[DsirBuckets]] buckets). Re-derived by
+    * each consumer: token-stream-sized, so never pinned (§8); the DSIR
+    * fit+score is inherently two text passes.
+    */
+  private def dsirFeatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_toks"))
+      // guard: Spark's sequence(1, n) DESCENDS for n < 1 — short docs
+      // must yield an empty bigram list, not [1, 0]
+      .withColumn("_bi", when(size(col("_toks")) >= 2,
+        expr("transform(sequence(1, size(_toks) - 1)," +
+          " i -> concat(_toks[i-1], ' ', _toks[i]))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("_toks"), col("_bi"))).as("_f"))
+      .select(col("doc_id"), col("lang"),
+        (TextOps.hash32(col("_f")) % DsirBuckets).as("bucket"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR importance weights (Xie et al. 2023): per-doc log importance
+    // ratio between a TARGET distribution (here the lang='en' slice) and
+    // the raw corpus, over hashed n-gram features with add-one smoothing
+    // on the bucket space. Integer micro-exact by the BM25 recipe: the
+    // log-ratio is rounded PER BUCKET on the bucket-count-sized table
+    // (ln ulps behind the rounding; products of exact integers, one
+    // division), so the per-doc sum is order-independent. Scale shape:
+    // fit pass = one text scan reduced to a B-row bucket table (partial
+    // aggregation, 1-row total attach, all broadcast); score pass = one
+    // text scan joined to the broadcast B-row ratio table, ONE shuffle
+    // keyed by doc_id with map-side partial sums. At 100 TB the fit pass
+    // runs on a sample (the paper's own setup) — the score pass is the
+    // corpus-sized work either way.
+    "corpus_dsir_weights" -> ((s, d) => {
+      val fb = dsirFeatures(s, d)
+      val bc = fb.groupBy(col("bucket")).agg(
+        count(lit(1)).as("cs"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = bc.agg(sum(col("cs")).as("s_tot"), sum(col("ct")).as("t_tot"))
+      val lr = bc.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round(log(((col("ct") + lit(1.0)) * (col("s_tot") + lit(DsirBuckets.toDouble))) /
+            ((col("cs") + lit(1.0)) * (col("t_tot") + lit(DsirBuckets.toDouble)))) * 1e6, 0)
+            .cast("long").as("lr_micro"))
+      fb.join(broadcast(lr), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("dsir_micro"))
+        .orderBy("doc_id")
+    }),
+
     // Native session-window batch aggregation — the built-in operator twin
     // of the lag/cumsum sessionize_30m plan (and of the streaming
     // `session_window` aggregation). One shuffle on user_id; Spark merges
@@ -469,6 +525,28 @@ object PipelineQueries extends QueryPack {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
 
     Map(
+      "corpus_dsir_weights" ->
+        s"""WITH tq AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+           |fe AS (SELECT doc_id, lang, unnest(list_concat(toks,
+           |    list_transform(generate_series(1, len(toks) - 1),
+           |      i -> toks[i] || ' ' || toks[i + 1]))) AS f
+           |  FROM tq),
+           |fb AS MATERIALIZED (SELECT doc_id, lang,
+           |    ${duckH32("f")} % $DsirBuckets AS bucket FROM fe),
+           |bc AS MATERIALIZED (SELECT bucket, CAST(count(*) AS BIGINT) AS cs,
+           |    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS ct
+           |  FROM fb GROUP BY 1),
+           |tot AS (SELECT sum(cs) AS s_tot, sum(ct) AS t_tot FROM bc),
+           |lr AS MATERIALIZED (SELECT bucket,
+           |    CAST(round(ln(((ct + 1.0) * (s_tot + $DsirBuckets))
+           |        / ((cs + 1.0) * (t_tot + $DsirBuckets))) * 1000000, 0)
+           |      AS BIGINT) AS lr_micro
+           |  FROM bc, tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           |  CAST(sum(lr_micro) AS BIGINT) AS dsir_micro
+           |FROM fb JOIN lr USING (bucket)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
       "session_window_native" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
           |marked AS (

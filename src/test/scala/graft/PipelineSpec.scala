@@ -148,6 +148,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights separate the target slice from the rest of the corpus") {
+    // Semantics, not just arithmetic (the oracle pins that): the mean
+    // per-feature importance of target-language docs must exceed the
+    // non-target mean — the importance ratio is BUILT from the en/corpus
+    // contrast, so a sign flip or swapped numerator shows here.
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"))
+    val w = run("corpus_dsir_weights").join(docs, Seq("doc_id"))
+      .select(col("lang"),
+        (col("dsir_micro").cast("double") / col("n_feats")).as("pf"))
+      .groupBy(col("lang") === "en").agg(avg(col("pf")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // Target mean sits near zero (smoothing bias can pull it slightly
+    // negative — en features also dominate the raw-corpus denominator);
+    // the non-target mean must be MATERIALLY below it.
+    assert(w(true) > w(false) + 10000.0,
+      s"target mean ${w(true)} should exceed non-target ${w(false)} by >0.01")
+    assert(w(false) < 0)
+  }
+
   test("semdedup pairs only within cells, all above the cosine floor") {
     val assign = graft.ext.Similarity.ivfAssign(
       graft.Tables.embeddings(spark, sf0001), "vec_id", "embedding", SemCells)

@@ -288,10 +288,12 @@ class PlanAuditSpec extends SparkSpec {
                                 // BM25 1-row corpus-stats and the IVF
                                 // centroid/query-vector constants
       "pipeline_curriculum",    // 1-row total-token-mass attach
-      "rank_eval_ndcg")         // constant-bounded (≤MaxQ) broadcast query
+      "rank_eval_ndcg",         // constant-bounded (≤MaxQ) broadcast query
                                 // sample + the IVF centroid attach — the
                                 // eval ground truth is |Q|·N exact cosines
                                 // by definition (the eval-time budget)
+      "corpus_dsir_weights")    // 1-row feature-total attach onto the
+                                // bucket-count-sized (B-row) ratio table
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
