@@ -164,6 +164,15 @@ object QualityModel {
       .select(col("doc_id"), round(sigmoidFast(zOf(m.w)), 6).as("score"))
       .withColumn("keep", col("score") >= 0.5)
 
+  /** Serving with the heuristic label retained: evaluation queries
+    * (calibration) need (score, y) side by side from ONE text pass —
+    * same plan as [[score]] plus the label column.
+    */
+  def scoreLabeled(docs: DataFrame, m: Model): DataFrame =
+    standardize(features(docs), m.mu, m.sd)
+      .select(col("doc_id"), round(sigmoidFast(zOf(m.w)), 6).as("score"),
+        col("y"))
+
   /** Round-half-up to 6 places, matching Spark's `round` and DuckDB. */
   def r6(x: Double): Double = Exact.r6(x)
 

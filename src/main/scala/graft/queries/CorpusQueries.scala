@@ -507,7 +507,7 @@ object CorpusQueries extends QueryPack {
     * expressions, rational fast sigmoid, integer micro-unit gradient
     * sums — see the QualityModel scaladoc.
     */
-  private def duckQualityTrainChain(iters: Int): String = {
+  private[queries] def duckQualityTrainChain(iters: Int): String = {
     val stop = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
     val lr = QualityModel.Lr
     val sb = new StringBuilder

@@ -147,9 +147,38 @@ object EvalQueries extends QueryPack {
       .withColumnRenamed("player", "source")
       .orderBy("source")
 
+  // ---------------------------------------------------- calibration/ECE
+
+  /** Reliability diagram of the TRAINED quality model against its own
+    * heuristic labels: predicted probability bucketed into 10 bins, each
+    * bin's mean confidence vs empirical positive rate and their gap (the
+    * per-bin term of expected calibration error), all in integer
+    * micro-units (scores are r6-rounded, so ×1e6 is exact; rates are
+    * integer floor-divisions). One text pass (score + label side by
+    * side), one 10-row aggregate — corpus-linear, KB-sized shuffle.
+    */
+  private def calibration(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.QualityModel
+    val docs = documents(s, d)
+    val m = QualityModel.train(docs)
+    QualityModel.scoreLabeled(docs, m)
+      .select(col("score"), col("y"),
+        least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(round(score * 1000000, 0) as bigint)")).as("_sc"),
+        sum(col("y").cast("long")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("_sc div n").as("conf_micro"),
+        expr("n_pos * 1000000 div n").as("acc_micro"),
+        abs(expr("_sc div n") - expr("n_pos * 1000000 div n")).as("gap_micro"))
+      .orderBy("bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_eval_ndcg" -> ((s, d) => rankEval(s, d)),
-    "preference_bt_scores" -> ((s, d) => btScores(s, d)))
+    "preference_bt_scores" -> ((s, d) => btScores(s, d)),
+    "eval_calibration" -> ((s, d) => calibration(s, d)))
 
   // ------------------------------------------------------------- oracles
 
@@ -254,7 +283,29 @@ object EvalQueries extends QueryPack {
     sb.toString
   }
 
+  private val duckCalibration: String = {
+    val qT = graft.ext.QualityModel.TrainIters
+    s"""WITH ${CorpusQueries.duckQualityTrainChain(qT)},
+       |zs AS (SELECT f.doc_id, f.y,
+       |  round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) AS score
+       |  FROM (SELECT f.doc_id, f.y,
+       |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+       |        FROM feats f, w$qT w) f),
+       |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+       |  CAST(round(score * 1000000, 0) AS BIGINT) AS sm, y FROM zs),
+       |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(sm) AS BIGINT) AS sc,
+       |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  CAST(sc // n AS BIGINT) AS conf_micro,
+       |  CAST(n_pos * 1000000 // n AS BIGINT) AS acc_micro,
+       |  CAST(abs(sc // n - n_pos * 1000000 // n) AS BIGINT) AS gap_micro
+       |FROM agg ORDER BY bin""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rank_eval_ndcg" -> duckNdcg,
-    "preference_bt_scores" -> duckBt)
+    "preference_bt_scores" -> duckBt,
+    "eval_calibration" -> duckCalibration)
 }

@@ -67,4 +67,23 @@ class EvalSpec extends SparkSpec {
     assert(prof._2 == o.where($"o_custkey".isNull).count())
     assert(prof._3 == o.select("o_custkey").distinct().count())
   }
+
+  test("calibration bins are consistent: confidence within bin bounds, gap = |conf - acc|") {
+    val rows = EvalQueries.queries("eval_calibration")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    // every scored doc lands in exactly one bin
+    assert(n == graft.ext.QualityModel.features(
+      Tables.documents(spark, sf0001)).count())
+    rows.foreach { case (bin, cnt, nPos, conf, acc, gap) =>
+      assert(bin >= 0 && bin <= 9 && cnt > 0 && nPos >= 0 && nPos <= cnt)
+      // mean confidence sits inside its own bin (bin 9 owns 1.0 too)
+      assert(conf >= bin * 100000 &&
+        (conf < (bin + 1) * 100000 || (bin == 9 && conf <= 1000000)),
+        s"bin $bin conf $conf")
+      assert(acc >= 0 && acc <= 1000000)
+      assert(gap == math.abs(conf - acc))
+    }
+  }
 }
