@@ -25,6 +25,14 @@ object CorpusQueries extends QueryPack {
     */
   val DupSpanW = 8
 
+  /** PMI collocations: pairs below this bigram count are noise (the
+    * standard floor), and the emitted association list is top-K by
+    * (pmi, pair) — deterministic total order, so LIMIT cuts identically
+    * on both engines.
+    */
+  val PmiMinCount = 5
+  val PmiTopK = 200
+
   // Shared DuckDB fragments (mirror TextOps/Dedup exactly — same text as
   // the ExtensionQueries fragments so the families stay in sync).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
@@ -121,7 +129,48 @@ object CorpusQueries extends QueryPack {
     // smoothing, P(b|a) = (c2(a,b)+1) / (c1(a)+V). Corpus statistics are
     // keyed aggregations; V is a 1-row broadcast. Single-token documents
     // have no bigrams and drop out (mirrored by the oracle's inner joins).
-    "lm_bigram_score" -> ((s, d) => lmScores(s, d).orderBy("doc_id")))
+    "lm_bigram_score" -> ((s, d) => lmScores(s, d).orderBy("doc_id")),
+
+    // PMI collocations: pointwise mutual information of adjacent word
+    // pairs, ln((c12/Nb) / ((c1/N)·(c2/N))) in micro-units with the
+    // parenthesization spelled IDENTICALLY in both engines (each IEEE
+    // division/multiply is bit-equal on equal integer operands; ln ulps
+    // sit behind the rounding — the BM25 recipe). Token stream is
+    // aggregated twice (unigrams, bigrams — both keyed shuffles with
+    // map-side combine); everything after is vocabulary-sized: the
+    // unigram/bigram count tables are checkpointed (the lm_bigram c2
+    // precedent), totals ride as 1-row broadcasts, and the count floor
+    // prunes the pair table before its two vocabulary joins (AQE
+    // broadcasts them when the vocab fits, shuffled-hash when not).
+    // Top-K by (pmi, pair) is a bounded TakeOrdered, not a full sort.
+    "text_pmi_topk" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      val uc = tok.select(explode(col("_toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val n1 = size(col("_toks")) - 1
+      val pc0 = tok.where(size(col("_toks")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("_toks"), lit(1), n1),
+          slice(col("_toks"), lit(2), n1))).as("_bg"))
+        .select(col("_bg")("0").as("w1"), col("_bg")("1").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false)
+      val nTot = uc.agg(sum(col("c")).as("n"))
+      val nbTot = pc0.agg(sum(col("c12")).as("nb")) // BEFORE the floor
+      pc0.where(col("c12") >= PmiMinCount)
+        .join(uc.select(col("w").as("w1"), col("c").as("cu1")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("cu2")), Seq("w2"))
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(nbTot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") * lit(1.0) / col("nb")) /
+            ((col("cu1") * lit(1.0) / col("n")) *
+              (col("cu2") * lit(1.0) / col("n")))) * 1e6, 0)
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+    }))
 
   /** Per-document smoothed bigram-LM negative log-likelihood —
     * (doc_id, n_bigrams, nll); shared by `lm_bigram_score` and the
@@ -855,6 +904,27 @@ object CorpusQueries extends QueryPack {
           |  CAST(coalesce(rec.n_kept, 0) AS BIGINT) AS n_kept,
           |  coalesce(rec.clean_text, '') AS clean_text
           |FROM m LEFT JOIN rec USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+
+      "text_pmi_topk" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |uc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c
+          |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+          |pc0 AS MATERIALIZED (SELECT bg.a AS w1, bg.b AS w2,
+          |    CAST(count(*) AS BIGINT) AS c12
+          |  FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+          |          i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
+          |        FROM tok WHERE len(toks) >= 2)
+          |  GROUP BY 1, 2),
+          |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+          |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pc0)
+          |SELECT p.w1, p.w2, p.c12,
+          |  CAST(round(ln((p.c12 * 1.0 / nb.nb) /
+          |      ((u1.c * 1.0 / nt.n) * (u2.c * 1.0 / nt.n))) * 1000000, 0)
+          |    AS BIGINT) AS pmi_micro
+          |FROM pc0 p
+          |JOIN uc u1 ON u1.w = p.w1 JOIN uc u2 ON u2.w = p.w2, nt, nb
+          |WHERE p.c12 >= $PmiMinCount
+          |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT $PmiTopK""".stripMargin,
 
       "lm_bigram_score" ->
         s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),

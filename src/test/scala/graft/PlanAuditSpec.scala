@@ -292,8 +292,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // sample + the IVF centroid attach — the
                                 // eval ground truth is |Q|·N exact cosines
                                 // by definition (the eval-time budget)
-      "corpus_dsir_weights")    // 1-row feature-total attach onto the
+      "corpus_dsir_weights",    // 1-row feature-total attach onto the
                                 // bucket-count-sized (B-row) ratio table
+      "text_pmi_topk")          // two 1-row total attaches (N tokens, Nb
+                                // bigrams) onto the vocab-sized pair table
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
