@@ -175,10 +175,41 @@ object EvalQueries extends QueryPack {
       .orderBy("bin")
   }
 
+  /** Exact ROC-AUC of the trained quality model against its heuristic
+    * labels, via the tie-corrected Mann-Whitney rank-sum — computed from
+    * the SCORE HISTOGRAM, not a corpus-wide rank: scores are r6-rounded,
+    * so grouping by the micro-unit value yields a ≤|distinct scores|-row
+    * table; a tied group's average rank is cum_before + (cnt+1)/2, kept
+    * integer by working in DOUBLED ranks. AUC = (2·RankSum₊ −
+    * n₊(n₊+1)) / (2·n₊·n₋) as one integer floor-division — EXACT, no
+    * rank lottery. The only ordered pass is a window over the tiny
+    * histogram; the corpus work is one text scan + one keyed count.
+    */
+  private def auc(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.QualityModel
+    val docs = documents(s, d)
+    val m = QualityModel.train(docs)
+    val g = QualityModel.scoreLabeled(docs, m)
+      .select(expr("cast(round(score * 1000000, 0) as bigint)").as("sm"),
+        col("y").cast("long").as("y"))
+      .groupBy(col("sm"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val byScore = Window.orderBy(col("sm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum(col("cnt")).over(byScore), lit(0L)))
+      .agg(sum(expr("pos * (2 * cum + cnt + 1)")).as("rs2"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("(rs2 - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)")
+          .as("auc_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_eval_ndcg" -> ((s, d) => rankEval(s, d)),
     "preference_bt_scores" -> ((s, d) => btScores(s, d)),
-    "eval_calibration" -> ((s, d) => calibration(s, d)))
+    "eval_calibration" -> ((s, d) => calibration(s, d)),
+    "eval_auc" -> ((s, d) => auc(s, d)))
 
   // ------------------------------------------------------------- oracles
 
@@ -304,8 +335,32 @@ object EvalQueries extends QueryPack {
        |FROM agg ORDER BY bin""".stripMargin
   }
 
+  private val duckAuc: String = {
+    val qT = graft.ext.QualityModel.TrainIters
+    s"""WITH ${CorpusQueries.duckQualityTrainChain(qT)},
+       |zs AS (SELECT f.y,
+       |  CAST(round(round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) * 1000000, 0)
+       |    AS BIGINT) AS sm
+       |  FROM (SELECT f.y,
+       |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+       |        FROM feats f, w$qT w) f),
+       |g AS (SELECT sm, CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos FROM zs GROUP BY 1),
+       |c AS (SELECT *, CAST(coalesce(sum(cnt) OVER
+       |    (ORDER BY sm ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |  AS BIGINT) AS cum FROM g),
+       |agg AS (SELECT CAST(sum(pos * (2 * cum + cnt + 1)) AS BIGINT) AS rs2,
+       |  CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST(sum(cnt - pos) AS BIGINT) AS n_neg FROM c)
+       |SELECT n_pos, n_neg,
+       |  CAST((rs2 - n_pos * (n_pos + 1)) * 1000000
+       |    // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+       |FROM agg""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rank_eval_ndcg" -> duckNdcg,
     "preference_bt_scores" -> duckBt,
-    "eval_calibration" -> duckCalibration)
+    "eval_calibration" -> duckCalibration,
+    "eval_auc" -> duckAuc)
 }

@@ -68,6 +68,26 @@ class EvalSpec extends SparkSpec {
     assert(prof._3 == o.select("o_custkey").distinct().count())
   }
 
+  test("histogram rank-sum AUC equals the brute-force pairwise AUC") {
+    import graft.ext.QualityModel
+    val docs = Tables.documents(spark, sf0001)
+    val m = QualityModel.train(docs)
+    val sl = QualityModel.scoreLabeled(docs, m)
+      .select(expr("cast(round(score * 1000000, 0) as bigint)"),
+        $"y".cast("long"))
+      .as[(Long, Long)].collect()
+    val pos = sl.filter(_._2 == 1L).map(_._1)
+    val neg = sl.filter(_._2 == 0L).map(_._1)
+    // exact pairwise count in doubled units (ties count 1, wins 2)
+    val wins2 = pos.map(p =>
+      neg.map(n => if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+    val brute = wins2 * 1000000L / (2L * pos.length * neg.length)
+    val got = EvalQueries.queries("eval_auc")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().head
+    assert(got._1 == pos.length && got._2 == neg.length)
+    assert(got._3 == brute, s"rank-sum ${got._3} vs brute $brute")
+  }
+
   test("calibration bins are consistent: confidence within bin bounds, gap = |conf - acc|") {
     val rows = EvalQueries.queries("eval_calibration")(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
