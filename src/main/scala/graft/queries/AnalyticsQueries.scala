@@ -35,6 +35,9 @@ object AnalyticsQueries extends QueryPack {
   private val FiveMinMs = 300000L
   private val DayMs = 86400000L
   private val FunnelWindowMs = 43200000L // 12 h per-step conversion window
+  private val SessionGapMs = 1800000L    // the catalog's 30-min gap
+  private val PathLen = 3                // path prefix length
+  private val PathTopK = 50
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Range (interval) join: events -> constant banded dimension on
@@ -122,6 +125,39 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(col("t1")).as("n_step1_click"),
           count(col("t2")).as("n_step2_view"),
           count(col("t3")).as("n_step3_purchase"))
+    }),
+
+    // Session path analysis: the ordered event-type prefix (first
+    // PathLen events) of every 30-min session, counted across sessions —
+    // the "how do journeys start" view on top of the sessionize islands.
+    // ONE user-keyed exchange serves all three windows (the (user, sid)
+    // and rank windows partition by a superset key, so Catalyst reuses
+    // the exchange and adds sorts only); the prefix filter drops
+    // everything past rank PathLen BEFORE the per-session collect, so
+    // no aggregation buffer exceeds PathLen rows; the path count is a
+    // path-cardinality-sized shuffle and the top-K a bounded
+    // TakeOrdered.
+    "session_paths_top" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val paths = events(s, d)
+        .select(col("user_id"), tsMillis(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+        .withColumn("_new", when(lag(col("ts_ms"), 1).over(byUser).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > SessionGapMs,
+          1L).otherwise(0L))
+        .withColumn("sid", sum(col("_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("sid"))
+            .orderBy(col("ts_ms"), col("event_id"))))
+        .where(col("rn") <= PathLen)
+        .groupBy(col("user_id"), col("sid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(PathTopK)
     }),
 
     // Retention cohorts: cohort = first-seen day per user; each cell
@@ -234,6 +270,29 @@ object AnalyticsQueries extends QueryPack {
     val bandValues = bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
     val profileCols = Seq("event_id", "user_id", "event_type", "value", "props")
     Map(
+      "session_paths_top" ->
+        s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+           |  event_type FROM events),
+           |marked AS (
+           |  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+           |      OR ts_ms - lag(ts_ms) OVER w > $SessionGapMs THEN 1 ELSE 0
+           |    END AS is_new
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+           |sess AS (
+           |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+           |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM marked),
+           |r AS (SELECT user_id, sid, event_type,
+           |    row_number() OVER (PARTITION BY user_id, sid
+           |      ORDER BY ts_ms, event_id) AS rn
+           |  FROM sess),
+           |p AS (SELECT user_id, sid,
+           |    string_agg(event_type, '>' ORDER BY rn) AS path
+           |  FROM r WHERE rn <= $PathLen GROUP BY 1, 2)
+           |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+           |FROM p GROUP BY 1
+           |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin,
+
       "range_join_binned" ->
         """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms
            |           FROM events)
