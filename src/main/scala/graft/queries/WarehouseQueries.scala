@@ -34,6 +34,22 @@ import graft.Tables._
   */
 object WarehouseQueries extends QueryPack {
 
+  /** Z-order layout study: files per layout and the bit width each key
+    * is normalized to before interleaving.
+    */
+  val ZFiles = 16L
+  val ZBits = 16
+
+  /** Bit-interleave of two ZBits-wide normalized keys, generated ONCE as
+    * SQL text over columns `za`/`zb` and evaluated verbatim by BOTH
+    * engines — pure integer shifts/masks, so the z-value is exact
+    * everywhere.
+    */
+  private val zInterleave: String =
+    (0 until ZBits).map(i =>
+      s"(((za >> $i) & 1) << ${2 * i}) | (((zb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   /** The changing attribute: a user's "tier" carried on signup events
     * (`props.k % 4`). Signups are the dimension's change feed; other
     * event types are facts that later look the dimension up.
@@ -114,6 +130,45 @@ object WarehouseQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Z-order layout study — the lakehouse file-clustering argument made
+    // measurable: events keyed by (user_id, event time) are assigned to
+    // ZFiles "files" under (a) a LINEAR layout (range-bucketed by user
+    // alone) and (b) a Z-ORDER layout (range-bucketed by the bit-
+    // interleaved z-value), and the query emits each file's row count
+    // and per-column key spans. Z-order bounds BOTH spans per file —
+    // the reason a z-ordered table prunes row groups on either
+    // predicate — where the linear layout leaves the second column's
+    // span at full range. Everything is exact integer arithmetic: keys
+    // normalize to ZBits via (v - min)·2^ZBits div (range+1), the
+    // interleave is generated shift/mask SQL shared VERBATIM by both
+    // engines, bucketing is one more integer division (no global sort —
+    // range bucketing replaces ntile), min/max ride as a 1-row
+    // broadcast. One scan, two keyed aggregates.
+    "zorder_file_spans" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id").as("u"), tsMillis(col("ts")).as("t"))
+      val mm = e.agg(min(col("u")).as("umin"), max(col("u")).as("umax"),
+        min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+      val scale = 1L << ZBits
+      val z = e.crossJoin(broadcast(mm))
+        .select(col("u"), col("t"),
+          expr(s"(u - umin) * $scale div (umax - umin + 1)").as("za"),
+          expr(s"(t - tmin) * $scale div (tmax - tmin + 1)").as("zb"))
+        .withColumn("z", expr(zInterleave))
+      val files = z.select(col("u"), col("t"),
+        expr(s"za * $ZFiles div $scale").as("file_lin"),
+        expr(s"z * $ZFiles div ${scale * scale}").as("file_z"))
+      def spans(fileCol: String, label: String) = files
+        .groupBy(col(fileCol).as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max(col("u")) - min(col("u"))).as("u_span"),
+          (max(col("t")) - min(col("t"))).as("t_span"))
+        .select(lit(label).as("layout"), col("file"), col("n_rows"),
+          col("u_span"), col("t_span"))
+      spans("file_lin", "linear").unionByName(spans("file_z", "zorder"))
+        .orderBy("layout", "file")
+    }),
+
     // Table profiling: one aggregate row (count / per-column non-null,
     // exact distinct, min/max) unpivoted to a row per column. Numeric
     // min/max surface as doubles (exact value selection — no arithmetic,
@@ -165,6 +220,32 @@ object WarehouseQueries extends QueryPack {
       s"""WITH $duckDim
          |SELECT user_id, version, tier, valid_from_ms, valid_to_ms
          |FROM dim ORDER BY user_id, version""".stripMargin,
+
+    "zorder_file_spans" -> {
+      val scale = 1L << ZBits
+      s"""WITH e AS (SELECT user_id AS u, epoch_ms(ts) AS t FROM events),
+         |mm AS (SELECT min(u) AS umin, max(u) AS umax,
+         |  min(t) AS tmin, max(t) AS tmax FROM e),
+         |nz AS (SELECT u, t,
+         |  (u - umin) * $scale // (umax - umin + 1) AS za,
+         |  (t - tmin) * $scale // (tmax - tmin + 1) AS zb
+         |  FROM e, mm),
+         |zz AS (SELECT u, t, za, $zInterleave AS z FROM nz),
+         |f AS (SELECT u, t,
+         |  za * $ZFiles // $scale AS file_lin,
+         |  z * $ZFiles // ${scale * scale} AS file_z FROM zz),
+         |lin AS (SELECT 'linear' AS layout, file_lin AS file,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(max(u) - min(u) AS BIGINT) AS u_span,
+         |  CAST(max(t) - min(t) AS BIGINT) AS t_span
+         |  FROM f GROUP BY 2),
+         |zl AS (SELECT 'zorder', file_z, CAST(count(*) AS BIGINT),
+         |  CAST(max(u) - min(u) AS BIGINT), CAST(max(t) - min(t) AS BIGINT)
+         |  FROM f GROUP BY 2)
+         |SELECT layout, CAST(file AS BIGINT) AS file, n_rows, u_span, t_span
+         |FROM (SELECT * FROM lin UNION ALL SELECT * FROM zl)
+         |ORDER BY layout, file""".stripMargin
+    },
 
     "scd2_point_lookup" ->
       s"""WITH $duckDim

@@ -294,8 +294,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // by definition (the eval-time budget)
       "corpus_dsir_weights",    // 1-row feature-total attach onto the
                                 // bucket-count-sized (B-row) ratio table
-      "text_pmi_topk")          // two 1-row total attaches (N tokens, Nb
+      "text_pmi_topk",          // two 1-row total attaches (N tokens, Nb
                                 // bigrams) onto the vocab-sized pair table
+      "zorder_file_spans")      // 1-row key min/max attach (the z-value
+                                // normalization constants)
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")

@@ -66,4 +66,22 @@ class ScdSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected a single keyed exchange, got:\n$plan")
   }
+
+  test("z-order layout bounds BOTH key spans per file; linear leaves time at full range") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.WarehouseQueries
+      .queries("zorder_file_spans")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val (lin, zo) = rows.partition(_._1 == "linear")
+    assert(lin.nonEmpty && zo.nonEmpty)
+    val fullT = Tables.events(spark, sf0001)
+      .select(Tables.tsMillis(col("ts")).as("t"))
+      .agg(max(col("t")) - min(col("t"))).as[Long].collect().head
+    // linear layout: at least one file's time span is ~the full range
+    assert(lin.map(_._5).max > fullT * 9 / 10)
+    // z-order: EVERY file's time span is a bounded fraction of the range
+    // (16 files interleave to a 4x4 grid: expect ~range/4 per file)
+    assert(zo.map(_._5).max < fullT / 2,
+      s"zorder max t_span ${zo.map(_._5).max} vs full $fullT")
+  }
 }
