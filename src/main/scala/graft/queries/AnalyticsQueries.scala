@@ -251,6 +251,42 @@ object AnalyticsQueries extends QueryPack {
     // scan (multi-distinct expands internally; at 100 TB swap the exact
     // count_distinct for approx_count_distinct — same plan shape, sketch
     // state instead of value shuffle), unpivoted with stack().
+    // Data-quality EXPECTATION suite (the dbt-tests / Great Expectations
+    // shape): named assertions over the orders table, each emitting its
+    // violation count and pass flag — the contract a pipeline gates a
+    // new drop on, where dq_profile merely describes it. Four in-row
+    // expectations fold into ONE conditional-aggregate pass; referential
+    // integrity is one anti-join count against the broadcastable
+    // customer dimension. Exact integers everywhere.
+    "dq_expectations" -> ((s, d) => {
+      val o = orders(s, d)
+      val inRow = o.agg(
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_notnull"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("v_accepted"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_range"))
+      val orphan = o.join(customer(s, d)
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("v_ref"))
+      inRow.crossJoin(broadcast(orphan))
+        .select(explode(array(
+          struct(lit("not_null_o_orderkey").as("expectation"),
+            col("v_notnull").as("n_violations")),
+          struct(lit("unique_o_orderkey").as("expectation"),
+            col("v_unique").as("n_violations")),
+          struct(lit("accepted_values_o_orderstatus").as("expectation"),
+            col("v_accepted").as("n_violations")),
+          struct(lit("positive_o_totalprice").as("expectation"),
+            col("v_range").as("n_violations")),
+          struct(lit("ref_integrity_o_custkey").as("expectation"),
+            col("v_ref").as("n_violations")))).as("r"))
+        .select(col("r.expectation"), col("r.n_violations"),
+          (col("r.n_violations") === 0L).as("pass"))
+        .orderBy("expectation")
+    }),
+
     "dq_profile" -> ((s, d) => {
       val cols = Seq("event_id", "user_id", "event_type", "value", "props")
       val aggs = count(lit(1)).as("n_rows") +:
@@ -292,6 +328,29 @@ object AnalyticsQueries extends QueryPack {
            |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
            |FROM p GROUP BY 1
            |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin,
+
+      "dq_expectations" ->
+        """WITH inrow AS (SELECT
+          |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS v_notnull,
+          |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+          |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted,
+          |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS v_range
+          |  FROM orders),
+          |orphan AS (SELECT CAST(count(*) AS BIGINT) AS v_ref FROM orders o
+          |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+          |    WHERE c.c_custkey = o.o_custkey)),
+          |x AS (SELECT 'not_null_o_orderkey' AS expectation,
+          |    v_notnull AS n_violations FROM inrow
+          |  UNION ALL SELECT 'unique_o_orderkey', v_unique FROM inrow
+          |  UNION ALL SELECT 'accepted_values_o_orderstatus', v_accepted
+          |    FROM inrow
+          |  UNION ALL SELECT 'positive_o_totalprice', v_range FROM inrow
+          |  UNION ALL SELECT 'ref_integrity_o_custkey', v_ref FROM orphan)
+          |SELECT expectation, n_violations, n_violations = 0 AS pass
+          |FROM x ORDER BY expectation""".stripMargin,
 
       "range_join_binned" ->
         """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms

@@ -131,6 +131,58 @@ object CorpusQueries extends QueryPack {
     // have no bigrams and drop out (mirrored by the oracle's inner joins).
     "lm_bigram_score" -> ((s, d) => lmScores(s, d).orderBy("doc_id")),
 
+    // Interpolated trigram LM (Jelinek-Mercer): per-doc NLL under
+    // P(c|a,b) = 0.6·ML₃ + 0.3·ML₂ + 0.1·ML₁ — the lm_bigram recipe one
+    // order up, same optimization: each ML component comes from its own
+    // n-gram stream's keyed count (map-side combined), the probability
+    // is assembled on the TYPE table (trigram-type-sized, checkpointed —
+    // AQE broadcasts it when the vocab fits) with the expression
+    // spelled identically in both engines, and the corpus-sized stream
+    // meets exactly one scored join. Docs under 3 tokens drop (no
+    // trigrams — oracle's inner joins mirror).
+    "lm_trigram_score" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      val n2 = size(col("_toks")) - 1
+      val n3 = size(col("_toks")) - 2
+      val tri = tok.where(size(col("_toks")) >= 3)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("_toks"), lit(1), n3),
+          slice(col("_toks"), lit(2), n3),
+          slice(col("_toks"), lit(3), n3))).as("_t"))
+        .select(col("doc_id"), col("_t")("0").as("a"),
+          col("_t")("1").as("b"), col("_t")("2").as("c"))
+      val c3 = tri.groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+        .localCheckpoint(false)
+      val c2 = tok.where(size(col("_toks")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("_toks"), lit(1), n2),
+          slice(col("_toks"), lit(2), n2))).as("_bg"))
+        .select(col("_bg")("0").as("x"), col("_bg")("1").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false)
+      val c1 = tok.select(explode(col("_toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false)
+      val nTot = c1.agg(sum(col("c1")).as("n"))
+      val scored = c3
+        .join(c2.select(col("x").as("a"), col("y").as("b"),
+          col("c2").as("c2ab")), Seq("a", "b"))
+        .join(c2.select(col("x").as("b"), col("y").as("c"),
+          col("c2").as("c2bc")), Seq("b", "c"))
+        .join(c1.select(col("w").as("b"), col("c1").as("c1b")), Seq("b"))
+        .join(c1.select(col("w").as("c"), col("c1").as("c1c")), Seq("c"))
+        .crossJoin(broadcast(nTot))
+        .select(col("a"), col("b"), col("c"),
+          expr("0.6 * (c3 * 1.0 / c2ab) + 0.3 * (c2bc * 1.0 / c1b)" +
+            " + 0.1 * (c1c * 1.0 / n)").as("p"))
+      tri.join(scored, Seq("a", "b", "c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(avg(-log(col("p"))), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: pointwise mutual information of adjacent word
     // pairs, ln((c12/Nb) / ((c1/N)·(c2/N))) in micro-units with the
     // parenthesization spelled IDENTICALLY in both engines (each IEEE
@@ -904,6 +956,35 @@ object CorpusQueries extends QueryPack {
           |  CAST(coalesce(rec.n_kept, 0) AS BIGINT) AS n_kept,
           |  coalesce(rec.clean_text, '') AS clean_text
           |FROM m LEFT JOIN rec USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+
+      "lm_trigram_score" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |tr AS (SELECT doc_id, t.a AS a, t.b AS b, t.c AS c FROM (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+          |    i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS t
+          |  FROM tok WHERE len(toks) >= 3)),
+          |bi AS (SELECT p.x AS x, p.y AS y FROM (
+          |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+          |    i -> struct_pack(x := toks[i], y := toks[i+1]))) AS p
+          |  FROM tok WHERE len(toks) >= 2)),
+          |c3 AS MATERIALIZED (SELECT a, b, c, CAST(count(*) AS BIGINT) AS c3
+          |  FROM tr GROUP BY 1, 2, 3),
+          |c2 AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS c2
+          |  FROM bi GROUP BY 1, 2),
+          |c1 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c1
+          |  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+          |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+          |sc AS MATERIALIZED (SELECT c3.a, c3.b, c3.c,
+          |    0.6 * (c3.c3 * 1.0 / ab.c2) + 0.3 * (bc.c2 * 1.0 / cb.c1)
+          |      + 0.1 * (cc.c1 * 1.0 / nt.n) AS p
+          |  FROM c3 JOIN c2 ab ON ab.x = c3.a AND ab.y = c3.b
+          |         JOIN c2 bc ON bc.x = c3.b AND bc.y = c3.c
+          |         JOIN c1 cb ON cb.w = c3.b
+          |         JOIN c1 cc ON cc.w = c3.c, nt)
+          |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |  round(avg(-ln(sc.p)), 6) AS nll
+          |FROM tr JOIN sc ON tr.a = sc.a AND tr.b = sc.b AND tr.c = sc.c
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "text_pmi_topk" ->
         s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),

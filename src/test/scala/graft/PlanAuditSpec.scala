@@ -296,8 +296,13 @@ class PlanAuditSpec extends SparkSpec {
                                 // bucket-count-sized (B-row) ratio table
       "text_pmi_topk",          // two 1-row total attaches (N tokens, Nb
                                 // bigrams) onto the vocab-sized pair table
-      "zorder_file_spans")      // 1-row key min/max attach (the z-value
+      "zorder_file_spans",      // 1-row key min/max attach (the z-value
                                 // normalization constants)
+      "lm_trigram_score",       // 1-row corpus token-total attach (the
+                                // unigram interpolation term), the
+                                // lm_bigram shape one order up
+      "dq_expectations")        // 1-row anti-join count attached to the
+                                // 1-row conditional-aggregate suite
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
