@@ -433,6 +433,15 @@ object Dedup {
     graft.ops.Manifest.read(clusterManifest(path)).flatMap(st =>
       foldLabels(spark, path, st.entries))
 
+  /** TIME TRAVEL: the cluster labels exactly as committed by batch
+    * `asOfBatch` (newest manifest snapshot at or below it), or None if
+    * vacuum pruned that history — see `Manifest.readAt`.
+    */
+  def readClusterLabelsAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOfBatch: Long): Option[DataFrame] =
+    graft.ops.Manifest.readAt(clusterManifest(path), asOfBatch).flatMap(st =>
+      foldLabels(spark, path, st.entries))
+
   /** Ingest one document batch into a persisted near-dup CLUSTER store —
     * the incremental twin of `minhash pairs → connectedComponents`: the
     * 100 TB crawl reality is that batches arrive forever and the cluster

@@ -36,13 +36,39 @@ object Manifest {
         }))
     }
 
+  /** Snapshot manifests written beside the live one on every
+    * watermarked commit (`<name>.v<batch>`): each is an immutable copy
+    * of the live set AS OF that batch, giving every manifest store —
+    * index segments, cluster labels, SCD2 dimensions — time-travel
+    * reads ([[readAt]]) for free. Snapshots reference data directories
+    * but never pin them: [[vacuum]] keeps only the CURRENT view's
+    * directories and prunes any snapshot that no longer resolves (the
+    * Delta-style contract — vacuum trades history for space).
+    */
+  private def snapshotName(name: String, batch: Long) = s"$name.v$batch"
+
+  /** The newest snapshot at or below `asOfBatch`, or None if none
+    * survives (never committed, or pruned by vacuum).
+    */
+  def readAt(file: File, asOfBatch: Long): Option[State] = {
+    val dir = Option(file.getParentFile).getOrElse(new File("."))
+    val prefix = file.getName + ".v"
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(prefix))
+      .flatMap(f => f.getName.stripPrefix(prefix).toLongOption.map(_ -> f))
+      .filter(_._1 <= asOfBatch)
+      .sortBy(_._1).lastOption
+      .flatMap { case (_, f) => read(f) }
+  }
+
   /** Replace the manifest atomically AND durably: the tmp file is
     * fsync'd before the rename and the parent directory after it (the
     * Lucene segments_N recipe) — without both, a power loss shortly
     * after the move can surface an empty or truncated manifest at
     * reboot, which is exactly the silent-partial-view failure the
     * commit point exists to prevent. Directory fsync is best-effort
-    * (not supported on every filesystem).
+    * (not supported on every filesystem). A watermarked write also
+    * drops an immutable `.v<batch>` snapshot copy for [[readAt]].
     */
   def write(file: File, entries: Seq[String],
       maxBatch: Option[Long] = None): Unit = {
@@ -64,6 +90,13 @@ object Manifest {
         file.getParentFile.toPath, java.nio.file.StandardOpenOption.READ)
       try dir.force(true) finally dir.close()
     } catch { case _: java.io.IOException => () }
+    // Snapshot AFTER the live replace: a crash between the two loses
+    // only the snapshot, never the commit.
+    maxBatch.foreach { wm =>
+      Files.copy(file.toPath,
+        new File(file.getParentFile, snapshotName(file.getName, wm)).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Add a fully-written entry to the live set (one atomic replace),
@@ -96,6 +129,15 @@ object Manifest {
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !live(f.getName))
         .foreach(rmTree)
+      // Prune snapshots that no longer resolve — any whose entries
+      // reference a directory vacuum just deleted. The current view's
+      // snapshot (entries ⊆ live) survives.
+      val prefix = file.getName + ".v"
+      Option(file.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith(prefix) &&
+          f.getName.stripPrefix(prefix).toLongOption.nonEmpty)
+        .filter(f => !read(f).exists(_.entries.forall(live)))
+        .foreach(_.delete())
     }
 
   def rmTree(f: File): Unit = {

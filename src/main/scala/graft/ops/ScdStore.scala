@@ -82,6 +82,18 @@ object ScdStore {
     Manifest.read(manifest(path)).flatMap(st =>
       foldByKey(spark, path, st.entries, "dim-g", "dim-b"))
 
+  /** TIME TRAVEL: the dimension exactly as it stood after batch
+    * `asOfBatch` (the newest committed snapshot at or below it), or
+    * None if no such snapshot survives — vacuum trades history for
+    * space, the Delta contract. Every manifest commit leaves a
+    * snapshot, so un-vacuumed stores travel to ANY past batch,
+    * including through compactions.
+    */
+  def readDimAt(spark: SparkSession, path: String,
+      asOfBatch: Long): Option[DataFrame] =
+    Manifest.readAt(manifest(path), asOfBatch).flatMap(st =>
+      foldByKey(spark, path, st.entries, "dim-g", "dim-b"))
+
   /** The quarantine audit trail (rows rejected as below their key's high
     * water), or None if no batch ever quarantined anything.
     */

@@ -71,6 +71,13 @@ class ClusterIngestSpec extends SparkSpec {
     assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
     assert(labels(10L) == labels(11L) && labels(20L) == labels(21L))
     assert(labels(30L) == 30L)
+    // time travel: each batch's committed view replays from its snapshot
+    for (i <- batches.indices) {
+      val union = batches.take(i + 1).reduce(_.unionByName(_))
+      val at = Dedup.readClusterLabelsAt(spark, dir, i.toLong).get
+        .as[(Long, Long)].collect().toMap
+      assert(at == batchReference(union), s"as-of batch $i")
+    }
   }
 
   test("clusters growing across three batches stay single components") {

@@ -113,6 +113,41 @@ class ScdStoreSpec extends SparkSpec {
     assert(view(dir).count(_._1 == "u1") == 6)
   }
 
+  test("time travel: readDimAt replays every committed batch view, incl. through compaction") {
+    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val batches = (0 until 5).map(i =>
+      df(("u1", 10L * (i + 1), i.toLong, s"v$i"), (s"w$i", 100L + i, 50L + i, "c")))
+    // maxDeltas=2 forces a mid-sequence compaction: snapshots must keep
+    // resolving across the base rewrite (old deltas stay on disk until
+    // vacuum)
+    val captured = batches.zipWithIndex.map { case (b, i) =>
+      ingest(dir, b, i.toLong, maxDeltas = 2); view(dir)
+    }
+    for (i <- batches.indices) {
+      val got = ScdStore.readDimAt(spark, dir, i.toLong).map(v =>
+        v.select(col("key"), col("version"), col("attr"),
+          col("valid_from"), col("valid_to"))
+          .as[(String, Int, String, Long, Option[Long])].collect().toSet)
+      assert(got.contains(captured(i)), s"as-of batch $i")
+    }
+    // asOf beyond the last batch resolves to the latest; before batch 0
+    // resolves to nothing
+    assert(ScdStore.readDimAt(spark, dir, 99L).isDefined)
+    assert(ScdStore.readDimAt(spark, dir, -1L).isEmpty)
+    // vacuum keeps the current view serving and prunes broken history
+    ScdStore.vacuum(dir)
+    assert(view(dir) == captured.last)
+    val prefix = "scd2_manifest.v"
+    val survivors = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith(prefix)).map(_.getName)
+    // the current snapshot survives; every surviving snapshot still resolves
+    assert(survivors.contains(s"$prefix${batches.size - 1}"))
+    survivors.foreach { s =>
+      val b = s.stripPrefix(prefix).toLong
+      assert(ScdStore.readDimAt(spark, dir, b).isDefined, s"broken snapshot $s")
+    }
+  }
+
   test("streaming dimIngest equals the one-shot build over the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
