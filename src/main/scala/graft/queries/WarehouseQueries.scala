@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -130,6 +131,36 @@ object WarehouseQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Point-in-time feature backfill — the feature-store training-set
+    // assembly shape: every purchase event becomes a training row whose
+    // features are computed strictly AS OF the event (no leakage): the
+    // user's prior event count (row_number over the full event stream),
+    // trailing-7-day activity (RANGE frame on event-time millis, self
+    // excluded), and the SCD2 tier version active at purchase time
+    // (the as-of union-and-fill join). ONE user-keyed exchange serves
+    // both windows AND the as-of join's union sort; the dimension side
+    // is change-feed-sized.
+    "feature_backfill_pit" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        tsMillis(col("ts")).as("ts_ms"), col("event_type"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val trail = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-604800000L, 0L)
+      val feats = ev
+        .withColumn("n_prior_events",
+          (row_number().over(byUser) - 1).cast("long"))
+        .withColumn("trail_7d", count(lit(1)).over(trail) - 1)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("n_prior_events"), col("trail_7d"))
+      graft.ops.AsOfJoin.backward(feats, scd2Dim(s, d),
+          Seq("user_id"), "ts_ms", "valid_from_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("n_prior_events"), col("trail_7d"), col("tier"), col("version"))
+        .orderBy("event_id")
+    }),
+
     // Z-order layout study — the lakehouse file-clustering argument made
     // measurable: events keyed by (user_id, event time) are assigned to
     // ZFiles "files" under (a) a LINEAR layout (range-bucketed by user
@@ -220,6 +251,25 @@ object WarehouseQueries extends QueryPack {
       s"""WITH $duckDim
          |SELECT user_id, version, tier, valid_from_ms, valid_to_ms
          |FROM dim ORDER BY user_id, version""".stripMargin,
+
+    "feature_backfill_pit" ->
+      s"""WITH $duckDim,
+         |ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+         |  FROM events),
+         |f AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS n_prior_events,
+         |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_ms
+         |      RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW) - 1
+         |      AS BIGINT) AS trail_7d
+         |  FROM ev),
+         |p AS (SELECT event_id, user_id, ts_ms, n_prior_events, trail_7d
+         |  FROM f WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, p.ts_ms, p.n_prior_events,
+         |  p.trail_7d, dim.tier, dim.version
+         |FROM p ASOF LEFT JOIN dim
+         |  ON p.user_id = dim.user_id AND p.ts_ms >= dim.valid_from_ms
+         |ORDER BY p.event_id""".stripMargin,
 
     "zorder_file_spans" -> {
       val scale = 1L << ZBits
