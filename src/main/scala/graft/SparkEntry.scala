@@ -20,7 +20,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(ParityQueries, RelationalQueries, ExtensionQueries, AnalyticsQueries,
       CoverageQueries, FunctionSurfaceQueries, PipelineQueries, CorpusQueries,
-      RetrievalQueries, GraphQueries, WarehouseQueries, EvalQueries)
+      RetrievalQueries, GraphQueries, WarehouseQueries, EvalQueries,
+      MediaQueries)
 
   /** Flagship: batch-replay of the streaming metrics pipeline
     * (spark_stream_metrics.py write_batch, single-pass form) on sf0.001.

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) travel as opaque
@@ -566,4 +566,55 @@ object Multimodal {
       .where(col("hd") <= maxHamming)
       .distinct()
   }
+
+  /** Declarative (oracle-checkable) twin of [[imageAHash]] over the stub
+    * byte raster: positions 0..n-1 of the payload bucket into 64
+    * equal-width cells (`b = i*64 div n` — the 1-D form of the codec's
+    * `y*8/h` grid map), and a cell's bit sets iff its byte sum beats the
+    * global mean, compared CROSS-MULTIPLIED (`s·totalCnt > totalSum·c`)
+    * in exact integer arithmetic — the same overflow-safe spelling the
+    * real kernel uses, no floats anywhere, so the DuckDB mirror is
+    * bit-exact. The 64 bits come back as two 32-bit halves
+    * (`ahash_lo`/`ahash_hi`) so BIGINT stays positive on both engines.
+    *
+    * Plan shape: char explode → partial-aggregable (doc, cell) sum →
+    * one doc-keyed window for the totals → doc-keyed bit pack. Shuffles
+    * carry (doc, cell) pairs — 64 rows/doc regardless of media size.
+    */
+  def stubAHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    docs
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"),
+        length(col(textCol)).cast("long").as("n"),
+        explode(sequence(lit(0L), length(col(textCol)).cast("long") - 1))
+          .as("i"))
+      .groupBy(col("doc_id"), expr("i * 64 div n").as("b"))
+      .agg(sum(expr("ascii(substring(_t, cast(i + 1 as int), 1))").cast("long"))
+          .as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("ts", sum(col("s")).over(byDoc))
+      .withColumn("tc", sum(col("c")).over(byDoc))
+      .withColumn("bit", col("s") * col("tc") > col("ts") * col("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("bit") && col("b") < 32,
+          expr("shiftleft(1L, cast(b as int))")).otherwise(lit(0L)))
+          .as("ahash_lo"),
+        sum(when(col("bit") && col("b") >= 32,
+          expr("shiftleft(1L, cast(b - 32 as int))")).otherwise(lit(0L)))
+          .as("ahash_hi"))
+  }
+
+  /** Uniform "brightness shift" of the stub raster: every byte value +1
+    * (chr(ascii+1) per char — ASCII 32..125 stays printable ASCII).
+    * [[stubAHash]] is exactly invariant under it: per-cell sums shift by
+    * the cell count, the total by the total count, and the cross-
+    * multiplied compare cancels the shift algebraically —
+    * (s+c)·tc > (ts+tc)·c ⟺ s·tc > ts·c. The perceptual-hash property
+    * (brightness-robust identity) stated as an integer identity.
+    */
+  def brightnessShift(text: Column): Column =
+    array_join(transform(sequence(lit(1), length(text)),
+      i => call_function("char", ascii(text.substr(i, lit(1))) + lit(1))), "")
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{Dedup, Drift, QualityModel, TextOps, Unigram}
+import graft.ext.{Dedup, Drift, QualityModel, SuffixOps, TextOps, Unigram}
 
 /** Corpus-level training-data preparation operators (round 4): exact
   * substring-duplication measurement (the Lee et al. 2022 "deduplicating
@@ -290,7 +290,29 @@ object CorpusQueries extends QueryPack {
       .where(col("prev_type").isNotNull)
   }
 
+  /** Corpus-level repeated spans: minimum reported length and the
+    * deterministic top-K cut (ORDER BY len DESC, span ASC LIMIT K over
+    * DISTINCT spans — identical on both engines). Suffix radius and the
+    * operator mechanics live in [[SuffixOps]].
+    */
+  val SpanMinLen = 4
+  val SpanTopK = 20
+
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Longest repeated token span WITHIN each document — the suffix-array
+    // classic (SuffixOps.longestRepeatedSpan: doc-keyed suffix sort, max
+    // adjacent LCP, smallest-span tie-break).
+    "text_longest_repeat" -> ((s, d) =>
+      SuffixOps.longestRepeatedSpan(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Corpus-level top-K repeated token spans — the cross-document
+    // suffix-array form (SuffixOps.topRepeatedSpans: prefix-2-banded
+    // suffix adjacency + broadcast occurrence count).
+    "corpus_top_repeated_spans" -> ((s, d) =>
+      SuffixOps.topRepeatedSpans(documents(s, d), "doc_id", "text",
+          minLen = SpanMinLen, topK = SpanTopK)
+        .orderBy(col("span_len").desc, col("span").asc)),
     // Logistic quality classifier: sigmoid over the same deterministic
     // text features the linear quality score uses — the model-scoring
     // plan shape (broadcast weights × pure projection, zero shuffles
@@ -749,10 +771,73 @@ object CorpusQueries extends QueryPack {
        |                         ORDER BY usage DESC, piece LIMIT ${Unigram.TopV}),
        |vocabf AS MATERIALIZED (SELECT piece, usage AS w FROM vocabf0)""".stripMargin
 
+  /** Shared suffix-frame CTE for the suffix-array oracles (mirrors
+    * [[suffixes]]: W-capped token slices, one per position).
+    */
+  private def duckSuffixes: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |sfx AS (
+       |  SELECT doc_id, t[i : least(i + ${SuffixOps.SuffixW - 1}, len(t))] AS s
+       |  FROM (SELECT doc_id, t FROM toks),
+       |       unnest(generate_series(1, len(t))) AS u(i))""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "text_longest_repeat" ->
+        s"""WITH $duckSuffixes,
+           |w AS (
+           |  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS p
+           |  FROM sfx),
+           |l AS (
+           |  SELECT doc_id, s,
+           |    CASE WHEN p IS NULL THEN 0 ELSE
+           |      len(list_filter(generate_series(1, least(len(s), len(p))),
+           |                      j -> s[1:j] = p[1:j])) END AS lcp
+           |  FROM w),
+           |r AS (
+           |  SELECT doc_id, lcp,
+           |    CASE WHEN lcp = 0 THEN '' ELSE array_to_string(s[1:lcp], ' ')
+           |    END AS repeat_str
+           |  FROM l),
+           |rk AS (
+           |  SELECT doc_id, lcp, repeat_str,
+           |    row_number() OVER (PARTITION BY doc_id
+           |                       ORDER BY lcp DESC, repeat_str ASC) AS rn
+           |  FROM r)
+           |SELECT doc_id, CAST(lcp AS BIGINT) AS max_repeat_len, repeat_str
+           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "corpus_top_repeated_spans" ->
+        s"""WITH $duckSuffixes,
+           |g AS (
+           |  SELECT doc_id, s, array_to_string(s[1:2], ' ') AS p2
+           |  FROM sfx WHERE len(s) >= 2),
+           |w AS (
+           |  SELECT doc_id, s, p2, lag(s) OVER (PARTITION BY p2 ORDER BY s) AS p
+           |  FROM g),
+           |l AS (
+           |  SELECT s, p2,
+           |    len(list_filter(generate_series(1, least(len(s), len(p))),
+           |                    j -> s[1:j] = p[1:j])) AS lcp
+           |  FROM w WHERE p IS NOT NULL),
+           |spans AS (
+           |  SELECT DISTINCT array_to_string(s[1:lcp], ' ') AS span,
+           |         lcp AS span_len, p2
+           |  FROM l WHERE lcp >= $SpanMinLen),
+           |topk AS (SELECT span, span_len, p2 FROM spans
+           |         ORDER BY span_len DESC, span ASC LIMIT $SpanTopK),
+           |occ AS (
+           |  SELECT k.span, k.span_len, count(*) AS n_occurrences,
+           |         count(DISTINCT g.doc_id) AS n_docs
+           |  FROM topk k JOIN g ON g.p2 = k.p2 AND len(g.s) >= k.span_len
+           |                    AND array_to_string(g.s[1:k.span_len], ' ') = k.span
+           |  GROUP BY 1, 2)
+           |SELECT span, CAST(span_len AS BIGINT) AS span_len,
+           |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           |  CAST(n_docs AS BIGINT) AS n_docs
+           |FROM occ ORDER BY span_len DESC, span ASC""".stripMargin,
       "unigram_vocab" ->
         s"""WITH RECURSIVE $duckUnigramBase
            |SELECT CAST(row_number() OVER (ORDER BY usage DESC, piece) - 1

@@ -238,7 +238,17 @@ object ScaleProbe {
     // clustering (two store batches per run — per-batch band probes and
     // mini-graph merges over copy-disjoint pair families)
     "graph_triangles", "corpus_shuffle_shards", "unigram_vocab",
-    "unigram_encode", "dedup_clusters_incremental")
+    "unigram_encode", "dedup_clusters_incremental",
+    // round-8 wave-7 additions: suffix-array spans (suffix frame is
+    // O(W·tokens); the per-doc form is doc-keyed windows, the corpus
+    // form prefix-2-banded windows + a broadcast count — copy-suffixed
+    // tokens keep per-copy suffix structure identical, so both should
+    // be corpus-linear) and the stub aHash family (char explode →
+    // partial-aggregable cell sums → 64-rows/doc frames; the pairs
+    // query doubles the corpus with shifted twins and its banded join
+    // is copy-disjoint by the hash of the disjoint token content)
+    "text_longest_repeat", "corpus_top_repeated_spans",
+    "multimodal_ahash", "multimodal_ahash_pairs")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, SuffixOps}
+
+/** Wave-7 operators: suffix-array repeated spans (SuffixOps) and the
+  * declarative stub aHash (Multimodal.stubAHash) with its brightness-
+  * invariance property.
+  */
+class SuffixOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("longestRepeatedSpan finds the planted span, smallest-span tie-break") {
+    val d = docs(
+      1L -> "a b c d x a b c d y",   // "a b c d" repeats (len 4)
+      2L -> "q w e r t",             // all distinct -> 0 / ""
+      3L -> "z z z",                 // "z z" repeats (suffixes z z z / z z)
+      4L -> "m n m k n k")           // only single tokens repeat; tie m<n (< k)
+    val r = SuffixOps.longestRepeatedSpan(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq ===
+      Seq((1L, 4L, "a b c d"), (2L, 0L, ""), (3L, 2L, "z z"),
+        (4L, 1L, "k")))
+  }
+
+  test("longestRepeatedSpan caps at SuffixW") {
+    val span = (1 to 20).map(i => s"t$i").mkString(" ")
+    val d = docs(1L -> s"$span x $span")
+    val r = SuffixOps.longestRepeatedSpan(d, "doc_id", "text").collect()
+    assert(r.head.getLong(1) === SuffixOps.SuffixW.toLong)
+    assert(r.head.getString(2) ===
+      (1 to SuffixOps.SuffixW).map(i => s"t$i").mkString(" "))
+  }
+
+  test("topRepeatedSpans: cross-doc span, exact occurrence counts") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over it",
+      2L -> "pad pad the quick brown fox jumps away",
+      3L -> "the quick brown fox jumps over it again",
+      4L -> "nothing shared here at all")
+    val r = SuffixOps.topRepeatedSpans(d, "doc_id", "text",
+        minLen = 4, topK = 5)
+      .orderBy(col("span_len").desc, col("span").asc).collect()
+    // Longest cross-doc span: "the quick brown fox jumps over it" is in
+    // docs 1 and 3 (7 tokens); "the quick brown fox jumps" in all of 1,2,3.
+    val top = r.head
+    assert(top.getString(0) === "the quick brown fox jumps over it")
+    assert(top.getLong(1) === 7L)
+    assert(top.getLong(2) === 2L) // two positions
+    assert(top.getLong(3) === 2L) // two docs
+    val five = r.find(_.getString(0) == "the quick brown fox jumps")
+    // Subsumed prefixes only appear when some adjacent pair's LCP is
+    // exactly that length: here doc 2's suffix meets doc 1/3's at LCP 5.
+    assert(five.nonEmpty)
+    assert(five.get.getLong(2) === 3L && five.get.getLong(3) === 3L)
+  }
+
+  test("stubAHash is exactly invariant under uniform brightness shift") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val shifted = base.select(col("doc_id"),
+      Multimodal.brightnessShift(col("text")).as("text"))
+    val a = Multimodal.stubAHash(base, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = Multimodal.stubAHash(shifted, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.length === 50)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("stubAHash separates content and halves stay in 32-bit range") {
+    // aHash is structure-driven (cells vs the doc's own mean), so the
+    // "different" doc must differ in LAYOUT, not just glyphs — same
+    // space positions with shifted letters is exactly what the hash is
+    // built to ignore (the brightness-invariance property).
+    val d = docs(
+      1L -> ("aaaa bbbb " * 20).trim,
+      2L -> ("z zzzzzzzz " * 18).trim,
+      3L -> ("aaaa bbbb " * 20).trim) // exact dup of 1
+    val r = Multimodal.stubAHash(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r(0)._2 === r(2)._2 && r(0)._3 === r(2)._3)
+    assert(r(0) != r(1).copy(_1 = 1L))
+    r.foreach { case (_, lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32))
+      assert(hi >= 0L && hi < (1L << 32))
+    }
+  }
+}
