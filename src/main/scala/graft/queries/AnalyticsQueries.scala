@@ -202,6 +202,36 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_type", "bucket_sec")
     }),
 
+    // Additive seasonal decomposition (the classic monitoring
+    // decomposition: value = seasonal + trend + residual): hour-of-day
+    // means give the seasonal component, a centered 24-row rolling mean
+    // of the deseasonalized series the trend, the residual is what
+    // anomaly detection should run on. Scale shape: the raw events
+    // reduce FIRST to the hourly series via a partial-aggregable
+    // groupBy; both decomposition windows then run over the AGGREGATED
+    // series, whose size is hours×types — independent of event count —
+    // so the type-keyed window partitioning is safe at any event volume
+    // (unlike anomaly_zscore's raw-row windows, which need time-chunked
+    // partitioning).
+    "ts_seasonal_decompose" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
+        .agg(graft.ops.Metrics.meanExact2dp(col("value")).as("v"))
+      val byHod = Window.partitionBy(col("event_type"),
+        expr("(bucket_sec div 3600) % 24"))
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket_sec")).rowsBetween(-11, 12)
+      hourly
+        .withColumn("seasonal", avg(col("v")).over(byHod))
+        .withColumn("trend", avg(col("v") - col("seasonal")).over(byType))
+        .select(col("event_type"), col("bucket_sec"), col("v").as("value"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("trend"), 6).as("trend"),
+          round(col("v") - col("seasonal") - col("trend"), 6).as("residual"))
+        .orderBy("event_type", "bucket_sec")
+    }),
+
     // Incremental-rollup equivalence (materialized-view maintenance): the
     // day-partial -> merge path must equal the direct global aggregate for
     // algebraic functions — the property that lets a 100 TB pipeline
@@ -405,6 +435,26 @@ object AnalyticsQueries extends QueryPack {
            |  count(DISTINCT act.user_id) AS n_users
            |FROM act JOIN first USING (user_id)
            |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+      "ts_seasonal_decompose" ->
+        s"""WITH b AS (
+           |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
+           |    ${graft.ops.Metrics.meanExact2dpSql("value")} AS v
+           |  FROM events GROUP BY 1, 2),
+           |se AS (
+           |  SELECT event_type, bucket_sec, v,
+           |    avg(v) OVER (PARTITION BY event_type, (bucket_sec // 3600) % 24)
+           |      AS seasonal
+           |  FROM b),
+           |tr AS (
+           |  SELECT event_type, bucket_sec, v, seasonal,
+           |    avg(v - seasonal) OVER (PARTITION BY event_type ORDER BY bucket_sec
+           |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
+           |  FROM se)
+           |SELECT event_type, bucket_sec, v AS value,
+           |  round(seasonal, 6) AS seasonal, round(trend, 6) AS trend,
+           |  round(v - seasonal - trend, 6) AS residual
+           |FROM tr ORDER BY event_type, bucket_sec""".stripMargin,
 
       "resample_gapfill_1h" ->
         s"""WITH b AS (

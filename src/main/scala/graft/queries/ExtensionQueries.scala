@@ -684,6 +684,45 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Training-pack PROVENANCE (data governance / attribution): under
+    // the pack_sequences concat-and-chunk layout, a document's token
+    // interval [start, end) can cross pack boundaries, so the honest
+    // lineage of pack k is every doc whose interval intersects
+    // [k·B, (k+1)·B) with the exact overlap length. One prefix-sum
+    // window (shared spelling with pack_sequences), an explode of
+    // ceil(len/B)+1 span rows per doc (corpus-linear: Σ spans ≈
+    // tokens/B + docs), and a pack-keyed aggregate emitting doc count,
+    // token fill (B exactly for interior packs — the conservation
+    // check), and an md5 lineage record over the ordered doc:tokens
+    // list. Interval work is integer arithmetic end to end.
+    "pack_provenance" -> ((s, d) => {
+      val budget = 2048L
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("_end", sum(col("n_tokens")).over(w))
+        .withColumn("_start", col("_end") - col("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .select(col("lang"), col("source"), col("doc_id"),
+          col("_start"), col("_end"),
+          explode(sequence(expr(s"_start div $budget"),
+            expr(s"(_end - 1) div $budget"))).as("seq_id"))
+        .select(col("lang"), col("source"), col("seq_id"), col("doc_id"),
+          (least(col("_end"), (col("seq_id") + 1) * budget) -
+            greatest(col("_start"), col("seq_id") * budget)).as("tok_in_seq"))
+        .groupBy("lang", "source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_seq")).as("n_tokens"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("tok_in_seq")))),
+            x => concat_ws(":", x("doc_id"), x("tok_in_seq"))), ","))
+            .as("lineage"))
+        .orderBy("lang", "source", "seq_id")
+    }),
+
     // Benchmark decontamination: flag training documents sharing any
     // word-3-gram with a holdout set (here: doc_id % 97 == 0 stands in
     // for the benchmark corpus). Shingle hashes explode to (doc, h) rows;
@@ -1956,6 +1995,33 @@ object ExtensionQueries extends QueryPack {
            |  FROM (SELECT lang, source, doc_id,
            |          CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents))
            |ORDER BY doc_id""".stripMargin,
+
+      "pack_provenance" ->
+        s"""WITH base AS (
+           |  SELECT lang, source, doc_id,
+           |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (
+           |  SELECT lang, source, doc_id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+           |  FROM base),
+           |sp AS (
+           |  SELECT lang, source, doc_id, e - n_tokens AS st, e,
+           |    unnest(generate_series((e - n_tokens) // 2048, (e - 1) // 2048))
+           |      AS seq_id
+           |  FROM c WHERE n_tokens > 0),
+           |tok AS (
+           |  SELECT lang, source, seq_id, doc_id,
+           |    least(e, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)
+           |      AS tok_in_seq
+           |  FROM sp)
+           |SELECT lang, source, CAST(seq_id AS BIGINT) AS seq_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(tok_in_seq) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(doc_id || ':' || tok_in_seq, ',' ORDER BY doc_id))
+           |    AS lineage
+           |FROM tok GROUP BY 1, 2, 3
+           |ORDER BY lang, source, seq_id""".stripMargin,
 
       "boilerplate_ngrams" ->
         s"""WITH $duckShingleHashes,

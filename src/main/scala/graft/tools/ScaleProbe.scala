@@ -248,7 +248,14 @@ object ScaleProbe {
     // query doubles the corpus with shifted twins and its banded join
     // is copy-disjoint by the hash of the disjoint token content)
     "text_longest_repeat", "corpus_top_repeated_spans",
-    "multimodal_ahash", "multimodal_ahash_pairs")
+    "multimodal_ahash", "multimodal_ahash_pairs",
+    // round-8 wave-7 additions (cont.): pack provenance (prefix-sum +
+    // span explode ≈ tokens/B + docs rows, pack-keyed agg) and seasonal
+    // decomposition (events reduce to the hourly series FIRST; the
+    // decomposition windows run over series-sized data, so the probe
+    // measures the reduce staying linear while the window side is
+    // constant-ish)
+    "pack_provenance", "ts_seasonal_decompose")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
