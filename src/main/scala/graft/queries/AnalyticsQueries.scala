@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -30,6 +30,33 @@ object AnalyticsQueries extends QueryPack {
     ("b3_mid", 10.0, 50.0),
     ("b4_large", 50.0, 200.0),
     ("b5_huge", 200.0, 1000.0))
+
+  /** CUSUM allowance denominator (K = T div 4 — a quarter of the hourly
+    * mean, in H-scaled deviation units) and alarm threshold multiple.
+    */
+  private val CusumKDen = 4
+  private val CusumAlarmMult = 8
+  /** Holt smoothing works in integer micro-units of hourly count. */
+  private val HwMicro = 1000000L
+
+  /** Gap-filled hourly event counts per type (missing hours = 0) — the
+    * regular grid the sequential detectors (ts_cusum, ts_holtwinters)
+    * need. Shared shape with resample_gapfill_1h: partial-aggregable
+    * groupBy first, per-type sequence explode for the grid.
+    */
+  private def hourlyCounts(s: SparkSession, d: String): DataFrame = {
+    val b = events(s, d)
+      .groupBy(col("event_type"),
+        (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
+      .agg(count(lit(1)).as("n"))
+    val grid = b.groupBy(col("event_type"))
+      .agg(min(col("bucket_sec")).as("_lo"), max(col("bucket_sec")).as("_hi"))
+      .select(col("event_type"),
+        explode(sequence(col("_lo"), col("_hi"), lit(3600L))).as("bucket_sec"))
+    grid.join(b, Seq("event_type", "bucket_sec"), "left")
+      .select(col("event_type"), col("bucket_sec"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 
   private val HistWidth = 25.0
   private val FiveMinMs = 300000L
@@ -232,6 +259,74 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_type", "bucket_sec")
     }),
 
+    // CUSUM change-point detection (Page 1954) on the gap-filled hourly
+    // event-rate series, ALL-INTEGER: deviations are scaled by the series
+    // length (x_t = H·n_t − T sums to zero without ever materializing the
+    // mean as a float), the allowance K = T div 4 is a quarter of the
+    // hourly mean in the same units, and the sequential recurrence
+    // S_t = max(0, S_{t−1} + x_t − K) is rewritten to its closed form
+    // S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums P — so the
+    // "inherently sequential" detector becomes two stacked window passes
+    // over ONE type-keyed sort (spec-proved equal to the recurrence,
+    // including the mirrored downward side). Scale shape: events reduce
+    // to the hourly grid via a partial-aggregable groupBy first; every
+    // window runs over series-sized data.
+    "ts_cusum" -> ((s, d) => {
+      val tot = Window.partitionBy(col("event_type"))
+      val pre = Window.partitionBy(col("event_type")).orderBy(col("bucket_sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourlyCounts(s, d)
+        .withColumn("_x",
+          count(lit(1)).over(tot) * col("n") - sum(col("n")).over(tot))
+        .withColumn("_k", expr(s"sum(n) OVER (PARTITION BY event_type) div $CusumKDen"))
+        .withColumn("_p", sum(col("_x") - col("_k")).over(pre))
+        .withColumn("_q", sum(-col("_x") - col("_k")).over(pre))
+        .select(col("event_type"), col("bucket_sec"), col("n"),
+          (col("_p") - least(min(col("_p")).over(pre), lit(0L))).as("cusum_up"),
+          (col("_q") - least(min(col("_q")).over(pre), lit(0L))).as("cusum_down"),
+          ((col("_p") - least(min(col("_p")).over(pre), lit(0L))) >
+            col("_k") * CusumAlarmMult).cast("int").as("alarm_up"),
+          ((col("_q") - least(min(col("_q")).over(pre), lit(0L))) >
+            col("_k") * CusumAlarmMult).cast("int").as("alarm_down"))
+        .orderBy("event_type", "bucket_sec")
+    }),
+
+    // Holt's linear-trend exponential smoothing (the level+trend half of
+    // Holt-Winters) over the gap-filled hourly counts, in integer
+    // micro-units: l_t = (2·y_t + 8·(l+b)) div 10, b_t = (Δl + 9·b) div 10
+    // (α=0.2, β=0.1 as exact rationals; div truncates toward zero
+    // identically in Spark and DuckDB, spec-covered for negative trends).
+    // The recurrence is genuinely sequential, but the SERIES is the
+    // aggregated hourly grid — so it runs as one `aggregate` fold over a
+    // per-type collected array (hours-sized, independent of event
+    // volume), never as driver-side iteration; the oracle replays the
+    // identical fold with DuckDB list_reduce. Emits the smoothed state
+    // and the 1/2/3-step-ahead forecasts l + h·b.
+    "ts_holtwinters" -> ((s, d) => {
+      val ser = hourlyCounts(s, d)
+        .groupBy(col("event_type"))
+        .agg(transform(sort_array(collect_list(struct(col("bucket_sec"), col("n")))),
+          r => r.getField("n") * HwMicro).as("_ys"))
+        .where(size(col("_ys")) >= 2)
+      def tdiv(a: Column, den: Long): Column = ((a - a % den) / den).cast("long")
+      def level(acc: Column, y: Column): Column =
+        tdiv(y * 2L + (acc.getField("l") + acc.getField("b")) * 8L, 10L)
+      ser.select(col("event_type"), size(col("_ys")).cast("long").as("n_hours"),
+          aggregate(
+            slice(col("_ys"), lit(2), size(col("_ys")) - 1),
+            struct(element_at(col("_ys"), 1).as("l"),
+              (element_at(col("_ys"), 2) - element_at(col("_ys"), 1)).as("b")),
+            (acc, y) => struct(level(acc, y).as("l"),
+              tdiv(level(acc, y) - acc.getField("l") + acc.getField("b") * 9L, 10L)
+                .as("b"))).as("_st"))
+        .select(col("event_type"), col("n_hours"),
+          col("_st.l").as("level_micro"), col("_st.b").as("trend_micro"),
+          (col("_st.l") + col("_st.b")).as("fc1_micro"),
+          (col("_st.l") + col("_st.b") * 2L).as("fc2_micro"),
+          (col("_st.l") + col("_st.b") * 3L).as("fc3_micro"))
+        .orderBy("event_type")
+    }),
+
     // Incremental-rollup equivalence (materialized-view maintenance): the
     // day-partial -> merge path must equal the direct global aggregate for
     // algebraic functions — the property that lets a 100 TB pipeline
@@ -335,6 +430,16 @@ object AnalyticsQueries extends QueryPack {
   def oracleSql: Map[String, String] = {
     val bandValues = bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
     val profileCols = Seq("event_id", "user_id", "event_type", "value", "props")
+    // Gap-filled hourly counts per type — mirrors [[hourlyCounts]].
+    val duckHourlyCounts =
+      """hb AS (SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
+        |         count(*) AS n FROM events GROUP BY 1, 2),
+        |hg AS (SELECT event_type,
+        |         unnest(generate_series(min(bucket_sec), max(bucket_sec), 3600))
+        |           AS bucket_sec
+        |       FROM hb GROUP BY event_type),
+        |hc AS (SELECT hg.event_type, hg.bucket_sec, coalesce(hb.n, 0) AS n
+        |       FROM hg LEFT JOIN hb USING (event_type, bucket_sec))""".stripMargin
     Map(
       "session_paths_top" ->
         s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
@@ -455,6 +560,58 @@ object AnalyticsQueries extends QueryPack {
            |  round(seasonal, 6) AS seasonal, round(trend, 6) AS trend,
            |  round(v - seasonal - trend, 6) AS residual
            |FROM tr ORDER BY event_type, bucket_sec""".stripMargin,
+
+      "ts_cusum" ->
+        s"""WITH $duckHourlyCounts,
+           |st AS (SELECT event_type, bucket_sec, n,
+           |    count(*) OVER (PARTITION BY event_type) AS h,
+           |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS t
+           |  FROM hc),
+           |pf AS (SELECT event_type, bucket_sec, n, t // $CusumKDen AS k,
+           |    CAST(sum(h * n - t - t // $CusumKDen) OVER w AS BIGINT) AS p,
+           |    CAST(sum(-(h * n - t) - t // $CusumKDen) OVER w AS BIGINT) AS q
+           |  FROM st WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT event_type, bucket_sec, n,
+           |  p - least(CAST(min(p) OVER w AS BIGINT), 0) AS cusum_up,
+           |  q - least(CAST(min(q) OVER w AS BIGINT), 0) AS cusum_down,
+           |  CAST(p - least(CAST(min(p) OVER w AS BIGINT), 0)
+           |       > k * $CusumAlarmMult AS INT) AS alarm_up,
+           |  CAST(q - least(CAST(min(q) OVER w AS BIGINT), 0)
+           |       > k * $CusumAlarmMult AS INT) AS alarm_down
+           |FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY event_type, bucket_sec""".stripMargin,
+
+      // NOTE: replayed as a recursive CTE over (l, b) columns, NOT a
+      // list_reduce with a struct accumulator — DuckDB v1.0 evaluates a
+      // repeated subexpression across struct fields of a list_reduce
+      // lambda against inconsistent accumulator state (probe: fold of
+      // {'l': E//2, 'b': E//2 + 1000} returns b != l + 1000).
+      "ts_holtwinters" ->
+        s"""WITH RECURSIVE $duckHourlyCounts,
+           |idx AS (SELECT event_type, n * $HwMicro AS y,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY bucket_sec)
+           |      AS i,
+           |    count(*) OVER (PARTITION BY event_type) AS h
+           |  FROM hc),
+           |rec(event_type, h, j, l, b) AS (
+           |  SELECT i1.event_type, i1.h, 1, i1.y, i2.y - i1.y
+           |  FROM idx i1 JOIN idx i2
+           |    ON i2.event_type = i1.event_type AND i2.i = 2
+           |  WHERE i1.i = 1 AND i1.h >= 2
+           |  UNION ALL
+           |  SELECT r.event_type, r.h, r.j + 1,
+           |    (2 * x.y + 8 * (r.l + r.b)) // 10,
+           |    ((2 * x.y + 8 * (r.l + r.b)) // 10 - r.l + 9 * r.b) // 10
+           |  FROM rec r JOIN idx x
+           |    ON x.event_type = r.event_type AND x.i = r.j + 1)
+           |SELECT event_type, CAST(h AS BIGINT) AS n_hours,
+           |  CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+           |  CAST(l + b AS BIGINT) AS fc1_micro,
+           |  CAST(l + 2 * b AS BIGINT) AS fc2_micro,
+           |  CAST(l + 3 * b AS BIGINT) AS fc3_micro
+           |FROM rec WHERE j = h ORDER BY event_type""".stripMargin,
 
       "resample_gapfill_1h" ->
         s"""WITH b AS (

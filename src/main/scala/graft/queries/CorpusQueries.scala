@@ -33,6 +33,23 @@ object CorpusQueries extends QueryPack {
   val PmiMinCount = 5
   val PmiTopK = 200
 
+  /** Winnowing (Schleimer/Wilkerson/Aiken, MOSS): k-gram size, window
+    * width (guarantee threshold t = k + w − 1 = 8 tokens), the
+    * stop-fingerprint document-frequency cap, and the shared-fingerprint
+    * floor for reporting a match pair.
+    */
+  val WinnowK = 5
+  val WinnowW = 4
+  val WinnowFreqCap = 8
+  val WinnowMinShared = 2
+
+  /** Rightmost-min encoding base: fingerprint hashes are < MinhashP <
+    * 2^31, so `h·B + (B−1−pos)` packs (hash asc, position desc) into one
+    * ordered long — min() over the sliding window IS the winnowing rule
+    * "smallest hash, rightmost on ties" with no per-frame conditional.
+    */
+  private val WinnowB = 2147483648L // 2^31
+
   // Shared DuckDB fragments (mirror TextOps/Dedup exactly — same text as
   // the ExtensionQueries fragments so the families stay in sync).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
@@ -298,7 +315,81 @@ object CorpusQueries extends QueryPack {
   val SpanMinLen = 4
   val SpanTopK = 20
 
+  /** Selected winnowing fingerprints: (doc_id, n_kgrams, pos, h) — one
+    * row per DISTINCT selected (position, hash). The sequential "pick
+    * the rightmost minimum of each sliding window" rule is expressed as
+    * a plain sliding-window min over the packed (hash, −pos) key, then
+    * DISTINCT — two window passes over ONE doc-keyed sort, token-linear.
+    * Docs with fewer than W k-grams keep their single global minimum
+    * (the last, full-coverage frame).
+    */
+  private[graft] def winnowSelected(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kg = documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), TextOps.hashAll(col("_toks")).as("_th"))
+      .select(col("doc_id"),
+        posexplode(Dedup.shingleHashes(col("_th"), WinnowK)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        pmod(col("col"), lit(Dedup.MinhashP)).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val frame = byDoc.rowsBetween(-(WinnowW - 1), 0)
+    kg.withColumn("_key", col("h") * WinnowB + (lit(WinnowB - 1) - col("pos")))
+      .withColumn("_mk", min(col("_key")).over(frame))
+      .withColumn("_rn", row_number().over(byDoc))
+      .withColumn("_L",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .where(col("_rn") >= least(lit(WinnowW), col("_L")))
+      .select(col("doc_id"), col("_L").as("n_kgrams"),
+        expr(s"_mk div $WinnowB").as("fh"),
+        (lit(WinnowB - 1) - pmod(col("_mk"), lit(WinnowB))).as("fpos"))
+      .distinct()
+  }
+
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Winnowing document fingerprints (the MOSS local fingerprinting
+    // algorithm): every window of W consecutive k-gram hashes selects its
+    // rightmost minimum; the distinct selections are the document's
+    // fingerprint set, with the guarantee that any shared token run of
+    // length ≥ k+w−1 yields a shared fingerprint. Emits per-doc counts
+    // and an md5 digest of the position-ordered selection — the whole
+    // selection is exact-compared, not just its size.
+    "text_winnow" -> ((s, d) =>
+      winnowSelected(s, d)
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_kgrams")).as("n_kgrams"),
+          (max(col("n_kgrams")) -
+            least(lit(WinnowW.toLong), max(col("n_kgrams"))) + 1L)
+            .as("n_windows"),
+          count(lit(1)).as("n_fp"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("fpos"), col("fh")))),
+              r => concat_ws(":", r.getField("fpos"), r.getField("fh")))))
+            .as("fp_digest"))
+        .orderBy("doc_id")),
+
+    // Winnowing near-dup candidates: doc pairs sharing >= WinnowMinShared
+    // selected fingerprints, after dropping fingerprints that occur in
+    // more than WinnowFreqCap documents (stop-fingerprints — boilerplate
+    // hashes would otherwise turn the fingerprint-keyed join quadratic
+    // on one hot key; the cap bounds any key's fan-out at Cap², the same
+    // trick the banded LSH families use). Fingerprint hash is the ONLY
+    // corpus-wide join key.
+    "winnow_match_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fps = winnowSelected(s, d)
+        .select(col("doc_id"), col("fh")).distinct()
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fh"))))
+        .where(col("_df") <= WinnowFreqCap)
+        .select(col("doc_id"), col("fh"))
+      fps.as("a").join(fps.as("b"),
+          col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= WinnowMinShared)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Longest repeated token span WITHIN each document — the suffix-array
     // classic (SuffixOps.longestRepeatedSpan: doc-keyed suffix sort, max
     // adjacent LCP, smallest-span tie-break).
@@ -781,10 +872,57 @@ object CorpusQueries extends QueryPack {
        |  FROM (SELECT doc_id, t FROM toks),
        |       unnest(generate_series(1, len(t))) AS u(i))""".stripMargin
 
+  /** Selected winnowing fingerprints CTE chain — mirrors
+    * [[winnowSelected]] (same Horner k-gram hashes, same packed
+    * rightmost-min key, same short-doc fallback).
+    */
+  private def duckWinnowSel: String = {
+    val (k, w, b, p, a) =
+      (WinnowK, WinnowW, WinnowB, Dedup.MinhashP, Dedup.ShingleA)
+    s"""wth AS (SELECT doc_id, list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+       |  FROM documents),
+       |wkg0 AS (SELECT doc_id, unnest(CASE WHEN len(th) < $k
+       |    THEN list_transform(generate_series(1, len(th)),
+       |           i -> struct_pack(pos := i, h := th[i] % $p))
+       |    ELSE list_transform(generate_series(1, len(th) - ${k - 1}),
+       |           i -> struct_pack(pos := i, h := list_reduce(th[i:i+${k - 1}],
+       |                  (x, y) -> (x * $a + y) % $p))) END) AS kh
+       |  FROM wth),
+       |wkg AS (SELECT doc_id, CAST(kh.pos AS BIGINT) AS pos, kh.h AS h FROM wkg0),
+       |wwm AS (SELECT doc_id, pos, h,
+       |    min(h * $b + ($b - 1 - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mk,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS l
+       |  FROM wkg),
+       |wsel AS (SELECT DISTINCT doc_id, CAST(l AS BIGINT) AS n_kgrams,
+       |    mk // $b AS fh, $b - 1 - (mk % $b) AS fpos
+       |  FROM wwm WHERE rn >= least($w, l))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "text_winnow" ->
+        s"""WITH $duckWinnowSel
+           |SELECT doc_id, max(n_kgrams) AS n_kgrams,
+           |  max(n_kgrams) - least($WinnowW, max(n_kgrams)) + 1 AS n_windows,
+           |  CAST(count(*) AS BIGINT) AS n_fp,
+           |  md5(string_agg(fpos || ':' || fh, ',' ORDER BY fpos)) AS fp_digest
+           |FROM wsel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "winnow_match_pairs" ->
+        s"""WITH $duckWinnowSel,
+           |wfp AS (SELECT doc_id, fh FROM (
+           |    SELECT DISTINCT doc_id, fh FROM wsel)
+           |  QUALIFY count(*) OVER (PARTITION BY fh) <= $WinnowFreqCap)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(count(*) AS BIGINT) AS n_shared
+           |FROM wfp a JOIN wfp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+           |ORDER BY id_a, id_b""".stripMargin,
+
       "text_longest_repeat" ->
         s"""WITH $duckSuffixes,
            |w AS (

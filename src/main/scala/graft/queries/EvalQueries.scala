@@ -205,9 +205,47 @@ object EvalQueries extends QueryPack {
           .as("auc_micro"))
   }
 
+  /** Confusion matrix + chance-corrected agreement of the trained quality
+    * model against its heuristic labels at the 0.5 threshold: TP/FP/FN/TN
+    * counts, precision/recall/F1, and Cohen's kappa — the agreement
+    * statistic a labeling pipeline reports when reconciling a cheap model
+    * against its rule-based rater. All ratios are integer floor-divisions
+    * over micro-units; kappa's numerator (N·agree − Σ marginal products)
+    * can be negative, which both engines truncate toward zero
+    * identically. The threshold compares the ×1e6-ROUNDED score (the
+    * calibration query's proven-portable quantity), never the raw float.
+    * One text scan + one 1-row aggregate; bigint-safe to N ≈ 3e6 labeled
+    * docs (N²·1e6 < 2^63) — a labeled EVAL set size, not corpus size.
+    */
+  private def confusion(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.QualityModel
+    val docs = documents(s, d)
+    val m = QualityModel.train(docs)
+    QualityModel.scoreLabeled(docs, m)
+      .select((expr("cast(round(score * 1000000, 0) as bigint)") >= 500000L)
+          .cast("long").as("pred"),
+        col("y").cast("long").as("y"))
+      .agg(sum(col("pred") * col("y")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("y"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("y")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("y"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp + fp + fn + tn").as("n"),
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)").as("accuracy_micro"),
+        expr("tp * 1000000 div nullif(tp + fp, 0)").as("precision_micro"),
+        expr("tp * 1000000 div nullif(tp + fn, 0)").as("recall_micro"),
+        expr("2 * tp * 1000000 div nullif(2 * tp + fp + fn, 0)").as("f1_micro"),
+        expr("""((tp + fp + fn + tn) * (tp + tn)
+               |  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) * 1000000
+               | div nullif((tp + fp + fn + tn) * (tp + fp + fn + tn)
+               |  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 0)"""
+          .stripMargin).as("kappa_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_eval_ndcg" -> ((s, d) => rankEval(s, d)),
     "preference_bt_scores" -> ((s, d) => btScores(s, d)),
+    "eval_confusion_kappa" -> ((s, d) => confusion(s, d)),
     "eval_calibration" -> ((s, d) => calibration(s, d)),
     "eval_auc" -> ((s, d) => auc(s, d)))
 
@@ -314,6 +352,36 @@ object EvalQueries extends QueryPack {
     sb.toString
   }
 
+  private val duckConfusion: String = {
+    val qT = graft.ext.QualityModel.TrainIters
+    s"""WITH ${CorpusQueries.duckQualityTrainChain(qT)},
+       |zs AS (SELECT f.doc_id, f.y,
+       |  round(0.5 + 0.5 * (z / (1.0 + abs(z))), 6) AS score
+       |  FROM (SELECT f.doc_id, f.y,
+       |          w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+       |        FROM feats f, w$qT w) f),
+       |pl AS (SELECT
+       |    CAST(CAST(round(score * 1000000, 0) AS BIGINT) >= 500000 AS BIGINT)
+       |      AS pred,
+       |    CAST(y AS BIGINT) AS y FROM zs),
+       |cm AS (SELECT
+       |    CAST(sum(pred * y) AS BIGINT) AS tp,
+       |    CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+       |    CAST(sum((1 - pred) * y) AS BIGINT) AS fn,
+       |    CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn
+       |  FROM pl)
+       |SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+       |  (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_micro,
+       |  tp * 1000000 // nullif(tp + fp, 0) AS precision_micro,
+       |  tp * 1000000 // nullif(tp + fn, 0) AS recall_micro,
+       |  2 * tp * 1000000 // nullif(2 * tp + fp + fn, 0) AS f1_micro,
+       |  ((tp + fp + fn + tn) * (tp + tn)
+       |    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) * 1000000
+       |   // nullif((tp + fp + fn + tn) * (tp + fp + fn + tn)
+       |    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)), 0) AS kappa_micro
+       |FROM cm""".stripMargin
+  }
+
   private val duckCalibration: String = {
     val qT = graft.ext.QualityModel.TrainIters
     s"""WITH ${CorpusQueries.duckQualityTrainChain(qT)},
@@ -362,5 +430,6 @@ object EvalQueries extends QueryPack {
     "rank_eval_ndcg" -> duckNdcg,
     "preference_bt_scores" -> duckBt,
     "eval_calibration" -> duckCalibration,
-    "eval_auc" -> duckAuc)
+    "eval_auc" -> duckAuc,
+    "eval_confusion_kappa" -> duckConfusion)
 }

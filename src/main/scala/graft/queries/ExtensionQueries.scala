@@ -19,6 +19,11 @@ object ExtensionQueries extends QueryPack {
 
   private val JaccardThreshold = 0.5
 
+  /** cluster_topics noise floor: a term must appear this often inside a
+    * cell before it can label the cell (rare-token lift is unbounded).
+    */
+  private val ClusterTopicMinCount = 3
+
   /** Cosine floor for the sign-LSH ANN pair query. The fixture embeddings
     * carry no planted near-duplicates (max pairwise cosine ≈ 0.51 at
     * sf0.01), so a "near-dup" threshold would make the query vacuously
@@ -342,6 +347,43 @@ object ExtensionQueries extends QueryPack {
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, numCells = 16, nprobe = 4, k = 10)),
+
+    // Corpus organization: the IVF Voronoi cells double as topic
+    // clusters, and each cluster is described by its most DISTINCTIVE
+    // terms — per-cell token share vs corpus token share (lift), the
+    // tf-idf-style cluster labeling every embedding-clustered corpus
+    // browser needs. Shapes: assignment is the broadcast-argmax
+    // projection (zero shuffles), token counting is one (cell, token)
+    // keyed aggregation, totals are a 16-row broadcast + a token-keyed
+    // join + a 1-row broadcast — never an all-rows window. Lift is a
+    // two-step integer floor-division in micro-units, identical op
+    // order in both engines; top-3 per cell via bounded TakeOrdered.
+    "cluster_topics" -> ((s, d) => {
+      val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding",
+          numCells = 16)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val ct = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .join(assign, Seq("doc_id"))
+        .groupBy(col("cell"), col("token")).agg(count(lit(1)).as("cnt"))
+      val cellTot = ct.groupBy(col("cell")).agg(sum(col("cnt")).as("cell_tot"))
+      val tokTot = ct.groupBy(col("token")).agg(sum(col("cnt")).as("corp_cnt"))
+      val tot = ct.agg(sum(col("cnt")).as("tot"))
+      val scored = ct.where(col("cnt") >= ClusterTopicMinCount)
+        .join(broadcast(cellTot), Seq("cell"))
+        .join(tokTot, Seq("token"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("token"), col("cnt"),
+          expr("(cnt * 1000000 div cell_tot) * 1000000 div (corp_cnt * 1000000 div tot)")
+            .as("lift_micro"))
+      graft.plans.TopK.perKey(scored, Seq("cell"),
+          Seq(("lift_micro", true), ("token", false)), 3)
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("lift_micro").desc, col("token"))))
+        .select(col("cell"), col("rnk"), col("token"), col("cnt"),
+          col("lift_micro"))
+        .orderBy("cell", "rnk")
+    }),
 
     // One Lloyd iteration refining the IVF centroids — the iterative-ML
     // plan shape (broadcast assignment + one keyed shuffle).
@@ -1606,6 +1648,30 @@ object ExtensionQueries extends QueryPack {
           |        / (a.nrm * qnrm), 6) AS cos_sim
           |FROM assign a JOIN probe USING (cell), q
           |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+      "cluster_topics" ->
+        s"""WITH $duckIvfAssign,
+           |ctk AS (SELECT a.cell, t.token FROM
+           |    (SELECT doc_id, unnest($duckToks) AS token FROM documents) t
+           |  JOIN assign a ON a.vec_id = t.doc_id),
+           |ct AS (SELECT cell, token, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM ctk GROUP BY 1, 2),
+           |cellt AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS cell_tot
+           |  FROM ct GROUP BY 1),
+           |tokt AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS corp_cnt
+           |  FROM ct GROUP BY 1),
+           |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM ct),
+           |sc AS (SELECT ct.cell, ct.token, ct.cnt,
+           |    (ct.cnt * 1000000 // cell_tot) * 1000000
+           |      // (corp_cnt * 1000000 // tot) AS lift_micro
+           |  FROM ct JOIN cellt USING (cell) JOIN tokt USING (token), tt
+           |  WHERE ct.cnt >= $ClusterTopicMinCount),
+           |rk AS (SELECT cell, token, cnt, lift_micro,
+           |    row_number() OVER (PARTITION BY cell
+           |      ORDER BY lift_micro DESC, token) AS rnk
+           |  FROM sc)
+           |SELECT cell, CAST(rnk AS INT) AS rnk, token, cnt, lift_micro
+           |FROM rk WHERE rnk <= 3 ORDER BY cell, rnk""".stripMargin,
 
       "sim_ann_pairs" ->
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

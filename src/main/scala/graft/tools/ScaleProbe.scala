@@ -255,7 +255,14 @@ object ScaleProbe {
     // decomposition windows run over series-sized data, so the probe
     // measures the reduce staying linear while the window side is
     // constant-ish)
-    "pack_provenance", "ts_seasonal_decompose")
+    "pack_provenance", "ts_seasonal_decompose",
+    // eighth wave (winnowing fingerprints join on the fingerprint hash —
+    // the copies' shared fingerprints stress the freq-cap; the sequential
+    // ts detectors measure the event->series reduce staying linear while
+    // the series-sized fold/window side is constant; cluster_topics is
+    // assignment projection + token-keyed aggs)
+    "text_winnow", "winnow_match_pairs", "ts_cusum", "ts_holtwinters",
+    "eval_confusion_kappa", "cluster_topics")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
