@@ -211,4 +211,45 @@ object Graph {
         when(col("nw") > 0, round(col("nt") * 3.0 / col("nw"), 6))
           .as("clustering"))
   }
+
+  /** Label-propagation communities (Raghavan et al. 2007), synchronous
+    * with a SELF-VOTE: each round every node adopts the most frequent
+    * label among its neighbors PLUS its own current label, ties broken
+    * by smallest label. The self-vote is the standard damping for the
+    * two-coloring oscillation synchronous LPA exhibits on bipartite
+    * graphs (the trade graph IS bipartite); a fixed iteration count is
+    * part of the operator definition — the oracle replays exactly that
+    * many rounds. Argmax is `min(struct(-count, label))` — one struct
+    * comparison, no window.
+    *
+    * Scale shape: identical to [[pageRank]] — the (self-looped) edge
+    * list is pinned once and scanned once per round; iteration state is
+    * the node-sized label frame, broadcast into the per-round join
+    * (billion-node graphs flip the broadcast to a keyed exchange of the
+    * node-sized side); each level localCheckpointed (lazy chains are
+    * quadratic in iters, see pageRank).
+    */
+  def lpa(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = sel.select(col("src").as("node"))
+      .union(sel.select(col("dst"))).distinct().localCheckpoint(false)
+    val eSelf = sel
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint(false)
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      lbl = eSelf
+        .join(broadcast(lbl.select(col("node").as("dst"), col("lbl"))),
+          Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("_b"))
+        .select(col("src").as("node"), col("_b.l").as("lbl"))
+        .localCheckpoint(false)
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
 }

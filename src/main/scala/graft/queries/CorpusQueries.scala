@@ -347,6 +347,35 @@ object CorpusQueries extends QueryPack {
   }
 
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cross-source contamination matrix: for every source pair, the
+    // count and Jaccard of shared distinct token-shingles — the
+    // provenance-level view of decontamination (WHICH feeds overlap,
+    // not just which documents). Scale shape: the corpus reduces to
+    // DISTINCT (source, shingle) in one shuffle; the shingle-keyed
+    // self-join fans out at most (#sources choose 2) rows per shingle
+    // (sources are a roster, not data-proportional); totals are a
+    // roster-sized broadcast. Pairs with zero shared shingles are
+    // absent by construction.
+    "source_overlap_matrix" -> ((s, d) => {
+      val ss = documents(s, d)
+        .select(col("source"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("source"), TextOps.hashAll(col("_toks")).as("_th"))
+        .select(col("source"), explode(Dedup.shingleHashes(col("_th"))).as("h"))
+        .distinct()
+      val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      ss.as("a").join(ss.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("n_a"))),
+          Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("n_b"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+          expr("shared * 1000000 div (n_a + n_b - shared)").as("jaccard_micro"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Winnowing document fingerprints (the MOSS local fingerprinting
     // algorithm): every window of W consecutive k-gram hashes selects its
     // rightmost minimum; the distinct selections are the document's
@@ -904,6 +933,28 @@ object CorpusQueries extends QueryPack {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "source_overlap_matrix" ->
+        s"""WITH sth AS (SELECT source,
+           |    list_transform($duckToks, tk -> ${duckH32("tk")}) AS th
+           |  FROM documents),
+           |ssh AS (SELECT DISTINCT source,
+           |    unnest(CASE WHEN len(th) < ${Dedup.ShingleN} THEN th
+           |      ELSE list_transform(generate_series(1, len(th) - ${Dedup.ShingleN - 1}),
+           |        i -> ((((th[i] * ${Dedup.ShingleA} + th[i+1]) % ${Dedup.MinhashP})
+           |              * ${Dedup.ShingleA} + th[i+2]) % ${Dedup.MinhashP})) END) AS h
+           |  FROM sth),
+           |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           |  FROM ssh GROUP BY 1),
+           |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(count(*) AS BIGINT) AS shared
+           |  FROM ssh a JOIN ssh b ON a.h = b.h AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT src_a, src_b, shared, ta.n AS n_a, tb.n AS n_b,
+           |  shared * 1000000 // (ta.n + tb.n - shared) AS jaccard_micro
+           |FROM pr JOIN tot ta ON ta.source = src_a
+           |        JOIN tot tb ON tb.source = src_b
+           |ORDER BY src_a, src_b""".stripMargin,
+
       "text_winnow" ->
         s"""WITH $duckWinnowSel
            |SELECT doc_id, max(n_kgrams) AS n_kgrams,

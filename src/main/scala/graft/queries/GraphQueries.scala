@@ -36,6 +36,12 @@ object GraphQueries extends QueryPack {
   val KCoreRounds = 4
   val KCoreQuantile = 0.75
 
+  /** LPA rounds. Label frontiers stabilize on the fixture within 3
+    * rounds (GraphSpec asserts rounds vs rounds+1 agreement on the
+    * hand graphs); the constant is part of the query definition.
+    */
+  val LpaIters = 4
+
   /** Symmetrized trade edges: customer c ↔ supplier s for every distinct
     * (custkey, suppkey) pair that shares an order line. Node ids are
     * prefixed ('c…'/'s…') so the two key spaces never collide.
@@ -110,6 +116,15 @@ object GraphQueries extends QueryPack {
     // over integers (representable doubles end-to-end).
     "graph_kcore" -> ((s, d) =>
       Graph.kCore(tradeEdges(s, d), "src", "dst", KCoreQuantile, KCoreRounds)
+        .orderBy("node")),
+
+    // Label-propagation communities over the trade graph — the fourth
+    // graph question (CC: which connect, PageRank: how central,
+    // triangles: how clustered, k-core: how cohesive, LPA: which
+    // MODULES). Self-vote damps the bipartite oscillation; fixed
+    // LpaIters rounds replayed exactly by the oracle chain.
+    "graph_lpa" -> ((s, d) =>
+      Graph.lpa(tradeEdges(s, d), "src", "dst", LpaIters)
         .orderBy("node")))
 
   private def duckPageRank(iters: Int): String = {
@@ -183,8 +198,41 @@ object GraphQueries extends QueryPack {
     sb.toString
   }
 
+  /** The LPA chain: one (votes, labels) CTE pair per round; l{t} feeds
+    * the next round's vote join — MATERIALIZED throughout (PageRank
+    * rule).
+    */
+  private def duckLpa(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """base AS MATERIALIZED (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+      |  's' || CAST(l_suppkey AS VARCHAR) AS sp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS MATERIALIZED (SELECT c AS src, sp AS dst FROM base
+      |          UNION ALL SELECT sp, c FROM base),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |es AS MATERIALIZED (SELECT src, dst FROM edges
+      |          UNION ALL SELECT node, node FROM nodes),
+      |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        |v$t AS MATERIALIZED (SELECT e.src, l.lbl, count(*) AS c
+        |        FROM es e JOIN l${t - 1} l ON l.node = e.dst GROUP BY 1, 2),
+        |l$t AS MATERIALIZED (SELECT src AS node, lbl FROM v$t
+        |        QUALIFY row_number() OVER (PARTITION BY src
+        |          ORDER BY c DESC, lbl) = 1)""".stripMargin
+    }
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_kcore" -> s"WITH ${duckKCore(KCoreRounds)}",
+
+    "graph_lpa" ->
+      s"""WITH ${duckLpa(LpaIters)}
+         |SELECT node, lbl AS community FROM l$LpaIters
+         |ORDER BY node""".stripMargin,
 
     "graph_pagerank" ->
       s"""WITH ${duckPageRank(PageRankIters)}

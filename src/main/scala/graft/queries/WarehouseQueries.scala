@@ -41,6 +41,12 @@ object WarehouseQueries extends QueryPack {
   val ZFiles = 16L
   val ZBits = 16
 
+  /** Compaction planner: docs per synthetic "file" stat row, and bin
+    * capacity as a multiple of the mean file size.
+    */
+  val CompactionGroupDocs = 16
+  val CompactionCapFactor = 4
+
   /** Bit-interleave of two ZBits-wide normalized keys, generated ONCE as
     * SQL text over columns `za`/`zb` and evaluated verbatim by BOTH
     * engines — pure integer shifts/masks, so the z-value is exact
@@ -239,9 +245,101 @@ object WarehouseQueries extends QueryPack {
           strRow("o_orderpriority", "o_orderpriority"))).as("r"))
         .select(col("r.*"))
         .orderBy("col_name")
-    }))
+    }),
+
+    // Compaction planning — first-fit-decreasing bin packing of small
+    // files into target-size rewrite groups, the metadata-plane
+    // algorithm behind every lakehouse OPTIMIZE. The planner's input is
+    // MANIFEST-sized (file stats: here 16-doc groups with byte sizes),
+    // so the inherently sequential FFD scan runs as ONE `aggregate`
+    // fold over the collected, size-sorted file list — the corpus-scale
+    // work is only the file-stat aggregation feeding it (the
+    // ts_holtwinters contract: sequential algorithms are fine when the
+    // sequence is metadata, and the plan never iterates on the driver).
+    // First-fit index is a null-filtered indexed transform (no per-bin
+    // conditional recursion); the bin capacity is CapFactor × the mean
+    // file size, all-integer. Oracle replays the fold as a recursive
+    // CTE (list-state rows — the DuckDB list_reduce struct bug does not
+    // apply to CTE columns).
+    "compaction_plan" -> ((s, d) => compactionPlan(s, d, CompactionGroupDocs)))
+
+  /** [[queries]] `compaction_plan`, with the file granularity exposed:
+    * a planning run's file list must stay MANIFEST-sized (FFD is
+    * O(files·bins) — sequential by nature), so at larger corpora the
+    * grouping scales with the data (bigger target files / per-scope
+    * planning), exactly how production compactors bound their run
+    * size. ScaleProbe applies groupDocs ∝ corpus (the semdedup-cells
+    * rule); the fixed-granularity spelling is pinned by the oracle.
+    */
+  private[graft] def compactionPlan(s: SparkSession, d: String,
+      groupDocs: Int): DataFrame = {
+    {
+      val files = documents(s, d)
+        .groupBy(expr(s"doc_id div $groupDocs").as("fid"))
+        .agg(sum(col("n_chars")).as("sz"))
+      val staged = files.agg(
+        sort_array(collect_list(struct((-col("sz")).as("nsz"),
+          col("fid").as("fid")))).as("_fs"),
+        expr(s"(sum(sz) div count(1)) * $CompactionCapFactor").as("_cap"))
+      val folded = staged.withColumn("_st",
+        aggregate(col("_fs"),
+          struct(array().cast("array<bigint>").as("loads"),
+            array().cast("array<bigint>").as("asg")),
+          (acc, f) => {
+            val sz = -f.getField("nsz")
+            val loads = acc.getField("loads")
+            val ff = try_element_at(filter(
+              transform(loads, (b, i) =>
+                when(b + sz <= col("_cap"), i.cast("long"))),
+              x => x.isNotNull), lit(1))
+            struct(
+              when(ff.isNull, concat(loads, array(sz)))
+                .otherwise(transform(loads, (b, i) =>
+                  when(i.cast("long") === ff, b + sz).otherwise(b)))
+                .as("loads"),
+              concat(acc.getField("asg"),
+                array(coalesce(ff + 1L, size(loads).cast("long") + 1L)))
+                .as("asg"))
+          }))
+      folded.select(explode(transform(
+          sequence(lit(1), size(col("_fs"))),
+          i => struct(
+            element_at(col("_fs"), i).getField("fid").as("file_id"),
+            (-element_at(col("_fs"), i).getField("nsz")).as("size_chars"),
+            element_at(col("_st").getField("asg"), i).as("bin")))).as("r"))
+        .select(col("r.*"))
+        .orderBy("file_id")
+    }
+  }
 
   def oracleSql: Map[String, String] = Map(
+    "compaction_plan" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT doc_id // $CompactionGroupDocs AS fid,
+         |    CAST(sum(n_chars) AS BIGINT) AS sz FROM documents GROUP BY 1),
+         |meta AS (SELECT
+         |    CAST((sum(sz) // count(*)) * $CompactionCapFactor AS BIGINT) AS cap
+         |  FROM f),
+         |fi AS (SELECT fid, sz, row_number() OVER (ORDER BY sz DESC, fid) AS i
+         |  FROM f),
+         |rec(j, loads, fid, sz, bin) AS (
+         |  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         |  UNION ALL
+         |  SELECT j + 1,
+         |    CASE WHEN ff IS NULL THEN list_append(loads, sz)
+         |         ELSE list_transform(generate_series(1, len(loads)),
+         |                k -> CASE WHEN k = ff THEN loads[k] + sz
+         |                     ELSE loads[k] END) END,
+         |    fid, sz, coalesce(ff, len(loads) + 1)
+         |  FROM (SELECT r.j, r.loads, x.fid, x.sz,
+         |          (list_filter(list_transform(generate_series(1, len(r.loads)),
+         |             k -> CASE WHEN r.loads[k] + x.sz <= m.cap THEN k END),
+         |             y -> y IS NOT NULL))[1] AS ff
+         |        FROM rec r JOIN fi x ON x.i = r.j + 1, meta m) s)
+         |SELECT fid AS file_id, sz AS size_chars, CAST(bin AS BIGINT) AS bin
+         |FROM rec WHERE j >= 1 ORDER BY file_id""".stripMargin,
+
     "scd2_build" ->
       s"""WITH $duckDim
          |SELECT user_id, version, tier, valid_from_ms, valid_to_ms

@@ -262,7 +262,11 @@ object ScaleProbe {
     // the series-sized fold/window side is constant; cluster_topics is
     // assignment projection + token-keyed aggs)
     "text_winnow", "winnow_match_pairs", "ts_cusum", "ts_holtwinters",
-    "eval_confusion_kappa", "cluster_topics")
+    "eval_confusion_kappa", "cluster_topics",
+    // ninth wave (source-pair overlap is roster²-bounded fan-out on the
+    // shingle key; LPA iterates broadcast label joins over the pinned
+    // edge list; the FFD fold input is manifest-sized)
+    "source_overlap_matrix", "graph_lpa", "compaction_plan")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
@@ -348,6 +352,15 @@ object ScaleProbe {
           Tables.embeddings(spark, dir), "vec_id", "embedding",
           dims = 64, planes = planes,
           minCos = graft.queries.ExtensionQueries.AnnMinCos))
+      } else if (q == "compaction_plan") {
+        // Planner scale rule: the FFD input must stay manifest-sized
+        // (O(files·bins) sequential scan), so file granularity grows
+        // with the corpus — bigger target files / per-scope planning,
+        // as production compactors bound their run size. Fixed
+        // granularity is pinned by the oracle at sf0.1.
+        val group = graft.queries.WarehouseQueries.CompactionGroupDocs *
+          (if (dir == out) factor else 1)
+        force(graft.queries.WarehouseQueries.compactionPlan(spark, dir, group))
       } else force(graft.SparkEntry.queries(q)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }

@@ -120,6 +120,65 @@ class GraphSpec extends SparkSpec {
     assert(core(g, 0.5, 1).map(_._1) == Seq(1L, 2L, 3L, 4L))
   }
 
+  /** Driver-side replay of the documented LPA-with-self-vote rule. */
+  private def lpaReplay(edges: Seq[(String, String)], iters: Int)
+      : Map[String, String] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val adj = edges ++ nodes.map(v => (v, v)) // self-vote
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = adj.groupBy(_._1).view.mapValues { es =>
+        es.map(e => lbl(e._2)).groupBy(identity).view.mapValues(_.size)
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lbl
+  }
+
+  private def lpaRun(edges: Seq[(String, String)], iters: Int) = {
+    val sym = edges ++ edges.map(_.swap)
+    Graph.lpa(sym.toDF("src", "dst"), "src", "dst", iters)
+      .as[(String, String)].collect().toMap
+  }
+
+  test("lpa matches the driver replay and separates two bridged triangles") {
+    // two triangles joined by one bridge edge c3-d1
+    val g = Seq(("c1", "c2"), ("c2", "c3"), ("c1", "c3"),
+      ("d1", "d2"), ("d2", "d3"), ("d1", "d3"), ("c3", "d1"))
+    val sym = g ++ g.map(_.swap)
+    for (iters <- Seq(0, 1, 4)) {
+      val expect = lpaReplay(sym, iters)
+      assert(lpaRun(g, iters) == expect, s"iters=$iters")
+    }
+    val fin = lpaRun(g, 4)
+    // each triangle coheres on its own min label; the bridge does not
+    // merge them (d1's neighborhood majority is its own triangle)
+    assert(fin("c1") == fin("c2") && fin("c2") == fin("c3"))
+    assert(fin("d1") == fin("d2") && fin("d2") == fin("d3"))
+    assert(fin("c1") != fin("d1"))
+    // fixpoint within the catalog budget on the hand graph
+    assert(lpaRun(g, graft.queries.GraphQueries.LpaIters) ==
+      lpaRun(g, graft.queries.GraphQueries.LpaIters + 1))
+  }
+
+  test("lpa is deterministic on the bipartite fixture graph and labels every node") {
+    import graft.queries.GraphQueries.LpaIters
+    val orders = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val base = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("c"),
+        concat(lit("s"), $"l_suppkey").as("sp")).distinct()
+    val sym = base.select($"c".as("src"), $"sp".as("dst"))
+      .unionAll(base.select($"sp".as("src"), $"c".as("dst")))
+    val n = sym.select($"src").distinct().count()
+    val out = Graph.lpa(sym, "src", "dst", LpaIters)
+      .as[(String, String)].collect()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    val again = Graph.lpa(sym.repartition(7), "src", "dst", LpaIters)
+      .as[(String, String)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("kCore reaches its fixpoint on the fixture within the catalog's round budget") {
     import graft.queries.GraphQueries.{KCoreQuantile, KCoreRounds}
     val orders = Tables.orders(spark, sf0001)
