@@ -376,6 +376,44 @@ object CorpusQueries extends QueryPack {
         .orderBy("src_a", "src_b")
     }),
 
+    // Merkle roots per source — shipping-integrity provenance: the
+    // ordered per-doc digests fold pairwise (odd node promotes
+    // unchanged) up to one root per source, so any single-byte change
+    // in any document, or any reorder/drop, changes the root — the
+    // audit artifact a corpus hand-off ships next to the data. Scale
+    // shape: ceil(log2(max docs/source)) keyed aggregations with the
+    // frame HALVING each level (Σ work = 2·docs); the level count is a
+    // plan-time driver constant (the pageRank `n` pattern); no windows
+    // beyond the leaf ordering, no driver-side hashing. The oracle
+    // replays a fixed 20-level chain (2^20 docs/source cap — levels
+    // past convergence are pass-through no-ops).
+    "corpus_merkle_roots" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val leaves = documents(s, d)
+        .select(col("source"),
+          (row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))) - 1).cast("long").as("idx"),
+          md5(concat_ws(":", col("doc_id"), md5(col("text")))).as("h"))
+      val counts = leaves.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val maxn = counts.agg(max(col("n"))).first().getLong(0)
+      val levels = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxn - 1)))
+      var lvl = leaves
+      for (_ <- 1 to levels.toInt) {
+        lvl = lvl.groupBy(col("source"), expr("idx div 2").as("pidx"))
+          .agg(min(struct(col("idx"), col("h"))).as("_l"),
+            max(struct(col("idx"), col("h"))).as("_r"),
+            count(lit(1)).as("_c"))
+          .select(col("source"), col("pidx").as("idx"),
+            when(col("_c") === 2, md5(concat(col("_l.h"), col("_r.h"))))
+              .otherwise(col("_l.h")).as("h"))
+      }
+      lvl.join(broadcast(counts), Seq("source"))
+        .select(col("source"), col("n").as("n_docs"),
+          col("h").as("merkle_root"))
+        .orderBy("source")
+    }),
+
     // Winnowing document fingerprints (the MOSS local fingerprinting
     // algorithm): every window of W consecutive k-gram hashes selects its
     // rightmost minimum; the distinct selections are the document's
@@ -933,6 +971,28 @@ object CorpusQueries extends QueryPack {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "corpus_merkle_roots" -> {
+        val sb = new StringBuilder
+        sb ++= """m0 AS (SELECT source,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+          |      AS idx,
+          |    md5(doc_id || ':' || md5(text)) AS h
+          |  FROM documents)""".stripMargin
+        for (t <- 1 to 20) {
+          sb ++= s""",
+            |m$t AS (SELECT source, idx // 2 AS idx,
+            |    CASE WHEN count(*) = 2 THEN md5(arg_min(h, idx) || arg_max(h, idx))
+            |         ELSE arg_min(h, idx) END AS h
+            |  FROM m${t - 1} GROUP BY 1, 2)""".stripMargin
+        }
+        sb ++= """,
+          |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          |  FROM documents GROUP BY 1)
+          |SELECT m20.source, cnt.n AS n_docs, m20.h AS merkle_root
+          |FROM m20 JOIN cnt USING (source) ORDER BY source""".stripMargin
+        s"WITH ${sb.toString}"
+      },
+
       "source_overlap_matrix" ->
         s"""WITH sth AS (SELECT source,
            |    list_transform($duckToks, tk -> ${duckH32("tk")}) AS th

@@ -47,6 +47,9 @@ object WarehouseQueries extends QueryPack {
   val CompactionGroupDocs = 16
   val CompactionCapFactor = 4
 
+  /** Join-cardinality sample rate: 1-in-16 keys (first md5 nibble). */
+  val JoinEstRate = 16
+
   /** Bit-interleave of two ZBits-wide normalized keys, generated ONCE as
     * SQL text over columns `za`/`zb` and evaluated verbatim by BOTH
     * engines — pure integer shifts/masks, so the z-value is exact
@@ -261,7 +264,31 @@ object WarehouseQueries extends QueryPack {
     // file size, all-integer. Oracle replays the fold as a recursive
     // CTE (list-state rows — the DuckDB list_reduce struct bug does not
     // apply to CTE columns).
-    "compaction_plan" -> ((s, d) => compactionPlan(s, d, CompactionGroupDocs)))
+    "compaction_plan" -> ((s, d) => compactionPlan(s, d, CompactionGroupDocs)),
+
+    // Join-cardinality estimation — the query-planning statistic behind
+    // every join-order/broadcast decision: |A ⋈_k A| = Σ_k c_k² for the
+    // events self-join on user_id (the feature/sessionization join
+    // shape), estimated from a CONTENT-STABLE 1-in-16 key sample (first
+    // md5 nibble = '0' — reproducible across runs and engines, the
+    // DOULION coin) and compared against the exact value in the same
+    // pass. Everything is one keyed count + one global aggregate; the
+    // estimate never materializes the join. Production keeps only the
+    // sampled side; the exact twin here is the verification baseline
+    // (the profile_columns contract).
+    "join_cardinality_est" -> ((s, d) => {
+      val samp = substring(md5(col("user_id").cast("string")), 1, 1) === "0"
+      events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(samp, 1L).otherwise(0L)).as("n_keys_sampled"),
+          sum(col("c") * col("c")).as("true_card"),
+          (sum(when(samp, col("c") * col("c")).otherwise(0L)) *
+            JoinEstRate).as("est_card"))
+        .select(col("n_keys"), col("n_keys_sampled"), col("true_card"),
+          col("est_card"),
+          expr("abs(est_card - true_card) * 1000000 div true_card")
+            .as("rel_err_micro"))
+    }))
 
   /** [[queries]] `compaction_plan`, with the file granularity exposed:
     * a planning run's file list must stay MANIFEST-sized (FFD is
@@ -339,6 +366,20 @@ object WarehouseQueries extends QueryPack {
          |        FROM rec r JOIN fi x ON x.i = r.j + 1, meta m) s)
          |SELECT fid AS file_id, sz AS size_chars, CAST(bin AS BIGINT) AS bin
          |FROM rec WHERE j >= 1 ORDER BY file_id""".stripMargin,
+
+    "join_cardinality_est" ->
+      s"""WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_sampled,
+         |    CAST(sum(c * c) AS BIGINT) AS true_card,
+         |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+         |             THEN c * c ELSE 0 END) * $JoinEstRate AS BIGINT) AS est_card
+         |  FROM pk)
+         |SELECT n_keys, n_keys_sampled, true_card, est_card,
+         |  abs(est_card - true_card) * 1000000 // true_card AS rel_err_micro
+         |FROM ag""".stripMargin,
 
     "scd2_build" ->
       s"""WITH $duckDim

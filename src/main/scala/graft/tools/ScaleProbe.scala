@@ -266,7 +266,10 @@ object ScaleProbe {
     // ninth wave (source-pair overlap is roster²-bounded fan-out on the
     // shingle key; LPA iterates broadcast label joins over the pinned
     // edge list; the FFD fold input is manifest-sized)
-    "source_overlap_matrix", "graph_lpa", "compaction_plan")
+    "source_overlap_matrix", "graph_lpa", "compaction_plan",
+    // tenth wave (merkle: log-depth keyed folds, frame halving per
+    // level; join estimator: one keyed count + one global agg)
+    "corpus_merkle_roots", "join_cardinality_est")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

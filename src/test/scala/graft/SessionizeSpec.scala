@@ -167,6 +167,53 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM (transformWithState) == driver-side sequential fold across batch splits") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (target, k, h) = (20000000L, 5000000L, 500000000L)
+      val rows = Tables.events(spark, sf0001)
+        .select($"event_type", Tables.tsMillis($"ts").as("t"), $"event_id",
+          $"value")
+        .as[(String, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+      val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+      val input = MemoryStream[(String, Long, Long, Double)](spark)
+      val q = graft.stream.CusumStream.stream(input.toDF(), target, k, h)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_cusum")
+        .start()
+      try {
+        thirds.foreach { b =>
+          input.addData(b.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("tws_cusum")
+        .as[graft.stream.CusumStream.KeyCusum].collect()
+        .groupBy(_.event_type).map { case (ty, es) => ty -> es.maxBy(_.n) }
+      val expect = rows.groupBy(_._1).map { case (ty, rs) =>
+        var (su, sd, n) = (0L, 0L, 0L)
+        rs.sortBy(r => (r._2, r._3)).foreach { r =>
+          val x = math.round(r._4 * 1e6) - target
+          su = math.max(0L, su + x - k)
+          sd = math.max(0L, sd - x - k)
+          n += 1
+        }
+        ty -> ((n, su, sd, su > h, sd > h))
+      }
+      assert(streamed.nonEmpty && streamed.keySet == expect.keySet)
+      streamed.foreach { case (ty, got) =>
+        assert((got.n, got.cusum_up, got.cusum_down, got.alarm_up,
+          got.alarm_down) == expect(ty), s"key $ty")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy($"event_type")
