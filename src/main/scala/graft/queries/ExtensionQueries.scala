@@ -224,6 +224,30 @@ object ExtensionQueries extends QueryPack {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // Leakage-safe train/val/test split: the split key is the near-dup
+    // CLUSTER id, not the doc id — corpus_split's content-stable md5
+    // bucketing, applied after connected components, so a document and
+    // its near-duplicates can never straddle train and eval (the
+    // contamination path a doc-keyed split leaves open: Lee et al. 2022
+    // measure val-set near-dups inflating perplexity wins). Singletons
+    // label themselves. Same plan as dedup_clusters plus one zero-cost
+    // projection; the oracle extends the clusters chain with the split
+    // CASE; ExtSpec asserts no verified pair straddles splits.
+    "corpus_split_leakage_safe" -> ((s, d) => {
+      val cl = Dedup.connectedComponents(minhashVerifiedPairs(s, d),
+          "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val lab = documents(s, d).select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val h2 = substring(md5(col("cluster_id").cast("string")), 1, 2)
+      lab.select(col("doc_id"), col("cluster_id"),
+          when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL cluster maintenance (Dedup.ingestClusterBatch): the
     // corpus arrives as two batches folding into a persisted store (LSH
     // probe vs banded history + mini-graph label merge behind one atomic
@@ -1579,6 +1603,27 @@ object ExtensionQueries extends QueryPack {
            |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
            |FROM documents d LEFT JOIN cl USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      "corpus_split_leakage_safe" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(n, m) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+           |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |       FROM reach GROUP BY n),
+           |lab AS (SELECT d.doc_id,
+           |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN cl USING (doc_id))
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cd'
+           |         THEN 'train'
+           |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+           |         THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM lab ORDER BY doc_id""".stripMargin,
 
       "dedup_simhash" -> s"$duckSimhashSel\nORDER BY doc_id",
 

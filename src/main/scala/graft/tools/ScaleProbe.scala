@@ -269,7 +269,9 @@ object ScaleProbe {
     "source_overlap_matrix", "graph_lpa", "compaction_plan",
     // tenth wave (merkle: log-depth keyed folds, frame halving per
     // level; join estimator: one keyed count + one global agg)
-    "corpus_merkle_roots", "join_cardinality_est")
+    "corpus_merkle_roots", "join_cardinality_est",
+    // cluster-keyed split rides the dedup_clusters plan
+    "corpus_split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -357,4 +357,32 @@ class ExtSpec extends SparkSpec {
     assert(replay.isEmpty)
     assert(spark.read.parquet(store).count() == 3, "replay must not grow the store")
   }
+
+  test("leakage-safe split: clusters cohere, no verified pair straddles, doc-keyed would") {
+    import graft.queries.ExtensionQueries
+    val split = ExtensionQueries.queries("corpus_split_leakage_safe")(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length == Tables.documents(spark, sf0001).count())
+    split.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    val byDoc = split.map(r => r._1 -> r._3).toMap
+    val pairs = ExtensionQueries.queries("dedup_minhash_pairs")(spark, sf0001)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"near-dup pair $a-$b straddles splits")
+    }
+    // the plain doc-keyed split WOULD have leaked at least one pair —
+    // the operator changes the outcome, not just the spelling
+    def docSplit(id: Long): String = {
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "fixture has no straddling pair under the doc-keyed split — weak test")
+  }
 }
