@@ -301,8 +301,10 @@ class PlanAuditSpec extends SparkSpec {
       "lm_trigram_score",       // 1-row corpus token-total attach (the
                                 // unigram interpolation term), the
                                 // lm_bigram shape one order up
-      "dq_expectations")        // 1-row anti-join count attached to the
+      "dq_expectations",        // 1-row anti-join count attached to the
                                 // 1-row conditional-aggregate suite
+      "cluster_topics")         // numCells-row centroid attach (the IVF
+                                // assignment) + 1-row corpus token-total
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
@@ -340,6 +342,16 @@ class PlanAuditSpec extends SparkSpec {
                                   // plan; AQE skips broadcast only because
                                   // checkpointed stats stay conservative
       "semdedup_pairs",           // in-cell self-join, same reasoning
+      "cluster_topics",           // vocab-keyed join of the (cell, token)
+                                  // counts onto the token totals: BOTH
+                                  // sides are vocab-scaled aggregates
+                                  // (statless post-agg), the keyed
+                                  // shuffle is the 100 TB plan; the
+                                  // constant sides (cell totals, corpus
+                                  // total) ARE broadcast
+      "corpus_split_leakage_safe", // doc-keyed join of the corpus onto
+                                  // the cluster labels: both sides scale
+                                  // with the corpus, shuffle IS the plan
       "graph_triangles")          // oriented-wedge self-join + closure
                                   // semi-join: every side (edges, degrees,
                                   // wedges) scales with the graph, shuffle
