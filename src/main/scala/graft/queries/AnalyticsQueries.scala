@@ -39,6 +39,9 @@ object AnalyticsQueries extends QueryPack {
   /** Holt smoothing works in integer micro-units of hourly count. */
   private val HwMicro = 1000000L
 
+  /** Theil–Sen pair lag bound, in hours (H·MaxLag pairs, never H²). */
+  private val TheilSenMaxLag = 48
+
   /** Gap-filled hourly event counts per type (missing hours = 0) — the
     * regular grid the sequential detectors (ts_cusum, ts_holtwinters)
     * need. Shared shape with resample_gapfill_1h: partial-aggregable
@@ -289,6 +292,34 @@ object AnalyticsQueries extends QueryPack {
           ((col("_q") - least(min(col("_q")).over(pre), lit(0L))) >
             col("_k") * CusumAlarmMult).cast("int").as("alarm_down"))
         .orderBy("event_type", "bucket_sec")
+    }),
+
+    // Theil–Sen robust trend per type: the median of pairwise slopes,
+    // immune to the outliers that wreck least-squares — with the
+    // BOUNDED-LAG restriction (pairs at most TheilSenMaxLag hours
+    // apart) that turns the O(H²) all-pairs classic into H·MaxLag
+    // work, expressed as a constant 48-row lag dimension + an exact
+    // equi-join back onto the series (no range join, no self cross).
+    // Slopes are integer micro-units (events/hour); the median is the
+    // exact interpolated percentile (the proven percentile ↔
+    // quantile_cont pairing).
+    "ts_theilsen" -> ((s, d) => {
+      import s.implicits._
+      val hourly = hourlyCounts(s, d)
+      val lags = (1 to TheilSenMaxLag).toDF("lag")
+      val later = hourly.select(col("event_type"),
+        col("bucket_sec").as("b2"), col("n").as("n2"))
+      hourly.crossJoin(broadcast(lags))
+        .select(col("event_type"), col("n"),
+          (col("bucket_sec") + col("lag") * 3600L).as("b2"), col("lag"))
+        .join(later, Seq("event_type", "b2"))
+        .select(col("event_type"),
+          expr("(n2 - n) * 1000000 div lag").as("slope_micro"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope_micro, 0.5)"), 6)
+            .as("median_slope_micro"))
+        .orderBy("event_type")
     }),
 
     // Holt's linear-trend exponential smoothing (the level+trend half of
@@ -582,6 +613,19 @@ object AnalyticsQueries extends QueryPack {
            |FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY event_type, bucket_sec""".stripMargin,
+
+      "ts_theilsen" ->
+        s"""WITH $duckHourlyCounts,
+           |pr AS (SELECT h1.event_type,
+           |    (h2.n - h1.n) * 1000000 // g.lag AS slope_micro
+           |  FROM hc h1
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $TheilSenMaxLag))
+           |    AS lag) g
+           |  JOIN hc h2 ON h2.event_type = h1.event_type
+           |    AND h2.bucket_sec = h1.bucket_sec + g.lag * 3600)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(quantile_cont(slope_micro, 0.5), 6) AS median_slope_micro
+           |FROM pr GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // NOTE: replayed as a recursive CTE over (l, b) columns, NOT a
       // list_reduce with a struct accumulator — DuckDB v1.0 evaluates a

@@ -43,6 +43,17 @@ object CorpusQueries extends QueryPack {
   val WinnowFreqCap = 8
   val WinnowMinShared = 2
 
+  /** Length-bucket ladder for pad_efficiency: powers of two from the
+    * min batchable length to the truncation cap. The bucket CASE is
+    * generated ONCE as SQL text and evaluated verbatim by both engines
+    * (the zorder pattern) — no float log2 near power-of-two boundaries.
+    */
+  private val PadLadder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024,
+    2048, 4096)
+  private val padBucketSql: String =
+    PadLadder.init.map(b => s"WHEN nt <= $b THEN $b").mkString(
+      "CASE ", " ", s" ELSE ${PadLadder.last} END")
+
   /** Rightmost-min encoding base: fingerprint hashes are < MinhashP <
     * 2^31, so `h·B + (B−1−pos)` packs (hash asc, position desc) into one
     * ordered long — min() over the sliding window IS the winnowing rule
@@ -374,6 +385,26 @@ object CorpusQueries extends QueryPack {
         .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
           expr("shared * 1000000 div (n_a + n_b - shared)").as("jaccard_micro"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // Inference/training batch padding efficiency under power-of-two
+    // length bucketing (the dynamic-batching layout question): per
+    // bucket, how much of the padded token grid is real content vs
+    // pad. Everything integer; the bucket CASE ladder is one generated
+    // SQL text evaluated verbatim by both engines. One projection +
+    // one 9-row aggregate — corpus-linear.
+    "pad_efficiency" -> ((s, d) => {
+      documents(s, d)
+        .select(least(size(TextOps.tokens(col("text"))).cast("long"),
+          lit(PadLadder.last.toLong)).as("nt"))
+        .select(col("nt"), expr(padBucketSql).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("n_docs") * col("bucket")).as("padded_tokens"),
+          expr("(n_docs * bucket - sum_tokens) * 1000000 div (n_docs * bucket)")
+            .as("pad_waste_micro"))
+        .orderBy("bucket")
     }),
 
     // Merkle roots per source — shipping-integrity provenance: the
@@ -971,6 +1002,19 @@ object CorpusQueries extends QueryPack {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "pad_efficiency" ->
+        s"""WITH nt AS (SELECT least(CAST(len($duckToks) AS BIGINT),
+           |    ${PadLadder.last}) AS nt FROM documents),
+           |b AS (SELECT nt, $padBucketSql AS bucket FROM nt),
+           |ag AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(nt) AS BIGINT) AS sum_tokens
+           |  FROM b GROUP BY 1)
+           |SELECT bucket, n_docs, sum_tokens,
+           |  n_docs * bucket AS padded_tokens,
+           |  (n_docs * bucket - sum_tokens) * 1000000 // (n_docs * bucket)
+           |    AS pad_waste_micro
+           |FROM ag ORDER BY bucket""".stripMargin,
+
       "corpus_merkle_roots" -> {
         val sb = new StringBuilder
         sb ++= """m0 AS (SELECT source,

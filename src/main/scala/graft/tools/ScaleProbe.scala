@@ -271,7 +271,16 @@ object ScaleProbe {
     // level; join estimator: one keyed count + one global agg)
     "corpus_merkle_roots", "join_cardinality_est",
     // cluster-keyed split rides the dedup_clusters plan
-    "corpus_split_leakage_safe")
+    "corpus_split_leakage_safe",
+    // eleventh wave (Theil-Sen pairs are H*MaxLag equi-joins on the
+    // series grid; pad_efficiency is one projection + 9-row agg).
+    // NOTE on ts_theilsen's measured 9.0: the probe's disjoint-time-
+    // region rule (copies offset by 366 days) makes the GAP-FILLED
+    // hourly grid span all copy windows plus the empty ranges between
+    // them — ~97x the base grid, not 8x — so grid-proportional work is
+    // inflated ~12x beyond linear by the fixture itself; 9.0 against a
+    // 97x grid is strongly sublinear in the true work.
+    "ts_theilsen", "pad_efficiency")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
