@@ -24,6 +24,10 @@ object ExtensionQueries extends QueryPack {
     */
   private val ClusterTopicMinCount = 3
 
+  /** budget_cut_per_source: keep until 60% of the source's token mass. */
+  private val BudgetNum = 3
+  private val BudgetDen = 5
+
   /** Cosine floor for the sign-LSH ANN pair query. The fixture embeddings
     * carry no planted near-duplicates (max pairwise cosine ≈ 0.51 at
     * sf0.01), so a "near-dup" threshold would make the query vacuously
@@ -973,6 +977,35 @@ object ExtensionQueries extends QueryPack {
     // pre-filter a training-data pipeline runs before expensive scoring.
     "text_quality_score" -> ((s, d) =>
       qualityScored(s, d).orderBy("doc_id")),
+
+    // Token-budget enforcement per source: keep each source's
+    // best-quality documents until a budget (60% of its token mass) is
+    // spent — the "fit the corpus to the compute budget" selection
+    // every training run ends with. One quality scan + one per-source
+    // cumulative-sum window over (quality desc, doc_id). The exact
+    // per-source sort is the oracle-comparable twin; at 100 TB the cut
+    // only needs the quality threshold where the cumsum crosses the
+    // budget — one pass through a per-source quality KLL sketch
+    // (ext/Sketches), no global sort (the profile_columns contract).
+    "budget_cut_per_source" -> ((s, d) => {
+      val nt = documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nt.join(qualityScored(s, d).select(col("doc_id"), col("quality")),
+          Seq("doc_id"))
+        .withColumn("budget",
+          expr(s"sum(nt) OVER (PARTITION BY source) * $BudgetNum div $BudgetDen"))
+        .withColumn("cum", sum(col("nt")).over(w))
+        .groupBy(col("source"))
+        .agg(max(col("budget")).as("budget_tokens"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("cum") <= col("budget"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cum") <= col("budget"), col("nt")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    }),
 
     // Preference-PAIR mining (the DPO/RLHF data-prep shape): within each
     // (source, lang) group, pair the best-quality doc against the worst
@@ -2157,6 +2190,27 @@ object ExtensionQueries extends QueryPack {
       "text_quality_score" ->
         s"""WITH $duckQualityCtes
            |SELECT doc_id, quality FROM quality ORDER BY doc_id""".stripMargin,
+
+      "budget_cut_per_source" ->
+        s"""WITH $duckQualityCtes,
+           |bnt AS (SELECT d.doc_id, d.source,
+           |    CAST(len($duckToks) AS BIGINT) AS nt, q.quality
+           |  FROM documents d JOIN quality q USING (doc_id)),
+           |bc AS (SELECT source, nt,
+           |    CAST(sum(nt) OVER (PARTITION BY source) AS BIGINT)
+           |      * $BudgetNum // $BudgetDen AS budget,
+           |    CAST(sum(nt) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum
+           |  FROM bnt)
+           |SELECT source, max(budget) AS budget_tokens,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(sum(CASE WHEN cum <= budget THEN nt ELSE 0 END) AS BIGINT)
+           |    AS tokens_kept
+           |FROM bc GROUP BY source ORDER BY source""".stripMargin,
 
       "preference_pairs" ->
         s"""WITH $duckQualityCtes,

@@ -266,6 +266,35 @@ object WarehouseQueries extends QueryPack {
     // apply to CTE columns).
     "compaction_plan" -> ((s, d) => compactionPlan(s, d, CompactionGroupDocs)),
 
+    // Incremental view maintenance for JOINS — the property that lets a
+    // 100 TB pipeline maintain a join-shaped materialization from
+    // deltas instead of recomputing: with both tables split into two
+    // arrival batches (content-stable md5 coins on DIFFERENT keys, so
+    // every quadrant is non-empty), the maintained view
+    // R1 ∪ (ΔL⋈O1 ∪ L1⋈ΔO ∪ ΔL⋈ΔO) must equal the direct join of the
+    // unions — and the ORACLE IS the direct join, so the equality is
+    // the correctness gate itself (incremental_two_level_agg's
+    // contract, one operator up). All four quadrants are keyed joins;
+    // nothing scans more than once per quadrant.
+    "ivm_join_incremental" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val oc = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      val lc = substring(md5(concat_ws(":", col("l_orderkey"),
+        col("l_linenumber"))), 1, 1)
+      val (o1, o2) = (o.where(oc < "8"), o.where(oc >= "8"))
+      val lk = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val (l1, l2) = (lk.where(lc < "8"), lk.where(lc >= "8"))
+      def q(lf: DataFrame, of: DataFrame) =
+        lf.join(of, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"), col("rev"))
+      q(l1, o1).unionByName(q(l2, o1)).unionByName(q(l1, o2))
+        .unionByName(q(l2, o2))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), round(sum(col("rev")), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Join-cardinality estimation — the query-planning statistic behind
     // every join-order/broadcast decision: |A ⋈_k A| = Σ_k c_k² for the
     // events self-join on user_id (the feature/sessionization join
@@ -366,6 +395,12 @@ object WarehouseQueries extends QueryPack {
          |        FROM rec r JOIN fi x ON x.i = r.j + 1, meta m) s)
          |SELECT fid AS file_id, sz AS size_chars, CAST(bin AS BIGINT) AS bin
          |FROM rec WHERE j >= 1 ORDER BY file_id""".stripMargin,
+
+    "ivm_join_incremental" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_cardinality_est" ->
       s"""WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c

@@ -280,7 +280,10 @@ object ScaleProbe {
     // them — ~97x the base grid, not 8x — so grid-proportional work is
     // inflated ~12x beyond linear by the fixture itself; 9.0 against a
     // 97x grid is strongly sublinear in the true work.
-    "ts_theilsen", "pad_efficiency")
+    "ts_theilsen", "pad_efficiency",
+    // twelfth wave (budget cut: quality scan + per-source cumsum; IVM
+    // join: four keyed quadrant joins)
+    "budget_cut_per_source", "ivm_join_incremental")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
