@@ -42,6 +42,10 @@ object AnalyticsQueries extends QueryPack {
   /** Theil–Sen pair lag bound, in hours (H·MaxLag pairs, never H²). */
   private val TheilSenMaxLag = 48
 
+  /** Market-basket floors: min co-purchase count, rule list size. */
+  private val BasketMinPair = 3
+  private val BasketTopK = 100
+
   /** Gap-filled hourly event counts per type (missing hours = 0) — the
     * regular grid the sequential detectors (ts_cusum, ts_holtwinters)
     * need. Shared shape with resample_gapfill_1h: partial-aggregable
@@ -260,6 +264,78 @@ object AnalyticsQueries extends QueryPack {
           round(col("trend"), 6).as("trend"),
           round(col("v") - col("seasonal") - col("trend"), 6).as("residual"))
         .orderBy("event_type", "bucket_sec")
+    }),
+
+    // Market-basket association rules over order lines: part pairs
+    // co-purchased in one order, with support / both-direction
+    // confidence / lift in integer micro-units. The pair build is the
+    // supplier-co-trade shape — per-order self-join bounded by the
+    // order's line count (≤7 in TPC-H), so it is linear in lineitem,
+    // never quadratic in parts; part supports join back keyed; the
+    // order total is a 1-row broadcast. Deterministic top-K by
+    // (lift desc, part_a, part_b) via bounded TakeOrdered.
+    "market_basket_rules" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+      val nOrders = li.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= BasketMinPair)
+      val scored = pairs
+        .join(supp.select(col("pk").as("part_a"), col("n_p").as("n_a")), "part_a")
+        .join(supp.select(col("pk").as("part_b"), col("n_p").as("n_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * 1000000 div n_a").as("conf_ab_micro"),
+          expr("n_ab * 1000000 div n_b").as("conf_ba_micro"),
+          expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_micro"))
+      scored.orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
+        .limit(BasketTopK) // TakeOrderedAndProject — bounded, no full sort
+    }),
+
+    // RFM segmentation (recency / frequency / monetary quartile codes):
+    // per-user aggregates bucketed by exact interpolated quartile
+    // boundaries — three numbers broadcast onto every row, NOT an
+    // ntile over a global sort (the ranking would single-partition at
+    // scale; boundary-comparison bucketing is one projection).
+    // Reference time = max event time (data-derived, 1-row broadcast).
+    "user_rfm" -> ((s, d) => {
+      val perUser = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(tsMillis(col("ts"))).as("_last"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("value")), 2).as("monetary"))
+      val ref = perUser.agg(max(col("_last")).as("_ref"))
+      val rfm = perUser.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          expr("(_ref - _last) div 3600000").as("recency_hours"),
+          col("frequency"), col("monetary"))
+      val qs = rfm.agg(
+        expr("percentile(recency_hours, array(0.25, 0.5, 0.75))").as("_rq"),
+        expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("_fq"),
+        expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("_mq"))
+      def code(c: String, q: String, invert: Boolean) = {
+        // quartile code 1..4; recency INVERTED (recent = best = 4)
+        val raw = (lit(1) +
+          (col(c) > element_at(col(q), 1)).cast("int") +
+          (col(c) > element_at(col(q), 2)).cast("int") +
+          (col(c) > element_at(col(q), 3)).cast("int"))
+        if (invert) lit(5) - raw else raw
+      }
+      rfm.crossJoin(broadcast(qs))
+        .select(col("user_id"), col("recency_hours"), col("frequency"),
+          col("monetary"),
+          code("recency_hours", "_rq", invert = true).as("r_code"),
+          code("frequency", "_fq", invert = false).as("f_code"),
+          code("monetary", "_mq", invert = false).as("m_code"))
+        .withColumn("rfm",
+          col("r_code") * 100 + col("f_code") * 10 + col("m_code"))
+        .orderBy("user_id")
     }),
 
     // CUSUM change-point detection (Page 1954) on the gap-filled hourly
@@ -613,6 +689,57 @@ object AnalyticsQueries extends QueryPack {
            |FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY event_type, bucket_sec""".stripMargin,
+
+      "market_basket_rules" ->
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem),
+           |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p
+           |  FROM li GROUP BY 1),
+           |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+           |  FROM li),
+           |pr AS (SELECT a.pk AS part_a, b.pk AS part_b,
+           |    CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinPair)
+           |SELECT part_a, part_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+           |  n_ab * 1000000 // sa.n_p AS conf_ab_micro,
+           |  n_ab * 1000000 // sb.n_p AS conf_ba_micro,
+           |  n_ab * n_orders * 1000000 // (sa.n_p * sb.n_p) AS lift_micro
+           |FROM pr JOIN supp sa ON sa.pk = part_a
+           |        JOIN supp sb ON sb.pk = part_b, no
+           |ORDER BY lift_micro DESC, part_a, part_b
+           |LIMIT $BasketTopK""".stripMargin,
+
+      "user_rfm" ->
+        s"""WITH pu AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms,
+           |    CAST(count(*) AS BIGINT) AS frequency,
+           |    round(sum(value), 2) AS monetary
+           |  FROM events GROUP BY 1),
+           |rf AS (SELECT user_id,
+           |    (SELECT max(last_ms) FROM pu) - last_ms AS rgap,
+           |    frequency, monetary FROM pu),
+           |rfm AS (SELECT user_id, rgap // 3600000 AS recency_hours,
+           |    frequency, monetary FROM rf),
+           |q AS (SELECT
+           |    quantile_cont(recency_hours, [0.25, 0.5, 0.75]) AS rq,
+           |    quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+           |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+           |  FROM rfm),
+           |coded AS (SELECT user_id, recency_hours, frequency, monetary,
+           |    5 - (1 + CAST(recency_hours > rq[1] AS INT)
+           |           + CAST(recency_hours > rq[2] AS INT)
+           |           + CAST(recency_hours > rq[3] AS INT)) AS r_code,
+           |    1 + CAST(frequency > fq[1] AS INT)
+           |      + CAST(frequency > fq[2] AS INT)
+           |      + CAST(frequency > fq[3] AS INT) AS f_code,
+           |    1 + CAST(monetary > mq[1] AS INT)
+           |      + CAST(monetary > mq[2] AS INT)
+           |      + CAST(monetary > mq[3] AS INT) AS m_code
+           |  FROM rfm, q)
+           |SELECT user_id, recency_hours, frequency, monetary,
+           |  r_code, f_code, m_code,
+           |  r_code * 100 + f_code * 10 + m_code AS rfm
+           |FROM coded ORDER BY user_id""".stripMargin,
 
       "ts_theilsen" ->
         s"""WITH $duckHourlyCounts,

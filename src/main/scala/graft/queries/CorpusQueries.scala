@@ -50,6 +50,10 @@ object CorpusQueries extends QueryPack {
     */
   private val PadLadder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024,
     2048, 4096)
+
+  /** RAKE: max candidate-phrase length (tokens) and result list size. */
+  private val RakeMaxLen = 4
+  private val RakeTopK = 100
   private val padBucketSql: String =
     PadLadder.init.map(b => s"WHEN nt <= $b THEN $b").mkString(
       "CASE ", " ", s" ELSE ${PadLadder.last} END")
@@ -385,6 +389,48 @@ object CorpusQueries extends QueryPack {
         .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
           expr("shared * 1000000 div (n_a + n_b - shared)").as("jaccard_micro"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs (phrase id = running count
+    // of stopword delimiters — one per-doc window), scored by
+    // Σ_w deg(w)/freq(w) over corpus-wide word statistics, in integer
+    // micro-units so the per-phrase sum is order-independent and the
+    // compare exact. Everything is keyed aggregation on (doc, phrase)
+    // and word; the emitted list is a bounded TakeOrdered of phrase
+    // TYPES (score is a function of the words, so identical phrases
+    // agree on it by construction).
+    "text_rake_keyphrases" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"),
+          col("col").isInCollection(TextOps.stopwords).cast("int").as("stop"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ph = toks.withColumn("pid", sum(col("stop")).over(w))
+        .where(col("stop") === 0)
+        .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+      val phrases = ph.groupBy(col("doc_id"), col("pid"))
+        .agg(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            r => r.getField("tok")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+        .where(col("plen") <= RakeMaxLen)
+      val words = ph.join(
+        phrases.select(col("doc_id"), col("pid"), col("plen")),
+        Seq("doc_id", "pid"))
+      val ws = words.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      val scored = words.join(ws, "tok")
+        .groupBy(col("doc_id"), col("pid"))
+        .agg(sum(expr("deg * 1000000 div freq")).as("score_micro"))
+      phrases.join(scored, Seq("doc_id", "pid"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          max(col("score_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(RakeTopK)
     }),
 
     // Inference/training batch padding efficiency under power-of-two
@@ -1002,6 +1048,42 @@ object CorpusQueries extends QueryPack {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
     Map(
+      "text_rake_keyphrases" -> {
+        val stopList = graft.ext.TextOps.stopwords
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH rtk AS (SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(toks)),
+           |      i -> struct_pack(pos := i, tok := toks[i]))) AS t
+           |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+           |rt2 AS (SELECT doc_id, t.pos AS pos, t.tok AS tok,
+           |    CASE WHEN list_contains($stopList, t.tok) THEN 1 ELSE 0 END
+           |      AS stop
+           |  FROM rtk),
+           |rpid AS (SELECT doc_id, pos, tok, stop,
+           |    CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos)
+           |      AS BIGINT) AS pid
+           |  FROM rt2),
+           |rph AS (SELECT doc_id, pos, tok, pid FROM rpid WHERE stop = 0),
+           |rphr AS (SELECT doc_id, pid,
+           |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+           |    CAST(count(*) AS BIGINT) AS plen
+           |  FROM rph GROUP BY 1, 2 HAVING count(*) <= $RakeMaxLen),
+           |rwds AS (SELECT rph.doc_id, rph.pid, rph.tok, rphr.plen
+           |  FROM rph JOIN rphr USING (doc_id, pid)),
+           |rws AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(plen) AS BIGINT) AS deg
+           |  FROM rwds GROUP BY 1),
+           |rsc AS (SELECT w.doc_id, w.pid,
+           |    CAST(sum(rws.deg * 1000000 // rws.freq) AS BIGINT)
+           |      AS score_micro
+           |  FROM rwds w JOIN rws USING (tok) GROUP BY 1, 2)
+           |SELECT rphr.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           |  max(rsc.score_micro) AS score_micro
+           |FROM rphr JOIN rsc USING (doc_id, pid)
+           |GROUP BY 1 ORDER BY score_micro DESC, phrase
+           |LIMIT $RakeTopK""".stripMargin
+      },
+
       "pad_efficiency" ->
         s"""WITH nt AS (SELECT least(CAST(len($duckToks) AS BIGINT),
            |    ${PadLadder.last}) AS nt FROM documents),

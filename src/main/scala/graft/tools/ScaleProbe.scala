@@ -283,7 +283,10 @@ object ScaleProbe {
     "ts_theilsen", "pad_efficiency",
     // twelfth wave (budget cut: quality scan + per-source cumsum; IVM
     // join: four keyed quadrant joins)
-    "budget_cut_per_source", "ivm_join_incremental")
+    "budget_cut_per_source", "ivm_join_incremental",
+    // thirteenth wave (basket pairs bounded by lines/order; RFM is one
+    // keyed agg + 3-number broadcast; RAKE is keyed aggs on (doc,phrase))
+    "market_basket_rules", "user_rfm", "text_rake_keyphrases")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
