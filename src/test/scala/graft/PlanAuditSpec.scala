@@ -303,8 +303,13 @@ class PlanAuditSpec extends SparkSpec {
                                 // lm_bigram shape one order up
       "dq_expectations",        // 1-row anti-join count attached to the
                                 // 1-row conditional-aggregate suite
-      "cluster_topics")         // numCells-row centroid attach (the IVF
+      "cluster_topics",         // numCells-row centroid attach (the IVF
                                 // assignment) + 1-row corpus token-total
+      "market_basket_rules",    // 1-row order-count attach (lift's N)
+      "user_rfm",               // 1-row reference-time + 1-row quartile-
+                                // boundary attaches
+      "ts_theilsen")            // constant 48-row lag-dimension attach
+                                // (the bounded-lag pair expansion)
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
