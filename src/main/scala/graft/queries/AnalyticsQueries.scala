@@ -46,6 +46,32 @@ object AnalyticsQueries extends QueryPack {
   private val BasketMinPair = 3
   private val BasketTopK = 100
 
+  /** MAD anomaly: normal-consistency constant and alarm threshold. */
+  private val MadConsistency = 1.4826
+  private val MadAlarmZ = 3.0
+
+  /** Additive seasonal decomposition core, UNSORTED (the catalog query
+    * adds its deterministic output order; ts_anomaly_mad consumes the
+    * residual stream mid-plan, where a global sort would be waste).
+    */
+  private def seasonalDecomposed(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"),
+        (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
+      .agg(graft.ops.Metrics.meanExact2dp(col("value")).as("v"))
+    val byHod = Window.partitionBy(col("event_type"),
+      expr("(bucket_sec div 3600) % 24"))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket_sec")).rowsBetween(-11, 12)
+    hourly
+      .withColumn("seasonal", avg(col("v")).over(byHod))
+      .withColumn("trend", avg(col("v") - col("seasonal")).over(byType))
+      .select(col("event_type"), col("bucket_sec"), col("v").as("value"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("trend"), 6).as("trend"),
+        round(col("v") - col("seasonal") - col("trend"), 6).as("residual"))
+  }
+
   /** Gap-filled hourly event counts per type (missing hours = 0) — the
     * regular grid the sequential detectors (ts_cusum, ts_holtwinters)
     * need. Shared shape with resample_gapfill_1h: partial-aggregable
@@ -247,24 +273,8 @@ object AnalyticsQueries extends QueryPack {
     // so the type-keyed window partitioning is safe at any event volume
     // (unlike anomaly_zscore's raw-row windows, which need time-chunked
     // partitioning).
-    "ts_seasonal_decompose" -> ((s, d) => {
-      val hourly = events(s, d)
-        .groupBy(col("event_type"),
-          (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
-        .agg(graft.ops.Metrics.meanExact2dp(col("value")).as("v"))
-      val byHod = Window.partitionBy(col("event_type"),
-        expr("(bucket_sec div 3600) % 24"))
-      val byType = Window.partitionBy(col("event_type"))
-        .orderBy(col("bucket_sec")).rowsBetween(-11, 12)
-      hourly
-        .withColumn("seasonal", avg(col("v")).over(byHod))
-        .withColumn("trend", avg(col("v") - col("seasonal")).over(byType))
-        .select(col("event_type"), col("bucket_sec"), col("v").as("value"),
-          round(col("seasonal"), 6).as("seasonal"),
-          round(col("trend"), 6).as("trend"),
-          round(col("v") - col("seasonal") - col("trend"), 6).as("residual"))
-        .orderBy("event_type", "bucket_sec")
-    }),
+    "ts_seasonal_decompose" -> ((s, d) =>
+      seasonalDecomposed(s, d).orderBy("event_type", "bucket_sec")),
 
     // Market-basket association rules over order lines: part pairs
     // co-purchased in one order, with support / both-direction
@@ -367,6 +377,33 @@ object AnalyticsQueries extends QueryPack {
             col("_k") * CusumAlarmMult).cast("int").as("alarm_up"),
           ((col("_q") - least(min(col("_q")).over(pre), lit(0L))) >
             col("_k") * CusumAlarmMult).cast("int").as("alarm_down"))
+        .orderBy("event_type", "bucket_sec")
+    }),
+
+    // Robust anomaly detection on the seasonal residuals: the
+    // decomposition's residual stream scored by the MAD z-score
+    // (median / 1.4826·MAD — outlier-immune where mean/stddev are
+    // not), alarming above 3σ-equivalent. Composes the monitoring
+    // family end-to-end: decompose → robust scale → alarm. The two
+    // median passes are per-type exact percentiles (5-row broadcast
+    // back); everything else rides the decomposition's series-sized
+    // windows.
+    "ts_anomaly_mad" -> ((s, d) => {
+      val dec = seasonalDecomposed(s, d)
+        .select(col("event_type"), col("bucket_sec"), col("value"),
+          col("residual"))
+      val med = dec.groupBy(col("event_type"))
+        .agg(expr("percentile(residual, 0.5)").as("med"))
+      val withMed = dec.join(broadcast(med), Seq("event_type"))
+      val mad = withMed.groupBy(col("event_type"))
+        .agg(expr("percentile(abs(residual - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .where(abs(col("residual") - col("med")) >
+          lit(MadAlarmZ) * lit(MadConsistency) * col("mad"))
+        .select(col("event_type"), col("bucket_sec"), col("value"),
+          col("residual"),
+          round((col("residual") - col("med")) /
+            (lit(MadConsistency) * col("mad")), 4).as("robust_z"))
         .orderBy("event_type", "bucket_sec")
     }),
 
@@ -537,6 +574,24 @@ object AnalyticsQueries extends QueryPack {
   def oracleSql: Map[String, String] = {
     val bandValues = bands.map { case (b, lo, hi) => s"('$b', $lo, $hi)" }.mkString(", ")
     val profileCols = Seq("event_id", "user_id", "event_type", "value", "props")
+    // Seasonal-decomposition chain ending in `tr` (event_type,
+    // bucket_sec, v, seasonal, trend) — shared by the decompose and
+    // MAD-anomaly oracles.
+    val duckSeasonalTr =
+      s"""b AS (
+         |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
+         |    ${graft.ops.Metrics.meanExact2dpSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |se AS (
+         |  SELECT event_type, bucket_sec, v,
+         |    avg(v) OVER (PARTITION BY event_type, (bucket_sec // 3600) % 24)
+         |      AS seasonal
+         |  FROM b),
+         |tr AS (
+         |  SELECT event_type, bucket_sec, v, seasonal,
+         |    avg(v - seasonal) OVER (PARTITION BY event_type ORDER BY bucket_sec
+         |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
+         |  FROM se)""".stripMargin
     // Gap-filled hourly counts per type — mirrors [[hourlyCounts]].
     val duckHourlyCounts =
       """hb AS (SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
@@ -649,24 +704,28 @@ object AnalyticsQueries extends QueryPack {
            |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
       "ts_seasonal_decompose" ->
-        s"""WITH b AS (
-           |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
-           |    ${graft.ops.Metrics.meanExact2dpSql("value")} AS v
-           |  FROM events GROUP BY 1, 2),
-           |se AS (
-           |  SELECT event_type, bucket_sec, v,
-           |    avg(v) OVER (PARTITION BY event_type, (bucket_sec // 3600) % 24)
-           |      AS seasonal
-           |  FROM b),
-           |tr AS (
-           |  SELECT event_type, bucket_sec, v, seasonal,
-           |    avg(v - seasonal) OVER (PARTITION BY event_type ORDER BY bucket_sec
-           |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
-           |  FROM se)
+        s"""WITH $duckSeasonalTr
            |SELECT event_type, bucket_sec, v AS value,
            |  round(seasonal, 6) AS seasonal, round(trend, 6) AS trend,
            |  round(v - seasonal - trend, 6) AS residual
            |FROM tr ORDER BY event_type, bucket_sec""".stripMargin,
+
+      "ts_anomaly_mad" ->
+        s"""WITH $duckSeasonalTr,
+           |dc AS (SELECT event_type, bucket_sec, v AS value,
+           |    round(v - seasonal - trend, 6) AS residual
+           |  FROM tr),
+           |md AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+           |  FROM dc GROUP BY 1),
+           |m2 AS (SELECT dc.*, med FROM dc JOIN md USING (event_type)),
+           |m3 AS (SELECT event_type,
+           |    quantile_cont(abs(residual - med), 0.5) AS mad
+           |  FROM m2 GROUP BY 1)
+           |SELECT m2.event_type, bucket_sec, value, residual,
+           |  round((residual - med) / ($MadConsistency * mad), 4) AS robust_z
+           |FROM m2 JOIN m3 USING (event_type)
+           |WHERE abs(residual - med) > $MadAlarmZ * $MadConsistency * mad
+           |ORDER BY event_type, bucket_sec""".stripMargin,
 
       "ts_cusum" ->
         s"""WITH $duckHourlyCounts,

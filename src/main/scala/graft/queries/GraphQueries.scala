@@ -42,6 +42,9 @@ object GraphQueries extends QueryPack {
     */
   val LpaIters = 4
 
+  /** Link-prediction result list size. */
+  val LinkPredTopK = 100
+
   /** Symmetrized trade edges: customer c ↔ supplier s for every distinct
     * (custkey, suppkey) pair that shares an order line. Node ids are
     * prefixed ('c…'/'s…') so the two key spaces never collide.
@@ -117,6 +120,36 @@ object GraphQueries extends QueryPack {
     "graph_kcore" -> ((s, d) =>
       Graph.kCore(tradeEdges(s, d), "src", "dst", KCoreQuantile, KCoreRounds)
         .orderBy("node")),
+
+    // Link prediction by common-neighbor Jaccard over the (DOULION-
+    // sparsified) supplier co-trade graph: for every NON-edge pair
+    // reachable by a wedge, |N(u)∩N(v)| / |N(u)∪N(v)| — the classic
+    // similarity-based recommender. Wedge enumeration on the fixture
+    // graph is exact and oracle-able; the copy-disjoint probe scales it
+    // linearly. The 100 TB shape for a densifying graph is the
+    // engine's minhash-LSH family over adjacency SETS (bucketed
+    // candidates + exact verify) — the documented scale path, same
+    // contract as the labeled quadratic baselines. Deterministic
+    // top-100 by (jaccard, pair).
+    "graph_link_prediction" -> ((s, d) => {
+      val e = supplierCoEdges(s, d)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      val cn = sym.as("l").join(sym.as("r"),
+          col("l.b") === col("r.a") && col("l.a") < col("r.b"))
+        .groupBy(col("l.a").as("u"), col("r.b").as("v"))
+        .agg(count(lit(1)).as("common"))
+      val cand = cn.join(e, Seq("u", "v"), "left_anti")
+      cand
+        .join(deg.select(col("a").as("u"), col("dg").as("deg_u")), "u")
+        .join(deg.select(col("a").as("v"), col("dg").as("deg_v")), "v")
+        .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
+          expr("common * 1000000 div (deg_u + deg_v - common)")
+            .as("jaccard_micro"))
+        .orderBy(col("jaccard_micro").desc, col("u"), col("v"))
+        .limit(LinkPredTopK)
+    }),
 
     // Label-propagation communities over the trade graph — the fourth
     // graph question (CC: which connect, PageRank: how central,
@@ -233,6 +266,28 @@ object GraphQueries extends QueryPack {
       s"""WITH ${duckLpa(LpaIters)}
          |SELECT node, lbl AS community FROM l$LpaIters
          |ORDER BY node""".stripMargin,
+
+    "graph_link_prediction" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+         |e AS (SELECT u, v FROM e0
+         |  WHERE substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)),
+         |    1, 1) < '2'),
+         |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS dg
+         |  FROM sym GROUP BY 1),
+         |cn AS (SELECT l.a AS u, r.b AS v, CAST(count(*) AS BIGINT) AS common
+         |  FROM sym l JOIN sym r ON l.b = r.a AND l.a < r.b GROUP BY 1, 2),
+         |cand AS (SELECT cn.* FROM cn WHERE NOT EXISTS
+         |  (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v))
+         |SELECT cand.u, cand.v, common, du.dg AS deg_u, dv.dg AS deg_v,
+         |  common * 1000000 // (du.dg + dv.dg - common) AS jaccard_micro
+         |FROM cand JOIN deg du ON du.a = cand.u
+         |          JOIN deg dv ON dv.a = cand.v
+         |ORDER BY jaccard_micro DESC, u, v LIMIT $LinkPredTopK""".stripMargin,
 
     "graph_pagerank" ->
       s"""WITH ${duckPageRank(PageRankIters)}

@@ -286,7 +286,10 @@ object ScaleProbe {
     "budget_cut_per_source", "ivm_join_incremental",
     // thirteenth wave (basket pairs bounded by lines/order; RFM is one
     // keyed agg + 3-number broadcast; RAKE is keyed aggs on (doc,phrase))
-    "market_basket_rules", "user_rfm", "text_rake_keyphrases")
+    "market_basket_rules", "user_rfm", "text_rake_keyphrases",
+    // fourteenth wave (link prediction: copy-disjoint wedge join; MAD
+    // anomaly rides the decomposition windows + 5-row broadcasts)
+    "graph_link_prediction", "ts_anomaly_mad")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

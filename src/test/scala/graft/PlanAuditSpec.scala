@@ -357,6 +357,11 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_split_leakage_safe", // doc-keyed join of the corpus onto
                                   // the cluster labels: both sides scale
                                   // with the corpus, shuffle IS the plan
+      "graph_link_prediction",    // wedge self-join over the symmetrized
+                                  // sparsified graph: every side scales
+                                  // with the graph (statless post-agg
+                                  // sides), shuffle IS the plan — the
+                                  // graph_triangles reasoning
       "graph_triangles")          // oriented-wedge self-join + closure
                                   // semi-join: every side (edges, degrees,
                                   // wedges) scales with the graph, shuffle
