@@ -276,6 +276,113 @@ object AnalyticsQueries extends QueryPack {
     "ts_seasonal_decompose" -> ((s, d) =>
       seasonalDecomposed(s, d).orderBy("event_type", "bucket_sec")),
 
+    // Kaplan–Meier survival curve for time-to-first-purchase (hours
+    // from a user's first event), right-censored at the corpus end for
+    // users who never convert — the churn/conversion estimator. All
+    // counting is integer (at-risk via total − running-count-before);
+    // the per-step log(1 − d/n) is rounded to micro-units BEFORE the
+    // cumulative sum (the BM25 recipe: order-independent integer sum,
+    // ln ulps buried behind the rounding), and the curve re-exponates
+    // once per emitted row. One user-keyed aggregate + one
+    // event-time-keyed window over the (distinct durations)-sized
+    // table.
+    "survival_km" -> ((s, d) => {
+      val perUser = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(tsMillis(col("ts"))).as("_first"),
+          min(when(col("event_type") === "purchase", tsMillis(col("ts"))))
+            .as("_conv"))
+      val ref = events(s, d)
+        .agg(max(tsMillis(col("ts"))).as("_ref"))
+        .crossJoin(perUser.agg(count(lit(1)).as("_n_users")))
+      val durs = perUser.crossJoin(broadcast(ref))
+        .select(
+          when(col("_conv").isNotNull,
+            expr("(_conv - _first) div 3600000"))
+            .otherwise(expr("(_ref - _first) div 3600000")).as("t_hours"),
+          col("_conv").isNotNull.cast("long").as("evt"), col("_n_users"))
+      val byT = durs.groupBy(col("t_hours"))
+        .agg(count(lit(1)).as("c_total"), sum(col("evt")).as("d_events"),
+          max(col("_n_users")).as("_n"))
+      val w = Window.orderBy(col("t_hours"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byT
+        .withColumn("n_at_risk",
+          col("_n") - coalesce(sum(col("c_total")).over(w), lit(0L)))
+        .where(col("d_events") > 0)
+        // when n_at_risk == d_events the curve hits EXACTLY zero (ln
+        // undefined): flag it and emit surv_micro = 0 from there on
+        .withColumn("_l", when(col("n_at_risk") > col("d_events"), expr(
+          """cast(round(ln(cast(n_at_risk - d_events as double) / n_at_risk)
+            | * 1000000, 0) as bigint)""".stripMargin)).otherwise(lit(0L)))
+        .withColumn("_zero", max(
+          (col("n_at_risk") === col("d_events")).cast("int")).over(
+          Window.orderBy(col("t_hours"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_ls", sum(col("_l")).over(
+          Window.orderBy(col("t_hours"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("t_hours"), col("n_at_risk"), col("d_events"),
+          (col("c_total") - col("d_events")).as("c_censored"),
+          when(col("_zero") === 1, lit(null).cast("long"))
+            .otherwise(col("_ls")).as("log_surv_micro"),
+          when(col("_zero") === 1, lit(0L)).otherwise(
+            expr("""cast(round(exp(_ls / 1000000.0) * 1000000, 0)
+                   | as bigint)""".stripMargin)).as("surv_micro"))
+        .orderBy("t_hours")
+    }),
+
+    // A/B experiment readout under content-stable hash assignment
+    // (variant = first md5 nibble of user_id — exactly how a real
+    // bucketing service assigns): Welch's t on purchase values and the
+    // two-proportion z on user conversion, computed from sufficient
+    // statistics in ONE pass per side (sums / sums of squares / user
+    // flags — no per-variant sort, no resampling). Identical formula
+    // text both engines; round(6) absorbs last-ulp libm differences.
+    "ab_test_welch" -> ((s, d) => {
+      val va = substring(md5(col("user_id").cast("string")), 1, 1) < "8"
+      // exact 2dp-scaled integer sufficient statistics (the
+      // meanExact2dp recipe): sums and sums of squares are longs, so
+      // the reduction order cannot move a single ulp; only the final
+      // scalar formula is float, on identical inputs in both engines
+      val v100 = expr("cast(round(value * 100, 0) as bigint)")
+      val pv = events(s, d).where(col("event_type") === "purchase")
+        .select(va.cast("int").as("a"), v100.as("v"))
+        .agg(
+          sum(col("a")).as("n_a"),
+          sum(lit(1) - col("a")).as("n_b"),
+          sum(when(col("a") === 1, col("v")).otherwise(0L)).as("s_a"),
+          sum(when(col("a") === 0, col("v")).otherwise(0L)).as("s_b"),
+          sum(when(col("a") === 1, col("v") * col("v")).otherwise(0L))
+            .as("q_a"),
+          sum(when(col("a") === 0, col("v") * col("v")).otherwise(0L))
+            .as("q_b"))
+      val cu = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("conv"))
+        .select(va.cast("int").as("a"), col("conv"))
+        .agg(sum(col("a")).as("u_a"), sum(lit(1) - col("a")).as("u_b"),
+          sum(when(col("a") === 1, col("conv")).otherwise(0L)).as("c_a"),
+          sum(when(col("a") === 0, col("conv")).otherwise(0L)).as("c_b"))
+      pv.crossJoin(cu).select(
+        col("n_a"), col("n_b"), col("u_a"), col("u_b"), col("c_a"), col("c_b"),
+        expr("round(s_a / 100.0 / n_a, 6)").as("mean_a"),
+        expr("round(s_b / 100.0 / n_b, 6)").as("mean_b"),
+        expr("""round((s_a / 100.0 / n_a - s_b / 100.0 / n_b) /
+               | sqrt(((q_a / 10000.0 - (s_a / 100.0) * (s_a / 100.0) / n_a)
+               |        / (n_a - 1)) / n_a
+               |     + ((q_b / 10000.0 - (s_b / 100.0) * (s_b / 100.0) / n_b)
+               |        / (n_b - 1)) / n_b), 6)"""
+          .stripMargin).as("welch_t"),
+        // nullif: a degenerate pooled rate (all or none converted)
+        // makes z undefined, not an error
+        expr("""round((cast(c_a as double) / u_a - cast(c_b as double) / u_b) /
+               | nullif(sqrt((cast(c_a + c_b as double) / (u_a + u_b))
+               |     * (1 - cast(c_a + c_b as double) / (u_a + u_b))
+               |     * (1.0 / u_a + 1.0 / u_b)), 0.0), 6)""".stripMargin)
+          .as("prop_z"))
+    }),
+
     // Market-basket association rules over order lines: part pairs
     // co-purchased in one order, with support / both-direction
     // confidence / lift in integer micro-units. The pair build is the
@@ -748,6 +855,87 @@ object AnalyticsQueries extends QueryPack {
            |FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY event_type, bucket_sec""".stripMargin,
+
+      "survival_km" ->
+        """WITH pu AS (SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+          |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+          |      AS conv_ms
+          |  FROM events GROUP BY 1),
+          |rf AS (SELECT (SELECT max(epoch_ms(ts)) FROM events) AS ref_ms,
+          |    (SELECT count(*) FROM pu) AS n_users),
+          |du AS (SELECT
+          |    CASE WHEN conv_ms IS NOT NULL
+          |      THEN (conv_ms - first_ms) // 3600000
+          |      ELSE (ref_ms - first_ms) // 3600000 END AS t_hours,
+          |    CAST(conv_ms IS NOT NULL AS BIGINT) AS evt, n_users
+          |  FROM pu, rf),
+          |bt AS (SELECT t_hours, CAST(count(*) AS BIGINT) AS c_total,
+          |    CAST(sum(evt) AS BIGINT) AS d_events,
+          |    max(n_users) AS n FROM du GROUP BY 1),
+          |ar AS (SELECT t_hours, c_total, d_events,
+          |    n - CAST(coalesce(sum(c_total) OVER (ORDER BY t_hours
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS n_at_risk
+          |  FROM bt),
+          |lg AS (SELECT t_hours, n_at_risk, d_events,
+          |    c_total - d_events AS c_censored,
+          |    CAST(sum(CASE WHEN n_at_risk > d_events THEN
+          |        CAST(round(ln(CAST(n_at_risk - d_events AS DOUBLE)
+          |          / n_at_risk) * 1000000, 0) AS BIGINT) ELSE 0 END)
+          |      OVER (ORDER BY t_hours
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS ls,
+          |    max(CASE WHEN n_at_risk = d_events THEN 1 ELSE 0 END)
+          |      OVER (ORDER BY t_hours
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zf
+          |  FROM ar WHERE d_events > 0)
+          |SELECT t_hours, n_at_risk, d_events, c_censored,
+          |  CASE WHEN zf = 1 THEN NULL ELSE ls END AS log_surv_micro,
+          |  CASE WHEN zf = 1 THEN 0
+          |       ELSE CAST(round(exp(ls / 1000000.0) * 1000000, 0) AS BIGINT)
+          |  END AS surv_micro
+          |FROM lg ORDER BY t_hours""".stripMargin,
+
+      "ab_test_welch" ->
+        """WITH pe AS (SELECT
+          |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+          |      THEN 1 ELSE 0 END AS a,
+          |    CAST(round(value * 100, 0) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'purchase'),
+          |pv AS (SELECT
+          |    CAST(sum(a) AS BIGINT) AS n_a,
+          |    CAST(sum(1 - a) AS BIGINT) AS n_b,
+          |    CAST(sum(CASE WHEN a = 1 THEN v ELSE 0 END) AS BIGINT) AS s_a,
+          |    CAST(sum(CASE WHEN a = 0 THEN v ELSE 0 END) AS BIGINT) AS s_b,
+          |    CAST(sum(CASE WHEN a = 1 THEN v * v ELSE 0 END) AS BIGINT) AS q_a,
+          |    CAST(sum(CASE WHEN a = 0 THEN v * v ELSE 0 END) AS BIGINT) AS q_b
+          |  FROM pe),
+          |uc AS (SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY 1),
+          |cu AS (SELECT
+          |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+          |      < '8' THEN 1 ELSE 0 END) AS BIGINT) AS u_a,
+          |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+          |      >= '8' THEN 1 ELSE 0 END) AS BIGINT) AS u_b,
+          |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+          |      < '8' THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+          |    CAST(sum(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+          |      >= '8' THEN conv ELSE 0 END) AS BIGINT) AS c_b
+          |  FROM uc)
+          |SELECT n_a, n_b, u_a, u_b, c_a, c_b,
+          |  round(s_a / 100.0 / n_a, 6) AS mean_a,
+          |  round(s_b / 100.0 / n_b, 6) AS mean_b,
+          |  round((s_a / 100.0 / n_a - s_b / 100.0 / n_b) /
+          |    sqrt(((q_a / 10000.0 - (s_a / 100.0) * (s_a / 100.0) / n_a)
+          |           / (n_a - 1)) / n_a
+          |        + ((q_b / 10000.0 - (s_b / 100.0) * (s_b / 100.0) / n_b)
+          |           / (n_b - 1)) / n_b), 6) AS welch_t,
+          |  round((CAST(c_a AS DOUBLE) / u_a - CAST(c_b AS DOUBLE) / u_b) /
+          |    nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (u_a + u_b))
+          |        * (1 - CAST(c_a + c_b AS DOUBLE) / (u_a + u_b))
+          |        * (1.0 / u_a + 1.0 / u_b)), 0.0), 6) AS prop_z
+          |FROM pv, cu""".stripMargin,
 
       "market_basket_rules" ->
         s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

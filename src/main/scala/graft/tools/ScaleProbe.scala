@@ -289,7 +289,10 @@ object ScaleProbe {
     "market_basket_rules", "user_rfm", "text_rake_keyphrases",
     // fourteenth wave (link prediction: copy-disjoint wedge join; MAD
     // anomaly rides the decomposition windows + 5-row broadcasts)
-    "graph_link_prediction", "ts_anomaly_mad")
+    "graph_link_prediction", "ts_anomaly_mad",
+    // fifteenth wave (KM: user-keyed agg + duration-table windows;
+    // A/B: two one-pass sufficient-statistic aggregates)
+    "survival_km", "ab_test_welch")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

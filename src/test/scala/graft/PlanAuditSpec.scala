@@ -308,8 +308,11 @@ class PlanAuditSpec extends SparkSpec {
       "market_basket_rules",    // 1-row order-count attach (lift's N)
       "user_rfm",               // 1-row reference-time + 1-row quartile-
                                 // boundary attaches
-      "ts_theilsen")            // constant 48-row lag-dimension attach
+      "ts_theilsen",            // constant 48-row lag-dimension attach
                                 // (the bounded-lag pair expansion)
+      "survival_km",            // 1-row censor-time/user-count attach
+      "ab_test_welch")          // two 1-row sufficient-statistic frames
+                                // crossed into the single readout row
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
