@@ -42,6 +42,9 @@ object AnalyticsQueries extends QueryPack {
   /** Theil–Sen pair lag bound, in hours (H·MaxLag pairs, never H²). */
   private val TheilSenMaxLag = 48
 
+  /** ACF lag range, in hours (covers the fixture's daily period). */
+  private val AcfMaxLag = 24
+
   /** Market-basket floors: min co-purchase count, rule list size. */
   private val BasketMinPair = 3
   private val BasketTopK = 100
@@ -542,6 +545,37 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Autocorrelation function at lags 1..24 per type over the
+    // gap-filled hourly counts — the seasonality/memory diagnostic
+    // that motivates the decomposition's 24-hour period. Deviations
+    // are the CUSUM trick's H-scaled integers (x = H·n − T, Σx = 0 —
+    // no float mean), lag pairing is the Theil–Sen constant-lag-
+    // dimension equi-join, and numerator/denominator are exact integer
+    // sums; only the final ratio is float, on identical inputs.
+    "ts_autocorrelation" -> ((s, d) => {
+      import s.implicits._
+      val tot = Window.partitionBy(col("event_type"))
+      val dev = hourlyCounts(s, d)
+        .withColumn("x",
+          count(lit(1)).over(tot) * col("n") - sum(col("n")).over(tot))
+      val den = dev.groupBy(col("event_type"))
+        .agg(sum(col("x") * col("x")).as("den"))
+      val lags = (1 to AcfMaxLag).toDF("lag")
+      val later = dev.select(col("event_type"), col("bucket_sec").as("b2"),
+        col("x").as("x2"))
+      dev.crossJoin(broadcast(lags))
+        .select(col("event_type"), col("x"), col("lag"),
+          (col("bucket_sec") + col("lag") * 3600L).as("b2"))
+        .join(later, Seq("event_type", "b2"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("x") * col("x2")).as("num"))
+        .join(broadcast(den), Seq("event_type"))
+        .select(col("event_type"), col("lag").cast("long").as("lag"),
+          col("n_terms"),
+          expr("round(cast(num as double) / den, 6)").as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
     // Holt's linear-trend exponential smoothing (the level+trend half of
     // Holt-Winters) over the gap-filled hourly counts, in integer
     // micro-units: l_t = (2·y_t + 8·(l+b)) div 10, b_t = (Δl + 9·b) div 10
@@ -987,6 +1021,27 @@ object AnalyticsQueries extends QueryPack {
            |  r_code, f_code, m_code,
            |  r_code * 100 + f_code * 10 + m_code AS rfm
            |FROM coded ORDER BY user_id""".stripMargin,
+
+      "ts_autocorrelation" ->
+        s"""WITH $duckHourlyCounts,
+           |dv AS (SELECT event_type, bucket_sec,
+           |    count(*) OVER (PARTITION BY event_type) * n
+           |      - CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS x
+           |  FROM hc),
+           |dn AS (SELECT event_type, CAST(sum(x * x) AS BIGINT) AS den
+           |  FROM dv GROUP BY 1),
+           |nm AS (SELECT d1.event_type, g.lag,
+           |    CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(sum(d1.x * d2.x) AS BIGINT) AS num
+           |  FROM dv d1
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag) g
+           |  JOIN dv d2 ON d2.event_type = d1.event_type
+           |    AND d2.bucket_sec = d1.bucket_sec + g.lag * 3600
+           |  GROUP BY 1, 2)
+           |SELECT nm.event_type, CAST(lag AS BIGINT) AS lag, n_terms,
+           |  round(CAST(num AS DOUBLE) / den, 6) AS acf
+           |FROM nm JOIN dn USING (event_type)
+           |ORDER BY event_type, lag""".stripMargin,
 
       "ts_theilsen" ->
         s"""WITH $duckHourlyCounts,

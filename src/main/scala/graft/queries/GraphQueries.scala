@@ -121,6 +121,32 @@ object GraphQueries extends QueryPack {
       Graph.kCore(tradeEdges(s, d), "src", "dst", KCoreQuantile, KCoreRounds)
         .orderBy("node")),
 
+    // Degree assortativity of the trade graph (Newman 2002): the
+    // Pearson correlation of endpoint degrees over the symmetrized
+    // edge list — one number answering "do hubs trade with hubs?"
+    // (bipartite trade graphs are typically disassortative). All
+    // sufficient statistics are exact INTEGER sums over one
+    // degree-denormalized edge scan; only the final scalar formula is
+    // float, on identical inputs in both engines (the ab_test_welch
+    // contract).
+    "graph_assortativity" -> ((s, d) => {
+      val sym = tradeEdges(s, d)
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      sym
+        .join(deg.select(col("src"), col("dg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("dg").as("dy")), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("m"), col("sxy"),
+          expr("""round((cast(m as double) * sxy - cast(sx as double) * sy) /
+                 | (sqrt(cast(m as double) * sxx - cast(sx as double) * sx)
+                 |  * sqrt(cast(m as double) * syy - cast(sy as double) * sy)),
+                 | 6)""".stripMargin).as("assortativity"))
+    }),
+
     // Link prediction by common-neighbor Jaccard over the (DOULION-
     // sparsified) supplier co-trade graph: for every NON-edge pair
     // reachable by a wedge, |N(u)∩N(v)| / |N(u)∪N(v)| — the classic
@@ -266,6 +292,29 @@ object GraphQueries extends QueryPack {
       s"""WITH ${duckLpa(LpaIters)}
          |SELECT node, lbl AS community FROM l$LpaIters
          |ORDER BY node""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH base AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, sp AS dst FROM base
+        |  UNION ALL SELECT sp, c FROM base),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+        |  FROM edges GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(dx.dg) AS BIGINT) AS sx,
+        |    CAST(sum(dy.dg) AS BIGINT) AS sy,
+        |    CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy,
+        |    CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sxx,
+        |    CAST(sum(dy.dg * dy.dg) AS BIGINT) AS syy
+        |  FROM edges e JOIN deg dx ON dx.src = e.src
+        |               JOIN deg dy ON dy.src = e.dst)
+        |SELECT m, sxy,
+        |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |     * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |    AS assortativity
+        |FROM st""".stripMargin,
 
     "graph_link_prediction" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk

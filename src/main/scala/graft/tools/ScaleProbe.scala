@@ -292,7 +292,10 @@ object ScaleProbe {
     "graph_link_prediction", "ts_anomaly_mad",
     // fifteenth wave (KM: user-keyed agg + duration-table windows;
     // A/B: two one-pass sufficient-statistic aggregates)
-    "survival_km", "ab_test_welch")
+    "survival_km", "ab_test_welch",
+    // sixteenth wave (assortativity: one degree-denormalized edge scan;
+    // ACF: the theilsen lag equi-join over H-scaled integer deviations)
+    "graph_assortativity", "ts_autocorrelation")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

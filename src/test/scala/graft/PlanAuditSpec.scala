@@ -311,8 +311,10 @@ class PlanAuditSpec extends SparkSpec {
       "ts_theilsen",            // constant 48-row lag-dimension attach
                                 // (the bounded-lag pair expansion)
       "survival_km",            // 1-row censor-time/user-count attach
-      "ab_test_welch")          // two 1-row sufficient-statistic frames
+      "ab_test_welch",          // two 1-row sufficient-statistic frames
                                 // crossed into the single readout row
+      "ts_autocorrelation")     // constant 24-row lag-dimension attach
+                                // (the ts_theilsen shape)
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
@@ -360,6 +362,10 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_split_leakage_safe", // doc-keyed join of the corpus onto
                                   // the cluster labels: both sides scale
                                   // with the corpus, shuffle IS the plan
+      "graph_assortativity",      // degree joins onto the edge list: both
+                                  // sides scale with the graph (statless
+                                  // post-agg degree side), shuffle IS the
+                                  // plan
       "graph_link_prediction",    // wedge self-join over the symmetrized
                                   // sparsified graph: every side scales
                                   // with the graph (statless post-agg
