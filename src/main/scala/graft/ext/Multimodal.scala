@@ -606,6 +606,43 @@ object Multimodal {
           .as("ahash_hi"))
   }
 
+  /** Difference hash (dHash) on the same 1-D stub raster: a 72-cell
+    * grid (9 columns × 8 rows in the classic 2-D layout, flattened),
+    * bit (r, c) = mean(cell[r·9+c]) > mean(cell[r·9+c+1]) — the
+    * GRADIENT compare, cross-multiplied exact like [[stubAHash]]'s
+    * global-mean compare. Also algebraically brightness-invariant:
+    * (s1+c1)·c2 > (s2+c2)·c1 ⟺ s1·c2 > s2·c1. Adjacent-cell pairing
+    * is a doc-keyed equi self-join on the shifted cell index; docs too
+    * short to populate both neighbors leave those bits 0.
+    */
+  def stubDHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cells = docs
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"),
+        length(col(textCol)).cast("long").as("n"),
+        explode(sequence(lit(0L), length(col(textCol)).cast("long") - 1))
+          .as("i"))
+      .groupBy(col("doc_id"), expr("i * 72 div n").as("b"))
+      .agg(sum(expr("ascii(substring(_t, cast(i + 1 as int), 1))").cast("long"))
+          .as("s"),
+        count(lit(1)).as("c"))
+    val right = cells.select(col("doc_id"), (col("b") - 1).as("b"),
+      col("s").as("s2"), col("c").as("c2"))
+    cells.join(right, Seq("doc_id", "b"))
+      .where(expr("b % 9") < 8)
+      .select(col("doc_id"),
+        expr("(b div 9) * 8 + b % 9").as("bx"),
+        (col("s") * col("c2") > col("s2") * col("c")).as("bit"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("bit") && col("bx") < 32,
+          expr("shiftleft(1L, cast(bx as int))")).otherwise(lit(0L)))
+          .as("dhash_lo"),
+        sum(when(col("bit") && col("bx") >= 32,
+          expr("shiftleft(1L, cast(bx - 32 as int))")).otherwise(lit(0L)))
+          .as("dhash_hi"))
+  }
+
   /** Uniform "brightness shift" of the stub raster: every byte value +1
     * (chr(ascii+1) per char — ASCII 32..125 stays printable ASCII).
     * [[stubAHash]] is exactly invariant under it: per-cell sums shift by

@@ -413,6 +413,37 @@ object ExtensionQueries extends QueryPack {
         .orderBy("cell", "rnk")
     }),
 
+    // Embedding QA gate: vectors whose distance to their assigned IVF
+    // centroid exceeds the cell's own 95th percentile — the batch-drop
+    // outlier screen an embedding ingest runs before indexing (bad
+    // encodes, wrong-modality rows, truncation artifacts all land in
+    // the far tail of their cell). Assignment is the broadcast-argmax
+    // projection; thresholds are a 16-row exact-percentile broadcast
+    // back; cdist = 1 − round(cos, 6) so both engines threshold the
+    // identical double.
+    "embed_outlier_flags" -> ((s, d) => {
+      import Similarity.{asDouble, dot, norm}
+      val e = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val cents = broadcast(e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("v").as("cv"),
+          col("nrm").as("cnrm")))
+      val scored = e.crossJoin(cents)
+        .select(col("vec_id"), col("cell"),
+          (lit(1.0) - round(dot(col("v"), col("cv")) /
+            (col("nrm") * col("cnrm")), 6)).as("cdist"))
+      val best = graft.plans.TopK.perKey(scored, Seq("vec_id"),
+        Seq(("cdist", false), ("cell", false)), 1)
+      val thr = best.groupBy(col("cell"))
+        .agg(round(expr("percentile(cdist, 0.95)"), 6).as("p95_cell"),
+          count(lit(1)).as("n_cell"))
+      best.join(broadcast(thr), Seq("cell"))
+        .where(col("cdist") > col("p95_cell"))
+        .select(col("vec_id"), col("cell"), col("cdist"), col("p95_cell"))
+        .orderBy("vec_id")
+    }),
+
     // One Lloyd iteration refining the IVF centroids — the iterative-ML
     // plan shape (broadcast assignment + one keyed shuffle).
     "sim_kmeans_centroids" -> ((s, d) =>
@@ -1726,6 +1757,20 @@ object ExtensionQueries extends QueryPack {
           |        / (a.nrm * qnrm), 6) AS cos_sim
           |FROM assign a JOIN probe USING (cell), q
           |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+      "embed_outlier_flags" ->
+        s"""WITH $duckIvfAssign,
+           |cd AS (SELECT vec_id, cell_id AS cell, 1 - ccos AS cdist
+           |  FROM scored),
+           |best AS (SELECT vec_id, cell, cdist FROM cd
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cdist, cell) = 1),
+           |thr AS (SELECT cell, round(quantile_cont(cdist, 0.95), 6)
+           |    AS p95_cell, CAST(count(*) AS BIGINT) AS n_cell
+           |  FROM best GROUP BY 1)
+           |SELECT vec_id, cell, cdist, p95_cell
+           |FROM best JOIN thr USING (cell)
+           |WHERE cdist > p95_cell ORDER BY vec_id""".stripMargin,
 
       "cluster_topics" ->
         s"""WITH $duckIvfAssign,

@@ -31,6 +31,16 @@ object MediaQueries extends QueryPack {
       Multimodal.stubAHash(documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Difference hash on the stub raster — the gradient companion of
+    // aHash (dHash survives global level changes AND is sensitive to
+    // structure the global-mean threshold washes out); 72-cell grid,
+    // adjacent-cell cross-multiplied compares, same shuffle bound (72
+    // cell rows/doc at any media size). Brightness invariance is the
+    // same integer identity, spec-asserted.
+    "multimodal_dhash" -> ((s, d) =>
+      Multimodal.stubDHash(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Brightness-invariance pairs: corpus ∪ uniformly-shifted twins
     // (every byte +1 — the stub form of a brightness change), sketches
     // banded 4×16 bits, candidates joined on band keys, verified by
@@ -108,6 +118,32 @@ object MediaQueries extends QueryPack {
         s"""WITH corpus AS (SELECT doc_id, text FROM documents),
            |$ahashCte
            |SELECT doc_id, ahash_lo, ahash_hi FROM ah ORDER BY doc_id""".stripMargin,
+
+      "multimodal_dhash" ->
+        """WITH px AS (
+          |  SELECT doc_id, text, length(text) AS n,
+          |    unnest(generate_series(0, length(text) - 1)) AS i
+          |  FROM documents WHERE length(text) > 0),
+          |cells AS (
+          |  SELECT doc_id, (i * 72) // n AS b,
+          |    sum(CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT))
+          |      AS s,
+          |    count(*) AS c
+          |  FROM px GROUP BY 1, 2),
+          |bits AS (
+          |  SELECT l.doc_id, (l.b // 9) * 8 + l.b % 9 AS bx,
+          |    l.s * r.c > r.s * l.c AS bit
+          |  FROM cells l JOIN cells r
+          |    ON r.doc_id = l.doc_id AND r.b = l.b + 1
+          |  WHERE l.b % 9 < 8)
+          |SELECT doc_id,
+          |  CAST(sum(CASE WHEN bit AND bx < 32
+          |       THEN (CAST(1 AS BIGINT) << CAST(bx AS INT)) ELSE 0 END)
+          |    AS BIGINT) AS dhash_lo,
+          |  CAST(sum(CASE WHEN bit AND bx >= 32
+          |       THEN (CAST(1 AS BIGINT) << CAST(bx - 32 AS INT)) ELSE 0 END)
+          |    AS BIGINT) AS dhash_hi
+          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "multimodal_ahash_pairs" ->
         s"""WITH corpus AS (

@@ -295,7 +295,10 @@ object ScaleProbe {
     "survival_km", "ab_test_welch",
     // sixteenth wave (assortativity: one degree-denormalized edge scan;
     // ACF: the theilsen lag equi-join over H-scaled integer deviations)
-    "graph_assortativity", "ts_autocorrelation")
+    "graph_assortativity", "ts_autocorrelation",
+    // seventeenth wave (dhash: 72 cell rows/doc; outliers: broadcast
+    // argmax assign + 16-row percentile broadcast)
+    "multimodal_dhash", "embed_outlier_flags")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

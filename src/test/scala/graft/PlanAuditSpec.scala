@@ -313,8 +313,10 @@ class PlanAuditSpec extends SparkSpec {
       "survival_km",            // 1-row censor-time/user-count attach
       "ab_test_welch",          // two 1-row sufficient-statistic frames
                                 // crossed into the single readout row
-      "ts_autocorrelation")     // constant 24-row lag-dimension attach
+      "ts_autocorrelation",     // constant 24-row lag-dimension attach
                                 // (the ts_theilsen shape)
+      "embed_outlier_flags")    // numCells-row centroid attach (the IVF
+                                // assignment) + 16-row threshold attach
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")

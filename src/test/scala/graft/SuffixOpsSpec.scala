@@ -72,6 +72,27 @@ class SuffixOpsSpec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("stubDHash is exactly invariant under uniform brightness shift") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val shifted = base.select(col("doc_id"),
+      Multimodal.brightnessShift(col("text")).as("text"))
+    val a = Multimodal.stubDHash(base, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = Multimodal.stubDHash(shifted, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.length === 50)
+    // gradient compare cross-multiplies: (s1+c1)c2 > (s2+c2)c1 <=> s1c2 > s2c1
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // dHash sees structure aHash's global threshold can miss: at least
+    // some documents produce distinct (ahash, dhash) bit patterns
+    val ah = Multimodal.stubAHash(base, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.map(r => (r.getLong(1), r.getLong(2))).toSet !=
+      ah.map(r => (r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("stubAHash separates content and halves stay in 32-bit range") {
     // aHash is structure-driven (cells vs the doc's own mean), so the
     // "different" doc must differ in LAYOUT, not just glyphs — same
