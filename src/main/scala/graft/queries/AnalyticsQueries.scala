@@ -57,22 +57,53 @@ object AnalyticsQueries extends QueryPack {
     * adds its deterministic output order; ts_anomaly_mad consumes the
     * residual stream mid-plan, where a global sort would be waste).
     */
+  /** Positive shift that makes the trend numerator (a sum of CENTERED
+    * deseasonalized micro-values, which can be negative) positive before
+    * the doubled-numerator half-up division — Spark's `div` and DuckDB's
+    * `//` agree (truncate == floor) only on positives. Must exceed any
+    * |deseasonalized| micro-value; fixture values are < 1e3, so 1e12
+    * micro leaves 6 orders of headroom.
+    */
+  private val TrendOffset = 1000000000000L
+
+  /** ALL-INTEGER decomposition: the hourly mean is quantized to micro-
+    * units with the doubled-numerator half-up trick
+    * round(x/y) = (2x + y) div (2y), and seasonal / trend / residual are
+    * derived from those integers exactly — zero float accumulation, so
+    * the result is bit-identical across engines, partitionings, and
+    * scale factors (the old float-window spelling had a 2-row round(…,6)
+    * ulp boundary at sf0.001). The cent-sum is widened to decimal(38,0)
+    * before the ×20000 so the micro numerator can't overflow BIGINT at
+    * any per-bucket row count; `div` returns bigint.
+    */
   private def seasonalDecomposed(s: SparkSession, d: String): DataFrame = {
     val hourly = events(s, d)
       .groupBy(col("event_type"),
         (floor(tsMillis(col("ts")) / 3600000L) * 3600).as("bucket_sec"))
-      .agg(graft.ops.Metrics.meanExact2dp(col("value")).as("v"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("_c"),
+        count(col("value")).as("_n"))
+      .select(col("event_type"), col("bucket_sec"),
+        expr("(20000 * cast(_c as decimal(38,0)) + _n) div (2 * _n)")
+          .as("v6"))
     val byHod = Window.partitionBy(col("event_type"),
       expr("(bucket_sec div 3600) % 24"))
     val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("bucket_sec")).rowsBetween(-11, 12)
     hourly
-      .withColumn("seasonal", avg(col("v")).over(byHod))
-      .withColumn("trend", avg(col("v") - col("seasonal")).over(byType))
-      .select(col("event_type"), col("bucket_sec"), col("v").as("value"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("trend"), 6).as("trend"),
-        round(col("v") - col("seasonal") - col("trend"), 6).as("residual"))
+      .withColumn("_sv", sum(col("v6")).over(byHod))
+      .withColumn("_g", count(lit(1)).over(byHod))
+      .withColumn("s6", expr("(2 * _sv + _g) div (2 * _g)"))
+      .withColumn("_sd",
+        sum(col("v6") - col("s6") + lit(TrendOffset)).over(byType))
+      .withColumn("_w", count(lit(1)).over(byType))
+      .withColumn("t6",
+        expr(s"(2 * _sd + _w) div (2 * _w) - ${TrendOffset}L"))
+      .select(col("event_type"), col("bucket_sec"),
+        (col("v6").cast("double") / 1e6).as("value"),
+        (col("s6").cast("double") / 1e6).as("seasonal"),
+        (col("t6").cast("double") / 1e6).as("trend"),
+        ((col("v6") - col("s6") - col("t6")).cast("double") / 1e6)
+          .as("residual"))
   }
 
   /** Gap-filled hourly event counts per type (missing hours = 0) — the
@@ -369,8 +400,11 @@ object AnalyticsQueries extends QueryPack {
           sum(when(col("a") === 0, col("conv")).otherwise(0L)).as("c_b"))
       pv.crossJoin(cu).select(
         col("n_a"), col("n_b"), col("u_a"), col("u_b"), col("c_a"), col("c_b"),
-        expr("round(s_a / 100.0 / n_a, 6)").as("mean_a"),
-        expr("round(s_b / 100.0 / n_b, 6)").as("mean_b"),
+        // cast before dividing: a decimal literal (100.0 is Decimal(3,1))
+        // would make the whole chain decimal128 while the oracle's `/`
+        // yields DOUBLE — identical values, different hash representation
+        expr("round(cast(s_a as double) / 100.0 / n_a, 6)").as("mean_a"),
+        expr("round(cast(s_b as double) / 100.0 / n_b, 6)").as("mean_b"),
         expr("""round((s_a / 100.0 / n_a - s_b / 100.0 / n_b) /
                | sqrt(((q_a / 10000.0 - (s_a / 100.0) * (s_a / 100.0) / n_a)
                |        / (n_a - 1)) / n_a
@@ -413,7 +447,12 @@ object AnalyticsQueries extends QueryPack {
           col("n_b"),
           expr("n_ab * 1000000 div n_a").as("conf_ab_micro"),
           expr("n_ab * 1000000 div n_b").as("conf_ba_micro"),
-          expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_micro"))
+          // widen the numerator to decimal(38,0) before the triple
+          // product: n_ab·n_orders·1e6 overflows BIGINT once n_ab
+          // approaches n_orders (~sf10); `div` on decimal returns
+          // bigint, so the output value and type are unchanged
+          expr("cast(n_ab as decimal(38,0)) * n_orders * 1000000" +
+            " div (n_a * n_b)").as("lift_micro"))
       scored.orderBy(col("lift_micro").desc, col("part_a"), col("part_b"))
         .limit(BasketTopK) // TakeOrderedAndProject — bounded, no full sort
     }),
@@ -572,7 +611,10 @@ object AnalyticsQueries extends QueryPack {
         .join(broadcast(den), Seq("event_type"))
         .select(col("event_type"), col("lag").cast("long").as("lag"),
           col("n_terms"),
-          expr("round(cast(num as double) / den, 6)").as("acf"))
+          // nullif: a constant series (all hourly counts equal) gives
+          // den = 0, where Spark's / returns NULL but DuckDB under
+          // ieee_floating_point_ops returns Inf/NaN — guard both sides
+          expr("round(cast(num as double) / nullif(den, 0), 6)").as("acf"))
         .orderBy("event_type", "lag")
     }),
 
@@ -718,21 +760,37 @@ object AnalyticsQueries extends QueryPack {
     // Seasonal-decomposition chain ending in `tr` (event_type,
     // bucket_sec, v, seasonal, trend) — shared by the decompose and
     // MAD-anomaly oracles.
+    // All-integer mirror of [[seasonalDecomposed]]: micro-unit half-up
+    // quantization via (2x + y) // (2y) on POSITIVE numerators (the
+    // TrendOffset shift keeps the centered trend sum positive — Spark
+    // div and DuckDB // agree only there). DuckDB's sum(BIGINT) widens
+    // to HUGEINT, so the ×20000 numerator can't overflow.
     val duckSeasonalTr =
       s"""b AS (
          |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
-         |    ${graft.ops.Metrics.meanExact2dpSql("value")} AS v
+         |    (20000 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
+         |      // (2 * count(value)) AS v6
          |  FROM events GROUP BY 1, 2),
          |se AS (
-         |  SELECT event_type, bucket_sec, v,
-         |    avg(v) OVER (PARTITION BY event_type, (bucket_sec // 3600) % 24)
-         |      AS seasonal
-         |  FROM b),
+         |  SELECT event_type, bucket_sec, v6,
+         |    (2 * sum(v6) OVER hod + count(*) OVER hod)
+         |      // (2 * count(*) OVER hod) AS s6
+         |  FROM b
+         |  WINDOW hod AS (PARTITION BY event_type, (bucket_sec // 3600) % 24)),
+         |t0 AS (
+         |  SELECT event_type, bucket_sec, v6, s6,
+         |    (2 * sum(v6 - s6 + $TrendOffset) OVER w + count(*) OVER w)
+         |      // (2 * count(*) OVER w) - $TrendOffset AS t6
+         |  FROM se
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
+         |    ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
          |tr AS (
-         |  SELECT event_type, bucket_sec, v, seasonal,
-         |    avg(v - seasonal) OVER (PARTITION BY event_type ORDER BY bucket_sec
-         |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
-         |  FROM se)""".stripMargin
+         |  SELECT event_type, bucket_sec,
+         |    CAST(v6 AS DOUBLE) / 1000000 AS v,
+         |    CAST(s6 AS DOUBLE) / 1000000 AS seasonal,
+         |    CAST(t6 AS DOUBLE) / 1000000 AS trend,
+         |    CAST(v6 - s6 - t6 AS DOUBLE) / 1000000 AS residual
+         |  FROM t0)""".stripMargin
     // Gap-filled hourly counts per type — mirrors [[hourlyCounts]].
     val duckHourlyCounts =
       """hb AS (SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
@@ -847,14 +905,12 @@ object AnalyticsQueries extends QueryPack {
       "ts_seasonal_decompose" ->
         s"""WITH $duckSeasonalTr
            |SELECT event_type, bucket_sec, v AS value,
-           |  round(seasonal, 6) AS seasonal, round(trend, 6) AS trend,
-           |  round(v - seasonal - trend, 6) AS residual
+           |  seasonal, trend, residual
            |FROM tr ORDER BY event_type, bucket_sec""".stripMargin,
 
       "ts_anomaly_mad" ->
         s"""WITH $duckSeasonalTr,
-           |dc AS (SELECT event_type, bucket_sec, v AS value,
-           |    round(v - seasonal - trend, 6) AS residual
+           |dc AS (SELECT event_type, bucket_sec, v AS value, residual
            |  FROM tr),
            |md AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
            |  FROM dc GROUP BY 1),
@@ -985,7 +1041,8 @@ object AnalyticsQueries extends QueryPack {
            |SELECT part_a, part_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
            |  n_ab * 1000000 // sa.n_p AS conf_ab_micro,
            |  n_ab * 1000000 // sb.n_p AS conf_ba_micro,
-           |  n_ab * n_orders * 1000000 // (sa.n_p * sb.n_p) AS lift_micro
+           |  CAST(n_ab::HUGEINT * n_orders * 1000000
+           |       // (sa.n_p * sb.n_p) AS BIGINT) AS lift_micro
            |FROM pr JOIN supp sa ON sa.pk = part_a
            |        JOIN supp sb ON sb.pk = part_b, no
            |ORDER BY lift_micro DESC, part_a, part_b
@@ -1039,7 +1096,7 @@ object AnalyticsQueries extends QueryPack {
            |    AND d2.bucket_sec = d1.bucket_sec + g.lag * 3600
            |  GROUP BY 1, 2)
            |SELECT nm.event_type, CAST(lag AS BIGINT) AS lag, n_terms,
-           |  round(CAST(num AS DOUBLE) / den, 6) AS acf
+           |  round(CAST(num AS DOUBLE) / nullif(den, 0), 6) AS acf
            |FROM nm JOIN dn USING (event_type)
            |ORDER BY event_type, lag""".stripMargin,
 

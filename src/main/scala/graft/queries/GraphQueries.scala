@@ -141,10 +141,15 @@ object GraphQueries extends QueryPack {
           sum(col("dx") * col("dx")).as("sxx"),
           sum(col("dy") * col("dy")).as("syy"))
         .select(col("m"), col("sxy"),
+          // nullif: a degree-regular graph has zero endpoint-degree
+          // variance, where Spark's / yields NULL but DuckDB under
+          // ieee_floating_point_ops yields Inf/NaN (ab_test_welch
+          // convention — correlation undefined, not an error)
           expr("""round((cast(m as double) * sxy - cast(sx as double) * sy) /
-                 | (sqrt(cast(m as double) * sxx - cast(sx as double) * sx)
-                 |  * sqrt(cast(m as double) * syy - cast(sy as double) * sy)),
-                 | 6)""".stripMargin).as("assortativity"))
+                 | nullif(
+                 |  sqrt(cast(m as double) * sxx - cast(sx as double) * sx)
+                 |  * sqrt(cast(m as double) * syy - cast(sy as double) * sy),
+                 | 0.0), 6)""".stripMargin).as("assortativity"))
     }),
 
     // Link prediction by common-neighbor Jaccard over the (DOULION-
@@ -311,8 +316,9 @@ object GraphQueries extends QueryPack {
         |               JOIN deg dy ON dy.src = e.dst)
         |SELECT m, sxy,
         |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-        |    (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-        |     * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |    nullif(sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |     * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+        |     0.0), 6)
         |    AS assortativity
         |FROM st""".stripMargin,
 

@@ -16,8 +16,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * Exactly the recurrence the batch query's window closed form is
   * spec-proved equal to (TimeSeriesSpec) — here it just runs forward.
   * All-integer (values ×1e6 with half-up rounding), so replaying the
-  * same rows through any batch split gives IDENTICAL state, asserted
-  * in StreamingSpec against a driver-side fold.
+  * same rows through any TIME-ORDERED batch split gives IDENTICAL
+  * state, asserted in SessionizeSpec against a driver-side fold. The
+  * max(0,·) recurrence is order-dependent: rows are sorted by
+  * (ts_ms, event_id) only WITHIN each micro-batch, so a late row
+  * (earlier event time arriving in a later batch) folds in arrival
+  * order — the standard at-ingest CUSUM contract. Sources that can
+  * deliver out-of-order events need an upstream watermark+sort stage
+  * if strict event-time order matters.
   */
 object CusumStream {
 

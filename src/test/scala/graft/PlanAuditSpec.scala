@@ -400,6 +400,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("catalog gate: no query output column is DecimalType") {
+    // The driver's correctness hash compares value REPRESENTATIONS:
+    // a Spark decimal128 column against a DuckDB DOUBLE oracle fails
+    // the hash even when every value is numerically identical
+    // (ab_test_welch, r8 — a decimal literal like 100.0 silently turns
+    // the whole arithmetic chain decimal). Schema-only analysis pass,
+    // nested types included.
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType    => true
+      case s: StructType     => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType      => hasDecimal(a.elementType)
+      case m: MapType        => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _                 => false
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf0001).schema.fields
+          .filter(f => hasDecimal(f.dataType)).map(_.name)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"decimal output columns (cast to double or bigint micro-units):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("sessionize batch: one shuffle keyed by user (agg reuses window partitioning)") {
     import org.apache.spark.sql.functions._
     val df = graft.stream.Sessionize.batch(

@@ -7,6 +7,8 @@ Usage: python3 tools/compare.py /tmp/verify_r1 /root/testdata/sf0.01
 """
 import json, math, sys
 import duckdb
+import pyarrow.parquet as pq
+import pyarrow.types as pat
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -37,9 +39,19 @@ def main(outdir, sfdir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
-            ).fetchdf()
+            # Read the Spark dump via pyarrow, NOT DuckDB: DuckDB's
+            # read_parquet silently coerces decimal128 -> double, which
+            # hid ab_test_welch's decimal output from this replica for a
+            # whole round while the driver's repr-hash failed it.
+            # pyarrow keeps Decimal as Decimal, so norm() shows the
+            # representation difference exactly like the driver does.
+            tbl = pq.ParquetDataset(f"{outdir}/{name}").read()
+            dec_cols = [f.name for f in tbl.schema if pat.is_decimal(f.type)]
+            if dec_cols:
+                print(f"WARN {name}: decimal output columns {dec_cols} — "
+                      "driver hash will mismatch a DOUBLE oracle even on "
+                      "identical values; cast to double/bigint")
+            got = tbl.to_pandas()
             exp = con.execute(sql).fetchdf()
             gcols, ecols = sorted(got.columns), sorted(exp.columns)
             if gcols != ecols:
