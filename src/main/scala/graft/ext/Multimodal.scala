@@ -486,6 +486,51 @@ object Multimodal {
     * Plan shape: the same narrow partition-parallel map as
     * [[decodeImages]] — per-image work, no shuffle.
     */
+  /** The 8×8 integer-exact aHash kernel over one decoded raster — shared
+    * by the image and video paths. None for rasters under 8×8 (a 64-cell
+    * grid needs at least one pixel per cell to be meaningful).
+    */
+  private def rasterAHash(img: java.awt.image.BufferedImage): Option[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 8 || h < 8) None
+    else {
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val p = px(y * w + x)
+          val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          val b = by * 8 + x * 8 / w
+          sums(b) += gray
+          counts(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totalSum = sums.sum
+      val totalCnt = counts.sum
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        // cross-multiplied mean compare in BigInt: the Long
+        // spelling sums(b)*totalCnt overflows near 1e8 px
+        // (sums(b) ≤ 765·P/64, totalCnt = P → product ~ 12·P²),
+        // silently flipping bits on large bright images. 128
+        // exact big-int products per image is noise next to the
+        // decode; bit-stability is preserved.
+        if (BigInt(sums(b)) * totalCnt > BigInt(totalSum) * counts(b))
+          hash |= (1L << b)
+        b += 1
+      }
+      Some(hash)
+    }
+  }
+
   def imageAHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
@@ -494,45 +539,13 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            if (img == null || img.getWidth < 8 || img.getHeight < 8)
-              ImageHash(id, if (img == null) -1 else img.getWidth,
-                if (img == null) -1 else img.getHeight, -1L, ok = false)
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              val px = img.getRGB(0, 0, w, h, null, 0, w)
-              val sums = new Array[Long](64)
-              val counts = new Array[Long](64)
-              var y = 0
-              while (y < h) {
-                val by = y * 8 / h
-                var x = 0
-                while (x < w) {
-                  val p = px(y * w + x)
-                  val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                  val b = by * 8 + x * 8 / w
-                  sums(b) += gray
-                  counts(b) += 1
-                  x += 1
-                }
-                y += 1
-              }
-              val totalSum = sums.sum
-              val totalCnt = counts.sum
-              var hash = 0L
-              var b = 0
-              while (b < 64) {
-                // cross-multiplied mean compare in BigInt: the Long
-                // spelling sums(b)*totalCnt overflows near 1e8 px
-                // (sums(b) ≤ 765·P/64, totalCnt = P → product ~ 12·P²),
-                // silently flipping bits on large bright images. 128
-                // exact big-int products per image is noise next to the
-                // decode; bit-stability is preserved.
-                if (BigInt(sums(b)) * totalCnt > BigInt(totalSum) * counts(b))
-                  hash |= (1L << b)
-                b += 1
-              }
-              ImageHash(id, w, h, hash, ok = true)
+            if (img == null)
+              ImageHash(id, -1, -1, -1L, ok = false)
+            else rasterAHash(img) match {
+              case Some(hash) =>
+                ImageHash(id, img.getWidth, img.getHeight, hash, ok = true)
+              case None =>
+                ImageHash(id, img.getWidth, img.getHeight, -1L, ok = false)
             }
           } catch { case scala.util.control.NonFatal(_) =>
             ImageHash(id, -1, -1, -1L, ok = false)
@@ -641,6 +654,147 @@ object Multimodal {
         sum(when(col("bit") && col("bx") >= 32,
           expr("shiftleft(1L, cast(bx - 32 as int))")).otherwise(lit(0L)))
           .as("dhash_hi"))
+  }
+
+  /** One perceptual frame hash of a video ([[videoAHash]]). */
+  case class VideoFrameHash(doc_id: Long, frame_ix: Int, ahash: Long,
+      ok: Boolean)
+
+  /** Per-frame 64-bit perceptual aHash over a real multi-frame container
+    * — the video arm of the dedup family. Same reader discipline as
+    * [[decodeVideoFrames]] (JDK `javax.imageio` multi-frame GIF path; a
+    * real MP4 codec would slot in unchanged), same hash kernel as
+    * [[imageAHash]] ([[rasterAHash]] — exact integer grid sums,
+    * cross-multiplied mean threshold, bit-stable across JVMs). `stride`
+    * is the keyframe-sampling knob: hashing every k-th frame bounds
+    * per-video work while keeping temporal alignment (frame_ix is the
+    * TRUE container index, so two videos sampled at the same stride
+    * still align). Undecodable payloads or sub-8×8 frames degrade to
+    * ok=false rows — corrupt media is data, never task death.
+    *
+    * Plan shape: narrow per-partition flatMap, no shuffle; width scales
+    * with input splits — the per-frame hash rows are 24 B each, the
+    * decode cost is the payload.
+    */
+  def videoAHash(spark: SparkSession, media: DataFrame,
+      stride: Int = 1): Dataset[VideoFrameHash] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        imageIoNoCache
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              Seq(VideoFrameHash(id, -1, -1L, ok = false))
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                if (n <= 0) Seq(VideoFrameHash(id, -1, -1L, ok = false))
+                else (0 until n by stride).map { i =>
+                  rasterAHash(reader.read(i)) match {
+                    case Some(h) => VideoFrameHash(id, i, h, ok = true)
+                    case None    => VideoFrameHash(id, i, -1L, ok = false)
+                  }
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) =>
+          Seq(VideoFrameHash(id, -1, -1L, ok = false))
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate VIDEO pairs: per-frame aHash sketches,
+    * TEMPORAL banding — candidates must collide on
+    * (frame_ix, band_ix, band_key), i.e. the same time slot sharing an
+    * 8-bit hash band (pigeonhole: per-frame hamming ≤ `maxHamming` ≤ 7 ⇒
+    * some band of the 8 is identical — exact per-frame recall) — then a
+    * codegen bit_count verify per aligned frame and a MAJORITY vote:
+    * a pair survives iff strictly more than half of its aligned frame
+    * slots (aligned = min(frames_a, frames_b)) verify as near-identical.
+    * Majority (not all-frames) is what makes re-encodes with a damaged
+    * title frame or a trimmed tail still read as duplicates, while
+    * half-replaced content does not.
+    *
+    * Output: (id_a, id_b, n_aligned, n_matched) with id_a < id_b.
+    *
+    * Scale shape: a billion videos shuffle 8 band keys per SAMPLED frame
+    * — never an all-pairs pass, and the band join is keyed by frame slot
+    * so hot bands don't cross time. The 24 B/frame sketch frame is
+    * checkpointed once and fed to both join branches (§8 rule).
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6, stride: Int = 1): DataFrame = {
+    val sk = videoAHash(spark, media, stride).toDF()
+      .where(col("ok")).select(col("doc_id"), col("frame_ix"), col("ahash"))
+      .localCheckpoint(false)
+    val nFrames = sk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band_ix"),
+        shiftright(col("ahash"), b * 8).bitwiseAND(lit(255L)).as("band_key"))
+    }
+    val banded = sk.select(col("doc_id"), col("frame_ix"), col("ahash"),
+        explode(array(bandCols: _*)).as("_b"))
+      .select(col("doc_id"), col("frame_ix"), col("ahash"),
+        col("_b.band_ix").as("band_ix"), col("_b.band_key").as("band_key"))
+    val l = banded.select(col("frame_ix"), col("band_ix"), col("band_key"),
+      col("doc_id").as("id_a"), col("ahash").as("_ha"))
+    val r = banded.select(col("frame_ix"), col("band_ix"), col("band_key"),
+      col("doc_id").as("id_b"), col("ahash").as("_hb"))
+    val matched = l.join(r, Seq("frame_ix", "band_ix", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .where(bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("frame_ix"))
+      .distinct() // a frame may collide in several bands — count it once
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(nFrames.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(nFrames.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        least(col("n_a"), col("n_b")).as("n_aligned"), col("n_matched"))
+      .where(col("n_matched") * 2 > col("n_aligned"))
+  }
+
+  /** Declarative (oracle-checkable) frame-keyed stub aHash: exactly
+    * [[stubAHash]] with the raster key widened from doc to
+    * (doc, frame_ix) — input must carry (doc_id, frame_ix, text). Same
+    * integer arithmetic, same two-32-bit-halves packing, same shuffle
+    * bound (64 cell rows per FRAME at any media size).
+    */
+  def stubFrameAHash(frames: DataFrame): DataFrame = {
+    val byFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("frame_ix"))
+    frames
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("frame_ix"), col("text").as("_t"),
+        length(col("text")).cast("long").as("n"),
+        explode(sequence(lit(0L), length(col("text")).cast("long") - 1))
+          .as("i"))
+      .groupBy(col("doc_id"), col("frame_ix"), expr("i * 64 div n").as("b"))
+      .agg(sum(expr("ascii(substring(_t, cast(i + 1 as int), 1))").cast("long"))
+          .as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("ts", sum(col("s")).over(byFrame))
+      .withColumn("tc", sum(col("c")).over(byFrame))
+      .withColumn("bit", col("s") * col("tc") > col("ts") * col("c"))
+      .groupBy("doc_id", "frame_ix")
+      .agg(
+        sum(when(col("bit") && col("b") < 32,
+          expr("shiftleft(1L, cast(b as int))")).otherwise(lit(0L)))
+          .as("ahash_lo"),
+        sum(when(col("bit") && col("b") >= 32,
+          expr("shiftleft(1L, cast(b - 32 as int))")).otherwise(lit(0L)))
+          .as("ahash_hi"))
   }
 
   /** Uniform "brightness shift" of the stub raster: every byte value +1

@@ -86,6 +86,75 @@ object MediaQueries extends QueryPack {
         .where(col("hd") <= AHashMaxHamming)
         .distinct()
         .orderBy("id_a", "id_b")
+    }),
+
+    // Video perceptual dedup, stub twin of Multimodal.videoNearDupPairs:
+    // each document becomes a 4-"frame" video (equal integer-boundary
+    // substrings — f*n div 4, exact in both engines), each frame gets the
+    // frame-keyed stub aHash, and candidates must collide on
+    // (frame_ix, band_ix, band_key) — TEMPORAL banding: the same time
+    // slot sharing a 16-bit band (pigeonhole-exact at hd ≤ 3). Verified
+    // frame matches then take a strict MAJORITY vote over the aligned
+    // slot count. The planted twins (doc_id+10^9) brightness-shift
+    // frames 0-2 (aHash-invariant — the cross-multiplied threshold
+    // cancels a uniform shift) and REVERSE frame 3 (a content change),
+    // so a twin meets its original at 3-of-4 — a re-encode with one
+    // damaged frame reads as a duplicate; half-replaced content would
+    // not. Shuffle is O(4·64 cell rows/doc) at any media size.
+    "video_ahash_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+      val origFr = docs
+        .select(col("doc_id"), col("text").as("_t"),
+          length(col("text")).cast("long").as("n"),
+          explode(sequence(lit(0L), lit(3L))).as("frame_ix"))
+        .select(col("doc_id"), col("frame_ix"),
+          expr("""substring(_t, cast(frame_ix * n div 4 + 1 as int),
+                 | cast((frame_ix + 1) * n div 4
+                 |      - frame_ix * n div 4 as int))""".stripMargin)
+            .as("text"))
+      val twinFr = origFr.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"), col("frame_ix"),
+        when(col("frame_ix") < 3, Multimodal.brightnessShift(col("text")))
+          .otherwise(reverse(col("text"))).as("text"))
+      // 24 B/frame sketch — checkpoint once, feed both join branches
+      val sk = Multimodal.stubFrameAHash(origFr.unionAll(twinFr))
+        .localCheckpoint(false)
+      val nFrames = sk.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val bandCols = (0 until 4).map { bix =>
+        val half = if (bix < 2) col("ahash_lo") else col("ahash_hi")
+        struct(lit(bix).as("band_ix"),
+          shiftright(half, (bix % 2) * 16).bitwiseAND(lit(65535L))
+            .as("band_key"))
+      }
+      val b = sk
+        .select(col("doc_id"), col("frame_ix"), col("ahash_lo"),
+          col("ahash_hi"), explode(array(bandCols: _*)).as("_b"))
+        .select(col("doc_id"), col("frame_ix"), col("ahash_lo"),
+          col("ahash_hi"),
+          col("_b.band_ix").as("band_ix"), col("_b.band_key").as("band_key"))
+      val l = b.select(col("frame_ix"), col("band_ix"), col("band_key"),
+        col("doc_id").as("id_a"), col("ahash_lo").as("_la"),
+        col("ahash_hi").as("_ha"))
+      val r = b.select(col("frame_ix"), col("band_ix"), col("band_key"),
+        col("doc_id").as("id_b"), col("ahash_lo").as("_lb"),
+        col("ahash_hi").as("_hb"))
+      val matched = l.join(r, Seq("frame_ix", "band_ix", "band_key"))
+        .where(col("id_a") < col("id_b"))
+        .where(bit_count(col("_la").bitwiseXOR(col("_lb"))) +
+          bit_count(col("_ha").bitwiseXOR(col("_hb"))) <= AHashMaxHamming)
+        .select(col("id_a"), col("id_b"), col("frame_ix"))
+        .distinct() // several bands may collide — count the frame once
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_matched"))
+      matched
+        .join(nFrames.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("nf", "n_a"), Seq("id_a"))
+        .join(nFrames.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("nf", "n_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          least(col("n_a"), col("n_b")).as("n_aligned"), col("n_matched"))
+        .where(col("n_matched") * 2 > col("n_aligned"))
+        .orderBy("id_a", "id_b")
     }))
 
   def oracleSql: Map[String, String] = {
@@ -169,6 +238,67 @@ object MediaQueries extends QueryPack {
            |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hd
            |FROM cand
            |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= $AHashMaxHamming
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "video_ahash_pairs" ->
+        s"""WITH fr0 AS (
+           |  SELECT doc_id, ff.f AS frame_ix,
+           |    substr(text, CAST((ff.f * length(text)) // 4 + 1 AS INT),
+           |      CAST(((ff.f + 1) * length(text)) // 4
+           |           - (ff.f * length(text)) // 4 AS INT)) AS text
+           |  FROM documents, (SELECT unnest(generate_series(0, 3)) AS f) ff),
+           |frames AS (
+           |  SELECT doc_id, frame_ix, text FROM fr0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000, frame_ix,
+           |    CASE WHEN frame_ix < 3 THEN array_to_string(
+           |        list_transform(generate_series(1, length(text)),
+           |          i -> chr(ascii(substr(text, CAST(i AS INT), 1)) + 1)), '')
+           |    ELSE reverse(text) END
+           |  FROM fr0),
+           |px AS (
+           |  SELECT doc_id, frame_ix, text, length(text) AS n,
+           |    unnest(generate_series(0, length(text) - 1)) AS i
+           |  FROM frames WHERE length(text) > 0),
+           |cells AS (
+           |  SELECT doc_id, frame_ix, (i * 64) // n AS b,
+           |    sum(CAST(ascii(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT))
+           |      AS s,
+           |    count(*) AS c
+           |  FROM px GROUP BY 1, 2, 3),
+           |tt AS (
+           |  SELECT doc_id, frame_ix, b, s, c,
+           |    sum(s) OVER (PARTITION BY doc_id, frame_ix) AS ts,
+           |    sum(c) OVER (PARTITION BY doc_id, frame_ix) AS tc
+           |  FROM cells),
+           |ah AS (
+           |  SELECT doc_id, frame_ix,
+           |    CAST(sum(CASE WHEN s * tc > ts * c AND b < 32
+           |         THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)
+           |      AS BIGINT) AS ahash_lo,
+           |    CAST(sum(CASE WHEN s * tc > ts * c AND b >= 32
+           |         THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END)
+           |      AS BIGINT) AS ahash_hi
+           |  FROM tt GROUP BY 1, 2),
+           |nf AS (SELECT doc_id, count(*) AS nf FROM ah GROUP BY 1),
+           |bands AS (
+           |  SELECT doc_id, frame_ix, ahash_lo, ahash_hi, band_ix,
+           |    CASE WHEN band_ix < 2 THEN (ahash_lo >> (band_ix * 16)) & 65535
+           |         ELSE (ahash_hi >> ((band_ix - 2) * 16)) & 65535 END
+           |      AS band_key
+           |  FROM ah, (SELECT unnest(generate_series(0, 3)) AS band_ix)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, frame_ix
+           |  FROM bands a JOIN bands b USING (frame_ix, band_ix, band_key)
+           |  WHERE a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.ahash_lo, b.ahash_lo))
+           |      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= $AHashMaxHamming),
+           |mt AS (SELECT id_a, id_b, count(*) AS n_matched
+           |  FROM cand GROUP BY 1, 2)
+           |SELECT id_a, id_b, least(na.nf, nb.nf) AS n_aligned, n_matched
+           |FROM mt JOIN nf na ON na.doc_id = id_a
+           |        JOIN nf nb ON nb.doc_id = id_b
+           |WHERE n_matched * 2 > least(na.nf, nb.nf)
            |ORDER BY id_a, id_b""".stripMargin)
   }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Video perceptual dedup over REAL multi-frame containers (animated
+  * GIFs through the JDK `javax.imageio` reader — the same executable
+  * video path as `decodeVideoFrames`): planted re-encoded, brightness-
+  * shifted, one-frame-damaged, half-replaced, and distinct videos must
+  * classify exactly as the majority-vote contract says.
+  */
+class VideoDedupSpec extends SparkSpec {
+  import java.awt.image.{BufferedImage, IndexColorModel}
+  import javax.imageio.{IIOImage, ImageIO}
+
+  private val W = 32
+  private val H = 32
+  private val Frames = 4
+
+  /** Two-color indexed palette; `shift` adds a uniform per-channel
+    * offset (the GIF form of a brightness change — aHash's
+    * cross-multiplied threshold cancels it algebraically).
+    */
+  private def palette(shift: Int): IndexColorModel = {
+    val cols = Array(0x202020 + shift * 0x010101, 0xD0D0D0 + shift * 0x010101)
+    new IndexColorModel(8, cols.length,
+      cols.map(c => ((c >> 16) & 0xff).toByte),
+      cols.map(c => ((c >> 8) & 0xff).toByte),
+      cols.map(c => (c & 0xff).toByte))
+  }
+
+  /** Frame pattern: one bright vertical STRIPE (4 of 32 columns) at
+    * 8th-grid position `k` — its aHash sets exactly that column band's 8
+    * bits, so stripes at different positions are hamming 16 apart and
+    * a bright ROW (`row=true`) is 14 from any stripe: far past the
+    * verify threshold 6, while identical patterns are hamming 0.
+    */
+  private def frame(k: Int, icm: IndexColorModel, row: Boolean = false): BufferedImage = {
+    val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until H; x <- 0 until W) {
+      val inStripe = if (row) y * 8 / H == k else x * 8 / W == k
+      img.setRGB(x, y, if (inStripe) 0xffffffff else 0xff000000)
+    }
+    // setRGB maps through the palette: white→bright entry, black→dark
+    img
+  }
+
+  private def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    buf.toByteArray
+  }
+
+  test("video near-dup pairs: re-encode / brightness / damaged-frame match, half-replaced and distinct do not") {
+    import spark.implicits._
+    val icm = palette(0)
+    def base(g: Int) = (0 until Frames).map(f => frame((g + f) % 8, icm))
+    val videos = Seq[(Long, Array[Byte])](
+      (1L, gif(base(0))), // original
+      (2L, gif(base(0))), // re-encoded duplicate (fresh writer, same pixels)
+      (3L, gif(base(0).indices.map(f => frame(f % 8, palette(16))))), // brightness-shifted
+      (4L, gif((0 until Frames).map(f => // one damaged frame: 3 of 4 align
+        if (f == 3) frame(5, icm, row = true) else frame(f % 8, icm)))),
+      (5L, gif((0 until Frames).map(f => // half replaced: 2 of 4 — NOT a dup
+        if (f >= 2) frame((f + 3) % 8, icm, row = true) else frame(f % 8, icm)))),
+      (6L, gif(base(3)))) // distinct content
+    val media = videos.toDF("doc_id", "media").repartition(3)
+
+    // per-frame hashes: re-encode must be bit-identical to the original
+    val hs = graft.ext.Multimodal.videoAHash(spark, media).collect()
+      .filter(_.ok).groupBy(_.doc_id)
+    assert(hs(1L).length == Frames && hs.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(hs(1L).sortBy(_.frame_ix).map(_.ahash).toSeq ==
+      hs(2L).sortBy(_.frame_ix).map(_.ahash).toSeq,
+      "re-encoded video must hash bit-identically")
+    assert(hs(1L).sortBy(_.frame_ix).map(_.ahash).toSeq ==
+      hs(3L).sortBy(_.frame_ix).map(_.ahash).toSeq,
+      "uniform brightness shift must cancel in the cross-multiplied threshold")
+
+    val pairs = graft.ext.Multimodal.videoNearDupPairs(spark, media)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // the duplicate cluster {1,2,3} pairs fully; 4 joins it at 3-of-4
+    for (d <- Seq(2L, 3L)) assert(pairSet.contains((1L, d)),
+      s"video $d must pair with 1 (got ${pairSet.mkString(", ")})")
+    assert(pairSet.contains((2L, 3L)))
+    assert(pairs.collect { case (1L, 4L, a, m) => (a, m) }.headOption
+      .contains((4L, 3L)), "damaged-frame dup must match 3 of 4 aligned")
+    // strict majority excludes the half-replaced and the distinct video
+    assert(!pairSet.exists(p => p._1 == 5L || p._2 == 5L),
+      "half-replaced content must NOT read as a duplicate")
+    assert(!pairSet.exists(p => p._1 == 6L || p._2 == 6L),
+      "distinct content must NOT pair")
+  }
+
+  test("corrupt payloads degrade to ok=false rows, never task death") {
+    import spark.implicits._
+    val media = Seq(
+      (7L, "GIF89a".getBytes("US-ASCII") ++ Array.fill[Byte](40)(0x55)),
+      (8L, Array.fill[Byte](16)(0x00)))
+      .toDF("doc_id", "media")
+    val got = graft.ext.Multimodal.videoAHash(spark, media).collect()
+    assert(got.length == 2 && got.forall(f => !f.ok && f.frame_ix == -1))
+    assert(graft.ext.Multimodal.videoNearDupPairs(spark, media).count() == 0)
+  }
+
+  test("stride sampling keeps temporal alignment (true container frame_ix)") {
+    import spark.implicits._
+    val icm = palette(0)
+    val media = Seq((9L, gif((0 until 6).map(f => frame(f % 8, icm)))))
+      .toDF("doc_id", "media")
+    val got = graft.ext.Multimodal.videoAHash(spark, media, stride = 2)
+      .collect().filter(_.ok).map(_.frame_ix).sorted.toSeq
+    assert(got == Seq(0, 2, 4), s"stride=2 must hash true indices 0,2,4, got $got")
+  }
+}
