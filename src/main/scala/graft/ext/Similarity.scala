@@ -755,6 +755,37 @@ object Similarity {
       .select(col(idCol), col("vecd"), col("nrm"), col("_best.cell_id").as("cell"))
   }
 
+  /** [[ivfTopK]] against EXPLICIT (e.g. trained) centroids: the serving
+    * plan is unchanged — broadcast-argmax assign → nprobe nearest cells
+    * by centroid cosine (driver-side over the cells-sized constants) →
+    * exact cosine within probed cells → TakeOrdered. The full-precision
+    * twin of [[ivfPqTopKWith]]: it isolates the CENTROID contribution to
+    * recall, with no code-compression error in the ranking.
+    */
+  def ivfTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, cents: Book, nprobe: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assign = ivfAssignWith(embeddings, idCol, vecCol, cents)
+    val qvec = collectQueryVec(embeddings, idCol, vecCol, queryId)
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    val probed = cents.map { case (cid, cv) =>
+      var d = 0.0; var nn = 0.0
+      var i = 0
+      while (i < cv.length) { d += cv(i) * qvec(i); nn += cv(i) * cv(i); i += 1 }
+      (-(d / (math.sqrt(nn) * qn)), cid)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val probeDf = broadcast(probed.toDF("cell"))
+    val q = broadcast(assign.where(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("nrm").as("qnrm")))
+    assign.join(probeDf, Seq("cell"))
+      .crossJoin(q)
+      .select(col(idCol),
+        round(dot(col("vecd"), col("qvec")) / (col("nrm") * col("qnrm")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** [[pqAdcTopK]] against an EXPLICIT codebook: same zero-shuffle
     * scan → encode → LUT-sum → TakeOrdered serving plan, with the LUT
     * built from the supplied (e.g. trained) book.
@@ -884,6 +915,85 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("err_micro")) / count(lit(1)) / 1e6, 6).as("avg_err"))
       .orderBy("cell")
+  }
+
+  /** Residual frame for IVFADC-style encoding: per vector,
+    * r = v − centroid(cell(v)) — assignment via [[ivfAssignWith]]
+    * (broadcast argmax, zero shuffle), centroid lookup a broadcast join
+    * on the cells-sized constant frame, subtraction a codegen zip_with.
+    * Output (id, cell, resd).
+    */
+  def residuals(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Book): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "_cvec"))
+    ivfAssignWith(embeddings, idCol, vecCol, cents)
+      .join(centDf, Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("vecd"), col("_cvec"), (a, b) => a - b).as("resd"))
+  }
+
+  /** [[trainPqBook]] over RESIDUALS (v − cell centroid) — the IVFADC
+    * codebook of Jégou et al. 2011 §IV: after coarse quantization the
+    * code bits must spend themselves on the WITHIN-cell variance, not
+    * re-describe the between-cell structure the centroids already
+    * capture. On clustered data a raw-vector book collapses (every
+    * member of a probed cell encodes to near-identical codes and ADC
+    * ranking degenerates to ties — measured in tools/AnnRecall); the
+    * residual book restores within-cell discrimination. Same plan
+    * shapes as the raw trainer: per-iteration driver traffic is the
+    * k×D book, constant at any corpus size.
+    */
+  def trainPqBookResidual(embeddings: DataFrame, idCol: String,
+      vecCol: String, cents: Book, m: Int, k: Int, dims: Int,
+      iters: Int): Book =
+    trainPqBook(residuals(embeddings, idCol, vecCol, cents), idCol, "resd",
+      m, k, dims, iters)
+
+  /** Residual IVF-PQ serving (IVFADC): probe the nprobe nearest cells by
+    * centroid cosine, then rank candidates by ADC over RESIDUAL codes —
+    * each probed cell gets its own lookup table built from
+    * (q − centroid_cell), since the residual of the query differs per
+    * cell. The per-cell LUT/codes dispatch is one nested-CASE projection
+    * over `cell` (nprobe branches, all codegen; no join, no extra
+    * shuffle) on the single assign-filter scan; everything else is the
+    * [[ivfPqTopKWith]] plan — broadcast-argmax assign → cell semi-filter
+    * → native encode+LUT-sum → TakeOrdered.
+    */
+  def ivfPqResidualTopKWith(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, cents: Book, nprobe: Int, book: Book,
+      m: Int, topK: Int): DataFrame = {
+    val qvec = collectQueryVec(embeddings, idCol, vecCol, queryId)
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    // probe by ROUNDED centroid cosine (ties by cell id) — the identical
+    // convention as ivfTopK / ivfPqTopKWith and the DuckDB mirrors, so
+    // an oracle replay selects the same cells at rounding boundaries
+    val probed: Seq[(Long, Array[Double])] = cents.map { case (cid, cv) =>
+      var d = 0.0; var nn = 0.0; var i = 0
+      while (i < cv.length) { d += cv(i) * qvec(i); nn += cv(i) * cv(i); i += 1 }
+      val qcos = BigDecimal(d / (math.sqrt(nn) * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      ((-qcos, cid), (cid, cv))
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    val assign = ivfAssignWith(embeddings, idCol, vecCol, cents)
+      .where(col("cell").isin(probed.map(_._1): _*))
+    val adcMicro = probed.foldLeft(lit(null).cast("long")) {
+      case (acc, (cid, cv)) =>
+        val centLit = array(cv.map(lit(_)): _*)
+        val resid = zip_with(col("vecd"), centLit, (a, b) => a - b)
+        val codes = graft.functions.VectorExpressions.pq_codes(resid,
+          book.map(_._2), book.map(_._1), m)
+        val qres = Array.tabulate(qvec.length)(i => qvec(i) - cv(i))
+        val lut = adcLut(book, qres, m)
+        when(col("cell") === cid,
+          graft.functions.VectorExpressions.pq_adc_sum(codes, lut,
+            book.map(_._1))).otherwise(acc)
+    }
+    assign.select(col(idCol), (adcMicro / 1e6).as("adc_l2sq"))
+      .orderBy(col("adc_l2sq").asc, col(idCol))
+      .limit(topK)
   }
 
   /** The m×k ADC lookup table for one query vector against a book:

@@ -492,6 +492,27 @@ object ExtensionQueries extends QueryPack {
         queryId = 0L, numCells = 16, nprobe = 4, m = 8, k = 16, dims = 64,
         topK = 10)),
 
+    // RESIDUAL IVF-PQ top-k (IVFADC, Jégou et al. 2011 §IV): codes are
+    // trained on and encode r = v − centroid(cell), so the code bits
+    // spend themselves on WITHIN-cell variance instead of re-describing
+    // the between-cell structure the coarse quantizer already captured —
+    // on clustered corpora the raw-vector book collapses to ties inside
+    // a probed cell (measured in tools/AnnRecall: recall 0.11 raw-trained
+    // vs 0.44 residual at k=256, same nprobe). Serving adds one
+    // per-probed-cell LUT dispatch (nested CASE over nprobe branches,
+    // all codegen) to the ivfpq plan: broadcast-argmax assign →
+    // nprobe-cell semi-filter → native residual encode + per-cell
+    // LUT-sum → TakeOrdered. Zero shuffles, zero joins at serve time.
+    "sim_ivfpq_residual_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
+      val rbook = Similarity.seedBook(
+        Similarity.residuals(e, "vec_id", "embedding", cents),
+        "vec_id", "resd", 16)
+      Similarity.ivfPqResidualTopKWith(e, "vec_id", "embedding", 0L,
+        cents, 4, rbook, 8, 10)
+    }),
+
     // PQ index health: per-cell average reconstruction error (quantization
     // SSE per Voronoi cell) — the monitoring metric that says WHEN to
     // re-train codebooks and WHICH regions the coarse quantizer serves
@@ -1853,6 +1874,45 @@ object ExtensionQueries extends QueryPack {
            |JOIN probe p ON a.cell = p.cell
            |JOIN lut USING (j, code)
            |GROUP BY b.vec_id ORDER BY adc_l2sq ASC, b.vec_id LIMIT 10""".stripMargin,
+
+      "sim_ivfpq_residual_topk" ->
+        s"""WITH $duckIvfAssign,
+           |res AS (
+           |  SELECT a.vec_id, a.cell,
+           |    list_transform(generate_series(1, len(a.v)),
+           |      i -> a.v[i] - c.cv[i]) AS r
+           |  FROM assign a JOIN cent c ON c.cell_id = a.cell),
+           |rbook AS (SELECT vec_id AS code, r AS cv FROM res WHERE vec_id < 16),
+           |rsubd AS (
+           |  SELECT rr.vec_id, g.j, b.code,
+           |    round(
+           |      list_sum(list_transform(generate_series(1, 8), i -> rr.r[g.j*8+i] * rr.r[g.j*8+i]))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> rr.r[g.j*8+i] * b.cv[g.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i])), 6) AS dist
+           |  FROM res rr CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN rbook b),
+           |rbest AS (
+           |  SELECT vec_id, j, code FROM rsubd
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+           |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cell_id AS cell, cv AS pcv FROM cent, q
+           |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
+           |                 / (cnrm * qnrm), 6) DESC, cell_id
+           |  LIMIT 4),
+           |lut AS (
+           |  SELECT p.cell, b.code, g.j,
+           |    CAST(round((
+           |      list_sum(list_transform(generate_series(1, 8), i -> (qv[g.j*8+i] - p.pcv[g.j*8+i]) * (qv[g.j*8+i] - p.pcv[g.j*8+i])))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> (qv[g.j*8+i] - p.pcv[g.j*8+i]) * b.cv[g.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
+           |  FROM rbook b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+           |       CROSS JOIN probe p CROSS JOIN q)
+           |SELECT rb.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
+           |FROM rbest rb
+           |JOIN res rr ON rb.vec_id = rr.vec_id
+           |JOIN probe p ON rr.cell = p.cell
+           |JOIN lut ON lut.cell = rr.cell AND lut.j = rb.j AND lut.code = rb.code
+           |GROUP BY rb.vec_id ORDER BY adc_l2sq ASC, rb.vec_id LIMIT 10""".stripMargin,
 
       "sim_pq_recon_error" ->
         s"""WITH $duckIvfAssign,

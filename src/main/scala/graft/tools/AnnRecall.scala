@@ -145,6 +145,102 @@ object AnnRecall {
           .select($"vec_id").as[Long].collect().toSeq
       }
     }
+
+    // --- CLUSTERED fixture (r8-verdict task #5): 32 planted modes,
+    // md5-seeded centers in [-0.5,0.5)^64 with ±0.1 per-dim jitter —
+    // inter-center distance ≈ 3.3 vs within-cluster ≈ 0.65, the regime
+    // coarse quantizers exist for. The isotropic fixture above makes
+    // composed IVF-PQ flat by construction (every cell boundary cuts
+    // through uniform density); here trained centroids must beat the
+    // seed at fixed nprobe. ivfTopKWith is full-precision, isolating
+    // the CENTROID effect from PQ ranking error; the composed
+    // ivfPqTopKWith rung shows the effect surviving compression.
+    {
+      def h(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.nio.ByteBuffer.wrap(md).getLong
+      }
+      def u(seed: String, span: Int): Double = // uniform in [-span/2000, span/2000)
+        (((h(seed) % span) + span) % span).toDouble / 1000.0 - span / 2000.0
+      val dim = 64; val modes = 32; val nC = 4096
+      val centers = Array.tabulate(modes, dim)((m, j) => u(s"c:$m:$j", 1000))
+      val cvecs: Array[(Long, Array[Double])] = Array.tabulate(nC) { i =>
+        val m = (((h(s"m:$i") % modes) + modes) % modes).toInt
+        (i.toLong, Array.tabulate(dim)(j => centers(m)(j) + u(s"j:$i:$j", 200)))
+      }
+      val ce = cvecs.toSeq
+        .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding")
+        .repartition(8).localCheckpoint(false)
+      val cById = cvecs.toMap
+      val cQids = (0 until nQueries).map(i => i.toLong * (nC / nQueries))
+      def cExact(qid: Long, metric: String): Set[Long] = {
+        val qv = cById(qid)
+        val qn = math.sqrt(dot(qv, qv))
+        cvecs.map { case (id, v) =>
+          val key = metric match {
+            case "cos" => -(dot(v, qv) / (math.sqrt(dot(v, v)) * qn))
+            case "l2" => dot(qv, qv) - 2.0 * dot(qv, v) + dot(v, v)
+          }
+          (key, id)
+        }.sorted.take(k).map(_._2).toSet
+      }
+      def cRecall(name: String, metric: String = "cos")(approx: Long => Seq[Long]): Unit = {
+        val rs = cQids.map(q => (approx(q).toSet & cExact(q, metric)).size.toDouble / k)
+        println(f"[recall] $name%-26s mean recall@$k = ${rs.sum / rs.size}%.2f  " +
+          f"(min ${rs.min}%.2f, max ${rs.max}%.2f, $nQueries queries, n=$nC clustered)")
+      }
+      val seedC = Similarity.seedBook(ce, "vec_id", "embedding", 16)
+      val trainC = Similarity.trainIvfCentroids(ce, "vec_id", "embedding", 16, 4)
+      for (np <- Seq(1, 2, 4)) {
+        cRecall(s"clu ivf seed    np=$np") { q =>
+          Similarity.ivfTopKWith(ce, "vec_id", "embedding", q, seedC, np, k)
+            .select($"vec_id").as[Long].collect().toSeq
+        }
+        cRecall(s"clu ivf trained np=$np") { q =>
+          Similarity.ivfTopKWith(ce, "vec_id", "embedding", q, trainC, np, k)
+            .select($"vec_id").as[Long].collect().toSeq
+        }
+      }
+      val seedPq = Similarity.seedBook(ce, "vec_id", "embedding", 16)
+      val trainPq = Similarity.trainPqBook(ce, "vec_id", "embedding", 8, 16, 64, 4)
+      cRecall("clu ivfpq seed     np=2", "l2") { q =>
+        Similarity.ivfPqTopKWith(ce, "vec_id", "embedding", q, seedC, 2,
+            seedPq, 8, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
+      cRecall("clu ivfpq trained  np=2", "l2") { q =>
+        Similarity.ivfPqTopKWith(ce, "vec_id", "embedding", q, trainC, 2,
+            trainPq, 8, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
+      // residual (IVFADC) book: code bits spend themselves on the
+      // WITHIN-cell variance — the fix for the raw-book collapse above
+      val residPq = Similarity.trainPqBookResidual(ce, "vec_id", "embedding",
+        trainC, 8, 16, 64, 4)
+      for (np <- Seq(2, 4)) {
+        cRecall(s"clu ivfpq RESID    np=$np", "l2") { q =>
+          Similarity.ivfPqResidualTopKWith(ce, "vec_id", "embedding", q,
+              trainC, np, residPq, 8, k)
+            .select($"vec_id").as[Long].collect().toSeq
+        }
+      }
+      // code-resolution ladder: k=256 residual book (finer within-cell
+      // quantization) and exact rerank off the compressed shortlist
+      val residPq256 = Similarity.trainPqBookResidual(ce, "vec_id",
+        "embedding", trainC, 8, 256, 64, 4)
+      cRecall("clu ivfpq RESID256 np=2", "l2") { q =>
+        Similarity.ivfPqResidualTopKWith(ce, "vec_id", "embedding", q,
+            trainC, 2, residPq256, 8, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
+      cRecall("clu ivfpq rerank@50 np=2") { q =>
+        Similarity.ivfPqRerankWith(ce, "vec_id", "embedding", q, trainC, 2,
+            trainPq, 8, 50, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
+    }
     spark.stop()
   }
 }
