@@ -361,7 +361,84 @@ object CorpusQueries extends QueryPack {
       .distinct()
   }
 
+  /** Gopher keep/reject thresholds (Rae et al. 2021, §A1.1) — word-count
+    * band, mean-word-length band, alpha-word floor, top-{2,3,4}-gram and
+    * duplicated-5-gram character-fraction caps. The symbol-ratio and
+    * stop-word rules of the full set live in text_quality_score's
+    * feature family; n-gram char fractions use length(ngram string)
+    * (tokens + separating spaces) over length(text) — one convention,
+    * mirrored verbatim by the oracle.
+    */
+  private val GopherMinWords = 50L
+  private val GopherMaxWords = 100000L
+
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher repetition/quality rules — the canonical LLM-corpus filter
+    // set: per document, mean word length, alphabetic-word fraction,
+    // the character fraction of the single most frequent 2-/3-/4-gram,
+    // and the character fraction covered by DUPLICATED 5-grams, plus
+    // the composed keep flag. Scale shape: token-linear everywhere —
+    // one word-level keyed agg + three (doc, gram)-keyed partial aggs
+    // (map-side combine eats the explode; a hot gram is one reducer
+    // key, never cross-document work), top-gram per doc via the
+    // deterministic (cnt desc, gram) row_number, doc-keyed joins back.
+    // N-gram strings are concatenated AFTER the explode (codegen) from
+    // arrays_zip'd slices — the bigramPairs lesson; higher-order
+    // transform lambdas are CodegenFallback.
+    "quality_gopher_rules" -> ((s, d) => {
+      val staged = documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+          TextOps.tokens(col("text")).as("_toks"))
+      def gramCounts(n: Int): DataFrame = {
+        val ln = greatest(size(col("_toks")) - (n - 1), lit(0))
+        staged
+          .select(col("doc_id"),
+            explode(arrays_zip((1 to n).map(k =>
+              slice(col("_toks"), lit(k), ln)): _*)).as("_g"))
+          .select(col("doc_id"),
+            concat_ws(" ", (0 until n).map(i => col("_g")(i.toString)): _*)
+              .as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      }
+      def topChars(n: Int, alias: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))
+        gramCounts(n)
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .select(col("doc_id"),
+            (col("cnt") * length(col("g")).cast("long")).as(alias))
+      }
+      val ws = staged
+        .select(col("doc_id"), col("nc"), explode(col("_toks")).as("tok"))
+        .groupBy(col("doc_id"), col("nc"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("tok")).cast("long")).as("_sl"),
+          sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("_na"))
+      val dup5 = gramCounts(5).where(col("cnt") > 1)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * length(col("g")).cast("long")).as("_d5"))
+      def frac(x: Column, den: Column): Column =
+        round(x.cast("double") / nullif(den, lit(0L)), 6)
+      ws
+        .join(topChars(2, "_t2"), Seq("doc_id"), "left")
+        .join(topChars(3, "_t3"), Seq("doc_id"), "left")
+        .join(topChars(4, "_t4"), Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          frac(col("_sl"), col("n_words")).as("mean_word_len"),
+          frac(col("_na"), col("n_words")).as("alpha_frac"),
+          frac(coalesce(col("_t2"), lit(0L)), col("nc")).as("top2_frac"),
+          frac(coalesce(col("_t3"), lit(0L)), col("nc")).as("top3_frac"),
+          frac(coalesce(col("_t4"), lit(0L)), col("nc")).as("top4_frac"),
+          frac(coalesce(col("_d5"), lit(0L)), col("nc")).as("dup5_frac"))
+        .withColumn("keep",
+          col("n_words").between(GopherMinWords, GopherMaxWords) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("alpha_frac") >= 0.8 &&
+            col("top2_frac") <= 0.2 && col("top3_frac") <= 0.18 &&
+            col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
+        .orderBy("doc_id")
+    }),
     // Cross-source contamination matrix: for every source pair, the
     // count and Jaccard of shared distinct token-shingles — the
     // provenance-level view of decontamination (WHICH feeds overlap,
@@ -1047,7 +1124,57 @@ object CorpusQueries extends QueryPack {
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
+    def duckGram(n: Int): String = {
+      val parts = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(toks) - ${n - 1}), i -> $parts)) AS g
+         |  FROM t),
+         |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+    }
     Map(
+      "quality_gopher_rules" ->
+        s"""WITH t AS (SELECT doc_id, length(text) AS nc, $duckToks AS toks
+           |  FROM documents),
+           |w AS (SELECT doc_id, nc, unnest(toks) AS tok FROM t),
+           |ws AS (SELECT doc_id, nc, count(*) AS n_words,
+           |    sum(length(tok)) AS sl,
+           |    sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+           |      AS na
+           |  FROM w GROUP BY 1, 2),
+           |${duckGram(2)},
+           |${duckGram(3)},
+           |${duckGram(4)},
+           |${duckGram(5)},
+           |t2 AS (SELECT doc_id, cnt * length(g) AS tc FROM c2
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY cnt DESC, g) = 1),
+           |t3 AS (SELECT doc_id, cnt * length(g) AS tc FROM c3
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY cnt DESC, g) = 1),
+           |t4 AS (SELECT doc_id, cnt * length(g) AS tc FROM c4
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY cnt DESC, g) = 1),
+           |d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dc FROM c5
+           |  WHERE cnt > 1 GROUP BY 1),
+           |m AS (SELECT ws.doc_id, n_words,
+           |    round(CAST(sl AS DOUBLE) / nullif(n_words, 0), 6) AS mean_word_len,
+           |    round(CAST(na AS DOUBLE) / nullif(n_words, 0), 6) AS alpha_frac,
+           |    round(CAST(coalesce(t2.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top2_frac,
+           |    round(CAST(coalesce(t3.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top3_frac,
+           |    round(CAST(coalesce(t4.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top4_frac,
+           |    round(CAST(coalesce(d5.dc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS dup5_frac
+           |  FROM ws LEFT JOIN t2 ON t2.doc_id = ws.doc_id
+           |          LEFT JOIN t3 ON t3.doc_id = ws.doc_id
+           |          LEFT JOIN t4 ON t4.doc_id = ws.doc_id
+           |          LEFT JOIN d5 ON d5.doc_id = ws.doc_id)
+           |SELECT doc_id, n_words, mean_word_len, alpha_frac,
+           |  top2_frac, top3_frac, top4_frac, dup5_frac,
+           |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+           |   AND mean_word_len BETWEEN 3.0 AND 10.0
+           |   AND alpha_frac >= 0.8
+           |   AND top2_frac <= 0.2 AND top3_frac <= 0.18
+           |   AND top4_frac <= 0.16 AND dup5_frac <= 0.15) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin,
       "text_rake_keyphrases" -> {
         val stopList = graft.ext.TextOps.stopwords
           .map(w => s"'$w'").mkString("[", ",", "]")

@@ -269,6 +269,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivfpq_topk",         // same centroid table + nprobe-cell attach
       "sim_pq_recon_error",     // same centroid table (cell assignment)
       "sim_ivfpq_topk_trained", // same centroid attach, TRAINED constants
+      "sim_ivfpq_residual_topk", // same centroid attach twice (assign +
+                                // residual subtraction); LUT dispatch is
+                                // a literal CASE, not a join
       "sim_ivfpq_rerank",       // same centroid attach (stage-1 IVF-PQ);
                                 // the rerank stage itself joins on the
                                 // shortlist KEY (broadcast hash, not BNLJ)
