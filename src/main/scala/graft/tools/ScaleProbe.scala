@@ -298,7 +298,11 @@ object ScaleProbe {
     "graph_assortativity", "ts_autocorrelation",
     // seventeenth wave (dhash: 72 cell rows/doc; outliers: broadcast
     // argmax assign + 16-row percentile broadcast)
-    "multimodal_dhash", "embed_outlier_flags")
+    "multimodal_dhash", "embed_outlier_flags",
+    // r9 wave (video pairs: 4·64 cell rows/doc + temporal banding;
+    // residual ivfpq: the centroid-attach serving shape; gopher: one
+    // word agg + three (doc, gram) partial aggs)
+    "video_ahash_pairs", "sim_ivfpq_residual_topk", "quality_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
