@@ -163,6 +163,51 @@ object CorpusQueries extends QueryPack {
     // have no bigrams and drop out (mirrored by the oracle's inner joins).
     "lm_bigram_score" -> ((s, d) => lmScores(s, d).orderBy("doc_id")),
 
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1999's interpolated form, one absolute discount D=0.75):
+    // P(b|a) = max(c(a,b)−D, 0)/c(a·) + D·N1+(a·)/c(a·) · N1+(·b)/T —
+    // the continuation-count smoothing that beats add-one/Jelinek-Mercer
+    // because a word's unigram weight is HOW MANY CONTEXTS it follows,
+    // not how often it occurs ("San Francisco" inflates c(francisco) but
+    // not its continuation count). The canonical perplexity filter's
+    // smoothing, one order up from lm_bigram_score. Same optimized plan:
+    // every statistic (c2, c1, left-continuation N1+(a·) = distinct
+    // successors, right-continuation N1+(·b) = distinct predecessors,
+    // type total T) derives from the ONE bigram-type table; the per-type
+    // NLL is assembled vocabulary-side with the expression tree spelled
+    // identically in both engines, and the corpus-sized stream meets
+    // exactly one scored join. Single-token docs drop (no bigrams).
+    "lm_kneser_ney" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      val n1 = size(col("_toks")) - 1
+      val bg = tok.where(size(col("_toks")) >= 2)
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(col("_toks"), lit(1), n1),
+            slice(col("_toks"), lit(2), n1))).as("_bg"))
+        .select(col("doc_id"), col("_bg")("0").as("a"), col("_bg")("1").as("b"))
+      val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(false) // vocabulary-sized; cuts stats branches loose
+      val c1 = c2.groupBy("a")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p"))
+      val ctn = c2.groupBy("b").agg(count(lit(1)).as("nl"))
+      val tt = c2.agg(count(lit(1)).as("nt"))
+      val p = c2.join(c1, Seq("a")).join(ctn, Seq("b"))
+        .crossJoin(broadcast(tt))
+        .select(col("a"), col("b"),
+          (-log(
+            greatest(col("c2").cast("double") - lit(KnDiscount), lit(0.0))
+              / col("c1")
+              + lit(KnDiscount) * col("n1p") / col("c1")
+              * (col("nl").cast("double") / col("nt")))).as("nllw"))
+      bg.join(p, Seq("a", "b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("nllw")), 6).as("nll_kn"))
+        .orderBy("doc_id")
+    }),
+
     // Interpolated trigram LM (Jelinek-Mercer): per-doc NLL under
     // P(c|a,b) = 0.6·ML₃ + 0.3·ML₂ + 0.1·ML₁ — the lm_bigram recipe one
     // order up, same optimization: each ML component comes from its own
@@ -369,6 +414,11 @@ object CorpusQueries extends QueryPack {
     * (tokens + separating spaces) over length(text) — one convention,
     * mirrored verbatim by the oracle.
     */
+  /** Kneser-Ney absolute discount (the standard 0.75; Chen & Goodman's
+    * estimate D = n1/(n1+2·n2) lands near it on natural corpora).
+    */
+  private val KnDiscount = 0.75
+
   private val GopherMinWords = 50L
   private val GopherMaxWords = 100000L
 
@@ -1610,6 +1660,27 @@ object CorpusQueries extends QueryPack {
           |FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
           |       JOIN c1 ON p.a = c1.a, v
           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+      "lm_kneser_ney" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |bg AS (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+          |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
+          |  FROM tok WHERE len(toks) >= 2),
+          |bp AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bg),
+          |c2 AS (SELECT a, b, count(*) AS c2 FROM bp GROUP BY a, b),
+          |c1 AS (SELECT a, sum(c2) AS c1, count(*) AS n1p FROM c2 GROUP BY a),
+          |ctn AS (SELECT b, count(*) AS nl FROM c2 GROUP BY b),
+          |tt AS (SELECT count(*) AS nt FROM c2),
+          |p AS (SELECT c2.a, c2.b,
+          |    -ln(greatest(CAST(c2.c2 AS DOUBLE) - $KnDiscount, 0.0) / c1.c1
+          |        + $KnDiscount * c1.n1p / c1.c1
+          |        * (CAST(ctn.nl AS DOUBLE) / nt)) AS nllw
+          |  FROM c2 JOIN c1 USING (a) JOIN ctn USING (b), tt)
+          |SELECT bp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(avg(nllw), 6) AS nll_kn
+          |FROM bp JOIN p ON bp.a = p.a AND bp.b = p.b
+          |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
 
       // Mirrors TextOps feature extraction exactly (same fragments the
       // text_quality_score oracle uses), then the fixed-weight sigmoid.

@@ -302,7 +302,9 @@ object ScaleProbe {
     // r9 wave (video pairs: 4·64 cell rows/doc + temporal banding;
     // residual ivfpq: the centroid-attach serving shape; gopher: one
     // word agg + three (doc, gram) partial aggs)
-    "video_ahash_pairs", "sim_ivfpq_residual_topk", "quality_gopher_rules")
+    "video_ahash_pairs", "sim_ivfpq_residual_topk", "quality_gopher_rules",
+    // Kneser-Ney: the lm_bigram plan + two vocab-keyed stat branches
+    "lm_kneser_ney")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -261,6 +261,8 @@ class PlanAuditSpec extends SparkSpec {
     // engine's documented pattern (§8). Each entry names its constant:
     val pairwiseOk: Set[String] = Set(
       "lm_bigram_score",        // 1-row corpus bigram-total attach
+      "lm_kneser_ney",          // 1-row bigram-type-total attach (the
+                                // continuation-probability denominator)
       "mixture_plan",           // 1-row corpus token-total attach
       "p7_window_filter",       // 1-row min-timestamp window anchor
       "quantile_bucket_tokens", // 1-row quantile-thresholds attach
