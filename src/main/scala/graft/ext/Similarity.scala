@@ -349,13 +349,14 @@ object Similarity {
     * judged against).
     */
   def writeIvfPqIndexWith(embeddings: DataFrame, idCol: String, vecCol: String,
-      cents: Book, book: Book, m: Int, path: String): Unit = {
+      cents: Book, book: Book, m: Int, path: String,
+      encoding: String = "raw"): Unit = {
+    require(encoding == "raw" || encoding == "residual",
+      s"unknown index encoding '$encoding' (raw | residual)")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val indexed = ivfAssignWith(embeddings, idCol, vecCol, cents)
-      .select(col("cell"), col(idCol),
-        graft.functions.VectorExpressions.pq_codes(col("vecd"),
-          book.map(_._2), book.map(_._1), m).as("codes"))
+    val indexed = encodedFrame(embeddings, idCol, vecCol, cents, book, m,
+      encoding)
     // codes live in manifest-committed DELTA directories (the inverted
     // index's segment model): the base build is delta "base", appends
     // add deltas, and the live set is codes.manifest — so an append
@@ -371,11 +372,47 @@ object Similarity {
     book.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("code", "vecd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    Seq((idCol, vecCol, m))
-      .toDF("id_col", "vec_col", "m")
+    Seq((idCol, vecCol, m, encoding))
+      .toDF("id_col", "vec_col", "m", "encoding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    pqReconErrorWith(embeddings, idCol, vecCol, cents, book, m)
+    reconErrorFor(embeddings, idCol, vecCol, cents, book, m, encoding)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/health")
+  }
+
+  /** The cell-partitioned (cell, id, codes) frame for an index build or
+    * append — raw vectors or IVFADC residuals per `encoding`.
+    */
+  private def encodedFrame(embeddings: DataFrame, idCol: String,
+      vecCol: String, cents: Book, book: Book, m: Int,
+      encoding: String): DataFrame =
+    if (encoding == "residual")
+      residuals(embeddings, idCol, vecCol, cents)
+        .select(col("cell"), col(idCol),
+          graft.functions.VectorExpressions.pq_codes(col("resd"),
+            book.map(_._2), book.map(_._1), m).as("codes"))
+    else
+      ivfAssignWith(embeddings, idCol, vecCol, cents)
+        .select(col("cell"), col(idCol),
+          graft.functions.VectorExpressions.pq_codes(col("vecd"),
+            book.map(_._2), book.map(_._1), m).as("codes"))
+
+  private def reconErrorFor(embeddings: DataFrame, idCol: String,
+      vecCol: String, cents: Book, book: Book, m: Int,
+      encoding: String): DataFrame =
+    if (encoding == "residual")
+      pqReconErrorResidualWith(embeddings, idCol, vecCol, cents, book, m)
+    else pqReconErrorWith(embeddings, idCol, vecCol, cents, book, m)
+
+  /** The index's code encoding — "raw" (codes of the vectors) or
+    * "residual" (IVFADC: codes of v − centroid(cell)). Indexes written
+    * before the encoding column existed read as "raw".
+    */
+  def readIndexEncoding(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val meta = spark.read.parquet(s"$path/meta")
+    if (meta.schema.fieldNames.contains("encoding"))
+      meta.select(col("encoding")).head().getString(0)
+    else "raw"
   }
 
   private def codesManifest(path: String): java.io.File =
@@ -484,14 +521,13 @@ object Similarity {
       s"index at $path predates the delta layout; rebuild with " +
         "writeIvfPqIndex before appending")
     val (idCol, vecCol, m, cents, book) = readIndexSides(spark, path)
+    val encoding = readIndexEncoding(spark, path)
     // an empty append must commit nothing: a dataless delta directory
     // (a lone _SUCCESS, no parquet footers) would make every subsequent
     // readCodes fail schema inference — the whole index unservable
     if (!newVectors.isEmpty) {
-      val indexed = ivfAssignWith(newVectors, idCol, vecCol, cents)
-        .select(col("cell"), col(idCol),
-          graft.functions.VectorExpressions.pq_codes(col("vecd"),
-            book.map(_._2), book.map(_._1), m).as("codes"))
+      val indexed = encodedFrame(newVectors, idCol, vecCol, cents, book, m,
+        encoding)
       // delta fully written first, THEN the manifest commit makes it
       // live (crash before the commit leaves the old view serving; a
       // retried append overwrites this delta and re-commits the name)
@@ -500,7 +536,8 @@ object Similarity {
       graft.ops.Manifest.commit(codesManifest(path), deltaName,
         watermark, adopt = Seq("base"))
     }
-    val appended = pqReconErrorWith(newVectors, idCol, vecCol, cents, book, m)
+    val appended = reconErrorFor(newVectors, idCol, vecCol, cents, book, m,
+        encoding)
       .withColumnRenamed("n_vecs", "n_appended")
       .withColumnRenamed("avg_err", "appended_err")
     val baseline = spark.read.parquet(s"$path/health")
@@ -532,17 +569,33 @@ object Similarity {
     // exclusion from the codes schema), and an empty/absent index fails
     // loudly inside readIndexSides.
     val (idCol, _, m, cents, bookRows) = readIndexSides(spark, path)
+    val encoding = readIndexEncoding(spark, path)
     val qn = math.sqrt(dotLtr(queryVec, queryVec))
     // top-nprobe cells by round-6 centroid cosine, ties to the lowest id
-    val probed = cents.map { case (cid, cv) =>
-      (-r6(dotLtr(cv, queryVec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid)
-    }.sorted.take(nprobe).map(_._2)
-    val lut = adcLut(bookRows, queryVec, m)
-    readCodes(spark, path)
+    val probedPairs = cents.map { case (cid, cv) =>
+      ((-r6(dotLtr(cv, queryVec) / (math.sqrt(dotLtr(cv, cv)) * qn)), cid),
+        (cid, cv))
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    val probed = probedPairs.map(_._1)
+    val scan = readCodes(spark, path)
       .where(col("cell").isin(probed.map(Long.box): _*))
-      .select(col(idCol),
-        (graft.functions.VectorExpressions.pq_adc_sum(col("codes"), lut,
-          bookRows.map(_._1)) / 1e6).as("adc_l2sq"))
+    // raw codes share ONE query LUT; residual codes get a LUT per probed
+    // cell built from (q − centroid_cell), dispatched by the partition
+    // column in a nested CASE — same literal-only codegen projection
+    val adcMicro =
+      if (encoding == "residual")
+        probedPairs.foldLeft(lit(null).cast("long")) {
+          case (acc, (cid, cv)) =>
+            val qres = Array.tabulate(queryVec.length)(i => queryVec(i) - cv(i))
+            when(col("cell") === cid,
+              graft.functions.VectorExpressions.pq_adc_sum(col("codes"),
+                adcLut(bookRows, qres, m), bookRows.map(_._1))).otherwise(acc)
+        }
+      else
+        graft.functions.VectorExpressions.pq_adc_sum(col("codes"),
+          adcLut(bookRows, queryVec, m), bookRows.map(_._1))
+    scan
+      .select(col(idCol), (adcMicro / 1e6).as("adc_l2sq"))
       .orderBy(col("adc_l2sq").asc, col(idCol))
       .limit(topK)
   }
@@ -666,11 +719,12 @@ object Similarity {
     * k-means argument; measured on the fixture in tools/AnnRecall.
     */
   def trainPqBook(embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, dims: Int, iters: Int): Book = {
+      m: Int, k: Int, dims: Int, iters: Int,
+      init: Option[Book] = None): Book = {
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val sub = dims / m
     val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
-    var book: Book = seedBook(embeddings, idCol, vecCol, k)
+    var book: Book = init.getOrElse(seedBook(embeddings, idCol, vecCol, k))
     for (_ <- 1 to iters) {
       val means = staged
         .select(col("vecd"),
@@ -891,20 +945,37 @@ object Similarity {
     * the quantizer.
     */
   def pqReconErrorWith(embeddings: DataFrame, idCol: String, vecCol: String,
-      cents: Book, book: Book, m: Int): DataFrame = {
+      cents: Book, book: Book, m: Int): DataFrame =
+    reconErrorCore(
+      ivfAssignWith(embeddings, idCol, vecCol, cents)
+        .select(col("cell"), col(idCol), col("vecd").as("_v")), book, m)
+
+  /** [[pqReconErrorWith]] for a RESIDUAL-encoded index: quantization SSE
+    * of the residual codes against the residual vectors (the quantity a
+    * residual book actually minimizes — raw recon error would mix in the
+    * centroid displacement the coarse quantizer owns).
+    */
+  def pqReconErrorResidualWith(embeddings: DataFrame, idCol: String,
+      vecCol: String, cents: Book, book: Book, m: Int): DataFrame =
+    reconErrorCore(
+      residuals(embeddings, idCol, vecCol, cents)
+        .select(col("cell"), col(idCol), col("resd").as("_v")), book, m)
+
+  private def reconErrorCore(staged: DataFrame, book: Book,
+      m: Int): DataFrame = {
     val dims = book.head._2.length
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val sub = dims / m
     require(book.map(_._1).toSeq == (0L until book.length.toLong),
-      s"pqReconErrorWith requires dense codebook ids 0..${book.length - 1}")
+      s"reconError requires dense codebook ids 0..${book.length - 1}")
     val bookLit = typedlit(book.map(_._2.toSeq).toSeq)
-    val withCodes = ivfAssignWith(embeddings, idCol, vecCol, cents)
-      .select(col("cell"), col(idCol), col("vecd"),
-        graft.functions.VectorExpressions.pq_codes(col("vecd"),
+    val withCodes = staged
+      .select(col("cell"), col("_v"),
+        graft.functions.VectorExpressions.pq_codes(col("_v"),
           book.map(_._2), book.map(_._1), m).as("codes"))
     val errMicro = aggregate(
       transform(sequence(lit(0), lit(m - 1)), j => {
-        val sa = slice(col("vecd"), j * lit(sub) + 1, lit(sub))
+        val sa = slice(col("_v"), j * lit(sub) + 1, lit(sub))
         val cb = element_at(bookLit, (get(col("codes"), j) + 1).cast("int"))
         val sb = slice(cb, j * lit(sub) + 1, lit(sub))
         round((dot(sa, sa) - lit(2.0) * dot(sa, sb) + dot(sb, sb)) * 1e6, 0)
@@ -935,6 +1006,27 @@ object Similarity {
         zip_with(col("vecd"), col("_cvec"), (a, b) => a - b).as("resd"))
   }
 
+  /** Seed codebook for RESIDUAL encoding: the residual vectors of ids
+    * [k, 2k), re-keyed to dense codes 0..k−1. The plain [[seedBook]]
+    * range (ids < k) is DEGENERATE here whenever the coarse centroids
+    * were seeded from the same ids: vector i < k sits in its own cell i,
+    * so its residual is exactly the zero vector — an all-zero book
+    * encodes every vector to code 0 and ADC collapses. The shifted
+    * range keeps seeding deterministic and id-driven while guaranteeing
+    * the seeds are genuine (nonzero) residuals.
+    */
+  def seedResidualBook(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: Book, k: Int): Book = {
+    val rows = residuals(embeddings, idCol, vecCol, cents)
+      .where(col(idCol) >= k && col(idCol) < 2 * k)
+      .select(col(idCol).cast("long"), col("resd")).collect()
+      .map(r => (r.getLong(0) - k, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.length == k,
+      s"seedResidualBook: want ids $k until ${2 * k} dense, got ${rows.length}")
+    rows
+  }
+
   /** [[trainPqBook]] over RESIDUALS (v − cell centroid) — the IVFADC
     * codebook of Jégou et al. 2011 §IV: after coarse quantization the
     * code bits must spend themselves on the WITHIN-cell variance, not
@@ -950,7 +1042,8 @@ object Similarity {
       vecCol: String, cents: Book, m: Int, k: Int, dims: Int,
       iters: Int): Book =
     trainPqBook(residuals(embeddings, idCol, vecCol, cents), idCol, "resd",
-      m, k, dims, iters)
+      m, k, dims, iters,
+      init = Some(seedResidualBook(embeddings, idCol, vecCol, cents, k)))
 
   /** Residual IVF-PQ serving (IVFADC): probe the nprobe nearest cells by
     * centroid cosine, then rank candidates by ADC over RESIDUAL codes —

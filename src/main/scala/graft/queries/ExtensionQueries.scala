@@ -498,7 +498,7 @@ object ExtensionQueries extends QueryPack {
     // the between-cell structure the coarse quantizer already captured —
     // on clustered corpora the raw-vector book collapses to ties inside
     // a probed cell (measured in tools/AnnRecall: recall 0.11 raw-trained
-    // vs 0.44 residual at k=256, same nprobe). Serving adds one
+    // vs 0.43 residual at k=256, same nprobe). Serving adds one
     // per-probed-cell LUT dispatch (nested CASE over nprobe branches,
     // all codegen) to the ivfpq plan: broadcast-argmax assign →
     // nprobe-cell semi-filter → native residual encode + per-cell
@@ -506,9 +506,11 @@ object ExtensionQueries extends QueryPack {
     "sim_ivfpq_residual_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
-      val rbook = Similarity.seedBook(
-        Similarity.residuals(e, "vec_id", "embedding", cents),
-        "vec_id", "resd", 16)
+      // shifted-seed residual book: ids < 16 ARE the centroid seeds, so
+      // their residuals are zero vectors — seedResidualBook takes ids
+      // 16..31 instead (re-keyed 0..15), keeping the book non-degenerate
+      val rbook = Similarity.seedResidualBook(e, "vec_id", "embedding",
+        cents, 16)
       Similarity.ivfPqResidualTopKWith(e, "vec_id", "embedding", 0L,
         cents, 4, rbook, 8, 10)
     }),
@@ -588,6 +590,30 @@ object ExtensionQueries extends QueryPack {
       val path = indexScratchDir + "/index"
       Similarity.writeIvfPqIndex(e, "vec_id", "embedding", numCells = 16,
         m = 8, k = 16, dims = 64, path = path, trainIters = PqTrainIters)
+      val qvec = e.where(col("vec_id") === 0L)
+        .select(Similarity.asDouble(col("embedding"))).head()
+        .getSeq[Double](0).toArray
+      Similarity.ivfPqTopKFromIndex(s, path, qvec, nprobe = 4, topK = 10)
+    }),
+
+    // RESIDUAL index lifecycle end-to-end: build a residual-encoded
+    // (IVFADC) index on disk — codes of v − centroid(cell), encoding
+    // recorded in the meta side table — then serve from it: the scan
+    // reads ONLY the probed cell partitions, and ADC dispatches a
+    // per-probed-cell LUT (from q − centroid_cell) on the partition
+    // column. Must equal the direct sim_ivfpq_residual_topk plan
+    // bit-for-bit, so they share the oracle.
+    "sim_ivfpq_residual_from_index" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val path = indexScratchDir + "/index_residual"
+      val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
+      // shifted-seed residual book: ids < 16 ARE the centroid seeds, so
+      // their residuals are zero vectors — seedResidualBook takes ids
+      // 16..31 instead (re-keyed 0..15), keeping the book non-degenerate
+      val rbook = Similarity.seedResidualBook(e, "vec_id", "embedding",
+        cents, 16)
+      Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents,
+        rbook, m = 8, path = path, encoding = "residual")
       val qvec = e.where(col("vec_id") === 0L)
         .select(Similarity.asDouble(col("embedding"))).head()
         .getSeq[Double](0).toArray
@@ -1637,6 +1663,47 @@ object ExtensionQueries extends QueryPack {
          |  SELECT id_a, id_b, round(o / (na + nb - o), 6) AS jac
          |  FROM ov WHERE round(o / (na + nb - o), 6) >= $JaccardThreshold)""".stripMargin
 
+    // shared by the direct plan and the from-index serving twin
+    val duckIvfPqResidualSql =
+      s"""WITH $duckIvfAssign,
+           |res AS (
+           |  SELECT a.vec_id, a.cell,
+           |    list_transform(generate_series(1, len(a.v)),
+           |      i -> a.v[i] - c.cv[i]) AS r
+           |  FROM assign a JOIN cent c ON c.cell_id = a.cell),
+           |rbook AS (SELECT vec_id - 16 AS code, r AS cv FROM res
+           |          WHERE vec_id >= 16 AND vec_id < 32),
+           |rsubd AS (
+           |  SELECT rr.vec_id, g.j, b.code,
+           |    round(
+           |      list_sum(list_transform(generate_series(1, 8), i -> rr.r[g.j*8+i] * rr.r[g.j*8+i]))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> rr.r[g.j*8+i] * b.cv[g.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i])), 6) AS dist
+           |  FROM res rr CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN rbook b),
+           |rbest AS (
+           |  SELECT vec_id, j, code FROM rsubd
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
+           |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cell_id AS cell, cv AS pcv FROM cent, q
+           |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
+           |                 / (cnrm * qnrm), 6) DESC, cell_id
+           |  LIMIT 4),
+           |lut AS (
+           |  SELECT p.cell, b.code, g.j,
+           |    CAST(round((
+           |      list_sum(list_transform(generate_series(1, 8), i -> (qv[g.j*8+i] - p.pcv[g.j*8+i]) * (qv[g.j*8+i] - p.pcv[g.j*8+i])))
+           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> (qv[g.j*8+i] - p.pcv[g.j*8+i]) * b.cv[g.j*8+i]))
+           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
+           |  FROM rbook b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
+           |       CROSS JOIN probe p CROSS JOIN q)
+           |SELECT rb.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
+           |FROM rbest rb
+           |JOIN res rr ON rb.vec_id = rr.vec_id
+           |JOIN probe p ON rr.cell = p.cell
+           |JOIN lut ON lut.cell = rr.cell AND lut.j = rb.j AND lut.code = rb.code
+           |GROUP BY rb.vec_id ORDER BY adc_l2sq ASC, rb.vec_id LIMIT 10""".stripMargin
+
     Map(
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS copies
@@ -1875,44 +1942,8 @@ object ExtensionQueries extends QueryPack {
            |JOIN lut USING (j, code)
            |GROUP BY b.vec_id ORDER BY adc_l2sq ASC, b.vec_id LIMIT 10""".stripMargin,
 
-      "sim_ivfpq_residual_topk" ->
-        s"""WITH $duckIvfAssign,
-           |res AS (
-           |  SELECT a.vec_id, a.cell,
-           |    list_transform(generate_series(1, len(a.v)),
-           |      i -> a.v[i] - c.cv[i]) AS r
-           |  FROM assign a JOIN cent c ON c.cell_id = a.cell),
-           |rbook AS (SELECT vec_id AS code, r AS cv FROM res WHERE vec_id < 16),
-           |rsubd AS (
-           |  SELECT rr.vec_id, g.j, b.code,
-           |    round(
-           |      list_sum(list_transform(generate_series(1, 8), i -> rr.r[g.j*8+i] * rr.r[g.j*8+i]))
-           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> rr.r[g.j*8+i] * b.cv[g.j*8+i]))
-           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i])), 6) AS dist
-           |  FROM res rr CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g CROSS JOIN rbook b),
-           |rbest AS (
-           |  SELECT vec_id, j, code FROM rsubd
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) = 1),
-           |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
-           |probe AS (
-           |  SELECT cell_id AS cell, cv AS pcv FROM cent, q
-           |  ORDER BY round(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i]))
-           |                 / (cnrm * qnrm), 6) DESC, cell_id
-           |  LIMIT 4),
-           |lut AS (
-           |  SELECT p.cell, b.code, g.j,
-           |    CAST(round((
-           |      list_sum(list_transform(generate_series(1, 8), i -> (qv[g.j*8+i] - p.pcv[g.j*8+i]) * (qv[g.j*8+i] - p.pcv[g.j*8+i])))
-           |      - 2 * list_sum(list_transform(generate_series(1, 8), i -> (qv[g.j*8+i] - p.pcv[g.j*8+i]) * b.cv[g.j*8+i]))
-           |      + list_sum(list_transform(generate_series(1, 8), i -> b.cv[g.j*8+i] * b.cv[g.j*8+i]))) * 1e6, 0) AS BIGINT) AS dmicro
-           |  FROM rbook b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) g
-           |       CROSS JOIN probe p CROSS JOIN q)
-           |SELECT rb.vec_id, sum(dmicro) / 1e6 AS adc_l2sq
-           |FROM rbest rb
-           |JOIN res rr ON rb.vec_id = rr.vec_id
-           |JOIN probe p ON rr.cell = p.cell
-           |JOIN lut ON lut.cell = rr.cell AND lut.j = rb.j AND lut.code = rb.code
-           |GROUP BY rb.vec_id ORDER BY adc_l2sq ASC, rb.vec_id LIMIT 10""".stripMargin,
+      "sim_ivfpq_residual_topk" -> duckIvfPqResidualSql,
+      "sim_ivfpq_residual_from_index" -> duckIvfPqResidualSql,
 
       "sim_pq_recon_error" ->
         s"""WITH $duckIvfAssign,

@@ -161,6 +161,54 @@ class LayoutSpec extends SparkSpec {
     assert(Similarity.readCodes(spark, base).count() == e.count())
   }
 
+  test("residual (IVFADC) index: from-index serving == direct plan, append == rebuild, encoding recorded") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val tmp = Files.createTempDirectory("graft_ivfpq_resid").toString
+    val path = tmp + "/idx"
+    val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
+    val rbook = Similarity.seedResidualBook(e, "vec_id", "embedding",
+      cents, 16)
+    val half = e.count() / 2
+    Similarity.writeIvfPqIndexWith(e.where($"vec_id" < half), "vec_id",
+      "embedding", cents, rbook, m = 8, path = path, encoding = "residual")
+    assert(Similarity.readIndexEncoding(spark, path) == "residual")
+
+    // append encodes against the frozen constants WITH the recorded
+    // encoding (a raw re-encode here would silently corrupt serving)
+    val report = Similarity.appendIvfPqIndex(
+      e.where($"vec_id" >= half), path, "a1").collect()
+    assert(report.nonEmpty && report.forall(_.getAs[Long]("n_appended") > 0))
+
+    val rebuilt = tmp + "/idx_rebuild"
+    Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents, rbook,
+      m = 8, path = rebuilt, encoding = "residual")
+    def codesOf(p: String) = Similarity.readCodes(spark, p)
+      .select($"cell", $"vec_id", $"codes".cast("array<string>"))
+      .as[(Long, Long, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(codesOf(path) == codesOf(rebuilt))
+
+    // residual codes genuinely differ from a raw encode under the same
+    // book (the encoding is real, not a metadata label)
+    val rawIdx = tmp + "/idx_raw"
+    Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents, rbook,
+      m = 8, path = rawIdx)
+    assert(Similarity.readIndexEncoding(spark, rawIdx) == "raw")
+    assert(codesOf(rebuilt) != codesOf(rawIdx))
+
+    // from-index serving (per-probed-cell LUT dispatch on the partition
+    // column) must equal the direct in-plan residual query bit-for-bit
+    val qvec = e.where($"vec_id" === 0L)
+      .select($"embedding").head().getAs[scala.collection.Seq[Float]](0)
+      .map(_.toDouble).toArray
+    val served = Similarity.ivfPqTopKFromIndex(spark, path, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    val direct = Similarity.ivfPqResidualTopKWith(e, "vec_id", "embedding",
+      queryId = 0L, cents, nprobe = 4, rbook, m = 8, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == direct)
+  }
+
   test("streaming ANN ingest: per-batch deltas == frozen-constant rebuild; replay is a no-op") {
     import graft.ext.Similarity
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
