@@ -489,6 +489,50 @@ object CorpusQueries extends QueryPack {
             col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
         .orderBy("doc_id")
     }),
+    // Multi-type PII scan + redaction — the pre-release scrub every
+    // training corpus gets: per-doc counts of emails / IPv4s / phone
+    // numbers / long account-number digit runs, plus the md5 of the
+    // redacted text (typed placeholders, email first so its digits
+    // can't double-match the id rule). The fixture corpus contains no
+    // PII, so every 3rd document gets DETERMINISTIC planted PII built
+    // from its doc_id by both engines identically — the planted twins
+    // pattern (multimodal_ahash_pairs). Pure projection, zero shuffles:
+    // at 100 TB this runs at scan speed, and the plan shape is
+    // identical with a real PII model swapped in for the regexes.
+    "pii_scan_redact" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val acct = "\\b\\d{9,}\\b"
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com ip 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"),
+            lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" acct "),
+            lpad((col("doc_id") % 1000000000L).cast("string"), 9, "0")))
+          .otherwise(col("text")).as("text"))
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+              lit(ip), lit("<IP>")),
+            lit(phone), lit("<PHONE>")),
+          lit(acct), lit("<ID>"))
+      planted.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
+        regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(acct)).cast("long").as("n_ids"),
+        md5(redacted).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-source contamination matrix: for every source pair, the
     // count and Jaccard of shared distinct token-shingles — the
     // provenance-level view of decontamination (WHICH feeds overlap,
@@ -1660,6 +1704,32 @@ object CorpusQueries extends QueryPack {
           |FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
           |       JOIN c1 ON p.a = c1.a, v
           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+      "pii_scan_redact" -> {
+        val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+        val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        val phone = """\b\d{3}-\d{3}-\d{4}\b"""
+        val acct = """\b\d{9,}\b"""
+        s"""WITH planted AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN text
+          |      || ' contact user' || CAST(doc_id AS VARCHAR)
+          |      || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+          |      || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |      || ' acct ' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+          |    ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+          |  CAST(len(regexp_extract_all(text, '$acct')) AS BIGINT) AS n_ids,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |    text, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+          |    '$phone', '<PHONE>', 'g'), '$acct', '<ID>', 'g')) AS redacted_md5
+          |FROM planted ORDER BY doc_id""".stripMargin
+      },
 
       "lm_kneser_ney" ->
         s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),

@@ -304,7 +304,9 @@ object ScaleProbe {
     // word agg + three (doc, gram) partial aggs)
     "video_ahash_pairs", "sim_ivfpq_residual_topk", "quality_gopher_rules",
     // Kneser-Ney: the lm_bigram plan + two vocab-keyed stat branches
-    "lm_kneser_ney")
+    "lm_kneser_ney",
+    // PII scan/redact: pure projection, runs at scan speed
+    "pii_scan_redact")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
