@@ -598,13 +598,15 @@ object Multimodal {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     docs
       .where(length(col(textCol)) > 0)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"),
+      // posexplode(split(text, "")) walks the string ONCE; the previous
+      // ascii(substring(_t, i+1, 1)) spelling re-scanned the string from
+      // the start per exploded row — O(L²) per doc at char granularity,
+      // measured as the dominant cost of the *_ahash family
+      .select(col(idCol).cast("long").as("doc_id"),
         length(col(textCol)).cast("long").as("n"),
-        explode(sequence(lit(0L), length(col(textCol)).cast("long") - 1))
-          .as("i"))
+        posexplode(split(col(textCol), "")).as(Seq("i", "ch")))
       .groupBy(col("doc_id"), expr("i * 64 div n").as("b"))
-      .agg(sum(expr("ascii(substring(_t, cast(i + 1 as int), 1))").cast("long"))
-          .as("s"),
+      .agg(sum(ascii(col("ch")).cast("long")).as("s"),
         count(lit(1)).as("c"))
       .withColumn("ts", sum(col("s")).over(byDoc))
       .withColumn("tc", sum(col("c")).over(byDoc))
@@ -631,13 +633,11 @@ object Multimodal {
   def stubDHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cells = docs
       .where(length(col(textCol)) > 0)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"),
+      .select(col(idCol).cast("long").as("doc_id"),
         length(col(textCol)).cast("long").as("n"),
-        explode(sequence(lit(0L), length(col(textCol)).cast("long") - 1))
-          .as("i"))
+        posexplode(split(col(textCol), "")).as(Seq("i", "ch")))
       .groupBy(col("doc_id"), expr("i * 72 div n").as("b"))
-      .agg(sum(expr("ascii(substring(_t, cast(i + 1 as int), 1))").cast("long"))
-          .as("s"),
+      .agg(sum(ascii(col("ch")).cast("long")).as("s"),
         count(lit(1)).as("c"))
     val right = cells.select(col("doc_id"), (col("b") - 1).as("b"),
       col("s").as("s2"), col("c").as("c2"))
@@ -776,13 +776,11 @@ object Multimodal {
       .partitionBy(col("doc_id"), col("frame_ix"))
     frames
       .where(length(col("text")) > 0)
-      .select(col("doc_id"), col("frame_ix"), col("text").as("_t"),
+      .select(col("doc_id"), col("frame_ix"),
         length(col("text")).cast("long").as("n"),
-        explode(sequence(lit(0L), length(col("text")).cast("long") - 1))
-          .as("i"))
+        posexplode(split(col("text"), "")).as(Seq("i", "ch")))
       .groupBy(col("doc_id"), col("frame_ix"), expr("i * 64 div n").as("b"))
-      .agg(sum(expr("ascii(substring(_t, cast(i + 1 as int), 1))").cast("long"))
-          .as("s"),
+      .agg(sum(ascii(col("ch")).cast("long")).as("s"),
         count(lit(1)).as("c"))
       .withColumn("ts", sum(col("s")).over(byFrame))
       .withColumn("tc", sum(col("c")).over(byFrame))
@@ -805,7 +803,15 @@ object Multimodal {
     * (s+c)·tc > (ts+tc)·c ⟺ s·tc > ts·c. The perceptual-hash property
     * (brightness-robust identity) stated as an integer identity.
     */
-  def brightnessShift(text: Column): Column =
-    array_join(transform(sequence(lit(1), length(text)),
-      i => call_function("char", ascii(text.substr(i, lit(1))) + lit(1))), "")
+  def brightnessShift(text: Column): Column = {
+    // translate() is a single codegen pass; the per-char
+    // transform+substr lambda spelling it replaces ran interpreted AND
+    // re-scanned the string per character (O(L²)) — it dominated the
+    // *_ahash_pairs twin builds. The char map covers printable ASCII
+    // 32..125 (the raster domain; +1 keeps it printable), identical to
+    // the oracle's chr(ascii(c) + 1) on that domain.
+    val from = (32 to 125).map(_.toChar).mkString
+    val to = (33 to 126).map(_.toChar).mkString
+    translate(text, from, to)
+  }
 }
