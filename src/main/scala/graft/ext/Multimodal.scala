@@ -803,6 +803,70 @@ object Multimodal {
     * (s+c)·tc > (ts+tc)·c ⟺ s·tc > ts·c. The perceptual-hash property
     * (brightness-robust identity) stated as an integer identity.
     */
+  /** Incremental perceptual media dedup — dedup a NEW batch of media
+    * hashes against ALL ingest history without rescanning it. The store
+    * holds (doc_id, arr, ahash_lo, ahash_hi) of EVERY doc ever ingested
+    * (duplicates included: a doc similar to an already-rejected near-dup
+    * must still be caught, and near-duplication is not transitive), so
+    * the decision has a batch-split-independent closed form: doc b is a
+    * duplicate iff some doc a with arr_a < arr_b is within Hamming
+    * `maxHamming` — `arr` is the total arrival order, and the reported
+    * `dup_of` is the EARLIEST-arrived match. Candidates come from the
+    * 4×16-bit banded join (pigeonhole-exact at hd ≤ 3), so per batch the
+    * work is (batch ∪ history) band keys joined against batch band keys
+    * — the history is never pairwise-scanned, and a billion-item store
+    * shuffles only its band keys.
+    *
+    * Returns the batch's duplicate decisions (doc_id, dup_of, hd) and
+    * appends the batch's hashes to the store. The returned frame stays
+    * lazy-safe: it re-reads the store at execution time, but the
+    * arr_a < arr_b filter makes extra (later-arrived) history rows
+    * self-excluding, so evaluation order cannot change the answer.
+    */
+  def ingestMediaHashBatch(spark: SparkSession, storePath: String,
+      hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val storeExists = {
+      val dir = new java.io.File(storePath)
+      dir.isDirectory && dir.listFiles() != null &&
+        dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    }
+    val batch = hashes.select(col("doc_id"), col("arr"),
+      col("ahash_lo"), col("ahash_hi")).localCheckpoint(false)
+    val pool =
+      if (storeExists) spark.read.parquet(storePath).unionByName(batch)
+      else batch
+    def banded(df: DataFrame): DataFrame = {
+      val bandCols = (0 until 4).map { bix =>
+        val half = if (bix < 2) col("ahash_lo") else col("ahash_hi")
+        struct(lit(bix).as("band_ix"),
+          shiftright(half, (bix % 2) * 16).bitwiseAND(lit(65535L))
+            .as("band_key"))
+      }
+      df.select(col("doc_id"), col("arr"), col("ahash_lo"), col("ahash_hi"),
+          explode(array(bandCols: _*)).as("_b"))
+        .select(col("doc_id"), col("arr"), col("ahash_lo"), col("ahash_hi"),
+          col("_b.band_ix").as("band_ix"), col("_b.band_key").as("band_key"))
+    }
+    val l = banded(pool).select(col("band_ix"), col("band_key"),
+      col("doc_id").as("id_a"), col("arr").as("arr_a"),
+      col("ahash_lo").as("_la"), col("ahash_hi").as("_ha"))
+    val r = banded(batch).select(col("band_ix"), col("band_key"),
+      col("doc_id").as("id_b"), col("arr").as("arr_b"),
+      col("ahash_lo").as("_lb"), col("ahash_hi").as("_hb"))
+    val matches = l.join(r, Seq("band_ix", "band_key"))
+      .where(col("arr_a") < col("arr_b"))
+      .select(col("id_b"), col("id_a"), col("arr_a"),
+        (bit_count(col("_la").bitwiseXOR(col("_lb"))) +
+          bit_count(col("_ha").bitwiseXOR(col("_hb")))).cast("long").as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_b")).orderBy(col("arr_a"), col("id_a"))
+    batch.write.mode("append").parquet(storePath)
+    matches.withColumn("_rn", row_number().over(rn)).where(col("_rn") === 1)
+      .select(col("id_b").as("doc_id"), col("id_a").as("dup_of"), col("hd"))
+  }
+
   def brightnessShift(text: Column): Column = {
     // translate() is a single codegen pass; the per-char
     // transform+substr lambda spelling it replaces ran interpreted AND

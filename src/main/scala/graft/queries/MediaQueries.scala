@@ -155,6 +155,33 @@ object MediaQueries extends QueryPack {
           least(col("n_a"), col("n_b")).as("n_aligned"), col("n_matched"))
         .where(col("n_matched") * 2 > col("n_aligned"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // INCREMENTAL perceptual media dedup lifecycle: the corpus arrives
+    // in 3 out-of-id-order batches (arrival key arr = (doc_id%3)·1e10 +
+    // doc_id — a total order that interleaves ids across batches), each
+    // ingested against the on-disk hash store of everything seen before
+    // via Multimodal.ingestMediaHashBatch. Because the store keeps every
+    // ingested hash (rejects included — near-duplication is not
+    // transitive), the decisions have a batch-split-independent closed
+    // form — doc b is a dup iff some a with arr_a < arr_b is within
+    // hd ≤ 3, dup_of = the earliest-arrived match — which is exactly
+    // what the oracle computes in one shot. The dedup_clusters_
+    // incremental class: per-batch cost flat as the store grows, the
+    // history contributes band keys only, never a pairwise scan.
+    "media_dedup_incremental" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_media_store").toString + "/hashes"
+      val sk = Multimodal.stubAHash(documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          ((col("doc_id") % 3) * lit(10000000000L) + col("doc_id")).as("arr"),
+          col("ahash_lo"), col("ahash_hi"))
+        .localCheckpoint(false) // 32 B/doc sketch, feeds all 3 ingests
+      (0 until 3).map { i =>
+          Multimodal.ingestMediaHashBatch(s, store,
+            sk.where(col("doc_id") % 3 === i), AHashMaxHamming)
+        }.reduce(_ unionByName _)
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = {
@@ -299,6 +326,33 @@ object MediaQueries extends QueryPack {
            |FROM mt JOIN nf na ON na.doc_id = id_a
            |        JOIN nf nb ON nb.doc_id = id_b
            |WHERE n_matched * 2 > least(na.nf, nb.nf)
-           |ORDER BY id_a, id_b""".stripMargin)
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "media_dedup_incremental" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+           |$ahashCte,
+           |ar AS (
+           |  SELECT doc_id, (doc_id % 3) * 10000000000 + doc_id AS arr,
+           |    ahash_lo, ahash_hi
+           |  FROM ah),
+           |bands AS (
+           |  SELECT doc_id, arr, ahash_lo, ahash_hi, band_ix,
+           |    CASE WHEN band_ix < 2 THEN (ahash_lo >> (band_ix * 16)) & 65535
+           |         ELSE (ahash_hi >> ((band_ix - 2) * 16)) & 65535 END
+           |      AS band_key
+           |  FROM ar, (SELECT unnest(generate_series(0, 3)) AS band_ix)),
+           |cand AS (
+           |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS id_a,
+           |    a.arr AS arr_a,
+           |    CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+           |       + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT) AS hd
+           |  FROM bands a JOIN bands b USING (band_ix, band_key)
+           |  WHERE a.arr < b.arr
+           |    AND bit_count(xor(a.ahash_lo, b.ahash_lo))
+           |      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= $AHashMaxHamming)
+           |SELECT doc_id, id_a AS dup_of, hd FROM cand
+           |QUALIFY row_number() OVER (PARTITION BY doc_id
+           |  ORDER BY arr_a, id_a) = 1
+           |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -109,6 +109,41 @@ class VideoDedupSpec extends SparkSpec {
     assert(graft.ext.Multimodal.videoNearDupPairs(spark, media).count() == 0)
   }
 
+  test("incremental media-hash ingest: any batch split == one-shot closed form, history blocks without rescan") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    // three near-dup groups + singletons; arr = doc_id (arrival order)
+    val h = Seq(
+      (1L, 0x1111222233334444L), // family A original
+      (2L, 0x00000000000000FFL), // family B original
+      (3L, 0x7777000011110000L), // singleton
+      (4L, 0x1111222233334444L), // A re-encode (hd 0)
+      (5L, 0x00000000000000FEL), // B near-dup (hd 1)
+      (6L, 0x0F0F0F0F0F0F0F0FL), // singleton
+      (7L, 0x1111222233334445L)) // A near-dup (hd 1) — must point at 1, not 4
+      .map { case (id, bits) =>
+        (id, id, bits & 0xFFFFFFFFL, (bits >>> 32) & 0xFFFFFFFFL)
+      }.toDF("doc_id", "arr", "ahash_lo", "ahash_hi")
+    def ingest(splits: Seq[Seq[Long]]): Seq[(Long, Long, Long)] = {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_media_ing").toString + "/hashes"
+      splits.map { ids =>
+        Multimodal.ingestMediaHashBatch(spark, store,
+          h.where(col("doc_id").isin(ids.map(Long.box): _*)))
+      }.reduce(_ unionByName _)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val oneShot = ingest(Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)))
+    val threeBatches = ingest(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(6L, 7L)))
+    val twoBatches = ingest(Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L)))
+    assert(oneShot == threeBatches && oneShot == twoBatches,
+      s"batch-split dependence: $oneShot vs $threeBatches vs $twoBatches")
+    // dup_of is the EARLIEST-arrived match: 7 matches both 1 and 4 at
+    // hd<=1 but must report the original
+    assert(oneShot == Seq((4L, 1L, 0L), (5L, 2L, 1L), (7L, 1L, 1L)),
+      s"wrong decisions: $oneShot")
+  }
+
   test("stride sampling keeps temporal alignment (true container frame_ix)") {
     import spark.implicits._
     val icm = palette(0)
