@@ -938,6 +938,32 @@ object Similarity {
       .limit(topK)
   }
 
+  /** [[ivfPqRerankWith]] with a RESIDUAL (IVFADC) stage 1: the ADC
+    * shortlist is ordered by residual codes — which actually rank
+    * within-cell candidates on clustered data, where raw codes collapse
+    * to ties — then the exact-cosine re-rank orders what the shortlist
+    * caught. Same zero-extra-shuffle shape (shortlist ids broadcast back
+    * onto the vector table); the shortlist finally contains the right
+    * candidates (measured in tools/AnnRecall on the clustered fixture:
+    * rerank@50 recall 0.40 with the raw-trained shortlist → 0.82 with
+    * the k=256 residual shortlist, against the nprobe=2 IVF ceiling
+    * of 1.00).
+    */
+  def ivfPqResidualRerankWith(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, cents: Book, nprobe: Int, book: Book,
+      m: Int, shortlist: Int, topK: Int): DataFrame = {
+    val qvec = collectQueryVec(embeddings, idCol, vecCol, queryId)
+    val shortIds = ivfPqResidualTopKWith(embeddings, idCol, vecCol, queryId,
+      cents, nprobe, book, m, topK = shortlist).select(col(idCol))
+    val staged = embeddings.select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+    val qlit = typedlit(qvec.toSeq)
+    staged.join(broadcast(shortIds), Seq(idCol))
+      .select(col(idCol),
+        round(dot(col("vecd"), qlit) / (norm(col("vecd")) * norm(qlit)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** [[pqReconError]] with EXPLICIT centroids and codebook — the
     * index-health metric evaluated against the constants a deployment is
     * actually serving with. Comparing this on the same corpus before and

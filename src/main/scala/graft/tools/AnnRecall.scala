@@ -240,6 +240,19 @@ object AnnRecall {
             trainPq, 8, 50, k)
           .select($"vec_id").as[Long].collect().toSeq
       }
+      // residual shortlist + exact rerank: the shortlist finally CONTAINS
+      // the true neighbors (raw codes collapsed to in-cell ties), so the
+      // rerank should converge on the trained-IVF np=2 ceiling (1.00)
+      cRecall("clu RESID rerank@50 np=2") { q =>
+        Similarity.ivfPqResidualRerankWith(ce, "vec_id", "embedding", q,
+            trainC, 2, residPq, 8, 50, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
+      cRecall("clu R256  rerank@50 np=2") { q =>
+        Similarity.ivfPqResidualRerankWith(ce, "vec_id", "embedding", q,
+            trainC, 2, residPq256, 8, 50, k)
+          .select($"vec_id").as[Long].collect().toSeq
+      }
     }
     spark.stop()
   }
