@@ -306,7 +306,9 @@ object ScaleProbe {
     // Kneser-Ney: the lm_bigram plan + two vocab-keyed stat branches
     "lm_kneser_ney",
     // PII scan/redact: pure projection, runs at scan speed
-    "pii_scan_redact")
+    "pii_scan_redact",
+    // incremental media dedup: 3 store-backed ingests, band-keyed joins
+    "media_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -274,6 +274,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivfpq_residual_topk", // same centroid attach twice (assign +
                                 // residual subtraction); LUT dispatch is
                                 // a literal CASE, not a join
+      "sim_ivfpq_residual_rerank", // residual stage-1 attach; the rerank
+                                // joins on the shortlist KEY (broadcast
+                                // hash, not BNLJ)
       "sim_ivfpq_rerank",       // same centroid attach (stage-1 IVF-PQ);
                                 // the rerank stage itself joins on the
                                 // shortlist KEY (broadcast hash, not BNLJ)
