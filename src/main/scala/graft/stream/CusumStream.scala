@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming CUSUM — the at-ingest twin of the batch `ts_cusum` query.
   * The batch spelling derives its target from the whole series (H·n − T
@@ -22,8 +22,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * (ts_ms, event_id) only WITHIN each micro-batch, so a late row
   * (earlier event time arriving in a later batch) folds in arrival
   * order — the standard at-ingest CUSUM contract. Sources that can
-  * deliver out-of-order events need an upstream watermark+sort stage
-  * if strict event-time order matters.
+  * deliver out-of-order events use [[streamOrdered]], which buffers
+  * under the watermark and folds in strict event-time order.
   */
 object CusumStream {
 
@@ -43,6 +43,102 @@ object CusumStream {
       .groupByKey(_._1)
       .transformWithState(new CusumProcessor(targetMicro, kMicro, hMicro),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** EVENT-TIME-ORDERED streaming CUSUM: the out-of-order-safe flavor of
+    * [[stream]]. Rows buffer in ListState until the WATERMARK passes
+    * their event time, then fold in strict (ts, event_id) order — so any
+    * arrival order within the watermark delay produces IDENTICAL state
+    * to the sorted driver fold (the guarantee [[stream]] only gives for
+    * time-ordered batch splits; rows later than the watermark are
+    * dropped by the upstream watermark operator, the standard
+    * late-data contract). An event-time timer at the newest buffered
+    * row's timestamp guarantees a key with no further arrivals still
+    * flushes when the watermark passes it.
+    *
+    * Input: (event_type, ts timestamp, event_id, value) — the caller
+    * sets `.withWatermark("ts", delay)`. State per key: the O(1) folded
+    * CusumState plus a buffer bounded by (arrival rate × watermark
+    * delay) — the price of strict event-time order, paid only within
+    * the lateness window. Requires the RocksDB state store provider.
+    */
+  def streamOrdered(events: DataFrame, targetMicro: Long, kMicro: Long,
+      hMicro: Long): Dataset[KeyCusum] = {
+    import events.sparkSession.implicits._
+    events.as[(String, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new OrderedCusumProcessor(targetMicro, kMicro, hMicro),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  case class PendingRow(ts_ms: Long, event_id: Long, value: Double)
+
+  class OrderedCusumProcessor(target: Long, k: Long, h: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp, Long, Double), KeyCusum] {
+
+    @transient private var st: ValueState[CusumState] = _
+    @transient private var buf: ListState[PendingRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[CusumState]("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+      buf = getHandle.getListState[PendingRow]("pending",
+        Encoders.product[PendingRow], TTLConfig.NONE)
+    }
+
+    /** Fold every buffered row the watermark has passed, in strict
+      * (ts, event_id) order; re-buffer the rest and keep a timer armed
+      * at the newest pending timestamp so the tail flushes without
+      * further input.
+      */
+    private def flush(watermarkMs: Long): Iterator[KeyCusum] = {
+      val pending = buf.get().toSeq
+      val (ripe, hold) = pending.partition(_.ts_ms <= watermarkMs)
+      if (ripe.isEmpty) return Iterator.empty
+      var s = if (st.exists()) st.get() else CusumState(0L, 0L, 0L)
+      ripe.sortBy(r => (r.ts_ms, r.event_id)).foreach { r =>
+        val x = math.round(r.value * 1e6) - target
+        s = CusumState(
+          math.max(0L, s.sUp + x - k),
+          math.max(0L, s.sDown - x - k),
+          s.n + 1L)
+      }
+      st.update(s)
+      buf.clear()
+      if (hold.nonEmpty) buf.put(hold.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (hold.nonEmpty) getHandle.registerTimer(hold.map(_.ts_ms).max)
+      Iterator.single(KeyCusum(currentKey, s.n, s.sUp, s.sDown,
+        s.sUp > h, s.sDown > h))
+    }
+
+    // transformWithState hands the key to the callbacks; thread it to
+    // flush without changing its signature
+    @transient private var currentKey: String = _
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Long, Double)],
+        timerValues: TimerValues): Iterator[KeyCusum] = {
+      currentKey = key
+      var newest = Long.MinValue
+      rows.foreach { r =>
+        val t = r._2.getTime
+        newest = math.max(newest, t)
+        buf.appendValue(PendingRow(t, r._3, r._4))
+      }
+      if (newest != Long.MinValue) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(newest)
+      }
+      flush(timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyCusum] = {
+      currentKey = key
+      flush(timerValues.getCurrentWatermarkInMs())
+    }
   }
 
   class CusumProcessor(target: Long, k: Long, h: Long)

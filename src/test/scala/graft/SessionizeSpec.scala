@@ -214,6 +214,76 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("ordered streaming CUSUM: SHUFFLED arrival == ordered fold (watermark buffer)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (target, k, h) = (20000000L, 5000000L, 500000000L)
+      val rows = Tables.events(spark, sf0001)
+        .select($"event_type", Tables.tsMillis($"ts").as("t"), $"event_id",
+          $"value")
+        .as[(String, Long, Long, Double)].collect()
+      // deterministic SHUFFLE: arrival order = md5 of the event id — the
+      // adversarial case the plain stream() documents as out of scope
+      val arrival = rows.sortBy(r =>
+        java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r._3.toString.getBytes("UTF-8"))))
+      val thirds = arrival.grouped((arrival.length + 2) / 3).toSeq
+      val maxT = rows.map(_._2).max
+      val delayMs = 500L * 24 * 3600 * 1000 // > the fixture's full span
+      val input = MemoryStream[(String, Long, Long, Double)](spark)
+      val withTs = input.toDF()
+        .select($"_1".as("event_type"),
+          ($"_2" / 1000.0).cast("timestamp").as("ts"),
+          $"_3".as("event_id"), $"_4".as("value"))
+        .withWatermark("ts", "500 days")
+      val q = graft.stream.CusumStream.streamOrdered(withTs, target, k, h)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_cusum_ord")
+        .start()
+      try {
+        thirds.foreach { b =>
+          input.addData(b.toSeq: _*)
+          q.processAllAvailable()
+        }
+        // two sentinel batches on a dummy key push the GLOBAL watermark
+        // past every real row (wm = max ts − delay, applied next batch),
+        // so the buffered tail flushes via timers with no real-key input
+        input.addData(("zzz_sentinel", maxT + delayMs + 86400000L, 0L, 0.0))
+        q.processAllAvailable()
+        input.addData(("zzz_sentinel", maxT + delayMs + 86400001L, 1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("tws_cusum_ord")
+        .as[graft.stream.CusumStream.KeyCusum].collect()
+        .filter(_.event_type != "zzz_sentinel")
+        .groupBy(_.event_type).map { case (ty, es) => ty -> es.maxBy(_.n) }
+      val expect = rows.groupBy(_._1).map { case (ty, rs) =>
+        var (su, sd, n) = (0L, 0L, 0L)
+        rs.sortBy(r => (r._2, r._3)).foreach { r =>
+          val x = math.round(r._4 * 1e6) - target
+          su = math.max(0L, su + x - k)
+          sd = math.max(0L, sd - x - k)
+          n += 1
+        }
+        ty -> ((n, su, sd, su > h, sd > h))
+      }
+      assert(streamed.nonEmpty && streamed.keySet == expect.keySet,
+        s"keys: ${streamed.keySet} vs ${expect.keySet}")
+      streamed.foreach { case (ty, got) =>
+        assert((got.n, got.cusum_up, got.cusum_down, got.alarm_up,
+          got.alarm_down) == expect(ty),
+          s"key $ty: out-of-order arrival diverged from the ordered fold")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.groupBy($"event_type")
