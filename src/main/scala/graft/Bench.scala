@@ -16,9 +16,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the core count (the driver's sf0.1
+    // configuration); SPARK_GRAFT_SHUFFLE_PARTS overrides for scale
+    // rehearsals above sf0.1, where partitions must grow with the data
+    // (the ScaleProbe lesson: fixed partitions make per-partition hash
+    // builds grow linearly with the corpus until they overwhelm the heap).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -64,5 +70,6 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    TempStores.deleteAll() // lifecycle-query stores: no orphans on exit
   }
 }

@@ -732,6 +732,8 @@ object Multimodal {
     */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
       maxHamming: Int = 6, stride: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8x8-bit banding is exact only for maxHamming in [0,7], got $maxHamming")
     val sk = videoAHash(spark, media, stride).toDF()
       .where(col("ok")).select(col("doc_id"), col("frame_ix"), col("ahash"))
       .localCheckpoint(false)
@@ -818,13 +820,25 @@ object Multimodal {
     * shuffles only its band keys.
     *
     * Returns the batch's duplicate decisions (doc_id, dup_of, hd) and
-    * appends the batch's hashes to the store. The returned frame stays
-    * lazy-safe: it re-reads the store at execution time, but the
-    * arr_a < arr_b filter makes extra (later-arrived) history rows
-    * self-excluding, so evaluation order cannot change the answer.
+    * appends the batch's hashes to the store. The returned frame
+    * snapshots the store's FILE LISTING at call time —
+    * `spark.read.parquet` builds its file index when the DataFrame is
+    * constructed, i.e. before this call's own append — so the candidate
+    * pool is exactly the pre-batch history plus this batch regardless of
+    * when the result is evaluated. CONTRACT: successive batches must
+    * carry nondecreasing `arr` ranges (ingest in arrival order); a batch
+    * whose arr values precede already-stored history would need matches
+    * the store was never asked for, and the per-batch decisions would no
+    * longer equal the one-shot closed form.
+    *
+    * `maxHamming` must be ≤ 3: the 4×16-bit banding is pigeonhole-exact
+    * only there (hd ≤ 3 over 4 bands forces one identical band); a larger
+    * threshold would silently lose candidates.
     */
   def ingestMediaHashBatch(spark: SparkSession, storePath: String,
       hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is exact only for maxHamming in [0,3], got $maxHamming")
     val storeExists = {
       val dir = new java.io.File(storePath)
       dir.isDirectory && dir.listFiles() != null &&

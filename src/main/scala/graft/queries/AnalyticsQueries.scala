@@ -57,12 +57,18 @@ object AnalyticsQueries extends QueryPack {
     * adds its deterministic output order; ts_anomaly_mad consumes the
     * residual stream mid-plan, where a global sort would be waste).
     */
-  /** Positive shift that makes the trend numerator (a sum of CENTERED
-    * deseasonalized micro-values, which can be negative) positive before
-    * the doubled-numerator half-up division — Spark's `div` and DuckDB's
-    * `//` agree (truncate == floor) only on positives. Must exceed any
-    * |deseasonalized| micro-value; fixture values are < 1e3, so 1e12
-    * micro leaves 6 orders of headroom.
+  /** Positive shift that makes every half-up-division numerator in the
+    * decomposition positive — Spark's `div` and DuckDB's `//` agree
+    * (truncate == floor) only on positives. Applied to ALL THREE derived
+    * series (v6 value mean, s6 seasonal mean, t6 trend mean), not just
+    * the trend: v6/s6 numerators are sums of signed inputs too, so a
+    * future fixture with negative values would silently diverge between
+    * engines if only the trend were shifted (round-10 advice item).
+    * Adding M·denominator to the numerator and M back off the quotient
+    * is exact — (x + M·y) div y = x div y + M whenever x ≥ 0 — so the
+    * shifted spelling is bit-identical on nonnegative data. Must exceed
+    * any |mean| micro-value; fixture values are < 1e3 (1e9 micro), so
+    * 1e12 leaves 3 orders of headroom.
     */
   private val TrendOffset = 1000000000000L
 
@@ -83,16 +89,17 @@ object AnalyticsQueries extends QueryPack {
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("_c"),
         count(col("value")).as("_n"))
       .select(col("event_type"), col("bucket_sec"),
-        expr("(20000 * cast(_c as decimal(38,0)) + _n) div (2 * _n)")
-          .as("v6"))
+        expr(s"(20000 * cast(_c as decimal(38,0)) + (2 * ${TrendOffset}L + 1) * _n)" +
+          s" div (2 * _n) - ${TrendOffset}L").as("v6"))
     val byHod = Window.partitionBy(col("event_type"),
       expr("(bucket_sec div 3600) % 24"))
     val byType = Window.partitionBy(col("event_type"))
       .orderBy(col("bucket_sec")).rowsBetween(-11, 12)
     hourly
-      .withColumn("_sv", sum(col("v6")).over(byHod))
+      .withColumn("_sv", sum(col("v6") + lit(TrendOffset)).over(byHod))
       .withColumn("_g", count(lit(1)).over(byHod))
-      .withColumn("s6", expr("(2 * _sv + _g) div (2 * _g)"))
+      .withColumn("s6",
+        expr(s"(2 * _sv + _g) div (2 * _g) - ${TrendOffset}L"))
       .withColumn("_sd",
         sum(col("v6") - col("s6") + lit(TrendOffset)).over(byType))
       .withColumn("_w", count(lit(1)).over(byType))
@@ -762,19 +769,21 @@ object AnalyticsQueries extends QueryPack {
     // MAD-anomaly oracles.
     // All-integer mirror of [[seasonalDecomposed]]: micro-unit half-up
     // quantization via (2x + y) // (2y) on POSITIVE numerators (the
-    // TrendOffset shift keeps the centered trend sum positive — Spark
-    // div and DuckDB // agree only there). DuckDB's sum(BIGINT) widens
-    // to HUGEINT, so the ×20000 numerator can't overflow.
+    // TrendOffset shift keeps ALL numerators — value mean, seasonal
+    // mean, centered trend sum — positive; Spark div and DuckDB //
+    // agree only there). DuckDB's sum(BIGINT) widens to HUGEINT, so
+    // the ×20000 numerator can't overflow.
     val duckSeasonalTr =
       s"""b AS (
          |  SELECT event_type, (epoch_ms(ts) // 3600000) * 3600 AS bucket_sec,
-         |    (20000 * sum(CAST(round(value * 100) AS BIGINT)) + count(value))
-         |      // (2 * count(value)) AS v6
+         |    (20000 * sum(CAST(round(value * 100) AS BIGINT))
+         |       + (2 * $TrendOffset + 1) * count(value))
+         |      // (2 * count(value)) - $TrendOffset AS v6
          |  FROM events GROUP BY 1, 2),
          |se AS (
          |  SELECT event_type, bucket_sec, v6,
-         |    (2 * sum(v6) OVER hod + count(*) OVER hod)
-         |      // (2 * count(*) OVER hod) AS s6
+         |    (2 * sum(v6 + $TrendOffset) OVER hod + count(*) OVER hod)
+         |      // (2 * count(*) OVER hod) - $TrendOffset AS s6
          |  FROM b
          |  WINDOW hod AS (PARTITION BY event_type, (bucket_sec // 3600) % 24)),
          |t0 AS (

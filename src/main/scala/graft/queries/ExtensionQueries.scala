@@ -60,19 +60,12 @@ object ExtensionQueries extends QueryPack {
 
   /** One scratch directory per JVM for the materialized-index query —
     * reused (and overwritten) across invocations so min-of-3 bench runs
-    * and probe sweeps don't accumulate orphaned index copies, and
-    * removed on JVM exit.
+    * and probe sweeps don't accumulate orphaned index copies, under the
+    * [[graft.TempStores]] session root so Bench/Verify exit hygiene
+    * removes it.
     */
-  private lazy val indexScratchDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }))
-    dir.toString
-  }
+  private lazy val indexScratchDir: String =
+    graft.TempStores.newStore("graft_ivfpq_q")
 
   /** ADC shortlist width for the two-stage rerank query: stage 1 keeps
     * the `RerankShortlist` best candidates by compressed-code distance,
@@ -260,8 +253,7 @@ object ExtensionQueries extends QueryPack {
     // the batch pipeline over the union: the oracle is dedup_clusters'
     // SQL extended with self-labeled singletons.
     "dedup_clusters_incremental" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_clusters_q").toString
+      val path = graft.TempStores.newStore("graft_clusters_q")
       val docs = documents(s, d)
       Dedup.ingestClusterBatch(s, path, docs.where(col("doc_id") % 2 === 0),
         "doc_id", "text", 0L)

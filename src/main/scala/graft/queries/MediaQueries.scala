@@ -159,9 +159,11 @@ object MediaQueries extends QueryPack {
 
     // INCREMENTAL perceptual media dedup lifecycle: the corpus arrives
     // in 3 out-of-id-order batches (arrival key arr = (doc_id%3)·1e10 +
-    // doc_id — a total order that interleaves ids across batches), each
-    // ingested against the on-disk hash store of everything seen before
-    // via Multimodal.ingestMediaHashBatch. Because the store keeps every
+    // doc_id — a total order that interleaves ids across batches, and
+    // batch i's arr range [i·1e10, …] keeps ranges nondecreasing across
+    // ingests, the ingestMediaHashBatch contract), each ingested against
+    // the on-disk hash store of everything seen before via
+    // Multimodal.ingestMediaHashBatch. Because the store keeps every
     // ingested hash (rejects included — near-duplication is not
     // transitive), the decisions have a batch-split-independent closed
     // form — doc b is a dup iff some a with arr_a < arr_b is within
@@ -169,10 +171,25 @@ object MediaQueries extends QueryPack {
     // what the oracle computes in one shot. The dedup_clusters_
     // incremental class: per-batch cost flat as the store grows, the
     // history contributes band keys only, never a pairwise scan.
+    //
+    // PLANTED TWINS (r9 advice): the raw fixture has no pairs within
+    // hd ≤ 3, so without twins the decision set is empty at every SF and
+    // the oracle check is vacuous. Each doc gets an aHash-invariant
+    // brightness-shifted twin at doc_id+10^9; twin batch is
+    // (doc_id+1)%3 ≠ doc_id%3 (10^9 ≡ 1 mod 3), so every {doc, twin}
+    // pair crosses a batch boundary — the store path, not just the
+    // in-batch join, carries the hd=0 match, and whichever of the pair
+    // arrives second must name the first as dup_of. ~1 decision row per
+    // document; cross-doc hashes stay > 3 apart (shift invariance
+    // preserves all pairwise distances).
     "media_dedup_incremental" -> ((s, d) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_media_store").toString + "/hashes"
-      val sk = Multimodal.stubAHash(documents(s, d), "doc_id", "text")
+      val store =
+        graft.TempStores.newStore("graft_media_store") + "/hashes"
+      val docs = documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionAll(
+        docs.select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          Multimodal.brightnessShift(col("text")).as("text")))
+      val sk = Multimodal.stubAHash(corpus, "doc_id", "text")
         .select(col("doc_id"),
           ((col("doc_id") % 3) * lit(10000000000L) + col("doc_id")).as("arr"),
           col("ahash_lo"), col("ahash_hi"))
@@ -185,6 +202,18 @@ object MediaQueries extends QueryPack {
     }))
 
   def oracleSql: Map[String, String] = {
+    // DuckDB mirror of [[Multimodal.brightnessShift]]: +1 on chars
+    // 32..125 ONLY, out-of-domain chars pass through — exactly
+    // translate's bounded char map. The old chr(ascii(c)+1)-on-every-
+    // char spelling computed a DIFFERENT function that agreed only
+    // because fixture text stays within [32,121]; '~' (126), control
+    // chars, or non-ASCII would silently break hash parity (r9 advice).
+    def duckShift(c: String): String =
+      s"(CASE WHEN ascii($c) BETWEEN 32 AND 125 THEN chr(ascii($c) + 1) ELSE $c END)"
+    val shiftedText =
+      s"""array_to_string(
+         |      list_transform(generate_series(1, length(text)),
+         |        i -> ${duckShift("substr(text, CAST(i AS INT), 1)")}), '')""".stripMargin
     val ahashCte =
       """px AS (
         |  SELECT doc_id, text, length(text) AS n,
@@ -245,9 +274,7 @@ object MediaQueries extends QueryPack {
         s"""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 1000000000, array_to_string(
-           |      list_transform(generate_series(1, length(text)),
-           |        i -> chr(ascii(substr(text, CAST(i AS INT), 1)) + 1)), '')
+           |  SELECT doc_id + 1000000000, $shiftedText
            |  FROM documents),
            |$ahashCte,
            |bands AS (
@@ -278,9 +305,7 @@ object MediaQueries extends QueryPack {
            |  SELECT doc_id, frame_ix, text FROM fr0
            |  UNION ALL
            |  SELECT doc_id + 1000000000, frame_ix,
-           |    CASE WHEN frame_ix < 3 THEN array_to_string(
-           |        list_transform(generate_series(1, length(text)),
-           |          i -> chr(ascii(substr(text, CAST(i AS INT), 1)) + 1)), '')
+           |    CASE WHEN frame_ix < 3 THEN $shiftedText
            |    ELSE reverse(text) END
            |  FROM fr0),
            |px AS (
@@ -329,7 +354,11 @@ object MediaQueries extends QueryPack {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "media_dedup_incremental" ->
-        s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000, $shiftedText
+           |  FROM documents),
            |$ahashCte,
            |ar AS (
            |  SELECT doc_id, (doc_id % 3) * 10000000000 + doc_id AS arr,

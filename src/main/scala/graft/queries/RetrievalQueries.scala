@@ -24,19 +24,12 @@ object RetrievalQueries extends QueryPack {
   val TopK = 10
 
   /** Per-JVM scratch dir for the materialized-index query (the
-    * sim_ivfpq_from_index pattern: reused across bench/probe invocations,
-    * removed on JVM exit).
+    * sim_ivfpq_from_index pattern: reused across bench/probe
+    * invocations), under the [[graft.TempStores]] session root so
+    * Bench/Verify exit hygiene removes it.
     */
-  private lazy val indexScratchDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }))
-    dir.toString
-  }
+  private lazy val indexScratchDir: String =
+    graft.TempStores.newStore("graft_bm25_q")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-k: query-term filter BEFORE the posting aggregation, df as

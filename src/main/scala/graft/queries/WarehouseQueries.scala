@@ -111,8 +111,7 @@ object WarehouseQueries extends QueryPack {
     // (a plan-time constant, the kCore pattern), so per-key arrival
     // order holds and the quarantine stays empty.
     "scd2_incremental" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_scd2_q").toString
+      val path = graft.TempStores.newStore("graft_scd2_q")
       val chg = tierChanges(s, d)
       val cut = chg.agg(expr("percentile(ts_ms, 0.5)")).first().getDouble(0)
       graft.ops.ScdStore.ingestBatch(s, path, chg.where(col("ts_ms") <= cut),

@@ -60,7 +60,7 @@ class AnalysisSpec extends SparkSpec {
   }
 
   test("readMetricsCsv scans recursively with declared schema and drops bad rows") {
-    val dir = Files.createTempDirectory("metrics_csv")
+    val dir = graft.TempStores.newStorePath("metrics_csv")
     val sub = Files.createDirectories(dir.resolve("run_a/part0"))
     Files.writeString(sub.resolve("m1.csv"),
       "batch_id,epoch_sec,batch_events,mean_latency_ms,p50_latency_ms,p95_latency_ms,p99_latency_ms\n" +
@@ -88,7 +88,7 @@ class AnalysisSpec extends SparkSpec {
           org.apache.spark.sql.functions.when($"batch_events" === 5000L, 1000)
             .otherwise(8000)), triggerSec = 5)
     val summary = Analysis.summarize(m, "rate_eps_input")
-    val out = Files.createTempDirectory("graft_svg").toString
+    val out = graft.TempStores.newStorePath("graft_svg").toString
     val figs = graft.analysis.Plot.exp1Figures(summary, out)
     assert(figs.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
       Set("throughput_vs_rate.svg", "p95_latency_vs_rate.svg"))

@@ -56,7 +56,7 @@ class ClusterIngestSpec extends SparkSpec {
     Dedup.readClusterLabels(spark, path).get.as[(Long, Long)].collect().toMap
 
   test("incremental labels equal the batch pipeline, incl. cross-batch merge") {
-    val dir = Files.createTempDirectory("clusterstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("clusterstore").toFile.getAbsolutePath
     val b1 = df(1L -> tA, 2L -> tA, 10L -> tB)            // cluster {1,2}, singleton 10
     val b2 = df(20L -> tC, 3L -> tA)                       // 3 joins {1,2}; 20 singleton
     val b3 = df(11L -> tB, 21L -> tC, 30L -> tD)           // 11→10, 21→20, 30 singleton
@@ -81,7 +81,7 @@ class ClusterIngestSpec extends SparkSpec {
   }
 
   test("clusters growing across three batches stay single components") {
-    val dir = Files.createTempDirectory("clusterstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("clusterstore").toFile.getAbsolutePath
     // Two content families interleaved across every batch: each arrival
     // must attach to its family's existing cluster via the banded
     // history (never to the other family), through three generations of
@@ -98,13 +98,13 @@ class ClusterIngestSpec extends SparkSpec {
 
   test("streaming clusterIngest equals the batch pipeline over the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val dir = Files.createTempDirectory("clusterstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("clusterstore").toFile.getAbsolutePath
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String)](spark)
     val q = graft.stream.DedupStream
       .clusterIngest(ms.toDF().toDF("doc_id", "text"), dir)
       .option("checkpointLocation",
-        Files.createTempDirectory("cluster_ck").toString)
+        graft.TempStores.newStorePath("cluster_ck").toString)
       .start()
     try {
       ms.addData(1L -> tA, 2L -> tA, 10L -> tB)
@@ -118,7 +118,7 @@ class ClusterIngestSpec extends SparkSpec {
   }
 
   test("replayed batch ids are no-ops and vacuum keeps the live view") {
-    val dir = Files.createTempDirectory("clusterstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("clusterstore").toFile.getAbsolutePath
     Dedup.ingestClusterBatch(spark, dir, df(1L -> tA, 2L -> tA), "doc_id", "text", 0L)
     val before = storeLabels(dir)
     // replay batch 0 with DIFFERENT content — watermark must reject it
@@ -135,7 +135,7 @@ class ClusterIngestSpec extends SparkSpec {
   }
 
   test("label compaction folds the delta chain without changing the view") {
-    val dir = Files.createTempDirectory("clusterstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("clusterstore").toFile.getAbsolutePath
     // maxDeltas=2: batches 0 (base), 1, 2 (deltas), 3 (compacts), 4, 5
     val batches = Seq(
       df(1L -> tA, 2L -> tA), df(10L -> tB), df(3L -> tA),

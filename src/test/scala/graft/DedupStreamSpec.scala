@@ -15,7 +15,7 @@ class DedupStreamSpec extends SparkSpec {
 
   private def startQuery(df: org.apache.spark.sql.DataFrame, name: String) =
     df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", Files.createTempDirectory("dedup_ck").toString)
+      .option("checkpointLocation", graft.TempStores.newStorePath("dedup_ck").toString)
       .outputMode("append").start()
 
   test("withinWatermark drops cross-batch duplicates, evicts after the delay") {

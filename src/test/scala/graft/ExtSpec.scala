@@ -329,8 +329,8 @@ class ExtSpec extends SparkSpec {
   }
 
   test("incremental dedup ingest: first-seen-wins across batches == one-shot dedup on the union") {
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_dedup_store").toString + "/keys"
+    val store =
+      graft.TempStores.newStore("graft_dedup_store") + "/keys"
     def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
     // batch A: one internal dup; batch B: overlaps A, one internal dup,
     // one genuinely new doc; ids increase with arrival

@@ -32,8 +32,8 @@ class KafkaIntegrationSpec extends SparkSpec {
       "spark-sql-kafka-0-10 must be on the classpath for the live-Kafka test")
     val broker = bootstrap.get
     val topic = s"graft_it_${System.currentTimeMillis()}"
-    val outDir = java.nio.file.Files.createTempDirectory("graft_kafka_out").toString
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_kafka_ck").toString
+    val outDir = graft.TempStores.newStorePath("graft_kafka_out").toString
+    val ckDir = graft.TempStores.newStorePath("graft_kafka_ck").toString
 
     // S2: publish 500 producer-rule events as JSON (the reference wire
     // format) through the batch Kafka sink. Auto-topic-creation or a

@@ -9,7 +9,7 @@ class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
   test("writePartitioned: directory keys, pruned reads, in-file ordering") {
-    val out = Files.createTempDirectory("graft_layout").toString + "/docs"
+    val out = graft.TempStores.newStorePath("graft_layout").toString + "/docs"
     Layout.writePartitioned(
       Tables.documents(spark, sf0001), out,
       partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
@@ -40,7 +40,7 @@ class LayoutSpec extends SparkSpec {
   test("IVF-PQ index on disk: pruned serving reads only probed cells, answer matches in-plan IVF-PQ") {
     import graft.ext.Similarity
     val e = Tables.embeddings(spark, sf0001)
-    val path = Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_ivfpq").toString + "/index"
     Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
       numCells = 16, m = 8, k = 16, dims = 64, path = path)
 
@@ -93,7 +93,7 @@ class LayoutSpec extends SparkSpec {
     // contiguous split so the first half contains ids 0..15 (dense seeds)
     val first = e.where($"vec_id" < half)
     val rest = e.where($"vec_id" >= half)
-    val tmp = Files.createTempDirectory("graft_ivfpq_append").toString
+    val tmp = graft.TempStores.newStorePath("graft_ivfpq_append").toString
     val base = tmp + "/idx"
     Similarity.writeIvfPqIndex(first, "vec_id", "embedding",
       numCells = 16, m = 8, k = 16, dims = 64, path = base, trainIters = 2)
@@ -164,7 +164,7 @@ class LayoutSpec extends SparkSpec {
   test("residual (IVFADC) index: from-index serving == direct plan, append == rebuild, encoding recorded") {
     import graft.ext.Similarity
     val e = Tables.embeddings(spark, sf0001)
-    val tmp = Files.createTempDirectory("graft_ivfpq_resid").toString
+    val tmp = graft.TempStores.newStorePath("graft_ivfpq_resid").toString
     val path = tmp + "/idx"
     val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
     val rbook = Similarity.seedResidualBook(e, "vec_id", "embedding",
@@ -216,7 +216,7 @@ class LayoutSpec extends SparkSpec {
     val half = e.count() / 2
     val first = e.where($"vec_id" < half)
     val rest = e.where($"vec_id" >= half)
-    val tmp = Files.createTempDirectory("graft_ivfpq_stream").toString
+    val tmp = graft.TempStores.newStorePath("graft_ivfpq_stream").toString
     val base = tmp + "/idx"
     Similarity.writeIvfPqIndex(first, "vec_id", "embedding",
       numCells = 16, m = 8, k = 16, dims = 64, path = base, trainIters = 2)
@@ -262,7 +262,7 @@ class LayoutSpec extends SparkSpec {
     val ev = Tables.events(spark, sf0001)
       .select($"user_id".cast("long").as("x"),
         floor($"value" / 25.0).cast("long").as("y"))
-    val base = Files.createTempDirectory("graft_zorder").toString
+    val base = graft.TempStores.newStorePath("graft_zorder").toString
     val nFiles = 16
     Layout.writeZOrdered(ev, s"$base/z", "x", "y", numFiles = nFiles, bits = 8)
     ev.repartitionByRange(nFiles, $"x", $"y").sortWithinPartitions($"x", $"y")
@@ -291,7 +291,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("writePartitioned caps records per file") {
-    val out = Files.createTempDirectory("graft_layout").toString + "/capped"
+    val out = graft.TempStores.newStorePath("graft_layout").toString + "/capped"
     Layout.writePartitioned(
       Tables.documents(spark, sf0001), out,
       partitionCols = Seq.empty, sortCols = Seq("doc_id"),

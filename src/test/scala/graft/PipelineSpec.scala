@@ -90,7 +90,7 @@ class PipelineSpec extends SparkSpec {
     // against a driver-side sequential fold within the composition's
     // rounding-reorder tolerance.
     val n = 100000L
-    val dir = java.nio.file.Files.createTempDirectory("ewma_giant").toString
+    val dir = graft.TempStores.newStorePath("ewma_giant").toString
     spark.range(n).select(
       lit(1).as("user_id"),
       expr("timestamp_micros(1700000000000000 + id * 1000000)").as("ts"),

@@ -51,7 +51,7 @@ class RetrievalSpec extends SparkSpec {
 
   test("bm25 served from the materialized index == in-plan, and the scan is bucket-pruned") {
     val docs = Tables.documents(spark, sf0001)
-    val path = Files.createTempDirectory("graft_bm25").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25").toString + "/index"
     Retrieval.writeInvertedIndex(docs, path)
 
     val terms = Seq("spark", "vector", "dup")
@@ -82,7 +82,7 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
 
     // two ingest batches -> two immutable segments
-    val path = Files.createTempDirectory("graft_bm25_seg").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_seg").toString + "/index"
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
     val served = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
@@ -111,7 +111,7 @@ class RetrievalSpec extends SparkSpec {
   test("segment compaction: serving is unchanged, and ingest continues after") {
     val docs = Tables.documents(spark, sf0001)
     val terms = Seq("spark", "vector", "dup")
-    val path = Files.createTempDirectory("graft_bm25_cmp").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_cmp").toString + "/index"
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
     val before = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
@@ -164,7 +164,7 @@ class RetrievalSpec extends SparkSpec {
 
   test("phrase retrieval from the positional index == in-plan, across segments") {
     val docs = Tables.documents(spark, sf0001)
-    val path = Files.createTempDirectory("graft_phrase_idx").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_phrase_idx").toString + "/index"
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
     val phrase = Seq("spark", "vector")
@@ -260,7 +260,7 @@ class RetrievalSpec extends SparkSpec {
 
     // freeze stats from a segmented index over the SAME corpus, so the
     // batch bm25Scores over that corpus is the executable expectation
-    val path = Files.createTempDirectory("graft_perc").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_perc").toString + "/index"
     graft.ext.Retrieval.writeIndexSegment(docs, path, "s0")
     val (dfMap, n, avgdl) = Retrieval.frozenStats(spark, path, terms)
 
@@ -331,7 +331,7 @@ class RetrievalSpec extends SparkSpec {
   test("compaction crash-safety: uncommitted staged data is invisible and vacuumable") {
     val docs = Tables.documents(spark, sf0001)
     val terms = Seq("spark", "vector", "dup")
-    val path = Files.createTempDirectory("graft_bm25_crash").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_crash").toString + "/index"
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 0), path, "s0")
     Retrieval.writeIndexSegment(docs.where($"doc_id" % 2 === 1), path, "s1")
     val before = Retrieval.bm25TopKSegmented(spark, path, terms, 10)
@@ -342,7 +342,7 @@ class RetrievalSpec extends SparkSpec {
     // segment directory appears under segments/ that the manifest does
     // not reference. The live view must be unchanged — a
     // directory-listing authority would double-count every document.
-    val other = Files.createTempDirectory("graft_bm25_crash2").toString + "/index"
+    val other = graft.TempStores.newStorePath("graft_bm25_crash2").toString + "/index"
     Retrieval.writeIndexSegment(docs, other, "halfdone")
     assert(new java.io.File(s"$other/segments/halfdone")
       .renameTo(new java.io.File(s"$path/segments/halfdone")))
@@ -364,7 +364,7 @@ class RetrievalSpec extends SparkSpec {
 
   test("mixed bucket counts fail loudly on every segmented read path") {
     val docs = docsDf((1L, "alpha beta"), (2L, "beta gamma"))
-    val path = Files.createTempDirectory("graft_bm25_mix").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_mix").toString + "/index"
     Retrieval.writeIndexSegment(docs.where($"doc_id" === 1), path, "s0",
       buckets = 64)
     Retrieval.writeIndexSegment(docs.where($"doc_id" === 2), path, "s1",
@@ -417,7 +417,7 @@ class RetrievalSpec extends SparkSpec {
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val (firstHalf, secondHalf) = docs.splitAt(docs.length / 2)
     val terms = Seq("spark", "vector", "dup")
-    val path = Files.createTempDirectory("graft_bm25_stream").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_stream").toString + "/index"
 
     val input = MemoryStream[(Long, String)](spark)
     val q = Retrieval.ingestStream(
@@ -464,7 +464,7 @@ class RetrievalSpec extends SparkSpec {
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val slices = docs.grouped(math.max(1, docs.length / 4)).toSeq.take(4)
     val terms = Seq("spark", "vector", "dup")
-    val path = Files.createTempDirectory("graft_bm25_auto").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_auto").toString + "/index"
     def segNames = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(s"$path/segments.manifest"))
       .toArray.map(_.toString).filterNot(_.startsWith("#")).sorted.toSeq
@@ -517,7 +517,7 @@ class RetrievalSpec extends SparkSpec {
   test("a crashed first segment on a fresh index is never adopted") {
     // state a crash leaves: the (empty) manifest was adopted eagerly,
     // segment data only half-written — here a bare directory
-    val path = Files.createTempDirectory("graft_bm25_fresh").toString + "/index"
+    val path = graft.TempStores.newStorePath("graft_bm25_fresh").toString + "/index"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$path/segments/s0"))
     java.nio.file.Files.write(

@@ -36,7 +36,7 @@ class ScdStoreSpec extends SparkSpec {
     ScdStore.ingestBatch(spark, path, b, "k", "t", "tb", "a", id, maxDeltas)
 
   test("folded view equals the one-shot build across batches") {
-    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("scdstore").toFile.getAbsolutePath
     // u1: version continues across batches (x -> y at t=30) and the
     //     open interval at t=20 is RE-CLOSED by batch 1;
     // u2: attr UNCHANGED across the batch boundary — no new version;
@@ -61,7 +61,7 @@ class ScdStoreSpec extends SparkSpec {
   }
 
   test("late arrivals quarantine instead of rewriting committed history") {
-    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("scdstore").toFile.getAbsolutePath
     // u1's batch-0 feed ends with a NON-change row at t=20 (dropped as a
     // duplicate, but it advanced the high water): a t=15 arrival in
     // batch 1 would silently rewrite history if only change points were
@@ -82,7 +82,7 @@ class ScdStoreSpec extends SparkSpec {
   }
 
   test("replayed batch ids are no-ops; empty batches advance the watermark") {
-    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("scdstore").toFile.getAbsolutePath
     ingest(dir, df(("u1", 10L, 1L, "x")), 0L)
     val before = view(dir)
     ingest(dir, df(("u1", 99L, 9L, "z")), 0L) // replay with different data
@@ -95,7 +95,7 @@ class ScdStoreSpec extends SparkSpec {
   }
 
   test("compaction folds the delta chain without changing the view") {
-    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("scdstore").toFile.getAbsolutePath
     val batches = (0 until 6).map(i =>
       df(("u1", 10L * (i + 1), i.toLong, s"v$i"),
         (s"w$i", 100L + i, 50L + i, "c")))
@@ -114,7 +114,7 @@ class ScdStoreSpec extends SparkSpec {
   }
 
   test("time travel: readDimAt replays every committed batch view, incl. through compaction") {
-    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("scdstore").toFile.getAbsolutePath
     val batches = (0 until 5).map(i =>
       df(("u1", 10L * (i + 1), i.toLong, s"v$i"), (s"w$i", 100L + i, 50L + i, "c")))
     // maxDeltas=2 forces a mid-sequence compaction: snapshots must keep
@@ -150,13 +150,13 @@ class ScdStoreSpec extends SparkSpec {
 
   test("streaming dimIngest equals the one-shot build over the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val dir = Files.createTempDirectory("scdstore").toFile.getAbsolutePath
+    val dir = graft.TempStores.newStorePath("scdstore").toFile.getAbsolutePath
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, Long, Long, String)](spark)
     val q = graft.stream.ScdStream
       .dimIngest(ms.toDF().toDF("k", "t", "tb", "a"), dir, "k", "t", "tb", "a")
       .option("checkpointLocation",
-        Files.createTempDirectory("scd_ck").toString)
+        graft.TempStores.newStorePath("scd_ck").toString)
       .start()
     try {
       ms.addData(("u1", 10L, 1L, "x"), ("u2", 15L, 2L, "p"))

@@ -15,7 +15,7 @@ class SourcesSpec extends SparkSpec {
   private def roundTrip(fmt: String): Unit = {
     val src = Tables.documents(spark, sf0001)
       .select($"doc_id", $"text", $"lang", $"n_chars")
-    val dir = Files.createTempDirectory(s"graft_$fmt").toString + "/t"
+    val dir = graft.TempStores.newStorePath(s"graft_$fmt").toString + "/t"
     src.write.format(fmt).save(dir)
     val back = spark.read.format(fmt)
       .schema(src.schema) // explicit schema: no inference pass at scale
@@ -32,7 +32,7 @@ class SourcesSpec extends SparkSpec {
   test("XML round-trip preserves schema and values (built-in Spark 4 source)") {
     val src = Tables.documents(spark, sf0001)
       .select($"doc_id", $"text", $"lang", $"n_chars")
-    val dir = Files.createTempDirectory("graft_xml").toString + "/t"
+    val dir = graft.TempStores.newStorePath("graft_xml").toString + "/t"
     src.write.format("xml").option("rowTag", "doc").save(dir)
     val back = spark.read.format("xml").option("rowTag", "doc")
       .schema(src.schema).load(dir)
@@ -46,7 +46,7 @@ class SourcesSpec extends SparkSpec {
     // The multimodal ingestion path: image/audio/video files land as
     // binary columns + metadata (ext/Multimodal operates downstream of
     // exactly this shape). Partition-parallel over files, no decode.
-    val dir = Files.createTempDirectory("graft_bin")
+    val dir = graft.TempStores.newStorePath("graft_bin")
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),
       "b.bin" -> Array[Byte](9, 8))
     payloads.foreach { case (n, bytes) =>
@@ -61,7 +61,7 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("text source reads lines; wholetext reads one row per file") {
-    val dir = Files.createTempDirectory("graft_text")
+    val dir = graft.TempStores.newStorePath("graft_text")
     Files.writeString(dir.resolve("d.txt"), "line one\nline two\n")
     val lines = spark.read.text(dir.toString).as[String].collect().toSet
     assert(lines == Set("line one", "line two"))
@@ -74,7 +74,7 @@ class SourcesSpec extends SparkSpec {
     // At 100 TB, per-row provenance (which file, which position) is how
     // corrupt-shard triage and exactly-once re-ingestion work; Spark
     // exposes it as the hidden _metadata struct on file sources.
-    val dir = Files.createTempDirectory("graft_meta").toString + "/t"
+    val dir = graft.TempStores.newStorePath("graft_meta").toString + "/t"
     Tables.documents(spark, sf0001).select($"doc_id")
       .repartition(2).write.parquet(dir)
     val df = spark.read.parquet(dir)
@@ -97,7 +97,7 @@ class SourcesSpec extends SparkSpec {
   test("parquet mergeSchema reads evolving table generations as one frame") {
     // A long-lived 100 TB table accretes columns; readers must see the
     // union schema with nulls for generations that predate a column.
-    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    val dir = graft.TempStores.newStorePath("graft_evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/gen=1")
     Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/gen=2")
     val merged = spark.read.option("mergeSchema", "true").parquet(dir)
@@ -110,7 +110,7 @@ class SourcesSpec extends SparkSpec {
 
   test("ORC scan prunes columns and pushes filters like parquet") {
     val src = Tables.documents(spark, sf0001)
-    val dir = Files.createTempDirectory("graft_orc_push").toString + "/t"
+    val dir = graft.TempStores.newStorePath("graft_orc_push").toString + "/t"
     src.write.format("orc").save(dir)
     val q = spark.read.format("orc").schema(src.schema).load(dir)
       .where($"doc_id" === 7L).select($"doc_id", $"lang")
@@ -132,7 +132,7 @@ class SourcesSpec extends SparkSpec {
     // the same rolling checksum computed driver-side over the source
     // pattern. A garbage payload must degrade to ok=false, not throw.
     import java.awt.image.BufferedImage
-    val dir = Files.createTempDirectory("graft_png")
+    val dir = graft.TempStores.newStorePath("graft_png")
     def pixel(id: Int, x: Int, y: Int): Int =
       (((x * 31 + y * 17 + id * 101) % 255) << 16) |
         (((x * 7 + id) % 255) << 8) | ((y * 13 + id * 3) % 255)
@@ -176,7 +176,7 @@ class SourcesSpec extends SparkSpec {
     // exactly — asserted via the rolling checksum computed driver-side.
     // A garbage payload must degrade to ok=false, not throw.
     import javax.sound.sampled._
-    val dir = Files.createTempDirectory("graft_wav")
+    val dir = graft.TempStores.newStorePath("graft_wav")
     def sample(id: Int, i: Int): Short = ((id * 7919 + i * 31) % 65536 - 32768).toShort
     val meta = (0 until 24).map { id =>
       val rate = Seq(8000, 16000, 44100)(id % 3)

@@ -16,8 +16,8 @@ class StreamingSpec extends SparkSpec {
 
   test("pipeline emits one metrics row per non-empty batch, skips empty") {
     val input = MemoryStream[String](spark)
-    val outDir = Files.createTempDirectory("metrics_out").toString
-    val ckpt = Files.createTempDirectory("ckpt").toString
+    val outDir = graft.TempStores.newStorePath("metrics_out").toString
+    val ckpt = graft.TempStores.newStorePath("ckpt").toString
     val q = MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(100000L))
       .writeStream
       .foreachBatch(MetricsJob.writeBatch(spark, outDir) _)
@@ -255,8 +255,8 @@ class StreamingSpec extends SparkSpec {
 
   test("malformed JSON yields NULL struct (PERMISSIVE) and still counts") {
     val input = MemoryStream[String](spark)
-    val outDir = Files.createTempDirectory("metrics_out2").toString
-    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val outDir = graft.TempStores.newStorePath("metrics_out2").toString
+    val ckpt = graft.TempStores.newStorePath("ckpt2").toString
     val q = MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(100000L))
       .writeStream
       .foreachBatch(MetricsJob.writeBatch(spark, outDir) _)
@@ -371,7 +371,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("idempotent sink: re-processed batch replaces, never duplicates") {
-    val outDir = Files.createTempDirectory("metrics_idem").toString
+    val outDir = graft.TempStores.newStorePath("metrics_idem").toString
     val df = MetricsJob.withLatency(MetricsJob.parse(
       Seq(jsonEvent("a", 40000L), jsonEvent("b", 60000L)).toDF("value")), Some(100000L))
     MetricsJob.writeBatchIdempotent(spark, outDir)(df, 7L)
@@ -384,8 +384,8 @@ class StreamingSpec extends SparkSpec {
 
   test("checkpoint restart does not re-emit committed batches") {
     val input = MemoryStream[String](spark)
-    val outDir = Files.createTempDirectory("metrics_out3").toString
-    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val outDir = graft.TempStores.newStorePath("metrics_out3").toString
+    val ckpt = graft.TempStores.newStorePath("ckpt3").toString
     def run(data: Seq[String]): Unit = {
       val q = MetricsJob.withLatency(MetricsJob.parse(input.toDF()), Some(100000L))
         .writeStream
@@ -409,8 +409,8 @@ class StreamingSpec extends SparkSpec {
     // already-written batch id. With idempotentSink=true every batch id
     // must own exactly one row no matter how often it replays.
     val input = MemoryStream[String](spark)
-    val outDir = Files.createTempDirectory("metrics_idem2").toString
-    val ckpt = Files.createTempDirectory("ckpt_idem2").toString
+    val outDir = graft.TempStores.newStorePath("metrics_idem2").toString
+    val ckpt = graft.TempStores.newStorePath("ckpt_idem2").toString
     def run(data: Seq[String]): Unit = {
       val q = MetricsJob.start(spark, input.toDF(), outDir, ckpt,
         triggerSec = 1, nowMs = Some(100000L), idempotentSink = true)

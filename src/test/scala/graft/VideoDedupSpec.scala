@@ -125,8 +125,8 @@ class VideoDedupSpec extends SparkSpec {
         (id, id, bits & 0xFFFFFFFFL, (bits >>> 32) & 0xFFFFFFFFL)
       }.toDF("doc_id", "arr", "ahash_lo", "ahash_hi")
     def ingest(splits: Seq[Seq[Long]]): Seq[(Long, Long, Long)] = {
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_media_ing").toString + "/hashes"
+      val store =
+        graft.TempStores.newStore("graft_media_ing") + "/hashes"
       splits.map { ids =>
         Multimodal.ingestMediaHashBatch(spark, store,
           h.where(col("doc_id").isin(ids.map(Long.box): _*)))
@@ -142,6 +142,50 @@ class VideoDedupSpec extends SparkSpec {
     // hd<=1 but must report the original
     assert(oneShot == Seq((4L, 1L, 0L), (5L, 2L, 1L), (7L, 1L, 1L)),
       s"wrong decisions: $oneShot")
+  }
+
+  test("binaryFile → videoNearDupPairs end-to-end on on-disk multi-frame GIFs") {
+    // the full ingest path a video-dedup job runs: GIF files on disk →
+    // binaryFile source → (doc_id, media) → per-frame hash → banded
+    // pairs. Files 1 and 2 are the same 4 frames re-encoded by separate
+    // writer instances; file 3 is distinct content.
+    val dir = graft.TempStores.newStorePath("graft_gif")
+    val icm = palette(0)
+    val base = (0 until Frames).map(f => frame(f % 8, icm))
+    val payloads = Seq(
+      1L -> gif(base),
+      2L -> gif(base.map(f => f)), // fresh writer, same pixels
+      3L -> gif((0 until Frames).map(f => frame((f + 4) % 8, icm))))
+    payloads.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(dir.resolve(s"$id.gif"), bytes)
+    }
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.gif$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("media"))
+    val pairs = graft.ext.Multimodal.videoNearDupPairs(spark, media)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the re-encoded pair (1,2), got $pairs")
+  }
+
+  test("measured environmental bound: no MP4/H.264 reader in javax.imageio (GIF is the JDK-public multi-frame container)") {
+    // the video twin of the Kafka-broker bound (SURVEY §7.4): the JDK's
+    // public imaging surface ships multi-frame GIF but no MP4/H.264/
+    // WebM codec, so animated GIF is the only real container the
+    // sandbox can exercise end-to-end — videoAHash's reader discipline
+    // (ImageIO.getImageReaders over a stream) would pick up an MP4
+    // reader unchanged if one were on the classpath.
+    import javax.imageio.ImageIO
+    assert(ImageIO.getImageReadersByFormatName("gif").hasNext,
+      "GIF reader must exist — it is the exercisable container")
+    for (f <- Seq("mp4", "h264", "avi", "webm", "mkv"))
+      assert(!ImageIO.getImageReadersByFormatName(f).hasNext,
+        s"unexpected $f reader — the measured bound moved, update SURVEY §7.4")
+    assert(!ImageIO.getImageReadersByMIMEType("video/mp4").hasNext,
+      "unexpected video/mp4 reader — the measured bound moved")
   }
 
   test("stride sampling keeps temporal alignment (true container frame_ix)") {
