@@ -208,6 +208,93 @@ object CorpusQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // MODIFIED Kneser-Ney trigram LM (Chen & Goodman 1998 §2.7) — the
+    // smoothing production LMs actually ship: per-order discount
+    // TRIPLES D1/D2/D3+ (one per count class, estimated from the
+    // count-of-counts via Y = n1/(n1+2n2), Dk = k − (k+1)·Y·n(k+1)/nk)
+    // instead of lm_kneser_ney's single D, recursing trigram → bigram
+    // CONTINUATION counts → unigram continuation. Every statistic
+    // derives from the ONE checkpointed trigram-type table: c(ab·) and
+    // the per-context count-class histogram by (a,b); the bigram level
+    // from cc(b,c) = |{a : c(abc)>0}| (continuation, not raw, counts —
+    // the Kneser-Ney insight) with ITS OWN discount triple from cc's
+    // count-of-counts; the unigram level from distinct-(b,c) rows.
+    // Count-of-count totals ride as 1-row broadcasts; discount ratios
+    // are nullif-guarded and clamped to [0, k] so a degenerate corpus
+    // (empty count class) degrades instead of NULLing the score; the
+    // corpus-sized trigram stream meets exactly one scored join. Docs
+    // under 3 tokens drop (no trigrams). The float expression tree is
+    // spelled identically in both engines behind round(·, 6).
+    "lm_kneser_ney_tri" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+      val n3 = size(col("_toks")) - 2
+      val tri = tok.where(size(col("_toks")) >= 3)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("_toks"), lit(1), n3),
+          slice(col("_toks"), lit(2), n3),
+          slice(col("_toks"), lit(3), n3))).as("_t"))
+        .select(col("doc_id"), col("_t")("0").as("a"),
+          col("_t")("1").as("b"), col("_t")("2").as("c"))
+      def cls(cnt: Column): Seq[org.apache.spark.sql.Column] = Seq(
+        sum(when(cnt === 1, 1L).otherwise(0L)),
+        sum(when(cnt === 2, 1L).otherwise(0L)),
+        sum(when(cnt >= 3, 1L).otherwise(0L)),
+        sum(when(cnt === 3, 1L).otherwise(0L)),
+        sum(when(cnt === 4, 1L).otherwise(0L)))
+      val c3 = tri.groupBy("a", "b", "c").agg(count(lit(1)).as("c3"))
+        .localCheckpoint(false) // type-sized; every statistic derives here
+      val hi = c3.groupBy("a", "b").agg(sum(col("c3")).as("cab"),
+        cls(col("c3"))(0).as("h1"), cls(col("c3"))(1).as("h2"),
+        cls(col("c3"))(2).as("h3"))
+      val coc3 = c3.agg(cls(col("c3"))(0).as("n1"), cls(col("c3"))(1).as("n2"),
+        cls(col("c3"))(3).as("n3"), cls(col("c3"))(4).as("n4"))
+      val cc2 = c3.groupBy("b", "c").agg(count(lit(1)).as("cc"))
+        .localCheckpoint(false) // bigram continuation-count table
+      val mid = cc2.groupBy("b").agg(sum(col("cc")).as("cb"),
+        cls(col("cc"))(0).as("k1"), cls(col("cc"))(1).as("k2"),
+        cls(col("cc"))(2).as("k3"))
+      val coc2 = cc2.agg(cls(col("cc"))(0).as("m1"), cls(col("cc"))(1).as("m2"),
+        cls(col("cc"))(3).as("m3"), cls(col("cc"))(4).as("m4"))
+      val cu = cc2.groupBy("c").agg(count(lit(1)).as("cuc"))
+      val nbt = cc2.agg(count(lit(1)).as("nbt"))
+      val scored = c3.join(hi, Seq("a", "b")).join(cc2, Seq("b", "c"))
+        .join(mid, Seq("b")).join(cu, Seq("c"))
+        .crossJoin(broadcast(coc3)).crossJoin(broadcast(coc2))
+        .crossJoin(broadcast(nbt))
+        .withColumn("y3",
+          expr("coalesce(CAST(n1 AS DOUBLE) / nullif(n1 + 2 * n2, 0), 0.5)"))
+        .withColumn("d1", expr("greatest(0.0, least(1.0," +
+          " 1.0 - 2.0 * y3 * coalesce(CAST(n2 AS DOUBLE) / nullif(n1, 0), 0.0)))"))
+        .withColumn("d2", expr("greatest(0.0, least(2.0," +
+          " 2.0 - 3.0 * y3 * coalesce(CAST(n3 AS DOUBLE) / nullif(n2, 0), 0.0)))"))
+        .withColumn("d3", expr("greatest(0.0, least(3.0," +
+          " 3.0 - 4.0 * y3 * coalesce(CAST(n4 AS DOUBLE) / nullif(n3, 0), 0.0)))"))
+        .withColumn("y2",
+          expr("coalesce(CAST(m1 AS DOUBLE) / nullif(m1 + 2 * m2, 0), 0.5)"))
+        .withColumn("e1", expr("greatest(0.0, least(1.0," +
+          " 1.0 - 2.0 * y2 * coalesce(CAST(m2 AS DOUBLE) / nullif(m1, 0), 0.0)))"))
+        .withColumn("e2", expr("greatest(0.0, least(2.0," +
+          " 2.0 - 3.0 * y2 * coalesce(CAST(m3 AS DOUBLE) / nullif(m2, 0), 0.0)))"))
+        .withColumn("e3", expr("greatest(0.0, least(3.0," +
+          " 3.0 - 4.0 * y2 * coalesce(CAST(m4 AS DOUBLE) / nullif(m3, 0), 0.0)))"))
+        .withColumn("p1", expr("CAST(cuc AS DOUBLE) / nbt"))
+        .withColumn("p2", expr(
+          "greatest(CAST(cc AS DOUBLE) - (CASE WHEN cc = 1 THEN e1" +
+            " WHEN cc = 2 THEN e2 ELSE e3 END), 0.0) / cb" +
+            " + (e1 * k1 + e2 * k2 + e3 * k3) / cb * p1"))
+        .withColumn("p3", expr(
+          "greatest(CAST(c3 AS DOUBLE) - (CASE WHEN c3 = 1 THEN d1" +
+            " WHEN c3 = 2 THEN d2 ELSE d3 END), 0.0) / cab" +
+            " + (d1 * h1 + d2 * h2 + d3 * h3) / cab * p2"))
+        .select(col("a"), col("b"), col("c"), (-log(col("p3"))).as("nllw"))
+      tri.join(scored, Seq("a", "b", "c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(avg(col("nllw")), 6).as("nll_mkn"))
+        .orderBy("doc_id")
+    }),
+
     // Interpolated trigram LM (Jelinek-Mercer): per-doc NLL under
     // P(c|a,b) = 0.6·ML₃ + 0.3·ML₂ + 0.1·ML₁ — the lm_bigram recipe one
     // order up, same optimization: each ML component comes from its own
@@ -1751,6 +1838,81 @@ object CorpusQueries extends QueryPack {
           |  round(avg(nllw), 6) AS nll_kn
           |FROM bp JOIN p ON bp.a = p.a AND bp.b = p.b
           |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
+
+      // Modified-KN trigram mirror: same statistic tables (trigram
+      // types, per-context count-class histograms, bigram continuation
+      // counts, unigram continuation), same nullif-guarded clamped
+      // discount triples, the probability tree spelled token-for-token
+      // like the Spark expr strings.
+      "lm_kneser_ney_tri" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |tg AS (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+          |    i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS tg
+          |  FROM tok WHERE len(toks) >= 3),
+          |tp AS (SELECT doc_id, tg.a AS a, tg.b AS b, tg.c AS c FROM tg),
+          |c3 AS (SELECT a, b, c, count(*) AS c3 FROM tp GROUP BY 1, 2, 3),
+          |hi AS (SELECT a, b, sum(c3) AS cab,
+          |    sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS h1,
+          |    sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS h2,
+          |    sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS h3
+          |  FROM c3 GROUP BY 1, 2),
+          |coc3 AS (SELECT
+          |    sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS n1,
+          |    sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS n2,
+          |    sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS n3,
+          |    sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS n4
+          |  FROM c3),
+          |cc2 AS (SELECT b, c, count(*) AS cc FROM c3 GROUP BY 1, 2),
+          |mid AS (SELECT b, sum(cc) AS cb,
+          |    sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS k1,
+          |    sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS k2,
+          |    sum(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS k3
+          |  FROM cc2 GROUP BY 1),
+          |coc2 AS (SELECT
+          |    sum(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS m1,
+          |    sum(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS m2,
+          |    sum(CASE WHEN cc = 3 THEN 1 ELSE 0 END) AS m3,
+          |    sum(CASE WHEN cc = 4 THEN 1 ELSE 0 END) AS m4
+          |  FROM cc2),
+          |cu AS (SELECT c, count(*) AS cuc FROM cc2 GROUP BY 1),
+          |nbt AS (SELECT count(*) AS nbt FROM cc2),
+          |d3t AS (SELECT n1, n2, n3, n4,
+          |    coalesce(CAST(n1 AS DOUBLE) / nullif(n1 + 2 * n2, 0), 0.5) AS y3
+          |  FROM coc3),
+          |dd AS (SELECT
+          |    greatest(0.0, least(1.0,
+          |      1.0 - 2.0 * y3 * coalesce(CAST(n2 AS DOUBLE) / nullif(n1, 0), 0.0))) AS d1,
+          |    greatest(0.0, least(2.0,
+          |      2.0 - 3.0 * y3 * coalesce(CAST(n3 AS DOUBLE) / nullif(n2, 0), 0.0))) AS d2,
+          |    greatest(0.0, least(3.0,
+          |      3.0 - 4.0 * y3 * coalesce(CAST(n4 AS DOUBLE) / nullif(n3, 0), 0.0))) AS d3
+          |  FROM d3t),
+          |d2t AS (SELECT m1, m2, m3, m4,
+          |    coalesce(CAST(m1 AS DOUBLE) / nullif(m1 + 2 * m2, 0), 0.5) AS y2
+          |  FROM coc2),
+          |ee AS (SELECT
+          |    greatest(0.0, least(1.0,
+          |      1.0 - 2.0 * y2 * coalesce(CAST(m2 AS DOUBLE) / nullif(m1, 0), 0.0))) AS e1,
+          |    greatest(0.0, least(2.0,
+          |      2.0 - 3.0 * y2 * coalesce(CAST(m3 AS DOUBLE) / nullif(m2, 0), 0.0))) AS e2,
+          |    greatest(0.0, least(3.0,
+          |      3.0 - 4.0 * y2 * coalesce(CAST(m4 AS DOUBLE) / nullif(m3, 0), 0.0))) AS e3
+          |  FROM d2t),
+          |p AS (SELECT c3.a, c3.b, c3.c,
+          |    -ln(greatest(CAST(c3.c3 AS DOUBLE) - (CASE WHEN c3.c3 = 1 THEN d1
+          |          WHEN c3.c3 = 2 THEN d2 ELSE d3 END), 0.0) / cab
+          |        + (d1 * h1 + d2 * h2 + d3 * h3) / cab
+          |        * (greatest(CAST(cc AS DOUBLE) - (CASE WHEN cc = 1 THEN e1
+          |              WHEN cc = 2 THEN e2 ELSE e3 END), 0.0) / cb
+          |           + (e1 * k1 + e2 * k2 + e3 * k3) / cb
+          |           * (CAST(cuc AS DOUBLE) / nbt))) AS nllw
+          |  FROM c3 JOIN hi USING (a, b) JOIN cc2 USING (b, c)
+          |       JOIN mid USING (b) JOIN cu USING (c), dd, ee, nbt)
+          |SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |  round(avg(nllw), 6) AS nll_mkn
+          |FROM tp JOIN p ON tp.a = p.a AND tp.b = p.b AND tp.c = p.c
+          |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
 
       // Mirrors TextOps feature extraction exactly (same fragments the
       // text_quality_score oracle uses), then the fixed-weight sigmoid.

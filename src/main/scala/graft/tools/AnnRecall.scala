@@ -253,6 +253,23 @@ object AnnRecall {
             trainC, 2, residPq256, 8, 50, k)
           .select($"vec_id").as[Long].collect().toSeq
       }
+      // r9-verdict task #2: shortlist-width ladder — is the residual-
+      // rerank → trained-IVF-ceiling gap (0.82 vs 1.00 at @50) really
+      // shortlist width, as SURVEY §8 attributes? If recall saturates
+      // below ~0.95 as sl grows, width is NOT the cause (next suspect:
+      // code resolution / rotation of the residual book).
+      for (sl <- Seq(100, 200, 400)) {
+        cRecall(f"clu RESID rerank@$sl%-3d np=2") { q =>
+          Similarity.ivfPqResidualRerankWith(ce, "vec_id", "embedding", q,
+              trainC, 2, residPq, 8, sl, k)
+            .select($"vec_id").as[Long].collect().toSeq
+        }
+        cRecall(f"clu R256  rerank@$sl%-3d np=2") { q =>
+          Similarity.ivfPqResidualRerankWith(ce, "vec_id", "embedding", q,
+              trainC, 2, residPq256, 8, sl, k)
+            .select($"vec_id").as[Long].collect().toSeq
+        }
+      }
     }
     spark.stop()
   }

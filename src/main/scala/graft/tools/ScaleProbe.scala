@@ -305,6 +305,9 @@ object ScaleProbe {
     "video_ahash_pairs", "sim_ivfpq_residual_topk", "quality_gopher_rules",
     // Kneser-Ney: the lm_bigram plan + two vocab-keyed stat branches
     "lm_kneser_ney",
+    // r10: modified-KN trigram — the lm_trigram corpus pass + type-table
+    // derived stats only (count-of-count broadcasts are 1-row)
+    "lm_kneser_ney_tri",
     // PII scan/redact: pure projection, runs at scan speed
     "pii_scan_redact",
     // incremental media dedup: 3 store-backed ingests, band-keyed joins
