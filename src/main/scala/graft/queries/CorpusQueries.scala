@@ -25,6 +25,17 @@ object CorpusQueries extends QueryPack {
     */
   val DupSpanW = 8
 
+  /** Mojibake detectors (literal BMP code points — Java regex and
+    * DuckDB's RE2 agree on literal/class semantics there) and the
+    * deterministic damage string planted on doc_id % 4 == 0:
+    * " café" with the é as the UTF-8-as-Latin-1 digraph Ã© (U+00C3
+    * U+00A9), then U+FFFD (decoder replacement) and U+0085 (C1 NEL).
+    */
+  val MojiReplPat = "\uFFFD"
+  val MojiC1Pat = "[\u0080-\u009F]"
+  val MojiLatin1Pat = "\u00C3[\u0080-\u00BF]"
+  val MojiPlant = " caf\u00C3\u00A9 \uFFFD\u0085"
+
   /** PMI collocations: pairs below this bigram count are noise (the
     * standard floor), and the emitted association list is top-K by
     * (pmi, pair) — deterministic total order, so LIMIT cuts identically
@@ -292,6 +303,58 @@ object CorpusQueries extends QueryPack {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_trigrams"),
           round(avg(col("nllw")), 6).as("nll_mkn"))
+        .orderBy("doc_id")
+    }),
+
+    // Perplexity-gate filter (the CCNet shape: keep the best-scoring
+    // fraction of each language under a cheap LM): per-lang lowest-NLL
+    // 80% under the smoothed bigram LM. RANK-based, not threshold-based
+    // — both engines rank the ROUNDED nll (bit-equal by the lm_bigram
+    // recipe) with doc_id tiebreak and take rn·5 ≤ n·4 by integer
+    // cross-multiplication, so the cut is exact; a float percentile
+    // threshold could flip membership within an ulp of the cut. Plan:
+    // lmScores' one scored stream join + a lang projection join + one
+    // per-lang window over the DOC-sized score frame (never the token
+    // stream). Sub-2-token docs drop with the LM (no bigrams).
+    "corpus_ppl_filter" -> ((s, d) => {
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      lmScores(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("_rn", row_number().over(
+          byLang.orderBy(col("nll"), col("doc_id"))))
+        .withColumn("_n", count(lit(1)).over(byLang))
+        .select(col("doc_id"), col("lang"), col("nll"),
+          (col("_rn") * 5 <= col("_n") * 4).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Mojibake / encoding-damage detection — the cleaning pass a crawl
+    // corpus runs before tokenization. Three detectors: U+FFFD
+    // replacement chars (decoder already gave up), C1 control range
+    // U+0080–U+009F (Latin-1-decoded control bytes), and the UTF-8-as-
+    // Latin-1 signature Ã followed by a continuation-range char (the
+    // "Ã©" class). The fixture is clean ASCII, so damage is PLANTED
+    // deterministically on doc_id % 4 == 0 (the pii_scan_redact
+    // pattern) — detectors must fire on exactly those docs and the keep
+    // flag on the rest. Pure projection, scan-speed at any corpus size.
+    "text_mojibake_flags" -> ((s, d) => {
+      // NOTE: the plant string is a Scala literal, NOT SQL chr() — Spark's
+      // chr is byte-oriented (mod 256) while DuckDB's is code-point; the
+      // oracle uses DuckDB chr() to build the identical code points.
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(MojiPlant)))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$MojiReplPat', 0)"))
+          .cast("long").as("n_repl"),
+        size(expr(s"regexp_extract_all(text, '$MojiC1Pat', 0)"))
+          .cast("long").as("n_c1"),
+        size(expr(s"regexp_extract_all(text, '$MojiLatin1Pat', 0)"))
+          .cast("long").as("n_mojibake"))
+        .withColumn("keep",
+          col("n_repl") + col("n_c1") + col("n_mojibake") === 0L)
         .orderBy("doc_id")
     }),
 
@@ -1913,6 +1976,56 @@ object CorpusQueries extends QueryPack {
           |  round(avg(nllw), 6) AS nll_mkn
           |FROM tp JOIN p ON tp.a = p.a AND tp.b = p.b AND tp.c = p.c
           |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+
+      // Rank-based perplexity gate: the lm_bigram chain, then a per-lang
+      // window over the doc-sized score frame; the keep cut is integer
+      // cross-multiplied on the ROUNDED nll ranking (ties by doc_id).
+      "corpus_ppl_filter" ->
+        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          |bg AS (
+          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+          |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
+          |  FROM tok WHERE len(toks) >= 2),
+          |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bg),
+          |c2 AS (SELECT a, b, count(*) AS c2 FROM p GROUP BY a, b),
+          |c1 AS (SELECT a, count(*) AS c1 FROM p GROUP BY a),
+          |v AS (SELECT count(DISTINCT w) AS v
+          |      FROM (SELECT unnest([a, b]) AS w FROM p)),
+          |sc AS (SELECT p.doc_id,
+          |    round(avg(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS nll
+          |  FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
+          |         JOIN c1 ON p.a = c1.a, v
+          |  GROUP BY p.doc_id),
+          |r AS (SELECT sc.doc_id, d.lang, sc.nll,
+          |    row_number() OVER (PARTITION BY d.lang
+          |      ORDER BY sc.nll, sc.doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY d.lang) AS n
+          |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+          |SELECT doc_id, lang, nll, rn * 5 <= n * 4 AS keep
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      // Mojibake mirror: DuckDB chr() is code-point (unlike Spark's
+      // byte-oriented chr), so the plant string is rebuilt here from the
+      // same code points the Scala literal carries; detector patterns
+      // are the identical RE2/Java-compatible literals.
+      "text_mojibake_flags" ->
+        s"""WITH planted AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 4 = 0 THEN text || ' caf' || chr(195)
+          |      || chr(169) || ' ' || chr(65533) || chr(133)
+          |    ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '$MojiReplPat')) AS BIGINT)
+          |    AS n_repl,
+          |  CAST(len(regexp_extract_all(text, '$MojiC1Pat')) AS BIGINT)
+          |    AS n_c1,
+          |  CAST(len(regexp_extract_all(text, '$MojiLatin1Pat')) AS BIGINT)
+          |    AS n_mojibake,
+          |  len(regexp_extract_all(text, '$MojiReplPat'))
+          |    + len(regexp_extract_all(text, '$MojiC1Pat'))
+          |    + len(regexp_extract_all(text, '$MojiLatin1Pat')) = 0 AS keep
+          |FROM planted ORDER BY doc_id""".stripMargin,
 
       // Mirrors TextOps feature extraction exactly (same fragments the
       // text_quality_score oracle uses), then the fixed-weight sigmoid.

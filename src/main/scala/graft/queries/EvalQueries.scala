@@ -247,7 +247,49 @@ object EvalQueries extends QueryPack {
     "preference_bt_scores" -> ((s, d) => btScores(s, d)),
     "eval_confusion_kappa" -> ((s, d) => confusion(s, d)),
     "eval_calibration" -> ((s, d) => calibration(s, d)),
-    "eval_auc" -> ((s, d) => auc(s, d)))
+    "eval_auc" -> ((s, d) => auc(s, d)),
+    "eval_rbo" -> ((s, d) => rbo(s, d)))
+
+  /** Rank-biased overlap depth and persistence (Webber et al. 2010).
+    * The per-item contribution of an item whose LATER rank across the
+    * two lists is m — Σ_{d=m..D} p^(d-1)/d, the tail of the truncated
+    * RBO sum that item participates in — is precomputed to nano-unit
+    * integer literals embedded VERBATIM in both plans (the GainMicro
+    * pattern), so no runtime transcendental crosses engines and the
+    * corpus-side reduction is a LONG sum (order-independent, exact).
+    */
+  val RboDepth = 50
+  val RboP = 0.9
+  val RboWeightNano: Seq[Long] = (1 to RboDepth).map { m =>
+    Math.round(1e9 * (m to RboDepth)
+      .map(dd => Math.pow(RboP, dd - 1) / dd).sum)
+  }
+
+  /** RBO@50 between two deterministic rankings of the corpus — by char
+    * count vs by token count (ties by doc_id). Measures how much two
+    * length-quality proxies agree at the top, the comparison a pipeline
+    * runs when swapping ranking signals. Truncated (extrapolation-free)
+    * RBO: (1-p) · Σ_d p^(d-1)·|A_d ∩ B_d|/d, reduced per-ITEM via the
+    * precomputed tail weights. Scale shape: each top-D list is a
+    * TakeOrdered (bounded, no global sort materialization); the rank
+    * windows run on the D-row frames; one D-row join.
+    */
+  private def rbo(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextOps
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
+      size(TextOps.tokens(col("text"))).as("_nt"))
+    def top(key: Column, rname: String): DataFrame =
+      docs.orderBy(key.desc, col("doc_id")).limit(RboDepth)
+        .withColumn(rname, row_number().over(
+          Window.orderBy(key.desc, col("doc_id"))))
+        .select(col("doc_id"), col(rname))
+    val wm = array(RboWeightNano.map(lit): _*)
+    top(col("n_chars"), "ra").join(top(col("_nt"), "rb"), "doc_id")
+      .select(element_at(wm, greatest(col("ra"), col("rb"))).as("wm"))
+      .agg(count(lit(1)).as("n_overlap"),
+        round(coalesce(sum(col("wm")), lit(0L)).cast("double")
+          / lit(1000000000.0) * lit(0.1), 6).as("rbo"))
+  }
 
   // ------------------------------------------------------------- oracles
 
@@ -426,10 +468,35 @@ object EvalQueries extends QueryPack {
        |FROM agg""".stripMargin
   }
 
+  /** RBO mirror: full-table rank windows filtered to depth D (DuckDB
+    * side is oracle-only — boundedness doesn't matter there), the same
+    * nano-unit tail-weight literals indexed by the later rank.
+    */
+  private def duckRbo: String = {
+    val wlist = RboWeightNano.mkString("[", ", ", "]")
+    s"""WITH docs AS (SELECT doc_id, n_chars,
+       |    len(string_split_regex(lower(text), '\\s+')) AS nt
+       |  FROM documents),
+       |a AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+       |  FROM docs),
+       |b AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY nt DESC, doc_id) AS rb
+       |  FROM docs),
+       |j AS (SELECT ($wlist)[greatest(ra, rb)] AS wm
+       |  FROM a JOIN b USING (doc_id)
+       |  WHERE ra <= $RboDepth AND rb <= $RboDepth)
+       |SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       |  round(CAST(coalesce(sum(wm), 0) AS DOUBLE)
+       |    / 1000000000.0 * 0.1, 6) AS rbo
+       |FROM j""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "rank_eval_ndcg" -> duckNdcg,
     "preference_bt_scores" -> duckBt,
     "eval_calibration" -> duckCalibration,
     "eval_auc" -> duckAuc,
-    "eval_confusion_kappa" -> duckConfusion)
+    "eval_confusion_kappa" -> duckConfusion,
+    "eval_rbo" -> duckRbo)
 }

@@ -283,6 +283,36 @@ object PipelineQueries extends QueryPack {
         .orderBy("lang", "source")
     }),
 
+    // Temperature-scaled multinomial mixing (the mT5/XLM-R low-resource
+    // upsampling rule): raw source share p_s = tokens_s / N is smoothed
+    // to q_s ∝ p_s^α, boosting tails. α is pinned at 0.5 so the power IS
+    // `sqrt` — IEEE-754 requires sqrt correctly rounded, so the smoothed
+    // share is bit-identical across engines (a generic pow is only
+    // faithfully rounded and could flip a micro-unit at the grid edge).
+    // Each sqrt is quantized to nano-units BEFORE the normalizer sum, so
+    // the sum is integer-exact regardless of partition order; outputs are
+    // the smoothed share and the oversample factor q/p. One grouped agg,
+    // totals as 1-row broadcasts — mixture_plan's plan with a second
+    // constant-size branch.
+    "corpus_mix_alpha" -> ((s, d) => {
+      val g = documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(TextOps.tokens(col("text")))).as("n_tokens"))
+      val tot = broadcast(g.agg(sum(col("n_tokens")).as("_tot")))
+      val smoothed = g.crossJoin(tot)
+        .withColumn("_qn",
+          expr("cast(round(sqrt(cast(n_tokens as double) / _tot) * 1000000000) as bigint)"))
+      val norm = broadcast(smoothed.agg(sum(col("_qn")).as("_z")))
+      smoothed.crossJoin(norm)
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("_tot"), 6).as("p_raw"),
+          round(col("_qn").cast("double") / col("_z"), 6).as("p_alpha"),
+          round((col("_qn").cast("double") / col("_z"))
+            / (col("n_tokens").cast("double") / col("_tot")), 6)
+            .as("oversample"))
+        .orderBy("source")
+    }),
+
     // Recursive CTE (Spark 4 SQL surface): transitive closure over a
     // bounded-depth chain graph (edges only inside 10-doc groups, so
     // recursion depth is a CONSTANT 9 at any corpus size — a recursive
@@ -639,6 +669,24 @@ object PipelineQueries extends QueryPack {
            |  $projCols
            |FROM e ORDER BY vec_id""".stripMargin
       },
+
+      "corpus_mix_alpha" ->
+        """WITH g AS (
+          |  SELECT source,
+          |    sum(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
+          |  FROM documents GROUP BY source),
+          |t AS (SELECT sum(n_tokens) AS tot FROM g),
+          |sm AS (SELECT source, n_tokens,
+          |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / tot) * 1000000000)
+          |      AS BIGINT) AS qn, tot
+          |  FROM g, t),
+          |z AS (SELECT sum(qn) AS z FROM sm)
+          |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS p_raw,
+          |  round(CAST(qn AS DOUBLE) / z, 6) AS p_alpha,
+          |  round((CAST(qn AS DOUBLE) / z)
+          |    / (CAST(n_tokens AS DOUBLE) / tot), 6) AS oversample
+          |FROM sm, z ORDER BY source""".stripMargin,
 
       "mixture_plan" ->
         """WITH g AS (

@@ -308,6 +308,11 @@ object ScaleProbe {
     // r10: modified-KN trigram — the lm_trigram corpus pass + type-table
     // derived stats only (count-of-count broadcasts are 1-row)
     "lm_kneser_ney_tri",
+    // r10 wave 2: ppl gate rides the lm_bigram chain + a doc-sized
+    // window; mojibake is a pure regex projection; mix_alpha one grouped
+    // agg + two 1-row broadcasts; rbo two TakeOrdereds + a 50-row join
+    "corpus_ppl_filter", "text_mojibake_flags", "corpus_mix_alpha",
+    "eval_rbo",
     // PII scan/redact: pure projection, runs at scan speed
     "pii_scan_redact",
     // incremental media dedup: 3 store-backed ingests, band-keyed joins

@@ -263,6 +263,14 @@ class PlanAuditSpec extends SparkSpec {
       "lm_bigram_score",        // 1-row corpus bigram-total attach
       "lm_kneser_ney",          // 1-row bigram-type-total attach (the
                                 // continuation-probability denominator)
+      "lm_kneser_ney_tri",      // three 1-row attaches: trigram count-of-
+                                // counts, continuation count-of-counts,
+                                // bigram-type total (all discount/
+                                // denominator constants)
+      "corpus_ppl_filter",      // rides the lm_bigram chain: the same
+                                // 1-row vocabulary-size attach
+      "corpus_mix_alpha",       // two 1-row attaches: corpus token total
+                                // and the smoothed-share normalizer
       "mixture_plan",           // 1-row corpus token-total attach
       "p7_window_filter",       // 1-row min-timestamp window anchor
       "quantile_bucket_tokens", // 1-row quantile-thresholds attach
