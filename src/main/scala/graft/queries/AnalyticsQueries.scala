@@ -53,6 +53,11 @@ object AnalyticsQueries extends QueryPack {
   private val MadConsistency = 1.4826
   private val MadAlarmZ = 3.0
 
+  /** Binary-segmentation changepoint: minimum segment length, in hours —
+    * a level-2 half shorter than a day is noise, not a regime.
+    */
+  private val BinsegMinSeg = 24
+
   /** Additive seasonal decomposition core, UNSORTED (the catalog query
     * adds its deterministic output order; ts_anomaly_mad consumes the
     * residual stream mid-plan, where a global sort would be waste).
@@ -536,6 +541,57 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_type", "bucket_sec")
     }),
 
+    // Binary-segmentation changepoint detection (the top of the classic
+    // changepoint ladder — Scott & Knott / binseg, the greedy
+    // approximation to PELT): level 1 finds, per type, the split k that
+    // maximizes the integer CUSUM deviation |H·S_k − k·S_H| over the
+    // gap-filled hourly series (the n-scaled spelling keeps everything
+    // in BIGINT — no mean, no floats); level 2 recurses once into each
+    // half (own local cumsums), a half shorter than BinsegMinSeg hours
+    // reports nothing. Ties break to the earliest split in both
+    // engines. ALL-INTEGER, so the oracle compare is exact. Scale
+    // shape: events reduce to the hourly grid first (partial-aggregable
+    // groupBy); every window and argmax runs over series-sized data,
+    // level 2 over (type, side)-keyed windows — the recursion depth is
+    // a constant 2, never data-dependent.
+    "ts_changepoint_binseg" -> ((s, d) => {
+      val byT = Window.partitionBy(col("event_type"))
+      val byTOrd = byT.orderBy(col("bucket_sec"))
+      val ser = hourlyCounts(s, d)
+        .withColumn("k", row_number().over(byTOrd))
+        .withColumn("sk", sum(col("n")).over(byTOrd))
+        .withColumn("h", count(lit(1)).over(byT))
+        .withColumn("sn", sum(col("n")).over(byT))
+      val s1 = ser.where(col("k") < col("h"))
+        .withColumn("stat", abs(col("h") * col("sk") - col("k") * col("sn")))
+        .withColumn("_rn", row_number().over(
+          byT.orderBy(col("stat").desc, col("k"))))
+        .where(col("_rn") === 1)
+        .select(col("event_type"), col("k").as("k1"),
+          col("bucket_sec").as("b1"), col("stat").as("st1"))
+      val bySide = Window.partitionBy(col("event_type"), col("side"))
+      val bySideOrd = bySide.orderBy(col("bucket_sec"))
+      val l2 = ser
+        .join(s1.select(col("event_type"), col("k1")), Seq("event_type"))
+        .withColumn("side",
+          when(col("k") <= col("k1"), lit("left")).otherwise(lit("right")))
+        .withColumn("j", row_number().over(bySideOrd))
+        .withColumn("tj", sum(col("n")).over(bySideOrd))
+        .withColumn("m", count(lit(1)).over(bySide))
+        .withColumn("tm", sum(col("n")).over(bySide))
+        .where(col("j") < col("m") && col("m") >= BinsegMinSeg)
+        .withColumn("stat", abs(col("m") * col("tj") - col("j") * col("tm")))
+        .withColumn("_rn", row_number().over(
+          bySide.orderBy(col("stat").desc, col("j"))))
+        .where(col("_rn") === 1)
+        .select(col("event_type"), lit(2).as("level"), col("side").as("seg"),
+          col("bucket_sec").as("split_bucket_sec"), col("stat"))
+      s1.select(col("event_type"), lit(1).as("level"), lit("all").as("seg"),
+          col("b1").as("split_bucket_sec"), col("st1").as("stat"))
+        .unionByName(l2)
+        .orderBy("event_type", "level", "seg")
+    }),
+
     // Robust anomaly detection on the seasonal residuals: the
     // decomposition's residual stream scored by the MAD z-score
     // (median / 1.4826·MAD — outlier-immune where mean/stddev are
@@ -954,6 +1010,50 @@ object AnalyticsQueries extends QueryPack {
            |FROM pf WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY event_type, bucket_sec""".stripMargin,
+
+      // Binseg mirror: same integer CUSUM-deviation argmaxes; sums cast
+      // to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT, Spark stays
+      // long) so the stat column types match; QUALIFY-after-WHERE equals
+      // Spark's filter-before-rank ordering.
+      "ts_changepoint_binseg" ->
+        s"""WITH $duckHourlyCounts,
+           |ser AS (SELECT event_type, bucket_sec, n,
+           |    row_number() OVER w AS k,
+           |    CAST(sum(n) OVER w AS BIGINT) AS sk,
+           |    count(*) OVER (PARTITION BY event_type) AS h,
+           |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+           |  FROM hc
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_sec
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |s1 AS (SELECT event_type, k AS k1, bucket_sec AS b1,
+           |    CAST(abs(h * sk - k * sn) AS BIGINT) AS st1
+           |  FROM ser WHERE k < h
+           |  QUALIFY row_number() OVER (PARTITION BY event_type
+           |    ORDER BY abs(h * sk - k * sn) DESC, k) = 1),
+           |halves AS (SELECT ser.event_type, ser.bucket_sec, ser.n,
+           |    CASE WHEN ser.k <= s1.k1 THEN 'left' ELSE 'right' END AS side
+           |  FROM ser JOIN s1 USING (event_type)),
+           |l2w AS (SELECT event_type, side, bucket_sec,
+           |    row_number() OVER w2 AS j,
+           |    CAST(sum(n) OVER w2 AS BIGINT) AS tj,
+           |    count(*) OVER (PARTITION BY event_type, side) AS m,
+           |    CAST(sum(n) OVER (PARTITION BY event_type, side) AS BIGINT)
+           |      AS tm
+           |  FROM halves
+           |  WINDOW w2 AS (PARTITION BY event_type, side ORDER BY bucket_sec
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |l2r AS (SELECT event_type, side AS seg,
+           |    bucket_sec AS split_bucket_sec,
+           |    CAST(abs(m * tj - j * tm) AS BIGINT) AS stat
+           |  FROM l2w WHERE j < m AND m >= $BinsegMinSeg
+           |  QUALIFY row_number() OVER (PARTITION BY event_type, side
+           |    ORDER BY abs(m * tj - j * tm) DESC, j) = 1)
+           |SELECT event_type, CAST(1 AS INT) AS level, 'all' AS seg,
+           |  b1 AS split_bucket_sec, st1 AS stat FROM s1
+           |UNION ALL
+           |SELECT event_type, CAST(2 AS INT) AS level, seg,
+           |  split_bucket_sec, stat FROM l2r
+           |ORDER BY event_type, level, seg""".stripMargin,
 
       "survival_km" ->
         """WITH pu AS (SELECT user_id, min(epoch_ms(ts)) AS first_ms,

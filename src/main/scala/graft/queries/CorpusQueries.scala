@@ -1040,6 +1040,38 @@ object CorpusQueries extends QueryPack {
         .orderBy("shard", "pos")
     }),
 
+    // Shard-mix quality: Shannon entropy of the SOURCE distribution
+    // inside each shuffle shard — the measurement a pipeline runs to
+    // confirm its epoch shuffle actually mixed the corpus (a degenerate
+    // hash would leave shards source-pure: entropy ~0; a good shuffle
+    // puts every shard near the corpus-level mix: entropy ~ln(sources)).
+    // Same md5 shard assignment as corpus_shuffle_shards. Each
+    // (shard, source) term −p·ln(p) is quantized to MICRO-units before
+    // the per-shard sum (the BM25/PMI recipe: ln ulps sit behind the
+    // rounding, and the reduction is an order-independent long sum).
+    // Two keyed aggregations, shard-count-sized output.
+    "shard_mix_entropy" -> ((s, d) => {
+      val nShards = 8
+      val cells = documents(s, d)
+        .select(col("source"),
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":epoch1"))), 1, 2), 16, 10).cast("int") % nShards)
+            .as("shard"))
+        .groupBy("shard", "source").agg(count(lit(1)).as("c"))
+      cells
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+        .withColumn("term_micro",
+          expr("cast(round(-(cast(c as double) / n)" +
+            " * ln(cast(c as double) / n) * 1000000) as bigint)"))
+        .groupBy("shard")
+        .agg(max(col("n")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          (sum(col("term_micro")).cast("double") / lit(1000000.0))
+            .as("entropy"))
+        .orderBy("shard")
+    }),
+
     // Trailing-window z-score anomaly detection: each event scored
     // against the mean/stddev of its type's value over the preceding
     // hour (RANGE frame on epoch seconds). A bare
@@ -2050,6 +2082,25 @@ object CorpusQueries extends QueryPack {
           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "shard_mix_entropy" ->
+        """WITH t AS (SELECT source,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'),
+          |      1, 2))::INTEGER % 8 AS INTEGER) AS shard
+          |  FROM documents),
+          |cells AS (SELECT shard, source, count(*) AS c
+          |  FROM t GROUP BY 1, 2),
+          |wn AS (SELECT shard, source, c,
+          |    CAST(sum(c) OVER (PARTITION BY shard) AS BIGINT) AS n
+          |  FROM cells),
+          |tm AS (SELECT shard, n,
+          |    CAST(round(-(CAST(c AS DOUBLE) / n)
+          |      * ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT) AS term_micro
+          |  FROM wn)
+          |SELECT shard, max(n) AS n_docs,
+          |  CAST(count(*) AS BIGINT) AS n_sources,
+          |  CAST(sum(term_micro) AS DOUBLE) / 1000000.0 AS entropy
+          |FROM tm GROUP BY shard ORDER BY shard""".stripMargin,
 
       "corpus_shuffle_shards" ->
         """WITH t AS (SELECT doc_id,

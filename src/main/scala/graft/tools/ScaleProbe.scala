@@ -313,6 +313,9 @@ object ScaleProbe {
     // agg + two 1-row broadcasts; rbo two TakeOrdereds + a 50-row join
     "corpus_ppl_filter", "text_mojibake_flags", "corpus_mix_alpha",
     "eval_rbo",
+    // r10 wave 3: binseg is series-sized windows after the hourly
+    // reduce; shard entropy two keyed aggs + a shard-keyed window
+    "ts_changepoint_binseg", "shard_mix_entropy",
     // PII scan/redact: pure projection, runs at scan speed
     "pii_scan_redact",
     // incremental media dedup: 3 store-backed ingests, band-keyed joins
