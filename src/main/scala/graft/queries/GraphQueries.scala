@@ -45,6 +45,18 @@ object GraphQueries extends QueryPack {
   /** Link-prediction result list size. */
   val LinkPredTopK = 100
 
+  /** Closeness: source-sample size (constant — sampled-source closeness
+    * is the standard scale move; exact all-pairs is Θ(V·E)), BFS depth
+    * cap (trade-graph diameter is ≈4; 6 is margin, and the oracle
+    * replays the same cap), and the per-distance harmonic weights
+    * round(1e6/d) as integer literals shared VERBATIM by both engines.
+    */
+  val ClosenessSources = 16
+  val ClosenessDepth = 6
+  val HarmonicCase: String = "CASE d " + (1 to ClosenessDepth)
+    .map(dd => s"WHEN $dd THEN ${Math.round(1e6 / dd)}")
+    .mkString(" ") + " END"
+
   /** Symmetrized trade edges: customer c ↔ supplier s for every distinct
     * (custkey, suppkey) pair that shares an order line. Node ids are
     * prefixed ('c…'/'s…') so the two key spaces never collide.
@@ -189,7 +201,38 @@ object GraphQueries extends QueryPack {
     // LpaIters rounds replayed exactly by the oracle chain.
     "graph_lpa" -> ((s, d) =>
       Graph.lpa(tradeEdges(s, d), "src", "dst", LpaIters)
-        .orderBy("node")))
+        .orderBy("node")),
+
+    // Harmonic closeness centrality from a SAMPLED source set — the
+    // sixth graph question (how NEAR a node is to everything else).
+    // Exact all-pairs closeness is Θ(V·E); the standard scale move is a
+    // constant source sample (here 16, md5-ranked so the sample is
+    // content-stable across runs/engines), one synchronous BFS frontier
+    // per round over the pinned edge list (the PageRank/LPA iterative
+    // exception), min-dist folding per round. Harmonic (Σ 1/d), not
+    // classic closeness: well-defined on disconnected graphs, and the
+    // per-distance weights are integer micro literals so the aggregate
+    // is an order-independent long sum — the compare is exact.
+    "graph_closeness_sampled" -> ((s, d) => {
+      val e = tradeEdges(s, d).localCheckpoint(false)
+      val srcs = e.select(col("src").as("node")).distinct()
+        .orderBy(md5(col("node")), col("node")).limit(ClosenessSources)
+      var dist = srcs
+        .select(col("node").as("qsrc"), col("node"), lit(0).as("d"))
+        .localCheckpoint(false)
+      for (i <- 1 to ClosenessDepth) {
+        val next = dist.where(col("d") === i - 1)
+          .join(e, col("node") === col("src"))
+          .select(col("qsrc"), col("dst").as("node"), lit(i).as("d"))
+        dist = dist.unionByName(next)
+          .groupBy("qsrc", "node").agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
+      }
+      dist.groupBy(col("qsrc").as("source"))
+        .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
+          coalesce(sum(expr(HarmonicCase)), lit(0L)).as("harmonic_micro"))
+        .orderBy("source")
+    }))
 
   private def duckPageRank(iters: Int): String = {
     val S = Graph.Scale
@@ -292,6 +335,32 @@ object GraphQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "graph_kcore" -> s"WITH ${duckKCore(KCoreRounds)}",
+
+    // BFS as a depth-capped recursive CTE (UNION set semantics bound
+    // the working table; min-dist folding afterwards), same md5-ranked
+    // source sample and the same verbatim harmonic CASE literals.
+    "graph_closeness_sampled" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT DISTINCT o_custkey, l_suppkey
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |lab AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS sp FROM base),
+         |e AS (SELECT c AS src, sp AS dst FROM lab
+         |      UNION ALL SELECT sp, c FROM lab),
+         |srcs AS (SELECT DISTINCT src AS node FROM e
+         |         ORDER BY md5(src), src LIMIT $ClosenessSources),
+         |rec(qsrc, node, d) AS (
+         |  SELECT node, node, 0 FROM srcs
+         |  UNION
+         |  SELECT r.qsrc, e.dst, r.d + 1
+         |  FROM rec r JOIN e ON e.src = r.node
+         |  WHERE r.d < $ClosenessDepth),
+         |md AS (SELECT qsrc, node, min(d) AS d FROM rec GROUP BY 1, 2)
+         |SELECT qsrc AS source,
+         |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_reached,
+         |  CAST(coalesce(sum($HarmonicCase), 0) AS BIGINT) AS harmonic_micro
+         |FROM md GROUP BY qsrc ORDER BY source""".stripMargin,
 
     "graph_lpa" ->
       s"""WITH ${duckLpa(LpaIters)}

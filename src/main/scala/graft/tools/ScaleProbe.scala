@@ -314,8 +314,10 @@ object ScaleProbe {
     "corpus_ppl_filter", "text_mojibake_flags", "corpus_mix_alpha",
     "eval_rbo",
     // r10 wave 3: binseg is series-sized windows after the hourly
-    // reduce; shard entropy two keyed aggs + a shard-keyed window
-    "ts_changepoint_binseg", "shard_mix_entropy",
+    // reduce; shard entropy two keyed aggs + a shard-keyed window;
+    // closeness 6 frontier-join rounds from a constant source sample
+    // over the pinned edge list (the graph-iterative family)
+    "ts_changepoint_binseg", "shard_mix_entropy", "graph_closeness_sampled",
     // PII scan/redact: pure projection, runs at scan speed
     "pii_scan_redact",
     // incremental media dedup: 3 store-backed ingests, band-keyed joins
