@@ -1040,6 +1040,31 @@ object CorpusQueries extends QueryPack {
         .orderBy("shard", "pos")
     }),
 
+    // URL/domain frequency — the crawl-hygiene pass that finds boiler-
+    // plate domains and link farms before training. URLs are planted
+    // deterministically (doc_id % 5, 21 distinct domains from the
+    // doc_id % 7 × % 3 product — the pii_scan_redact pattern, fixture
+    // text has no URLs), extracted with one capture-group regex, and
+    // aggregated per domain (URL mentions + distinct docs). Projection
+    // + explode + one keyed agg; a hot domain is one reducer key
+    // (AQE-splittable), never a pairwise anything.
+    "text_url_domains" -> ((s, d) => {
+      val planted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" see https://www"),
+            (col("doc_id") % 7).cast("string"), lit(".example"),
+            (col("doc_id") % 3).cast("string"), lit(".com/page")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)"))
+            .as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     // Shard-mix quality: Shannon entropy of the SOURCE distribution
     // inside each shuffle shard — the measurement a pipeline runs to
     // confirm its epoch shuffle actually mixed the corpus (a degenerate
@@ -2082,6 +2107,22 @@ object CorpusQueries extends QueryPack {
           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_url_domains" ->
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN text || ' see https://www'
+          |      || CAST(doc_id % 7 AS VARCHAR) || '.example'
+          |      || CAST(doc_id % 3 AS VARCHAR) || '.com/page'
+          |    ELSE text END AS text
+          |  FROM documents),
+          |u AS (SELECT doc_id,
+          |    unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1))
+          |      AS domain
+          |  FROM planted)
+          |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
 
       "shard_mix_entropy" ->
         """WITH t AS (SELECT source,

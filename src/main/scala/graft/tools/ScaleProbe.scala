@@ -318,6 +318,8 @@ object ScaleProbe {
     // closeness 6 frontier-join rounds from a constant source sample
     // over the pinned edge list (the graph-iterative family)
     "ts_changepoint_binseg", "shard_mix_entropy", "graph_closeness_sampled",
+    // url domains: projection + explode + one keyed agg
+    "text_url_domains",
     // PII scan/redact: pure projection, runs at scan speed
     "pii_scan_redact",
     // incremental media dedup: 3 store-backed ingests, band-keyed joins
