@@ -252,4 +252,45 @@ object Graph {
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Per-distance harmonic weight CASE, round(1e6/d) integer literals —
+    * built once here so the Spark plan and the DuckDB oracle share the
+    * text verbatim (d = 0 falls through to NULL: self-distance never
+    * contributes).
+    */
+  def harmonicCaseSql(depth: Int): String =
+    "CASE d " + (1 to depth)
+      .map(dd => s"WHEN $dd THEN ${Math.round(1e6 / dd)}")
+      .mkString(" ") + " END"
+
+  /** Harmonic closeness centrality from an explicit source set:
+    * synchronous BFS — one frontier join + one min-dist fold per round
+    * over the (caller-pinned) edge list, `depth` rounds — then
+    * harmonic_micro = Σ round(1e6/d) over reached nodes, an
+    * order-independent integer sum. Returns
+    * (source, n_reached, harmonic_micro). State is |sources|·|nodes|
+    * rows max; `sources` must be bounded (sampled) — exact all-pairs
+    * closeness is Θ(V·E) by definition, not a plan defect.
+    */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var dist = sources
+      .select(col(sourceCol).as("qsrc"), col(sourceCol).as("node"),
+        lit(0).as("d"))
+      .localCheckpoint(false)
+    for (i <- 1 to depth) {
+      val next = dist.where(col("d") === i - 1)
+        .join(e, col("node") === col("src"))
+        .select(col("qsrc"), col("dst").as("node"), lit(i).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy("qsrc", "node").agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+    }
+    dist.groupBy(col("qsrc").as("source"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
+        coalesce(sum(expr(harmonicCaseSql(depth))), lit(0L))
+          .as("harmonic_micro"))
+  }
 }

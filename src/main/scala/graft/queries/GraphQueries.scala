@@ -53,9 +53,7 @@ object GraphQueries extends QueryPack {
     */
   val ClosenessSources = 16
   val ClosenessDepth = 6
-  val HarmonicCase: String = "CASE d " + (1 to ClosenessDepth)
-    .map(dd => s"WHEN $dd THEN ${Math.round(1e6 / dd)}")
-    .mkString(" ") + " END"
+  val HarmonicCase: String = Graph.harmonicCaseSql(ClosenessDepth)
 
   /** Symmetrized trade edges: customer c ↔ supplier s for every distinct
     * (custkey, suppkey) pair that shares an order line. Node ids are
@@ -217,20 +215,7 @@ object GraphQueries extends QueryPack {
       val e = tradeEdges(s, d).localCheckpoint(false)
       val srcs = e.select(col("src").as("node")).distinct()
         .orderBy(md5(col("node")), col("node")).limit(ClosenessSources)
-      var dist = srcs
-        .select(col("node").as("qsrc"), col("node"), lit(0).as("d"))
-        .localCheckpoint(false)
-      for (i <- 1 to ClosenessDepth) {
-        val next = dist.where(col("d") === i - 1)
-          .join(e, col("node") === col("src"))
-          .select(col("qsrc"), col("dst").as("node"), lit(i).as("d"))
-        dist = dist.unionByName(next)
-          .groupBy("qsrc", "node").agg(min(col("d")).as("d"))
-          .localCheckpoint(false)
-      }
-      dist.groupBy(col("qsrc").as("source"))
-        .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
-          coalesce(sum(expr(HarmonicCase)), lit(0L)).as("harmonic_micro"))
+      Graph.harmonicCloseness(e, "src", "dst", srcs, "node", ClosenessDepth)
         .orderBy("source")
     }))
 

@@ -179,6 +179,26 @@ class GraphSpec extends SparkSpec {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("harmonicCloseness on a hand path graph: exact micro sums, depth cap, disconnection") {
+    import spark.implicits._
+    // path a-b-c-d-e plus a disconnected pair f-g, symmetrized
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(srcNodes: Seq[String], depth: Int) =
+      Graph.harmonicCloseness(e, "src", "dst",
+        srcNodes.toDF("node"), "node", depth)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // full depth: a sees b=1,c=2,d=3,e=4; c sees two at 1, two at 2;
+    // f sees only g — unreachable nodes simply don't contribute
+    // (harmonic is disconnection-safe by construction)
+    assert(run(Seq("a", "c", "f"), depth = 6) == Seq(
+      ("a", 4L, 1000000L + 500000L + 333333L + 250000L),
+      ("c", 4L, 2L * 1000000L + 2L * 500000L),
+      ("f", 1L, 1000000L)))
+    // depth cap truncates the horizon, it does not error
+    assert(run(Seq("a"), depth = 2) == Seq(("a", 2L, 1500000L)))
+  }
+
   test("kCore reaches its fixpoint on the fixture within the catalog's round budget") {
     import graft.queries.GraphQueries.{KCoreQuantile, KCoreRounds}
     val orders = Tables.orders(spark, sf0001)
