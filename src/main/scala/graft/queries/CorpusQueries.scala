@@ -31,6 +31,13 @@ object CorpusQueries extends QueryPack {
     * " café" with the é as the UTF-8-as-Latin-1 digraph Ã© (U+00C3
     * U+00A9), then U+FFFD (decoder replacement) and U+0085 (C1 NEL).
     */
+  /** Band width (in nats of avg-NLL) for the banded per-lang perplexity
+    * ranking: 1/16 nat splits the fixture's ~2-nat nll spread into ~30
+    * bands per language and a 100 TB corpus's into the same \u2014 parallelism
+    * scales with (languages \u00D7 bands) while each task sorts one band.
+    */
+  val PplRankBandWidth = 0.0625
+
   val MojiReplPat = "\uFFFD"
   val MojiC1Pat = "[\u0080-\u009F]"
   val MojiLatin1Pat = "\u00C3[\u0080-\u00BF]"
@@ -313,20 +320,24 @@ object CorpusQueries extends QueryPack {
     // recipe) with doc_id tiebreak and take rn·5 ≤ n·4 by integer
     // cross-multiplication, so the cut is exact; a float percentile
     // threshold could flip membership within an ulp of the cut. Plan:
-    // lmScores' one scored stream join + a lang projection join + one
-    // per-lang window over the DOC-sized score frame (never the token
-    // stream). Sub-2-token docs drop with the LM (no bigrams).
+    // lmScores' one scored stream join + a lang projection join + the
+    // BANDED per-lang rank (ops/BandedRank): the fractional cut needs the
+    // full ranking (no TopKPerKey escape), and lang is a handful of
+    // values whose group size grows with the corpus, so a bare
+    // Window.partitionBy(lang) would sort each language's whole
+    // doc-score frame on ONE task (the anomaly_zscore rule). Banding on
+    // nll/16 keeps (lang × band) parallelism; the per-lang total comes
+    // off the same band-counts frame. Sub-2-token docs drop with the LM
+    // (no bigrams). Oracle unchanged — bare windows are fine in DuckDB.
     "corpus_ppl_filter" -> ((s, d) => {
-      val byLang = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-      lmScores(s, d)
+      val scored = lmScores(s, d)
         .join(documents(s, d).select(col("doc_id"), col("lang")),
           Seq("doc_id"))
-        .withColumn("_rn", row_number().over(
-          byLang.orderBy(col("nll"), col("doc_id"))))
-        .withColumn("_n", count(lit(1)).over(byLang))
+        .select(col("doc_id"), col("lang"), col("nll"))
+      graft.ops.BandedRank.rank(scored, Seq("lang"), col("nll"),
+          col("doc_id"), bandWidth = PplRankBandWidth)
         .select(col("doc_id"), col("lang"), col("nll"),
-          (col("_rn") * 5 <= col("_n") * 4).as("keep"))
+          (col("_rank") * 5 <= col("_n") * 4).as("keep"))
         .orderBy("doc_id")
     }),
 

@@ -41,10 +41,13 @@ object WarehouseQueries extends QueryPack {
   val ZFiles = 16L
   val ZBits = 16
 
-  /** Compaction planner: docs per synthetic "file" stat row, and bin
-    * capacity as a multiple of the mean file size.
+  /** Compaction planner: the manifest is pinned at ~this many synthetic
+    * "file" stat rows at ANY corpus size (file granularity = ceil(docs /
+    * target) is derived IN the query and replayed in the oracle — the
+    * adaptive-k pattern), and bin capacity is a multiple of the mean
+    * file size.
     */
-  val CompactionGroupDocs = 16
+  val CompactionTargetFiles = 64
   val CompactionCapFactor = 4
 
   /** Join-cardinality sample rate: 1-in-16 keys (first md5 nibble). */
@@ -263,7 +266,7 @@ object WarehouseQueries extends QueryPack {
     // file size, all-integer. Oracle replays the fold as a recursive
     // CTE (list-state rows — the DuckDB list_reduce struct bug does not
     // apply to CTE columns).
-    "compaction_plan" -> ((s, d) => compactionPlan(s, d, CompactionGroupDocs)),
+    "compaction_plan" -> ((s, d) => compactionPlan(s, d, CompactionTargetFiles)),
 
     // Incremental view maintenance for JOINS — the property that lets a
     // 100 TB pipeline maintain a join-shaped materialization from
@@ -318,82 +321,68 @@ object WarehouseQueries extends QueryPack {
             .as("rel_err_micro"))
     }))
 
-  /** [[queries]] `compaction_plan`, with the file granularity exposed:
-    * a planning run's file list must stay MANIFEST-sized (FFD is
-    * O(files·bins) — sequential by nature), so at larger corpora the
-    * grouping scales with the data (bigger target files / per-scope
-    * planning), exactly how production compactors bound their run
-    * size. ScaleProbe applies groupDocs ∝ corpus (the semdedup-cells
-    * rule); the fixed-granularity spelling is pinned by the oracle.
+  /** [[queries]] `compaction_plan` — next-fit-decreasing boundary
+    * packing, fully relational and LINEAR in the manifest (the r10 FFD
+    * fold was a single-row O(files²) array rebuild: 366× at the sf1
+    * rehearsal; this spelling re-measured flat):
+    *
+    *  1. file granularity is DERIVED from the corpus row count —
+    *     `groupDocs = ceil(docs / targetFiles)` — so the manifest stays
+    *     ~targetFiles rows at ANY corpus size (production compactors
+    *     bound their planning runs the same way: bigger target files as
+    *     the table grows). The count is one plan-time constant to the
+    *     driver (the Graph.kCore adaptive-k pattern) and the oracle
+    *     replays the identical formula as a scalar subquery;
+    *  2. sort size-desc (fid tiebreak), exclusive running sum, and
+    *     `bin = prefix div cap + 1`: consecutive files fill a bin until
+    *     the capacity boundary passes — one window over the
+    *     manifest-bounded frame, no fold, no per-step array rebuild.
+    *
+    * A bin can exceed `cap` only by part of its LAST (smallest) file —
+    * the straddle bound `load − last < cap`, asserted in
+    * CompactionSpec. The global window is safe BY CONSTRUCTION: its
+    * input is ≤ targetFiles + 1 rows regardless of corpus size.
     */
   private[graft] def compactionPlan(s: SparkSession, d: String,
-      groupDocs: Int): DataFrame = {
-    {
-      val files = documents(s, d)
-        .groupBy(expr(s"doc_id div $groupDocs").as("fid"))
-        .agg(sum(col("n_chars")).as("sz"))
-      val staged = files.agg(
-        sort_array(collect_list(struct((-col("sz")).as("nsz"),
-          col("fid").as("fid")))).as("_fs"),
-        expr(s"(sum(sz) div count(1)) * $CompactionCapFactor").as("_cap"))
-      val folded = staged.withColumn("_st",
-        aggregate(col("_fs"),
-          struct(array().cast("array<bigint>").as("loads"),
-            array().cast("array<bigint>").as("asg")),
-          (acc, f) => {
-            val sz = -f.getField("nsz")
-            val loads = acc.getField("loads")
-            val ff = try_element_at(filter(
-              transform(loads, (b, i) =>
-                when(b + sz <= col("_cap"), i.cast("long"))),
-              x => x.isNotNull), lit(1))
-            struct(
-              when(ff.isNull, concat(loads, array(sz)))
-                .otherwise(transform(loads, (b, i) =>
-                  when(i.cast("long") === ff, b + sz).otherwise(b)))
-                .as("loads"),
-              concat(acc.getField("asg"),
-                array(coalesce(ff + 1L, size(loads).cast("long") + 1L)))
-                .as("asg"))
-          }))
-      folded.select(explode(transform(
-          sequence(lit(1), size(col("_fs"))),
-          i => struct(
-            element_at(col("_fs"), i).getField("fid").as("file_id"),
-            (-element_at(col("_fs"), i).getField("nsz")).as("size_chars"),
-            element_at(col("_st").getField("asg"), i).as("bin")))).as("r"))
-        .select(col("r.*"))
-        .orderBy("file_id")
-    }
+      targetFiles: Int): DataFrame = {
+    val docs = documents(s, d)
+    // Constant plan fact: one long to the driver, folded into the
+    // grouping expression and mirrored by the oracle's scalar subquery.
+    val nDocs = docs.count()
+    val gd = math.max(1L, (nDocs + targetFiles - 1) / targetFiles)
+    val files = docs
+      .groupBy(expr(s"doc_id div $gd").as("fid"))
+      .agg(sum(col("n_chars")).as("sz"))
+    val cap = files.agg(
+      expr(s"(sum(sz) div count(1)) * $CompactionCapFactor").as("_cap"))
+    val byDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sz").desc, col("fid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("_ps", coalesce(sum(col("sz")).over(byDesc), lit(0L)))
+      .crossJoin(broadcast(cap))
+      .select(col("fid").as("file_id"), col("sz").as("size_chars"),
+        expr("_ps div _cap + 1").as("bin"))
+      .orderBy("file_id")
   }
 
   def oracleSql: Map[String, String] = Map(
     "compaction_plan" ->
-      s"""WITH RECURSIVE f AS (
-         |  SELECT doc_id // $CompactionGroupDocs AS fid,
-         |    CAST(sum(n_chars) AS BIGINT) AS sz FROM documents GROUP BY 1),
+      s"""WITH gd AS (SELECT greatest(1,
+         |    (count(*) + $CompactionTargetFiles - 1) // $CompactionTargetFiles)
+         |    AS g FROM documents),
+         |f AS (SELECT doc_id // g AS fid, CAST(sum(n_chars) AS BIGINT) AS sz
+         |  FROM documents, gd GROUP BY 1),
          |meta AS (SELECT
          |    CAST((sum(sz) // count(*)) * $CompactionCapFactor AS BIGINT) AS cap
          |  FROM f),
-         |fi AS (SELECT fid, sz, row_number() OVER (ORDER BY sz DESC, fid) AS i
-         |  FROM f),
-         |rec(j, loads, fid, sz, bin) AS (
-         |  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
-         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-         |  UNION ALL
-         |  SELECT j + 1,
-         |    CASE WHEN ff IS NULL THEN list_append(loads, sz)
-         |         ELSE list_transform(generate_series(1, len(loads)),
-         |                k -> CASE WHEN k = ff THEN loads[k] + sz
-         |                     ELSE loads[k] END) END,
-         |    fid, sz, coalesce(ff, len(loads) + 1)
-         |  FROM (SELECT r.j, r.loads, x.fid, x.sz,
-         |          (list_filter(list_transform(generate_series(1, len(r.loads)),
-         |             k -> CASE WHEN r.loads[k] + x.sz <= m.cap THEN k END),
-         |             y -> y IS NOT NULL))[1] AS ff
-         |        FROM rec r JOIN fi x ON x.i = r.j + 1, meta m) s)
-         |SELECT fid AS file_id, sz AS size_chars, CAST(bin AS BIGINT) AS bin
-         |FROM rec WHERE j >= 1 ORDER BY file_id""".stripMargin,
+         |o AS (SELECT fid, sz,
+         |    CAST(coalesce(sum(sz) OVER (ORDER BY sz DESC, fid
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS ps FROM f)
+         |SELECT fid AS file_id, sz AS size_chars,
+         |  CAST(ps // m.cap + 1 AS BIGINT) AS bin
+         |FROM o, meta m ORDER BY file_id""".stripMargin,
 
     "ivm_join_incremental" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,

@@ -265,7 +265,8 @@ object ScaleProbe {
     "eval_confusion_kappa", "cluster_topics",
     // ninth wave (source-pair overlap is roster²-bounded fan-out on the
     // shingle key; LPA iterates broadcast label joins over the pinned
-    // edge list; the FFD fold input is manifest-sized)
+    // edge list; compaction derives its file granularity from the corpus
+    // count in-query — manifest pinned at ~TargetFiles rows, r11)
     "source_overlap_matrix", "graph_lpa", "compaction_plan",
     // tenth wave (merkle: log-depth keyed folds, frame halving per
     // level; join estimator: one keyed count + one global agg)
@@ -409,15 +410,6 @@ object ScaleProbe {
           Tables.embeddings(spark, dir), "vec_id", "embedding",
           dims = 64, planes = planes,
           minCos = graft.queries.ExtensionQueries.AnnMinCos))
-      } else if (q == "compaction_plan") {
-        // Planner scale rule: the FFD input must stay manifest-sized
-        // (O(files·bins) sequential scan), so file granularity grows
-        // with the corpus — bigger target files / per-scope planning,
-        // as production compactors bound their run size. Fixed
-        // granularity is pinned by the oracle at sf0.1.
-        val group = graft.queries.WarehouseQueries.CompactionGroupDocs *
-          (if (dir == out) factor else 1)
-        force(graft.queries.WarehouseQueries.compactionPlan(spark, dir, group))
       } else force(graft.SparkEntry.queries(q)(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
