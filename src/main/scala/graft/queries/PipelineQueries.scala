@@ -40,8 +40,15 @@ object PipelineQueries extends QueryPack {
   /** SemDeDup blocking: IVF cells + in-cell cosine floor. The fixture
     * embeddings carry no planted near-dups (max pairwise cos ≈ 0.51), so
     * the floor is 0.3 to exercise the verify path on non-empty output.
+    * The cell count is DERIVED in-query from the embedding count —
+    * `cells = max(min, vecs div pop)`, cells of ~[[SemCellPop]] vectors
+    * at any corpus size — and the oracle replays the identical formula
+    * as a scalar subquery (the Graph.kCore adaptive-k pattern), so the
+    * quadratic in-cell term stays flat as the corpus grows instead of
+    * being pinned by a fixed-cells spelling.
     */
-  val SemCells = 16
+  val SemCellsMin = 16
+  val SemCellPop = 32
   val SemMinCos = 0.3
 
   /** EWMA segmentation: per-key history folds in chunks of this many rows
@@ -445,8 +452,17 @@ object PipelineQueries extends QueryPack {
     // bounded by cell size, not corpus size — the scale rule is
     // numCells ∝ corpus (cells of ~constant population), keeping per-cell
     // pairwise work flat while the assignment stays a broadcast
-    // projection; SemCells is fixed here only so the oracle is stable.
-    "semdedup_pairs" -> ((s, d) => semdedupPairs(s, d, SemCells)))
+    // projection. The rule is applied IN the query: cells derive from
+    // the embedding count (one plan-time constant to the driver) with
+    // the same formula replayed in the oracle's scalar subquery. At
+    // billion-vector scale the n·cells assignment itself needs a
+    // two-level (coarse-then-fine) argmax — documented, not fixture-
+    // reachable.
+    "semdedup_pairs" -> ((s, d) => {
+      val nVecs = embeddings(s, d).count()
+      semdedupPairs(s, d,
+        math.max(SemCellsMin, (nVecs / SemCellPop).toInt))
+    }))
 
   /** The semdedup plan, parameterized on cell count so the scale probe can
     * apply the documented rule (numCells ∝ corpus) that the fixed-cells
@@ -538,13 +554,17 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracleSql: Map[String, String] = {
-    // IVF assignment CTE chain (mirrors Similarity.ivfAssign; same text as
-    // the ExtensionQueries fragment so both oracle families stay in sync).
+    // IVF assignment CTE chain (mirrors Similarity.ivfAssign; same shape
+    // as the ExtensionQueries fragment, except the centroid count here is
+    // the derived-cells scalar subquery — ExtensionQueries' ANN oracles
+    // keep their explicit numCells=16 APIs).
     val duckIvfAssign =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $SemCells),
+        |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+        |  WHERE vec_id < (SELECT greatest($SemCellsMin, count(*) // $SemCellPop)
+        |                  FROM embeddings)),
         |scored AS (
         |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
         |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))

@@ -394,13 +394,9 @@ object ScaleProbe {
     def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
     def time(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      // semdedup: apply the documented scale rule (cells ∝ corpus) that
-      // the fixed-cells oracle spelling pins for hash stability.
-      if (q == "semdedup_pairs") {
-        val cells = graft.queries.PipelineQueries.SemCells *
-          (if (dir == out) factor else 1)
-        force(graft.queries.PipelineQueries.semdedupPairs(spark, dir, cells))
-      } else if (q == "sim_ann_pairs" && dir == out) {
+      // semdedup needs no special case since r11: the catalog spelling
+      // derives cells ∝ corpus in-query (cells of ~SemCellPop vectors).
+      if (q == "sim_ann_pairs" && dir == out) {
         // LSH scale rule: planes ∝ log2(corpus) keeps expected bucket
         // density constant (the fixed-planes oracle spelling pins 8 for
         // hash stability; at factor× the bucket self-join would otherwise

@@ -169,8 +169,10 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("semdedup pairs only within cells, all above the cosine floor") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cells = math.max(SemCellsMin, (emb.count() / SemCellPop).toInt)
     val assign = graft.ext.Similarity.ivfAssign(
-      graft.Tables.embeddings(spark, sf0001), "vec_id", "embedding", SemCells)
+      emb, "vec_id", "embedding", cells)
       .select(col("vec_id"), col("cell"))
     val pairs = run("semdedup_pairs")
     assert(pairs.where(col("cos_sim") < SemMinCos).isEmpty)
