@@ -48,7 +48,22 @@ object ScaleProbe {
   def copySuffix(i: Int): String =
     s"qx${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
 
-  def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+  /** `compactTime`: keep every copy inside the BASE time range instead of
+    * offsetting copies by 366 days. The offset protects key-independent
+    * temporal joins (range_join_binned would cross-match copies within
+    * ±5 min and measure a density blowup), but it INFLATES any query
+    * whose work is proportional to a per-type time grid: event_type is
+    * shared across copies, so a type's min..max hourly grid spans all
+    * copy windows plus the year-wide gaps between them (~86–97× the base
+    * grid at 8–10×, r10 sf1 rehearsal) — the probe then measures grid
+    * inflation, not the operator. The compact corpus is the honest
+    * fixture for the ts family (grid stays fixture-sized, per-bucket
+    * density grows with the corpus — what a real 10× corpus in the same
+    * window looks like); do NOT use it for key-independent temporal
+    * joins.
+    */
+  def build(spark: SparkSession, base: String, out: String, factor: Int,
+      compactTime: Boolean = false): Unit = {
     // embeddings arrived in r5 — backfill it into corpora built earlier
     if (Files.exists(Paths.get(s"$out/_DONE"))) {
       if (!Files.exists(Paths.get(s"$out/embeddings.parquet")))
@@ -71,12 +86,13 @@ object ScaleProbe {
     copies(Tables.events(spark, base), (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * KeyStride))
       .withColumn("user_id", col("user_id") + lit(i * SmallStride))
-      // disjoint time region per copy: temporal joins (range_join_binned
-      // pairs events within ±5 min REGARDLESS of key) must not match
-      // across copies, or the probe would measure a quadratic blowup the
-      // real corpus doesn't have. Keyed/windowed queries are unaffected —
-      // their keys are already copy-disjoint.
-      .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 366} DAYS")))
+      // disjoint time region per copy (unless compactTime): temporal
+      // joins (range_join_binned pairs events within ±5 min REGARDLESS
+      // of key) must not match across copies, or the probe would measure
+      // a quadratic blowup the real corpus doesn't have. Keyed/windowed
+      // queries are unaffected — their keys are already copy-disjoint.
+      .withColumn("ts", col("ts") +
+        expr(s"INTERVAL ${if (compactTime) 0 else i * 366} DAYS")))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     copies(Tables.documents(spark, base), (df, i) =>
@@ -333,9 +349,12 @@ object ScaleProbe {
     // have never run above sf0.1; one honest-materialization pass over
     // all of them catches a superlinear shape hiding in the long tail.
     val sweepAll = args.drop(1).contains("--all")
-    val only = args.drop(1).filterNot(_ == "--all").toSet
+    // `--compact-time`: build/use the copies-in-base-time-range corpus
+    // (see [[build]]) — the honest grid for the ts family.
+    val compactTime = args.drop(1).contains("--compact-time")
+    val only = args.drop(1).filterNot(a => a == "--all" || a == "--compact-time").toSet
     val base = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_x$factor"
+    val out = s"/tmp/graft_scale_x$factor" + (if (compactTime) "_ct" else "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions scale with the data (as a cluster's would): a
     // fixed partition count makes per-partition state — shuffle-hash
@@ -371,7 +390,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    build(spark, base, out, factor)
+    build(spark, base, out, factor, compactTime)
 
     val catalog =
       if (sweepAll) graft.SparkEntry.queries.keys.toSeq.sorted
