@@ -329,17 +329,7 @@ object CorpusQueries extends QueryPack {
     // nll/16 keeps (lang × band) parallelism; the per-lang total comes
     // off the same band-counts frame. Sub-2-token docs drop with the LM
     // (no bigrams). Oracle unchanged — bare windows are fine in DuckDB.
-    "corpus_ppl_filter" -> ((s, d) => {
-      val scored = lmScores(s, d)
-        .join(documents(s, d).select(col("doc_id"), col("lang")),
-          Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("nll"))
-      graft.ops.BandedRank.rank(scored, Seq("lang"), col("nll"),
-          col("doc_id"), bandWidth = PplRankBandWidth)
-        .select(col("doc_id"), col("lang"), col("nll"),
-          (col("_rank") * 5 <= col("_n") * 4).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "corpus_ppl_filter" -> ((s, d) => pplRanked(s, d).orderBy("doc_id")),
 
     // Mojibake / encoding-damage detection — the cleaning pass a crawl
     // corpus runs before tokenization. Three detectors: U+FFFD
@@ -354,10 +344,7 @@ object CorpusQueries extends QueryPack {
       // NOTE: the plant string is a Scala literal, NOT SQL chr() — Spark's
       // chr is byte-oriented (mod 256) while DuckDB's is code-point; the
       // oracle uses DuckDB chr() to build the identical code points.
-      val planted = documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 4 === 0, concat(col("text"), lit(MojiPlant)))
-          .otherwise(col("text")).as("text"))
-      planted.select(col("doc_id"),
+      mojiPlantedText(s, d).select(col("doc_id"),
         size(expr(s"regexp_extract_all(text, '$MojiReplPat', 0)"))
           .cast("long").as("n_repl"),
         size(expr(s"regexp_extract_all(text, '$MojiC1Pat', 0)"))
@@ -462,11 +449,107 @@ object CorpusQueries extends QueryPack {
         .limit(PmiTopK)
     }))
 
-  /** Per-document smoothed bigram-LM negative log-likelihood —
-    * (doc_id, n_bigrams, nll); shared by `lm_bigram_score` and the
-    * curriculum-planning composite.
+  /** Gopher-rules metric frame (doc_id, n_words, fractions, keep) —
+    * shared by `quality_gopher_rules` and the corpus-prep v2 composite.
+    * Unordered; callers add their presentation sort.
     */
-  private def lmScores(s: SparkSession, d: String): DataFrame = {
+  private[queries] def gopherMetrics(s: SparkSession, d: String): DataFrame = {
+    val staged = documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
+        TextOps.tokens(col("text")).as("_toks"))
+    def gramCounts(n: Int): DataFrame = {
+      val ln = greatest(size(col("_toks")) - (n - 1), lit(0))
+      staged
+        .select(col("doc_id"),
+          explode(arrays_zip((1 to n).map(k =>
+            slice(col("_toks"), lit(k), ln)): _*)).as("_g"))
+        .select(col("doc_id"),
+          concat_ws(" ", (0 until n).map(i => col("_g")(i.toString)): _*)
+            .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    }
+    def topChars(n: Int, alias: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))
+      gramCounts(n)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("doc_id"),
+          (col("cnt") * length(col("g")).cast("long")).as(alias))
+    }
+    val ws = staged
+      .select(col("doc_id"), col("nc"), explode(col("_toks")).as("tok"))
+      .groupBy(col("doc_id"), col("nc"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tok")).cast("long")).as("_sl"),
+        sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("_na"))
+    val dup5 = gramCounts(5).where(col("cnt") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * length(col("g")).cast("long")).as("_d5"))
+    def frac(x: Column, den: Column): Column =
+      round(x.cast("double") / nullif(den, lit(0L)), 6)
+    ws
+      .join(topChars(2, "_t2"), Seq("doc_id"), "left")
+      .join(topChars(3, "_t3"), Seq("doc_id"), "left")
+      .join(topChars(4, "_t4"), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        frac(col("_sl"), col("n_words")).as("mean_word_len"),
+        frac(col("_na"), col("n_words")).as("alpha_frac"),
+        frac(coalesce(col("_t2"), lit(0L)), col("nc")).as("top2_frac"),
+        frac(coalesce(col("_t3"), lit(0L)), col("nc")).as("top3_frac"),
+        frac(coalesce(col("_t4"), lit(0L)), col("nc")).as("top4_frac"),
+        frac(coalesce(col("_d5"), lit(0L)), col("nc")).as("dup5_frac"))
+      .withColumn("keep",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_frac") >= 0.8 &&
+          col("top2_frac") <= 0.2 && col("top3_frac") <= 0.18 &&
+          col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
+  }
+
+  /** The perplexity-gate rank frame (doc_id, lang, nll, keep) — the
+    * banded per-lang CCNet cut behind `corpus_ppl_filter`, shared with
+    * the corpus-prep v2 composite. Unordered. Sub-2-token docs have no
+    * bigrams, hence no row (a doc the LM cannot score is not kept).
+    */
+  private[queries] def pplRanked(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScores(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("nll"))
+    graft.ops.BandedRank.rank(scored, Seq("lang"), col("nll"),
+        col("doc_id"), bandWidth = PplRankBandWidth)
+      .select(col("doc_id"), col("lang"), col("nll"),
+        (col("_rank") * 5 <= col("_n") * 4).as("keep"))
+  }
+
+  /** Documents with the deterministic mojibake damage planted on
+    * doc_id % 4 == 0 (see [[MojiPlant]]) — (doc_id, text). Shared by the
+    * standalone detector and the corpus-prep v2 hygiene gate.
+    */
+  private[queries] def mojiPlantedText(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(MojiPlant)))
+        .otherwise(col("text")).as("text"))
+
+  /** Documents with the deterministic URL plant on doc_id % 5 == 0
+    * (21 distinct domains from the doc_id % 7 × % 3 product) —
+    * (doc_id, text). Shared by `text_url_domains` and the corpus-prep v2
+    * hygiene gate.
+    */
+  private[queries] def urlPlantedText(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" see https://www"),
+          (col("doc_id") % 7).cast("string"), lit(".example"),
+          (col("doc_id") % 3).cast("string"), lit(".com/page")))
+        .otherwise(col("text")).as("text"))
+
+  /** Per-document smoothed bigram-LM negative log-likelihood —
+    * (doc_id, n_bigrams, nll); shared by `lm_bigram_score`, the
+    * perplexity gate, and the curriculum-planning composite.
+    */
+  private[queries] def lmScores(s: SparkSession, d: String): DataFrame = {
       val tok = documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
       // Adjacent pairs via arrays_zip(slice, slice) — fully codegen'd.
@@ -596,60 +679,8 @@ object CorpusQueries extends QueryPack {
     // N-gram strings are concatenated AFTER the explode (codegen) from
     // arrays_zip'd slices — the bigramPairs lesson; higher-order
     // transform lambdas are CodegenFallback.
-    "quality_gopher_rules" -> ((s, d) => {
-      val staged = documents(s, d)
-        .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
-          TextOps.tokens(col("text")).as("_toks"))
-      def gramCounts(n: Int): DataFrame = {
-        val ln = greatest(size(col("_toks")) - (n - 1), lit(0))
-        staged
-          .select(col("doc_id"),
-            explode(arrays_zip((1 to n).map(k =>
-              slice(col("_toks"), lit(k), ln)): _*)).as("_g"))
-          .select(col("doc_id"),
-            concat_ws(" ", (0 until n).map(i => col("_g")(i.toString)): _*)
-              .as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      }
-      def topChars(n: Int, alias: String): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))
-        gramCounts(n)
-          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-          .select(col("doc_id"),
-            (col("cnt") * length(col("g")).cast("long")).as(alias))
-      }
-      val ws = staged
-        .select(col("doc_id"), col("nc"), explode(col("_toks")).as("tok"))
-        .groupBy(col("doc_id"), col("nc"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(length(col("tok")).cast("long")).as("_sl"),
-          sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("_na"))
-      val dup5 = gramCounts(5).where(col("cnt") > 1)
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt") * length(col("g")).cast("long")).as("_d5"))
-      def frac(x: Column, den: Column): Column =
-        round(x.cast("double") / nullif(den, lit(0L)), 6)
-      ws
-        .join(topChars(2, "_t2"), Seq("doc_id"), "left")
-        .join(topChars(3, "_t3"), Seq("doc_id"), "left")
-        .join(topChars(4, "_t4"), Seq("doc_id"), "left")
-        .join(dup5, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
-          frac(col("_sl"), col("n_words")).as("mean_word_len"),
-          frac(col("_na"), col("n_words")).as("alpha_frac"),
-          frac(coalesce(col("_t2"), lit(0L)), col("nc")).as("top2_frac"),
-          frac(coalesce(col("_t3"), lit(0L)), col("nc")).as("top3_frac"),
-          frac(coalesce(col("_t4"), lit(0L)), col("nc")).as("top4_frac"),
-          frac(coalesce(col("_d5"), lit(0L)), col("nc")).as("dup5_frac"))
-        .withColumn("keep",
-          col("n_words").between(GopherMinWords, GopherMaxWords) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            col("alpha_frac") >= 0.8 &&
-            col("top2_frac") <= 0.2 && col("top3_frac") <= 0.18 &&
-            col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
-        .orderBy("doc_id")
-    }),
+    "quality_gopher_rules" -> ((s, d) =>
+      gopherMetrics(s, d).orderBy("doc_id")),
     // Multi-type PII scan + redaction — the pre-release scrub every
     // training corpus gets: per-doc counts of emails / IPv4s / phone
     // numbers / long account-number digit runs, plus the md5 of the
@@ -1060,13 +1091,7 @@ object CorpusQueries extends QueryPack {
     // + explode + one keyed agg; a hot domain is one reducer key
     // (AQE-splittable), never a pairwise anything.
     "text_url_domains" -> ((s, d) => {
-      val planted = documents(s, d).select(col("doc_id"),
-        when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" see https://www"),
-            (col("doc_id") % 7).cast("string"), lit(".example"),
-            (col("doc_id") % 3).cast("string"), lit(".com/page")))
-          .otherwise(col("text")).as("text"))
-      planted
+      urlPlantedText(s, d)
         .select(col("doc_id"),
           explode(expr("regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)"))
             .as("domain"))
@@ -1433,60 +1458,118 @@ object CorpusQueries extends QueryPack {
        |  FROM wwm WHERE rn >= least($w, l))""".stripMargin
   }
 
+  private def duckGram(n: Int): String = {
+    val parts = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+    s"""g$n AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(toks) - ${n - 1}), i -> $parts)) AS g
+       |  FROM t),
+       |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Gopher-rules CTE chain ending in `gop (doc_id, n_words, fractions,
+    * keep)` — mirrors [[gopherMetrics]]; shared by the standalone oracle
+    * and the corpus-prep v2 composite in [[ExtensionQueries]].
+    */
+  private[queries] lazy val duckGopherCtes: String =
+    s"""t AS (SELECT doc_id, length(text) AS nc, $duckToks AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, nc, unnest(toks) AS tok FROM t),
+       |ws AS (SELECT doc_id, nc, count(*) AS n_words,
+       |    sum(length(tok)) AS sl,
+       |    sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+       |      AS na
+       |  FROM w GROUP BY 1, 2),
+       |${duckGram(2)},
+       |${duckGram(3)},
+       |${duckGram(4)},
+       |${duckGram(5)},
+       |t2 AS (SELECT doc_id, cnt * length(g) AS tc FROM c2
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY cnt DESC, g) = 1),
+       |t3 AS (SELECT doc_id, cnt * length(g) AS tc FROM c3
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY cnt DESC, g) = 1),
+       |t4 AS (SELECT doc_id, cnt * length(g) AS tc FROM c4
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY cnt DESC, g) = 1),
+       |d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dc FROM c5
+       |  WHERE cnt > 1 GROUP BY 1),
+       |m AS (SELECT ws.doc_id, n_words,
+       |    round(CAST(sl AS DOUBLE) / nullif(n_words, 0), 6) AS mean_word_len,
+       |    round(CAST(na AS DOUBLE) / nullif(n_words, 0), 6) AS alpha_frac,
+       |    round(CAST(coalesce(t2.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top2_frac,
+       |    round(CAST(coalesce(t3.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top3_frac,
+       |    round(CAST(coalesce(t4.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top4_frac,
+       |    round(CAST(coalesce(d5.dc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS dup5_frac
+       |  FROM ws LEFT JOIN t2 ON t2.doc_id = ws.doc_id
+       |          LEFT JOIN t3 ON t3.doc_id = ws.doc_id
+       |          LEFT JOIN t4 ON t4.doc_id = ws.doc_id
+       |          LEFT JOIN d5 ON d5.doc_id = ws.doc_id),
+       |gop AS (SELECT doc_id, n_words, mean_word_len, alpha_frac,
+       |    top2_frac, top3_frac, top4_frac, dup5_frac,
+       |    (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |     AND mean_word_len BETWEEN 3.0 AND 10.0
+       |     AND alpha_frac >= 0.8
+       |     AND top2_frac <= 0.2 AND top3_frac <= 0.18
+       |     AND top4_frac <= 0.16 AND dup5_frac <= 0.15) AS keep
+       |  FROM m)""".stripMargin
+
+  /** Smoothed-bigram-LM CTE chain ending in
+    * `lmsc (doc_id, n_bigrams, nll)` — mirrors [[lmScores]]. CTE names
+    * carry an `lm` prefix so the chain composes into larger WITH blocks
+    * (the gopher chain also defines a `c2`). ONE definition shared by
+    * `lm_bigram_score`, `corpus_ppl_filter`, and the corpus-prep v2
+    * composite, so the gate's mirror cannot silently desync from the LM
+    * recipe.
+    */
+  private[queries] lazy val duckLmNllCtes: String =
+    s"""lmtok AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |lmbg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
+       |  FROM lmtok WHERE len(toks) >= 2),
+       |lmp AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM lmbg),
+       |lmc2 AS (SELECT a, b, count(*) AS c2 FROM lmp GROUP BY a, b),
+       |lmc1 AS (SELECT a, count(*) AS c1 FROM lmp GROUP BY a),
+       |lmv AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT unnest([a, b]) AS w FROM lmp)),
+       |lmsc AS (
+       |  SELECT lmp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(avg(-ln((lmc2.c2 + 1) / CAST(lmc1.c1 + lmv.v AS DOUBLE))), 6) AS nll
+       |  FROM lmp JOIN lmc2 ON lmp.a = lmc2.a AND lmp.b = lmc2.b
+       |           JOIN lmc1 ON lmp.a = lmc1.a, lmv
+       |  GROUP BY lmp.doc_id)""".stripMargin
+
+  /** The mojibake-damage plant as a DuckDB CASE expression over `text` —
+    * chr() builds the identical code points the Scala literal
+    * [[MojiPlant]] carries (DuckDB chr is code-point; Spark's is
+    * byte-oriented, which is why the engine side uses the literal).
+    */
+  private[queries] lazy val duckMojiPlantCase: String =
+    // single line: an embedded newline + leading `||` would be eaten by
+    // the CONSUMING template's stripMargin (it strips through the first
+    // `|` of the operator)
+    "CASE WHEN doc_id % 4 = 0 THEN text || ' caf' || chr(195) || " +
+      "chr(169) || ' ' || chr(65533) || chr(133) ELSE text END"
+
+  /** The URL plant as a DuckDB CASE expression over `text` — mirrors
+    * [[urlPlantedText]].
+    */
+  private[queries] lazy val duckUrlPlantCase: String =
+    // single line — same stripMargin-vs-`||` interaction as above
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' see https://www' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.example' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '.com/page' ELSE text END"
+
   def oracleSql: Map[String, String] = {
     val W = DupSpanW
     val qT = QualityModel.TrainIters
-    def duckGram(n: Int): String = {
-      val parts = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
-      s"""g$n AS (SELECT doc_id, unnest(list_transform(
-         |    generate_series(1, len(toks) - ${n - 1}), i -> $parts)) AS g
-         |  FROM t),
-         |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
-    }
     Map(
       "quality_gopher_rules" ->
-        s"""WITH t AS (SELECT doc_id, length(text) AS nc, $duckToks AS toks
-           |  FROM documents),
-           |w AS (SELECT doc_id, nc, unnest(toks) AS tok FROM t),
-           |ws AS (SELECT doc_id, nc, count(*) AS n_words,
-           |    sum(length(tok)) AS sl,
-           |    sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
-           |      AS na
-           |  FROM w GROUP BY 1, 2),
-           |${duckGram(2)},
-           |${duckGram(3)},
-           |${duckGram(4)},
-           |${duckGram(5)},
-           |t2 AS (SELECT doc_id, cnt * length(g) AS tc FROM c2
-           |  QUALIFY row_number() OVER (PARTITION BY doc_id
-           |    ORDER BY cnt DESC, g) = 1),
-           |t3 AS (SELECT doc_id, cnt * length(g) AS tc FROM c3
-           |  QUALIFY row_number() OVER (PARTITION BY doc_id
-           |    ORDER BY cnt DESC, g) = 1),
-           |t4 AS (SELECT doc_id, cnt * length(g) AS tc FROM c4
-           |  QUALIFY row_number() OVER (PARTITION BY doc_id
-           |    ORDER BY cnt DESC, g) = 1),
-           |d5 AS (SELECT doc_id, sum(cnt * length(g)) AS dc FROM c5
-           |  WHERE cnt > 1 GROUP BY 1),
-           |m AS (SELECT ws.doc_id, n_words,
-           |    round(CAST(sl AS DOUBLE) / nullif(n_words, 0), 6) AS mean_word_len,
-           |    round(CAST(na AS DOUBLE) / nullif(n_words, 0), 6) AS alpha_frac,
-           |    round(CAST(coalesce(t2.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top2_frac,
-           |    round(CAST(coalesce(t3.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top3_frac,
-           |    round(CAST(coalesce(t4.tc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS top4_frac,
-           |    round(CAST(coalesce(d5.dc, 0) AS DOUBLE) / nullif(nc, 0), 6) AS dup5_frac
-           |  FROM ws LEFT JOIN t2 ON t2.doc_id = ws.doc_id
-           |          LEFT JOIN t3 ON t3.doc_id = ws.doc_id
-           |          LEFT JOIN t4 ON t4.doc_id = ws.doc_id
-           |          LEFT JOIN d5 ON d5.doc_id = ws.doc_id)
+        s"""WITH $duckGopherCtes
            |SELECT doc_id, n_words, mean_word_len, alpha_frac,
-           |  top2_frac, top3_frac, top4_frac, dup5_frac,
-           |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
-           |   AND mean_word_len BETWEEN 3.0 AND 10.0
-           |   AND alpha_frac >= 0.8
-           |   AND top2_frac <= 0.2 AND top3_frac <= 0.18
-           |   AND top4_frac <= 0.16 AND dup5_frac <= 0.15) AS keep
-           |FROM m ORDER BY doc_id""".stripMargin,
+           |  top2_frac, top3_frac, top4_frac, dup5_frac, keep
+           |FROM gop ORDER BY doc_id""".stripMargin,
       "text_rake_keyphrases" -> {
         val stopList = graft.ext.TextOps.stopwords
           .map(w => s"'$w'").mkString("[", ",", "]")
@@ -1907,21 +1990,8 @@ object CorpusQueries extends QueryPack {
           |ORDER BY pmi_micro DESC, p.w1, p.w2 LIMIT $PmiTopK""".stripMargin,
 
       "lm_bigram_score" ->
-        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
-          |bg AS (
-          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-          |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
-          |  FROM tok WHERE len(toks) >= 2),
-          |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bg),
-          |c2 AS (SELECT a, b, count(*) AS c2 FROM p GROUP BY a, b),
-          |c1 AS (SELECT a, count(*) AS c1 FROM p GROUP BY a),
-          |v AS (SELECT count(DISTINCT w) AS v
-          |      FROM (SELECT unnest([a, b]) AS w FROM p))
-          |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-          |  round(avg(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS nll
-          |FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
-          |       JOIN c1 ON p.a = c1.a, v
-          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+        s"""WITH $duckLmNllCtes
+          |SELECT doc_id, n_bigrams, nll FROM lmsc ORDER BY doc_id""".stripMargin,
 
       "pii_scan_redact" -> {
         val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
@@ -2045,30 +2115,18 @@ object CorpusQueries extends QueryPack {
           |FROM tp JOIN p ON tp.a = p.a AND tp.b = p.b AND tp.c = p.c
           |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
 
-      // Rank-based perplexity gate: the lm_bigram chain, then a per-lang
-      // window over the doc-sized score frame; the keep cut is integer
-      // cross-multiplied on the ROUNDED nll ranking (ties by doc_id).
+      // Rank-based perplexity gate: the SHARED lm_bigram chain
+      // (duckLmNllCtes — one definition, no drift between the gate's
+      // mirror and the LM recipe), then a per-lang window over the
+      // doc-sized score frame; the keep cut is integer cross-multiplied
+      // on the ROUNDED nll ranking (ties by doc_id).
       "corpus_ppl_filter" ->
-        s"""WITH tok AS (SELECT doc_id, $duckToks AS toks FROM documents),
-          |bg AS (
-          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-          |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bg
-          |  FROM tok WHERE len(toks) >= 2),
-          |p AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bg),
-          |c2 AS (SELECT a, b, count(*) AS c2 FROM p GROUP BY a, b),
-          |c1 AS (SELECT a, count(*) AS c1 FROM p GROUP BY a),
-          |v AS (SELECT count(DISTINCT w) AS v
-          |      FROM (SELECT unnest([a, b]) AS w FROM p)),
-          |sc AS (SELECT p.doc_id,
-          |    round(avg(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 6) AS nll
-          |  FROM p JOIN c2 ON p.a = c2.a AND p.b = c2.b
-          |         JOIN c1 ON p.a = c1.a, v
-          |  GROUP BY p.doc_id),
-          |r AS (SELECT sc.doc_id, d.lang, sc.nll,
+        s"""WITH $duckLmNllCtes,
+          |r AS (SELECT lmsc.doc_id, d.lang, lmsc.nll,
           |    row_number() OVER (PARTITION BY d.lang
-          |      ORDER BY sc.nll, sc.doc_id) AS rn,
+          |      ORDER BY lmsc.nll, lmsc.doc_id) AS rn,
           |    count(*) OVER (PARTITION BY d.lang) AS n
-          |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+          |  FROM lmsc JOIN documents d ON d.doc_id = lmsc.doc_id)
           |SELECT doc_id, lang, nll, rn * 5 <= n * 4 AS keep
           |FROM r ORDER BY doc_id""".stripMargin,
 
@@ -2078,10 +2136,7 @@ object CorpusQueries extends QueryPack {
       // are the identical RE2/Java-compatible literals.
       "text_mojibake_flags" ->
         s"""WITH planted AS (
-          |  SELECT doc_id,
-          |    CASE WHEN doc_id % 4 = 0 THEN text || ' caf' || chr(195)
-          |      || chr(169) || ' ' || chr(65533) || chr(133)
-          |    ELSE text END AS text
+          |  SELECT doc_id, $duckMojiPlantCase AS text
           |  FROM documents)
           |SELECT doc_id,
           |  CAST(len(regexp_extract_all(text, '$MojiReplPat')) AS BIGINT)
@@ -2120,12 +2175,8 @@ object CorpusQueries extends QueryPack {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "text_url_domains" ->
-        """WITH planted AS (
-          |  SELECT doc_id,
-          |    CASE WHEN doc_id % 5 = 0 THEN text || ' see https://www'
-          |      || CAST(doc_id % 7 AS VARCHAR) || '.example'
-          |      || CAST(doc_id % 3 AS VARCHAR) || '.com/page'
-          |    ELSE text END AS text
+        s"""WITH planted AS (
+          |  SELECT doc_id, $duckUrlPlantCase AS text
           |  FROM documents),
           |u AS (SELECT doc_id,
           |    unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1))

@@ -73,6 +73,33 @@ object ExtensionQueries extends QueryPack {
     */
   val RerankShortlist = 50
 
+  /** Sequence-packing token budget, shared by `pack_sequences`, the
+    * provenance query, and the corpus-prep v2 composite's pack count.
+    */
+  val PackBudget = 2048L
+
+  /** Corpus-prep v2 URL-hygiene rule: a domain mentioned by more than
+    * `docs div this` DISTINCT documents is overrepresented (link farm /
+    * boilerplate), and every document mentioning it drops. The threshold
+    * derives from the corpus row count in-query (the adaptive-k
+    * pattern) and is replayed in the oracle's scalar subquery.
+    */
+  val UrlDomainCapDiv = 128L
+
+  /** Corpus-prep v2 decontamination: GRADED, not any-hit — a document
+    * drops when MORE THAN 1/this of its distinct shingles appear in the
+    * holdout (`n_shared · div > n_total`, exact integer cross-multiply —
+    * 12.5%: materially active on the fixture at every SF without
+    * saturating; the survivor ratio distribution tops out ~0.23).
+    * The v1 composite's any-shared-shingle rule saturates on the fixture
+    * (51 holdout docs contaminate ~94% of sf0.1, and the survivors are
+    * exactly the short docs the Gopher gate rejects — the two gates'
+    * intersection collapses); the graded rule is also what production
+    * decontamination runs (a single common phrase must not nuke a
+    * document).
+    */
+  val ContamFracDiv = 8L
+
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
   private val duckToks = """string_split_regex(lower(text), '\s+')"""
   private def duckH32(x: String) = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
@@ -827,7 +854,7 @@ object ExtensionQueries extends QueryPack {
     // for one giant key the banded prefix-sum of ops/TimeSeries is the
     // same pattern. Every output is exact integer arithmetic.
     "pack_sequences" -> ((s, d) => {
-      val budget = 2048L
+      val budget = PackBudget
       val w = Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -853,7 +880,7 @@ object ExtensionQueries extends QueryPack {
     // check), and an md5 lineage record over the ordered doc:tokens
     // list. Interval work is integer arithmetic end to end.
     "pack_provenance" -> ((s, d) => {
-      val budget = 2048L
+      val budget = PackBudget
       val w = Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1178,6 +1205,102 @@ object ExtensionQueries extends QueryPack {
           // quality is 6-rounded → exact at scale 1e6: order-invariant mean
           graft.ops.Metrics.meanExactScaled(col("quality"), 1000000L).as("avg_quality"))
         .orderBy("lang")
+    }),
+
+    // Corpus-prep v2 (r11): the r8–r10 cleaning/mixing operators COMPOSED
+    // into one declarative plan — Gopher quality rules → banded per-lang
+    // perplexity gate → mojibake + overrepresented-domain hygiene →
+    // near-dup survivor selection → benchmark decontamination →
+    // temperature-scaled source mixing → sequence-pack counts. One keyed
+    // semi/anti-join per gate on doc_id; shared staging where the
+    // operators genuinely share work: ONE shingle staging feeds BOTH the
+    // LSH pair generation and the decontamination explode (the v1
+    // pattern), the mixing/packing token counts reuse the same
+    // TextOps.tokens expression the gates tokenize with, and the domain
+    // threshold + the n_packs identity avoid re-staging entirely
+    // (n_packs under concat-and-chunk packing per source IS
+    // ceil(total/budget) — an aggregate identity, not a per-doc window).
+    // Each gate's spelling is the SHARED helper behind its standalone
+    // catalog query (gopherMetrics / pplRanked / mojiPlantedText /
+    // urlPlantedText), so the composite cannot drift from the operators
+    // it composes; the oracle replays the same shared SQL fragments.
+    "pipeline_training_corpus_v2" -> ((s, d) => {
+      val docs = documents(s, d)
+      // hard gates, each reduced to a doc_id keep/drop list
+      val gopherOk = CorpusQueries.gopherMetrics(s, d)
+        .where(col("keep")).select(col("doc_id"))
+      val pplOk = CorpusQueries.pplRanked(s, d)
+        .where(col("keep")).select(col("doc_id"))
+      val mojiOk = CorpusQueries.mojiPlantedText(s, d)
+        .where(
+          size(expr(s"regexp_extract_all(text, '${CorpusQueries.MojiReplPat}', 0)")) === 0 &&
+          size(expr(s"regexp_extract_all(text, '${CorpusQueries.MojiC1Pat}', 0)")) === 0 &&
+          size(expr(s"regexp_extract_all(text, '${CorpusQueries.MojiLatin1Pat}', 0)")) === 0)
+        .select(col("doc_id"))
+      // URL hygiene: overrepresented domains (distinct-doc count above
+      // docs/UrlDomainCapDiv — derived from the corpus count, the
+      // adaptive-k pattern) drop every doc that mentions them
+      val nDocs = docs.count()
+      val urls = CorpusQueries.urlPlantedText(s, d)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)"))
+            .as("domain"))
+      val hotDomains = urls.groupBy(col("domain"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > lit(nDocs / UrlDomainCapDiv))
+        .select(col("domain"))
+      val urlDrop = urls.join(broadcast(hotDomains), Seq("domain"), "left_semi")
+        .select(col("doc_id")).distinct()
+      // near-dup losers + decontamination off ONE shingle staging (v1)
+      val quality = qualityScored(s, d).localCheckpoint(false)
+      val toks = shingleSets(s, d)
+      val clusters = Dedup.connectedComponents(
+          minhashVerifiedPairsFrom(toks), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val losers = clusters.join(quality, Seq("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rk") > 1).select(col("doc_id"))
+      val sh = toks.select(col("doc_id"), explode(col("toks")).as("h"))
+      val holdout = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      // graded decontamination (the contamination_ratio rule): exploded h
+      // is unique per doc (toks is distinct), so n_shared is a plain
+      // partial-aggregable count off the SAME staging the LSH pairs use
+      val total = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_total"))
+      val contaminated = sh.where(col("doc_id") % 97 =!= 0)
+        .join(holdout, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .join(total, Seq("doc_id"))
+        .where(col("n_shared") * ContamFracDiv > col("n_total"))
+        .select(col("doc_id"))
+      // survivors → per-source mixing plan + pack counts
+      val surv = docs.where(col("doc_id") % 97 =!= 0)
+        .join(gopherOk, Seq("doc_id"), "left_semi")
+        .join(pplOk, Seq("doc_id"), "left_semi")
+        .join(mojiOk, Seq("doc_id"), "left_semi")
+        .join(urlDrop, Seq("doc_id"), "left_anti")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val g = surv.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val tot = broadcast(g.agg(sum(col("n_tokens")).as("_tot")))
+      val smoothed = g.crossJoin(tot)
+        .withColumn("_qn",
+          expr("cast(round(sqrt(cast(n_tokens as double) / _tot) * 1000000000) as bigint)"))
+      val norm = broadcast(smoothed.agg(sum(col("_qn")).as("_z")))
+      smoothed.crossJoin(norm)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("_tot"), 6).as("p_raw"),
+          round(col("_qn").cast("double") / col("_z"), 6).as("p_alpha"),
+          round((col("_qn").cast("double") / col("_z"))
+            / (col("n_tokens").cast("double") / col("_tot")), 6)
+            .as("oversample"),
+          expr(s"(n_tokens + ${PackBudget - 1}) div $PackBudget").as("n_packs"))
+        .orderBy("source")
     }),
 
     // Per-document token Shannon entropy (nats) — the information-density
@@ -2293,8 +2416,8 @@ object ExtensionQueries extends QueryPack {
 
       "pack_sequences" ->
         s"""SELECT lang, source, doc_id, n_tokens,
-           |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
-           |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+           |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id,
+           |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
            |FROM (
            |  SELECT lang, source, doc_id, n_tokens,
            |    sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
@@ -2314,12 +2437,12 @@ object ExtensionQueries extends QueryPack {
            |  FROM base),
            |sp AS (
            |  SELECT lang, source, doc_id, e - n_tokens AS st, e,
-           |    unnest(generate_series((e - n_tokens) // 2048, (e - 1) // 2048))
+           |    unnest(generate_series((e - n_tokens) // $PackBudget, (e - 1) // $PackBudget))
            |      AS seq_id
            |  FROM c WHERE n_tokens > 0),
            |tok AS (
            |  SELECT lang, source, seq_id, doc_id,
-           |    least(e, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)
+           |    least(e, (seq_id + 1) * $PackBudget) - greatest(st, seq_id * $PackBudget)
            |      AS tok_in_seq
            |  FROM sp)
            |SELECT lang, source, CAST(seq_id AS BIGINT) AS seq_id,
@@ -2444,6 +2567,85 @@ object ExtensionQueries extends QueryPack {
            |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            |  ${graft.ops.Metrics.meanExactScaledSql("quality", 1000000L)} AS avg_quality
            |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // Corpus-prep v2: the composite replays each gate's SHARED fragment
+      // (duckGopherCtes / duckLmNllCtes / the plant CASEs) on top of the
+      // v1 dedup+decontamination chain, then the corpus_mix_alpha
+      // spelling over the survivors.
+      "pipeline_training_corpus_v2" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION SELECT id_b, id_a FROM pairs),
+           |reach(n, m) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+           |clusters AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |             FROM reach GROUP BY n),
+           |$duckQualityCtes,
+           |losers AS (SELECT doc_id FROM (
+           |  SELECT c.doc_id,
+           |    row_number() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.quality DESC, c.doc_id) AS rk
+           |  FROM clusters c JOIN quality q USING (doc_id)) WHERE rk > 1),
+           |shx AS (SELECT doc_id, unnest(t) AS h FROM sh),
+           |holdout AS (SELECT DISTINCT h FROM shx WHERE doc_id % 97 = 0),
+           |ctot AS (SELECT doc_id, len(t) AS n_total FROM sh
+           |  WHERE doc_id % 97 <> 0),
+           |contaminated AS (SELECT s.doc_id FROM
+           |    (SELECT doc_id, count(*) AS n_shared FROM shx
+           |     WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM holdout)
+           |     GROUP BY doc_id) s
+           |  JOIN ctot ON ctot.doc_id = s.doc_id
+           |  WHERE s.n_shared * $ContamFracDiv > ctot.n_total),
+           |${CorpusQueries.duckGopherCtes},
+           |${CorpusQueries.duckLmNllCtes},
+           |pplr AS (SELECT lmsc.doc_id,
+           |    (row_number() OVER (PARTITION BY d.lang
+           |       ORDER BY lmsc.nll, lmsc.doc_id) * 5
+           |     <= count(*) OVER (PARTITION BY d.lang) * 4) AS keep
+           |  FROM lmsc JOIN documents d ON d.doc_id = lmsc.doc_id),
+           |mj AS (SELECT doc_id FROM
+           |    (SELECT doc_id, ${CorpusQueries.duckMojiPlantCase} AS text
+           |     FROM documents)
+           |  WHERE len(regexp_extract_all(text, '${CorpusQueries.MojiReplPat}'))
+           |      + len(regexp_extract_all(text, '${CorpusQueries.MojiC1Pat}'))
+           |      + len(regexp_extract_all(text, '${CorpusQueries.MojiLatin1Pat}')) = 0),
+           |ur AS (SELECT doc_id,
+           |    unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)) AS domain
+           |  FROM (SELECT doc_id, ${CorpusQueries.duckUrlPlantCase} AS text
+           |        FROM documents)),
+           |hot AS (SELECT domain FROM ur GROUP BY domain
+           |  HAVING count(DISTINCT doc_id) >
+           |    (SELECT count(*) // $UrlDomainCapDiv FROM documents)),
+           |urldrop AS (SELECT DISTINCT doc_id FROM ur
+           |  WHERE domain IN (SELECT domain FROM hot)),
+           |keepd AS (
+           |  SELECT d.source, len($duckToks) AS n_tokens
+           |  FROM documents d
+           |  JOIN gop ON gop.doc_id = d.doc_id
+           |  JOIN pplr ON pplr.doc_id = d.doc_id
+           |  WHERE d.doc_id % 97 <> 0 AND gop.keep AND pplr.keep
+           |    AND d.doc_id IN (SELECT doc_id FROM mj)
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM urldrop)
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+           |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |gmix AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |  FROM keepd GROUP BY source),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM gmix),
+           |smx AS (SELECT source, n_docs, n_tokens,
+           |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / t) * 1000000000)
+           |      AS BIGINT) AS qn
+           |  FROM gmix, tot),
+           |zn AS (SELECT CAST(sum(qn) AS BIGINT) AS z FROM smx)
+           |SELECT source, n_docs, n_tokens,
+           |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS p_raw,
+           |  round(CAST(qn AS DOUBLE) / z, 6) AS p_alpha,
+           |  round((CAST(qn AS DOUBLE) / z) / (CAST(n_tokens AS DOUBLE) / t), 6)
+           |    AS oversample,
+           |  (n_tokens + ${PackBudget - 1}) // $PackBudget AS n_packs
+           |FROM smx, tot, zn ORDER BY source""".stripMargin,
 
       "text_entropy" ->
         s"""WITH tf AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),

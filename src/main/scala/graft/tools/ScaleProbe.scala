@@ -340,7 +340,11 @@ object ScaleProbe {
     // PII scan/redact: pure projection, runs at scan speed
     "pii_scan_redact",
     // incremental media dedup: 3 store-backed ingests, band-keyed joins
-    "media_dedup_incremental")
+    "media_dedup_incremental",
+    // r11: the corpus-prep v2 composite — every gate a doc_id-keyed
+    // semi/anti join, one shared shingle staging for pairs + graded
+    // decontamination, banded ppl rank, corpus-derived url threshold
+    "pipeline_training_corpus_v2")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
