@@ -453,7 +453,7 @@ object CorpusQueries extends QueryPack {
     * shared by `quality_gopher_rules` and the corpus-prep v2 composite.
     * Unordered; callers add their presentation sort.
     */
-  private[queries] def gopherMetrics(s: SparkSession, d: String): DataFrame = {
+  private[graft] def gopherMetrics(s: SparkSession, d: String): DataFrame = {
     val staged = documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("nc"),
         TextOps.tokens(col("text")).as("_toks"))
@@ -512,7 +512,7 @@ object CorpusQueries extends QueryPack {
     * the corpus-prep v2 composite. Unordered. Sub-2-token docs have no
     * bigrams, hence no row (a doc the LM cannot score is not kept).
     */
-  private[queries] def pplRanked(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pplRanked(s: SparkSession, d: String): DataFrame = {
     val scored = lmScores(s, d)
       .join(documents(s, d).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
@@ -578,18 +578,41 @@ object CorpusQueries extends QueryPack {
       // never unpersisted — the dup_span_ratio 16× lesson). c2 IS
       // checkpointed: vocabulary-sized, and it cuts the c1/V/nll branches
       // loose from the stream.
-      val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
-        .localCheckpoint(false)
-      val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
-      val v = c2.select(explode(array(col("a"), col("b"))).as("w"))
-        .agg(countDistinct(col("w")).as("_v"))
-      val nll = c2.join(c1, Seq("a")).crossJoin(broadcast(v))
-        .select(col("a"), col("b"),
-          (-log((col("c2") + 1) / (col("c1") + col("_v")))).as("nllw"))
+      val nll = lmNllTable(s, d)
       bg.join(nll, Seq("a", "b"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nllw")), 6).as("nll"))
   }
+
+  /** The vocabulary-side half of [[lmScores]]: per-bigram smoothed NLL
+    * `(a, b, nllw)` plus the unigram/vocab stats behind it — also the
+    * FROZEN model the streaming quality gate collects
+    * ([[graft.stream.QualityGate]]). Returns (nll table, c1 table, V).
+    */
+  private[graft] def lmModelTables(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+    val n1 = size(col("_toks")) - 1
+    val bg = tok.where(size(col("_toks")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("_toks"), lit(1), n1),
+          slice(col("_toks"), lit(2), n1))).as("_bg"))
+      .select(col("doc_id"), col("_bg")("0").as("a"), col("_bg")("1").as("b"))
+    val c2 = bg.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val c1 = c2.groupBy("a").agg(sum(col("c2")).as("c1"))
+    val v = c2.select(explode(array(col("a"), col("b"))).as("w"))
+      .agg(countDistinct(col("w")).as("_v")).head().getLong(0)
+    val nll = c2.join(c1, Seq("a"))
+      .select(col("a"), col("b"),
+        (-log((col("c2") + 1) / (col("c1") + lit(v)))).as("nllw"))
+    (nll, c1, v)
+  }
+
+  private[graft] def lmNllTable(s: SparkSession, d: String): DataFrame =
+    lmModelTables(s, d)._1
 
   /** Logistic quality-classifier weights: bias, token-length feature,
     * punctuation-cleanliness feature, stopword-density feature. Fixed
@@ -663,8 +686,8 @@ object CorpusQueries extends QueryPack {
     */
   private val KnDiscount = 0.75
 
-  private val GopherMinWords = 50L
-  private val GopherMaxWords = 100000L
+  private[graft] val GopherMinWords = 50L
+  private[graft] val GopherMaxWords = 100000L
 
   private val extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher repetition/quality rules — the canonical LLM-corpus filter
