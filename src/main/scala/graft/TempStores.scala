@@ -41,13 +41,24 @@ object TempStores {
   def newStorePath(prefix: String): Path =
     Files.createTempDirectory(root, prefix)
 
-  /** Recursively remove the session root and everything under it. */
+  /** Recursively remove the session root and everything under it.
+    * The WHOLE sweep is fail-safe, not just the per-file deletes:
+    * `Files.walk` itself can throw mid-traversal (UncheckedIOException
+    * if a directory vanishes or turns unreadable), and Bench/Verify call
+    * this as the last statement of main — an escaping exception would
+    * turn an otherwise-successful run into a nonzero exit. The stream is
+    * closed via Using so a partial walk doesn't leak its dir handles.
+    */
   def deleteAll(): Unit = synchronized {
     if (rootDir != null && Files.exists(rootDir)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(rootDir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala
-        .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+      try {
+        scala.util.Using(Files.walk(rootDir)) { walk =>
+          walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(p => try Files.delete(p) catch { case _: Throwable => () })
+        }
+      } catch { case _: Throwable => () }
     }
     rootDir = null
   }

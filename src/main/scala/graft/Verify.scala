@@ -29,16 +29,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // JSON string escape: backslash, quote, ALL control chars (<0x20 —
+    // a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness)
+    // AND every non-ASCII code point: the mojibake oracles carry raw
+    // U+FFFD / C1-range / Latin-1-digraph literals, which are spec-valid
+    // JSON but fragile under editors, diff tooling, and non-UTF-8-clean
+    // consumers — \u-escaping keeps the artifact pure ASCII with
+    // identical parsed content.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
