@@ -384,11 +384,33 @@ object ExtensionQueries extends QueryPack {
           round(Similarity.norm(Similarity.asDouble(col("embedding"))), 6).as("l2_norm"))
         .orderBy("vec_id")),
 
-    // Embedding-cosine near-duplicate pairs, exact, blocked by label.
-    "dedup_embed_pairs" -> ((s, d) =>
-      Similarity.cosinePairs(embeddings(s, d), "vec_id", "embedding",
-          "label", minCos = 0.995)
-        .orderBy("id_a", "id_b")),
+    // Embedding-cosine near-duplicate pairs, blocked by
+    // (label × derived IVF cell). Label blocks alone grow with the
+    // corpus (fixed label cardinality → per-block pairwise is quadratic
+    // in corpus: 11× at the r11 sf1 re-run), so the SemDeDup cell rule
+    // composes in: cells = max(16, vecs div 32) derived from the
+    // embedding count (the semdedup_pairs formula, replayed by the
+    // oracle's scalar subquery) keeps per-(label, cell) population flat.
+    // Near-dup pairs at cos ≥ 0.995 are nearly identical vectors, which
+    // co-assign to the argmax cell — the SemDeDup blocking argument.
+    "dedup_embed_pairs" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val cells = math.max(PipelineQueries.SemCellsMin,
+        (emb.count() / PipelineQueries.SemCellPop).toInt)
+      val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cells)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val l = assign.select(col("label"), col("cell"),
+        col("vec_id").as("id_a"), col("vecd").as("_va"), col("nrm").as("_na"))
+      val r = assign.select(col("label"), col("cell"),
+        col("vec_id").as("id_b"), col("vecd").as("_vb"), col("nrm").as("_nb"))
+      l.join(r.hint("shuffle_hash"), Seq("label", "cell"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("label"), col("id_a"), col("id_b"),
+          round(Similarity.dot(col("_va"), col("_vb"))
+            / (col("_na") * col("_nb")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.995)
+        .orderBy("id_a", "id_b")
+    }),
 
     // IVF ANN: probe the 4 nearest of 16 Voronoi cells for the query.
     "sim_ivf_topk" -> ((s, d) =>
@@ -1970,14 +1992,26 @@ object ExtensionQueries extends QueryPack {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_embed_pairs" ->
-        """WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        s"""WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |           FROM embeddings),
           |n AS (SELECT label, vec_id, v,
-          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+          |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+          |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
+          |  WHERE vec_id < (SELECT greatest(${PipelineQueries.SemCellsMin},
+          |    count(*) // ${PipelineQueries.SemCellPop}) FROM embeddings)),
+          |scored AS (
+          |  SELECT a.vec_id, a.label, a.v, a.nrm, c.cell_id,
+          |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
+          |          / (a.nrm * c.cnrm), 6) AS ccos
+          |  FROM n a, cent c),
+          |assign AS (
+          |  SELECT vec_id, label, v, nrm, cell_id AS cell FROM scored
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)
           |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
           |        / (a.nrm * b.nrm), 6) AS cos_sim
-          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+          |FROM assign a JOIN assign b
+          |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
           |WHERE cos_sim >= 0.995
           |ORDER BY id_a, id_b""".stripMargin,
 
