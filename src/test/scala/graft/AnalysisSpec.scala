@@ -91,7 +91,8 @@ class AnalysisSpec extends SparkSpec {
     val out = graft.TempStores.newStorePath("graft_svg").toString
     val figs = graft.analysis.Plot.exp1Figures(summary, out)
     assert(figs.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
-      Set("throughput_vs_rate.svg", "p95_latency_vs_rate.svg"))
+      Set("throughput_vs_rate.svg", "p95_latency_vs_rate.svg",
+        "throughput_vs_rate.png", "p95_latency_vs_rate.png"))
     val thr = Files.readString(java.nio.file.Paths.get(figs.head))
     assert(thr.startsWith("<svg ") && thr.endsWith("</svg>"))
     assert(thr.contains("Throughput vs Input Rate"))
@@ -111,6 +112,38 @@ class AnalysisSpec extends SparkSpec {
     assert("<rect x=".r.findAllIn(bar).size == 2, "one bar per configuration")
     assert(bar.contains("cfg_1000") && bar.contains("cfg_8000"))
     assert(bar.contains("Average p95 latency (ms)"))
+  }
+
+  test("S6 plot sinks: PNG twins decode with the figure's data drawn") {
+    // matplotlib parity (analyze_exp1.py:123): the PNG path must write a
+    // real decodable raster — correct canvas, series drawn in the figure
+    // color, not a blank frame. Marker centers land where the SVG's
+    // circle markers sit (shared layout arithmetic), so the series color
+    // must appear both at a known marker coordinate and in volume.
+    val blue = new java.awt.Color(0x1f, 0x77, 0xb4).getRGB
+    val img = graft.analysis.Plot.linePng(
+      Seq((1000.0, 100.0), (8000.0, 400.0)), "t", "x", "y")
+    assert(img.getWidth == 640 && img.getHeight == 420)
+    val pix = for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      yield img.getRGB(x, y)
+    assert(pix.count(_ == blue) > 100, "series line/markers drawn")
+    assert(pix.count(_ == java.awt.Color.WHITE.getRGB) > 100000, "canvas")
+    assert(pix.count(_ == java.awt.Color.BLACK.getRGB) > 500, "axes+text")
+    val bar = graft.analysis.Plot.barPng(
+      Seq(("a", 5.0), ("b", 9.0)), "t", "y")
+    // two bars -> two horizontal blue runs along the baseline-1 row
+    val rowY = 420 - 64 - 2
+    val row = (0 until 640).map(x => bar.getRGB(x, rowY) == blue)
+    val runs = row.zip(false +: row.dropRight(1)).count {
+      case (cur, prev) => cur && !prev
+    }
+    assert(runs == 2, s"expected 2 bar runs, got $runs")
+    // PNG encode -> decode round-trip through the byte codec
+    val outDir = graft.TempStores.newStorePath("graft_png").toString
+    graft.analysis.Plot.writePng(s"$outDir/t.png", img)
+    val back = javax.imageio.ImageIO.read(new java.io.File(s"$outDir/t.png"))
+    assert(back.getWidth == 640 && back.getHeight == 420)
+    assert(back.getRGB(320, 210) != 0, "decoded raster carries pixels")
   }
 
   test("driver contract: entry returns rows and every query has unique name") {
