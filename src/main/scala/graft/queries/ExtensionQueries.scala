@@ -774,6 +774,35 @@ object ExtensionQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer-quality evaluation per language — the fertility /
+    // compression numbers a pipeline tracks when it trains or swaps a
+    // tokenizer (fertility = subword tokens per word: low-resource
+    // languages fragment more under a vocab trained on the mixture;
+    // chars-per-token = the compression the context window actually
+    // buys). One encode pass (the bpe_encode chain) + one word-stat
+    // projection + a lang-keyed aggregate of exact integer sums; only
+    // the two final ratios are float, rounded identically.
+    "bpe_fertility" -> ((s, d) => {
+      val merges = Bpe.trainMerges(documents(s, d), "text", steps = BpeSteps)
+      val enc = Bpe.encode(documents(s, d), "doc_id", "text", merges)
+      val meta = documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_nw"),
+        aggregate(TextOps.tokens(col("text")), lit(0L),
+          (a, t) => a + length(t).cast("long")).as("_nc"))
+      enc.join(meta, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("_nw")).as("n_words"),
+          sum(col("_nc")).as("n_chars"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     // End-to-end tokenization: per-doc ORDERED token-id sequences under
     // the trained merges + vocab — the artifact a training pipeline
     // consumes. Positions ride through the explodes so the sequence
@@ -2322,6 +2351,32 @@ object ExtensionQueries extends QueryPack {
            |        FROM d0, ${(1 to BpeSteps).map("m" + _).mkString(", ")})
            |SELECT doc_id, CAST(sum(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_bpe_tokens
            |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      "bpe_fertility" -> {
+        var segExpr =
+          "' ' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), '  ') || ' '"
+        for (t <- 1 to BpeSteps)
+          segExpr = s"replace($segExpr, ' ' || m$t.s1 || '  ' || m$t.s2 || ' ', ' ' || m$t.ms || ' ')"
+        s"""WITH ${duckBpeChain(BpeSteps)},
+           |d0 AS (SELECT doc_id, word
+           |       FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+           |       WHERE word <> ''),
+           |enc AS (SELECT doc_id, $segExpr AS seg
+           |        FROM d0, ${(1 to BpeSteps).map("m" + _).mkString(", ")}),
+           |tokc AS (SELECT doc_id, CAST(sum(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_bpe_tokens
+           |         FROM enc GROUP BY doc_id),
+           |meta AS (SELECT doc_id, lang,
+           |    CAST(len($duckToks) AS BIGINT) AS nw,
+           |    CAST(list_sum(list_transform($duckToks, t -> len(t))) AS BIGINT) AS nc
+           |  FROM documents)
+           |SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+           |  CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           |  round(CAST(sum(n_bpe_tokens) AS DOUBLE) / sum(nw), 6) AS fertility,
+           |  round(CAST(sum(nc) AS DOUBLE) / sum(n_bpe_tokens), 6) AS chars_per_token
+           |FROM tokc JOIN meta USING (doc_id)
+           |GROUP BY lang ORDER BY lang""".stripMargin
       },
 
       "sim_topk_cosine" ->

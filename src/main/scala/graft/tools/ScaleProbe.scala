@@ -344,7 +344,10 @@ object ScaleProbe {
     // r11: the corpus-prep v2 composite — every gate a doc_id-keyed
     // semi/anti join, one shared shingle staging for pairs + graded
     // decontamination, banded ppl rank, corpus-derived url threshold
-    "pipeline_training_corpus_v2")
+    "pipeline_training_corpus_v2",
+    // r11: tokenizer fertility rides the bpe_encode chain + one keyed
+    // agg; embed pairs now (label × derived-cell)-blocked like semdedup
+    "bpe_fertility", "dedup_embed_pairs")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)

@@ -331,8 +331,18 @@ class PlanAuditSpec extends SparkSpec {
                                 // crossed into the single readout row
       "ts_autocorrelation",     // constant 24-row lag-dimension attach
                                 // (the ts_theilsen shape)
-      "embed_outlier_flags")    // numCells-row centroid attach (the IVF
+      "embed_outlier_flags",    // numCells-row centroid attach (the IVF
                                 // assignment) + 16-row threshold attach
+      "compaction_plan",        // 1-row bin-capacity attach onto the
+                                // manifest-bounded file frame (r11 NFD
+                                // spelling)
+      "dedup_embed_pairs",      // cells-row centroid table (corpus-derived
+                                // count, population-constant — the
+                                // semdedup attach)
+      "pipeline_training_corpus_v2") // the composite carries its
+                                // components' labeled attaches: the
+                                // lm 1-row vocab total (ppl gate) and the
+                                // two 1-row mixing totals (corpus_mix_alpha)
     auditCatalog { (name, p) =>
       if (p.contains("CartesianProduct"))
         Some(s"$name: CartesianProduct in final plan")
@@ -389,6 +399,14 @@ class PlanAuditSpec extends SparkSpec {
                                   // with the graph (statless post-agg
                                   // sides), shuffle IS the plan — the
                                   // graph_triangles reasoning
+      "dedup_embed_pairs",        // in-(label × cell) self-join: both
+                                  // sides scale with the corpus, shuffle
+                                  // IS the plan (the semdedup_pairs
+                                  // reasoning, r11 blocking)
+      "pipeline_training_corpus_v2", // carries v1's corpus-sized band
+                                  // self-join (LSH pair generation) —
+                                  // the pipeline_training_corpus entry's
+                                  // reasoning verbatim
       "graph_triangles")          // oriented-wedge self-join + closure
                                   // semi-join: every side (edges, degrees,
                                   // wedges) scales with the graph, shuffle
