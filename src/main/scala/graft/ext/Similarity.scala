@@ -104,6 +104,62 @@ object Similarity {
       .select(col(idCol), col("vecd"), col("nrm"), col("_best.cell_id").as("cell"))
   }
 
+  /** Two-level (coarse-then-fine) IVF assignment — the scale form of
+    * [[ivfAssign]] for callers that derive `numCells` from the corpus
+    * size (cells ∝ n). The flat broadcast argmax does n·cells dot
+    * products, which with cells ∝ n is O(n²/pop) — the quadratic term
+    * the r11 scale rehearsal measured emerging in semdedup_pairs /
+    * dedup_embed_pairs. Here the centroid set is quantized
+    * hierarchically: `nCoarse = ceil(sqrt(numCells))` coarse seeds (a
+    * PREFIX of the fine seeds, same deterministic id-prefix rule), each
+    * fine centroid argmaxes to a coarse group (a coarse seed is pinned
+    * to its own group so no group is empty), and a vector argmaxes first
+    * over the coarse seeds, then only over that group's fine centroids —
+    * n·(√cells + avg-group) ≈ n·2√cells dot products, back to ~linear
+    * when cells ∝ n. Still a PURE PROJECTION over the vector stream:
+    * both centroid tables arrive as single broadcast rows (a sorted
+    * coarse array + a coarse→fines map), zero vector-side shuffle.
+    * Assignment is a clustering heuristic, so two-level ≠ flat cell ids
+    * is acceptable by design; near-identical vectors still co-assign
+    * (identical inputs take identical argmax paths), which is the only
+    * property the SemDeDup blocking argument needs — measured recall vs
+    * exact all-pairs is pinned by `ExtSpec`. Every argmax rounds cosine
+    * to 6 and breaks ties to the lowest id, exactly like [[ivfAssign]],
+    * so DuckDB replays both levels verbatim.
+    */
+  def ivfAssignTwoLevel(embeddings: DataFrame, idCol: String, vecCol: String,
+      numCells: Int): DataFrame = {
+    val nCoarse = math.ceil(math.sqrt(numCells.toDouble)).toLong
+    val staged = embeddings
+      .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .select(col(idCol), col("vecd"), norm(col("vecd")).as("nrm"))
+    val coarseArr = broadcast(staged.where(col(idCol) < nCoarse)
+      .agg(array_sort(collect_list(struct(col(idCol).as("co_id"),
+        col("vecd").as("gvec"), col("nrm").as("gnrm")))).as("_coarse")))
+    def coarseArgmax(vec: Column, nrm: Column): Column =
+      array_min(transform(col("_coarse"), g =>
+        struct((lit(1.0) - round(dot(vec, g("gvec")) / (nrm * g("gnrm")), 6)).as("inv"),
+          g("co_id").as("co_id"))))("co_id")
+    val groupsMap = broadcast(staged.where(col(idCol) < numCells)
+      .crossJoin(coarseArr)
+      .select(col(idCol).as("cell_id"), col("vecd").as("cvec"),
+        col("nrm").as("cnrm"),
+        when(col(idCol) < nCoarse, col(idCol))
+          .otherwise(coarseArgmax(col("vecd"), col("nrm"))).as("co"))
+      .groupBy(col("co"))
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec"),
+        col("cnrm")))).as("fines"))
+      .agg(map_from_entries(collect_list(struct(col("co"), col("fines"))))
+        .as("_groups")))
+    staged.crossJoin(coarseArr).crossJoin(groupsMap)
+      .withColumn("_co", coarseArgmax(col("vecd"), col("nrm")))
+      .withColumn("_best", array_min(transform(
+        element_at(col("_groups"), col("_co")), c =>
+          struct((lit(1.0) - round(dot(col("vecd"), c("cvec")) / (col("nrm") * c("cnrm")), 6)).as("inv"),
+            c("cell_id").as("cell_id")))))
+      .select(col(idCol), col("vecd"), col("nrm"), col("_best.cell_id").as("cell"))
+  }
+
   /** IVF top-k cosine search for one query vector. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, numCells: Int, nprobe: Int, k: Int): DataFrame = {
@@ -547,6 +603,55 @@ object Similarity {
         col("baseline_err"),
         round(col("appended_err") / col("baseline_err"), 6).as("err_ratio"))
       .orderBy("cell")
+  }
+
+  /** Act on [[appendIvfPqIndex]]'s staleness report — the retrain
+    * trigger the report's docstring specifies, CLOSED as an operator:
+    * retrain fires when cells whose err_ratio exceeds
+    * `hotErrRatio` (≈1.5) hold at least 1/`hotShareDen` of the appended
+    * rows, or when the append-weighted mean err_ratio exceeds
+    * `meanErrRatio` (≈1.2). A cell the build-time health baseline has
+    * never seen (null err_ratio) counts as hot — unknown baseline is
+    * staleness, not health. On trigger the index is rebuilt at `path`
+    * from the live corpus with FRESH training (same deterministic
+    * md5-seeded k-means, so a rebuild-from-scratch over the same corpus
+    * produces the identical index — the `ExtSpec` equality proof), and
+    * serving resumes from the new base. `corpus` must be the full live
+    * vector set (PQ codes are lossy; an index cannot re-derive its own
+    * training data). Returns whether a retrain ran.
+    *
+    * At 100 TB the retrain is the same one-pass train + one-pass encode
+    * the original build was, amortized over however many appends the
+    * trigger let through — the report is KB-sized per append, so the
+    * DECISION costs nothing; only the rebuild pays corpus price.
+    */
+  def refreshIfStale(corpus: DataFrame, path: String, report: DataFrame,
+      numCells: Int, m: Int, k: Int, dims: Int, trainIters: Int = 1,
+      hotErrRatio: Double = 1.5, meanErrRatio: Double = 1.2,
+      hotShareDen: Int = 5): Boolean = {
+    val spark = corpus.sparkSession
+    val r = report.agg(
+      sum(col("n_appended")).as("n_tot"),
+      sum(when(coalesce(col("err_ratio"),
+          lit(Double.PositiveInfinity)) > hotErrRatio, col("n_appended"))
+        .otherwise(lit(0L))).as("n_hot"),
+      sum(when(col("err_ratio").isNotNull,
+          col("err_ratio") * col("n_appended")).otherwise(lit(0.0))).as("wsum"),
+      sum(when(col("err_ratio").isNotNull, col("n_appended"))
+        .otherwise(lit(0L))).as("n_known")).head()
+    if (r.isNullAt(0)) return false // empty report: nothing appended
+    val (nTot, nHot) = (r.getLong(0), r.getLong(1))
+    val meanRatio =
+      if (r.getLong(3) == 0L) Double.PositiveInfinity
+      else r.getDouble(2) / r.getLong(3)
+    val trigger = nHot * hotShareDen >= nTot || meanRatio > meanErrRatio
+    if (trigger) {
+      val meta = spark.read.parquet(s"$path/meta")
+        .select(col("id_col"), col("vec_col")).head()
+      writeIvfPqIndex(corpus, meta.getString(0), meta.getString(1),
+        numCells, m, k, dims, path, trainIters)
+    }
+    trigger
   }
 
   /** Serve a top-k ANN query from a materialized [[writeIvfPqIndex]]

@@ -584,12 +584,29 @@ object CorpusQueries extends QueryPack {
         .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nllw")), 6).as("nll"))
   }
 
-  /** The vocabulary-side half of [[lmScores]]: per-bigram smoothed NLL
-    * `(a, b, nllw)` plus the unigram/vocab stats behind it — also the
-    * FROZEN model the streaming quality gate collects
+  /** The vocabulary-side half of [[lmScores]]: per-bigram count +
+    * smoothed NLL `(a, b, c2, nllw)` plus the unigram/vocab stats behind
+    * it — also the FROZEN model the streaming quality gate collects
     * ([[graft.stream.QualityGate]]). Returns (nll table, c1 table, V).
+    *
+    * MEMOIZED per (session, dir): V is a plan-time constant (the
+    * `.head()` below runs eager Spark jobs during DataFrame
+    * construction), and the LM chain has several catalog consumers
+    * (`lm_bigram_score`, `corpus_ppl_filter`, the v2 composite's gate,
+    * the streaming QualityGate freeze) — without the memo each of them
+    * re-derived c2/c1/V from the token stream. The cached frames are
+    * vocabulary-sized lazy plans hanging off the same c2 localCheckpoint,
+    * so the token stream is scanned once per session, not once per
+    * consumer.
     */
+  private val lmModelCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String),
+      (DataFrame, DataFrame, Long)]
   private[graft] def lmModelTables(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) =
+    lmModelCache.getOrElseUpdate((s, d), lmModelTablesBuild(s, d))
+
+  private def lmModelTablesBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Long) = {
     val tok = documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
@@ -606,13 +623,13 @@ object CorpusQueries extends QueryPack {
     val v = c2.select(explode(array(col("a"), col("b"))).as("w"))
       .agg(countDistinct(col("w")).as("_v")).head().getLong(0)
     val nll = c2.join(c1, Seq("a"))
-      .select(col("a"), col("b"),
+      .select(col("a"), col("b"), col("c2"),
         (-log((col("c2") + 1) / (col("c1") + lit(v)))).as("nllw"))
     (nll, c1, v)
   }
 
   private[graft] def lmNllTable(s: SparkSession, d: String): DataFrame =
-    lmModelTables(s, d)._1
+    lmModelTables(s, d)._1.select(col("a"), col("b"), col("nllw"))
 
   /** Logistic quality-classifier weights: bias, token-length feature,
     * punctuation-cleanliness feature, stopword-density feature. Fixed

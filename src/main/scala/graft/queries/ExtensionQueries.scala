@@ -197,6 +197,31 @@ object ExtensionQueries extends QueryPack {
           (lit(1.0) - col("_np") / col("_nc")) * 0.4 +
           (col("_ns") / col("_nt")) * 0.3, 6).as("quality"))
 
+  /** The `dedup_embed_pairs` plan over an explicit embedding frame
+    * (vec_id, label, embedding): (label × derived two-level IVF cell)
+    * blocking, exact cosine verify ≥ 0.995 inside blocks. Parameterized
+    * so `ExtSpec` can measure blocking recall on a frame with PLANTED
+    * near-dups (the shipped fixtures contain no ≥0.995 pair at any SF,
+    * so the catalog query alone would pin recall vacuously).
+    */
+  private[graft] def embedNearDupPairs(emb: DataFrame): DataFrame = {
+    val cells = math.max(PipelineQueries.SemCellsMin,
+      (emb.count() / PipelineQueries.SemCellPop).toInt)
+    val assign = Similarity.ivfAssignTwoLevel(emb, "vec_id", "embedding", cells)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val l = assign.select(col("label"), col("cell"),
+      col("vec_id").as("id_a"), col("vecd").as("_va"), col("nrm").as("_na"))
+    val r = assign.select(col("label"), col("cell"),
+      col("vec_id").as("id_b"), col("vecd").as("_vb"), col("nrm").as("_nb"))
+    l.join(r.hint("shuffle_hash"), Seq("label", "cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        round(Similarity.dot(col("_va"), col("_vb"))
+          / (col("_na") * col("_nb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= 0.995)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup via md5 grouping — shuffles 16-byte keys, not documents.
     "dedup_exact" -> ((s, d) =>
@@ -390,27 +415,14 @@ object ExtensionQueries extends QueryPack {
     // in corpus: 11× at the r11 sf1 re-run), so the SemDeDup cell rule
     // composes in: cells = max(16, vecs div 32) derived from the
     // embedding count (the semdedup_pairs formula, replayed by the
-    // oracle's scalar subquery) keeps per-(label, cell) population flat.
+    // oracle's scalar subquery) keeps per-(label, cell) population flat,
+    // and the assignment is the two-level coarse-then-fine argmax
+    // (cells ∝ n would make the flat n·cells assignment quadratic).
     // Near-dup pairs at cos ≥ 0.995 are nearly identical vectors, which
-    // co-assign to the argmax cell — the SemDeDup blocking argument.
-    "dedup_embed_pairs" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      val cells = math.max(PipelineQueries.SemCellsMin,
-        (emb.count() / PipelineQueries.SemCellPop).toInt)
-      val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cells)
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val l = assign.select(col("label"), col("cell"),
-        col("vec_id").as("id_a"), col("vecd").as("_va"), col("nrm").as("_na"))
-      val r = assign.select(col("label"), col("cell"),
-        col("vec_id").as("id_b"), col("vecd").as("_vb"), col("nrm").as("_nb"))
-      l.join(r.hint("shuffle_hash"), Seq("label", "cell"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("label"), col("id_a"), col("id_b"),
-          round(Similarity.dot(col("_va"), col("_vb"))
-            / (col("_na") * col("_nb")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= 0.995)
-        .orderBy("id_a", "id_b")
-    }),
+    // co-assign to the argmax cell — the SemDeDup blocking argument;
+    // the measured fixture recall vs exact all-pairs is pinned in
+    // ExtSpec ("two-level blocking recall").
+    "dedup_embed_pairs" -> ((s, d) => embedNearDupPairs(embeddings(s, d))),
 
     // IVF ANN: probe the 4 nearest of 16 Voronoi cells for the query.
     "sim_ivf_topk" -> ((s, d) =>
@@ -2025,17 +2037,38 @@ object ExtensionQueries extends QueryPack {
           |           FROM embeddings),
           |n AS (SELECT label, vec_id, v,
           |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+          |prm AS (SELECT greatest(${PipelineQueries.SemCellsMin},
+          |    count(*) // ${PipelineQueries.SemCellPop}) AS ncells,
+          |  CAST(ceil(sqrt(CAST(greatest(${PipelineQueries.SemCellsMin},
+          |    count(*) // ${PipelineQueries.SemCellPop}) AS DOUBLE))) AS BIGINT) AS ncoarse
+          |  FROM embeddings),
+          |co AS (SELECT vec_id AS co_id, v AS gv, nrm AS gnrm FROM n
+          |  WHERE vec_id < (SELECT ncoarse FROM prm)),
           |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
-          |  WHERE vec_id < (SELECT greatest(${PipelineQueries.SemCellsMin},
-          |    count(*) // ${PipelineQueries.SemCellPop}) FROM embeddings)),
-          |scored AS (
-          |  SELECT a.vec_id, a.label, a.v, a.nrm, c.cell_id,
-          |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
-          |          / (a.nrm * c.cnrm), 6) AS ccos
-          |  FROM n a, cent c),
+          |  WHERE vec_id < (SELECT ncells FROM prm)),
+          |f2c AS (
+          |  SELECT cell_id, cv, cnrm,
+          |    CASE WHEN cell_id < (SELECT ncoarse FROM prm) THEN cell_id ELSE co_id END AS co
+          |  FROM (
+          |    SELECT f.cell_id, f.cv, f.cnrm, c.co_id,
+          |      round(list_sum(list_transform(generate_series(1, len(f.cv)), i -> f.cv[i] * c.gv[i]))
+          |            / (f.cnrm * c.gnrm), 6) AS gcos
+          |    FROM cent f, co c)
+          |  QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY gcos DESC, co_id) = 1),
+          |v2c AS (
+          |  SELECT vec_id, label, v, nrm, co_id AS co FROM (
+          |    SELECT a.vec_id, a.label, a.v, a.nrm, c.co_id,
+          |      round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.gv[i]))
+          |            / (a.nrm * c.gnrm), 6) AS gcos
+          |    FROM n a, co c)
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, co_id) = 1),
           |assign AS (
-          |  SELECT vec_id, label, v, nrm, cell_id AS cell FROM scored
-          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)
+          |  SELECT vec_id, label, v, nrm, cell_id AS cell FROM (
+          |    SELECT a.vec_id, a.label, a.v, a.nrm, f.cell_id,
+          |      round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * f.cv[i]))
+          |            / (a.nrm * f.cnrm), 6) AS fcos
+          |    FROM v2c a JOIN f2c f ON a.co = f.co)
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY fcos DESC, cell_id) = 1)
           |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
           |        / (a.nrm * b.nrm), 6) AS cos_sim

@@ -454,10 +454,11 @@ object PipelineQueries extends QueryPack {
     // pairwise work flat while the assignment stays a broadcast
     // projection. The rule is applied IN the query: cells derive from
     // the embedding count (one plan-time constant to the driver) with
-    // the same formula replayed in the oracle's scalar subquery. At
-    // billion-vector scale the n·cells assignment itself needs a
-    // two-level (coarse-then-fine) argmax — documented, not fixture-
-    // reachable.
+    // the same formula replayed in the oracle's scalar subquery. And
+    // because cells ∝ n makes a FLAT n·cells argmax quadratic, the
+    // assignment is the two-level (coarse-then-fine) form —
+    // n·2√cells dot products, ~linear again (Similarity
+    // .ivfAssignTwoLevel; both levels replayed in the oracle).
     "semdedup_pairs" -> ((s, d) => {
       val nVecs = embeddings(s, d).count()
       semdedupPairs(s, d,
@@ -539,7 +540,8 @@ object PipelineQueries extends QueryPack {
   }
 
   def semdedupPairs(s: SparkSession, d: String, cells: Int): DataFrame = {
-    val assign = Similarity.ivfAssign(embeddings(s, d), "vec_id", "embedding", cells)
+    val assign = Similarity.ivfAssignTwoLevel(embeddings(s, d), "vec_id",
+      "embedding", cells)
     val l = assign.select(col("cell"), col("vec_id").as("id_a"),
       col("vecd").as("_va"), col("nrm").as("_na"))
     val r = assign.select(col("cell"), col("vec_id").as("id_b"),
@@ -554,25 +556,47 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracleSql: Map[String, String] = {
-    // IVF assignment CTE chain (mirrors Similarity.ivfAssign; same shape
-    // as the ExtensionQueries fragment, except the centroid count here is
-    // the derived-cells scalar subquery — ExtensionQueries' ANN oracles
-    // keep their explicit numCells=16 APIs).
+    // Two-level IVF assignment CTE chain (mirrors Similarity
+    // .ivfAssignTwoLevel — the derived-cells scale path: coarse argmax
+    // over ceil(sqrt(cells)) seeds, then fine argmax within the chosen
+    // coarse group; a coarse seed's fine centroid is pinned to its own
+    // group. ExtensionQueries' fixed-16-cell ANN oracles keep the flat
+    // single-level fragment — at constant cells the flat argmax is
+    // already linear).
     val duckIvfAssign =
       s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |prm AS (SELECT greatest($SemCellsMin, count(*) // $SemCellPop) AS ncells,
+        |    CAST(ceil(sqrt(CAST(greatest($SemCellsMin, count(*) // $SemCellPop) AS DOUBLE))) AS BIGINT) AS ncoarse
+        |  FROM embeddings),
+        |co AS (SELECT vec_id AS co_id, v AS gv, nrm AS gnrm FROM n
+        |  WHERE vec_id < (SELECT ncoarse FROM prm)),
         |cent AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n
-        |  WHERE vec_id < (SELECT greatest($SemCellsMin, count(*) // $SemCellPop)
-        |                  FROM embeddings)),
-        |scored AS (
-        |  SELECT a.vec_id, a.v, a.nrm, c.cell_id,
-        |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i]))
-        |          / (a.nrm * c.cnrm), 6) AS ccos
-        |  FROM n a, cent c),
+        |  WHERE vec_id < (SELECT ncells FROM prm)),
+        |f2c AS (
+        |  SELECT cell_id, cv, cnrm,
+        |    CASE WHEN cell_id < (SELECT ncoarse FROM prm) THEN cell_id ELSE co_id END AS co
+        |  FROM (
+        |    SELECT f.cell_id, f.cv, f.cnrm, c.co_id,
+        |      round(list_sum(list_transform(generate_series(1, len(f.cv)), i -> f.cv[i] * c.gv[i]))
+        |            / (f.cnrm * c.gnrm), 6) AS gcos
+        |    FROM cent f, co c)
+        |  QUALIFY row_number() OVER (PARTITION BY cell_id ORDER BY gcos DESC, co_id) = 1),
+        |v2c AS (
+        |  SELECT vec_id, v, nrm, co_id AS co FROM (
+        |    SELECT a.vec_id, a.v, a.nrm, c.co_id,
+        |      round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.gv[i]))
+        |            / (a.nrm * c.gnrm), 6) AS gcos
+        |    FROM n a, co c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gcos DESC, co_id) = 1),
         |assign AS (
-        |  SELECT vec_id, v, nrm, cell_id AS cell FROM scored
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell_id) = 1)""".stripMargin
+        |  SELECT vec_id, v, nrm, cell_id AS cell FROM (
+        |    SELECT a.vec_id, a.v, a.nrm, f.cell_id,
+        |      round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * f.cv[i]))
+        |            / (a.nrm * f.cnrm), 6) AS fcos
+        |    FROM v2c a JOIN f2c f ON a.co = f.co)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY fcos DESC, cell_id) = 1)""".stripMargin
 
     Map(
       "corpus_dsir_weights" ->

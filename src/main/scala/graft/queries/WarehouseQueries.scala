@@ -340,8 +340,15 @@ object WarehouseQueries extends QueryPack {
     *
     * A bin can exceed `cap` only by part of its LAST (smallest) file —
     * the straddle bound `load − last < cap`, asserted in
-    * CompactionSpec. The global window is safe BY CONSTRUCTION: its
-    * input is ≤ targetFiles + 1 rows regardless of corpus size.
+    * CompactionSpec. CONSUMER CONTRACT: a bin's total load is therefore
+    * `< cap + max_file_size` (worst case just under 2×cap, when a bin's
+    * straddling file is itself cap-sized) — anything sizing buffers or
+    * task memory off this plan must budget for that bound, not for cap
+    * itself. This is the deliberate NFD trade vs the r10 first-fit
+    * fold: a strict no-overshoot packer is inherently sequential, while
+    * the boundary rule is one prefix-sum window. The global window is
+    * safe BY CONSTRUCTION: its input is ≤ targetFiles + 1 rows
+    * regardless of corpus size.
     */
   private[graft] def compactionPlan(s: SparkSession, d: String,
       targetFiles: Int): DataFrame = {

@@ -17,13 +17,22 @@ import graft.ext.TextOps
   *  - the per-bigram smoothed NLL table + unigram counts + vocabulary
   *    size from [[graft.queries.CorpusQueries.lmModelTables]] — exactly
   *    the table the batch `lm_bigram_score` joins against. At fixture
-  *    scale the full table ships (the spec's bit-identity needs it); a
-  *    production gate bounds it to the top-K bigrams and lets the
-  *    smoothing fallback absorb the tail — same trade as percolate's
-  *    query-vocabulary restriction;
+  *    scale the full table ships (the spec's bit-identity needs it); at
+  *    corpus scale [[freeze]] takes `topK` and keeps only the K most
+  *    frequent bigrams, letting the smoothing fallback absorb the tail —
+  *    same trade as percolate's query-vocabulary restriction (measured
+  *    deviation in `QualityGateSpec`);
   *  - the per-language NLL admission thresholds read off the batch
   *    perplexity cut (the max admitted NLL per language — a
-  *    languages-sized constant);
+  *    languages-sized constant). TIE SEMANTICS, by design: the stream
+  *    gate admits any document whose NLL EQUALS the per-language cut
+  *    value (`nll <= thr`), while the batch rank cut breaks NLL ties by
+  *    doc_id and may reject some tied docs to hit its exact 80% count —
+  *    a stream processor sees one document at a time and cannot know
+  *    how many ties the batch quota would have admitted, so ≥-at-tie
+  *    admission (never dropping a document the batch would keep) is the
+  *    intended streaming semantics, not an approximation bug. Off ties
+  *    the two gates are bit-identical (spec-proved);
   *  - the Gopher thresholds (pure literals).
   *
   * The Gopher metrics are recomputed per row from the document's own
@@ -44,13 +53,38 @@ object QualityGate {
   final case class FrozenLm(nll: Map[String, Double], c1: Map[String, Long],
       v: Long)
 
-  /** Collect the frozen model from a corpus directory. Vocabulary-sized
-    * driver traffic (the constant-plan-fact pattern); production bounds
-    * the table to top-K bigrams before freezing.
+  /** Collect the frozen model from a corpus directory.
+    *
+    * `topK` bounds the frozen bigram table to the K most frequent
+    * bigrams (by corpus count, deterministic ties by (a, b)): the full
+    * table is bigram-TYPE-sized — vocabulary², the one frozen constant
+    * that grows superlinearly with the corpus — so an unbounded freeze
+    * is a driver OOM and a multi-GB task closure at real corpus scale.
+    * Dropping a bigram moves its score from the seen path
+    * -ln((c2+1)/(c1(a)+V)) to the smoothing fallback -ln(1/(c1(a)+V)) —
+    * a shift of +ln(c2+1) per occurrence, so the bounded gate is
+    * MONOTONE-CONSERVATIVE (NLL only rises; it admits a subset of the
+    * full model's admissions, never extra junk — spec-proved) and its
+    * admission deviation is governed by the OCCURRENCE COVERAGE of the
+    * kept K, not by K itself: size K so the kept bigrams cover ~all
+    * token occurrences (cheap under a Zipf bigram law — real corpora)
+    * and the per-doc shift vanishes. `QualityGateSpec` measures the
+    * WORST case on the near-uniform synthetic fixture (top-half K =
+    * only ~0.59 occurrence coverage → a pinned 238/500 keep→drop
+    * tightening, zero spurious admissions) and the identity at K =
+    * full. Frozen payload bound: K × (avg bigram key bytes + 8) for
+    * the NLL map, plus the unigram c1 map and per-lang thresholds —
+    * both LINEAR in vocabulary/languages, which is why only the bigram
+    * table takes a K. Default keeps everything (the spec's bit-identity
+    * path).
     */
-  def freeze(s: SparkSession, corpusDir: String): FrozenLm = {
+  def freeze(s: SparkSession, corpusDir: String,
+      topK: Int = Int.MaxValue): FrozenLm = {
     val (nll, c1, v) = graft.queries.CorpusQueries.lmModelTables(s, corpusDir)
-    val nllMap = nll.collect()
+    val bounded =
+      if (topK == Int.MaxValue) nll
+      else nll.orderBy(col("c2").desc, col("a"), col("b")).limit(topK)
+    val nllMap = bounded.select(col("a"), col("b"), col("nllw")).collect()
       .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getDouble(2)).toMap
     val c1Map = c1.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -126,15 +160,20 @@ object QualityGate {
     * (n_bigrams, nll — null for sub-2-token docs, which the batch LM
     * cannot score either), and the composed admission flag
     * `keep = gopher_keep AND nll ≤ threshold(lang)`.
+    *
+    * `passthrough` names input columns to carry into the output
+    * unchanged (e.g. `text`/`ts` when the gate feeds the streaming
+    * dedup stages downstream — `ComposedStreamSpec`'s ingest pipeline).
     */
-  def gate(docs: DataFrame, lm: FrozenLm, thr: Map[String, Double])
-      : DataFrame = {
+  def gate(docs: DataFrame, lm: FrozenLm, thr: Map[String, Double],
+      passthrough: Seq[String] = Nil): DataFrame = {
     val nllLit = typedlit(lm.nll)
     val c1Lit = typedlit(lm.c1)
     val thrLit = typedlit(thr)
-    val staged = docs.select(col("doc_id"), col("lang"),
-      length(col("text")).cast("long").as("nc"),
-      TextOps.tokens(col("text")).as("_toks"))
+    val staged = docs.select(col("doc_id") +: col("lang") +:
+      length(col("text")).cast("long").as("nc") +:
+      TextOps.tokens(col("text")).as("_toks") +:
+      passthrough.map(col): _*)
     val withWords = staged
       .withColumn("n_words", size(col("_toks")).cast("long"))
       .withColumn("_sl", aggregate(col("_toks"), lit(0L),
@@ -176,10 +215,10 @@ object QualityGate {
       .withColumn("lm_keep",
         coalesce(col("nll") <= element_at(thrLit, col("lang")), lit(false)))
       .withColumn("keep", col("gopher_keep") && col("lm_keep"))
-      .select(col("doc_id"), col("lang"), col("n_words"),
-        col("mean_word_len"), col("alpha_frac"), col("top2_frac"),
-        col("top3_frac"), col("top4_frac"), col("dup5_frac"),
-        col("gopher_keep"), col("n_bigrams"), col("nll"), col("lm_keep"),
-        col("keep"))
+      .select(col("doc_id") +: col("lang") +: col("n_words") +:
+        col("mean_word_len") +: col("alpha_frac") +: col("top2_frac") +:
+        col("top3_frac") +: col("top4_frac") +: col("dup5_frac") +:
+        col("gopher_keep") +: col("n_bigrams") +: col("nll") +:
+        col("lm_keep") +: col("keep") +: passthrough.map(col): _*)
   }
 }

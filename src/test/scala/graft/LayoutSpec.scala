@@ -161,6 +161,98 @@ class LayoutSpec extends SparkSpec {
     assert(Similarity.readCodes(spark, base).count() == e.count())
   }
 
+  test("retrain-under-ingest: drifted append trips the trigger, refresh == rebuild-from-scratch, recall restored") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val half = e.count() / 2
+    val first = e.where($"vec_id" < half)
+    val inDist = e.where($"vec_id" >= half)
+    // drifted ingest: a distribution the frozen books never saw
+    // (negated, 3x-scaled corpus vectors under fresh ids) — appended
+    // codes reconstruct poorly, which is exactly what the staleness
+    // report exists to catch
+    val drifted = e.where($"vec_id" >= half)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => -x * lit(3.0f)).as("embedding"))
+    val tmp = graft.TempStores.newStorePath("graft_ivfpq_refresh").toString
+    val path = tmp + "/idx"
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding",
+      numCells = 16, m = 8, k = 16, dims = 64, path = path, trainIters = 2)
+
+    // CONTROL: an in-distribution append must NOT trip the trigger —
+    // a gate that retrains on every append is just a slow rebuild loop
+    val report0 = Similarity.appendIvfPqIndex(inDist, path, "a1")
+      .localCheckpoint(true)
+    val report0Rows = report0.collect().toSeq
+    val corpus0 = first.unionByName(inDist)
+    assert(!Similarity.refreshIfStale(corpus0, path, report0,
+        numCells = 16, m = 8, k = 16, dims = 64, trainIters = 2),
+      s"in-distribution append must not retrain: ${report0Rows.mkString(", ")}")
+
+    // stale serving snapshot BEFORE the refresh, for the recall delta
+    val corpus = corpus0.unionByName(drifted)
+    val qvec = drifted.select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+    def recallOf(p: String): Double = {
+      val served = Similarity.ivfPqTopKFromIndex(spark, p, qvec,
+        nprobe = 4, topK = 10).select($"vec_id").as[Long].collect().toSet
+      val vecs = corpus.select($"vec_id", $"embedding")
+        .as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+      def dotLtr(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val qn = math.sqrt(dotLtr(qvec, qvec))
+      val exact = vecs.map { case (id, v) =>
+          (dotLtr(v, qvec) / (math.sqrt(dotLtr(v, v)) * qn), id)
+        }.sortBy(p => (-p._1, p._2)).take(10).map(_._2).toSet
+      (served intersect exact).size.toDouble / exact.size
+    }
+
+    // pin the report rows BEFORE the refresh: the lazy plan reads the
+    // index's health baseline, which a triggered refresh overwrites
+    val report1 = Similarity.appendIvfPqIndex(drifted, path, "a2")
+      .localCheckpoint(true)
+    val report1Rows = report1.collect().toSeq
+    val staleRecall = recallOf(path)
+    assert(Similarity.refreshIfStale(corpus, path, report1,
+        numCells = 16, m = 8, k = 16, dims = 64, trainIters = 2),
+      s"drifted append must trip the retrain trigger: ${report1Rows.mkString(", ")}")
+
+    // the refreshed index IS the rebuild-from-scratch index: training is
+    // deterministic (md5-seeded k-means over the same live corpus), so
+    // codes and serving answers must be identical, not just close
+    val rebuilt = tmp + "/rb"
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding",
+      numCells = 16, m = 8, k = 16, dims = 64, path = rebuilt,
+      trainIters = 2)
+    def codesOf(p: String) = Similarity.readCodes(spark, p)
+      .select($"cell", $"vec_id", $"codes".cast("array<string>"))
+      .as[(Long, Long, Seq[String])].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(codesOf(path) == codesOf(rebuilt))
+    val servedRefresh = Similarity.ivfPqTopKFromIndex(spark, path, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    val servedRebuild = Similarity.ivfPqTopKFromIndex(spark, rebuilt, qvec,
+      nprobe = 4, topK = 10).as[(Long, Double)].collect().toSeq
+    assert(servedRefresh == servedRebuild)
+
+    // recall against exact brute force: retraining on the drifted
+    // corpus must serve the drifted query at least as well as the stale
+    // frozen constants did. The absolute level is fixture-bound, not a
+    // quality ceiling: on this isotropic fixture IVF-PQ recall@10 is
+    // nprobe-limited (~0.23–0.27 at nprobe=4/16 cells, r8 AnnRecall
+    // grid in SURVEY §8) — the measured 0.4 here is deterministic and
+    // pinned as the floor
+    val freshRecall = recallOf(path)
+    assert(freshRecall >= staleRecall,
+      s"refresh regressed recall: stale=$staleRecall fresh=$freshRecall")
+    assert(freshRecall >= 0.4,
+      s"refreshed recall@10 below the pinned fixture level: $freshRecall " +
+        s"(stale was $staleRecall)")
+  }
+
   test("residual (IVFADC) index: from-index serving == direct plan, append == rebuild, encoding recorded") {
     import graft.ext.Similarity
     val e = Tables.embeddings(spark, sf0001)

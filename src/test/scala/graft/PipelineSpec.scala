@@ -171,7 +171,7 @@ class PipelineSpec extends SparkSpec {
   test("semdedup pairs only within cells, all above the cosine floor") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val cells = math.max(SemCellsMin, (emb.count() / SemCellPop).toInt)
-    val assign = graft.ext.Similarity.ivfAssign(
+    val assign = graft.ext.Similarity.ivfAssignTwoLevel(
       emb, "vec_id", "embedding", cells)
       .select(col("vec_id"), col("cell"))
     val pairs = run("semdedup_pairs")

@@ -224,6 +224,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 1, s"vector side must not shuffle, got $shuffles:\n$p")
   }
 
+  test("ivfAssignTwoLevel: still a projection — no Window, only centroid-sized shuffles") {
+    val df = graft.ext.Similarity.ivfAssignTwoLevel(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", 16)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"assignment regressed to a rank window:\n$p")
+    // hash exchanges allowed only on the CENTROID side: the coarse
+    // collect, the fine->coarse groupBy, and the groups-map collect all
+    // move cells-sized rows, never the vector stream. The vector stream
+    // itself is crossJoin(broadcast 1-row) + projection.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3, s"vector side must not shuffle, got $shuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroid tables must broadcast:\n$p")
+  }
+
   test("text_rarity: vocabulary df table broadcasts to the doc-token probe") {
     val (p, _) = plan(graft.queries.PipelineQueries.queries, "text_rarity")
     assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")

@@ -71,6 +71,62 @@ class QualityGateSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getDouble(0) > 0.0)
   }
 
+  test("top-K bounded freeze: payload bounded, admission only tightens, deviation is coverage-bounded") {
+    // The 100-TB form of the frozen model: keep only the K most
+    // frequent bigrams (deterministic ties) and let the smoothing
+    // fallback absorb the tail. Three properties pin the trade:
+    //  1. STRUCTURAL: exactly K entries survive, each bit-identical to
+    //     the full model's; the linear-sized unigram/vocab stats stay
+    //     exact. Payload = K × (key bytes + 8), full stop.
+    //  2. MONOTONE SAFETY: dropping a bigram can only RAISE a doc's
+    //     NLL (fallback -ln(1/(c1+V)) ≥ seen -ln((c2+1)/(c1+V))), so
+    //     the bounded gate admits a SUBSET of the full gate's
+    //     admissions — it may cost recall near the threshold but can
+    //     never admit a document the full model would reject.
+    //  3. MEASURED DEVIATION, pinned: this fixture is the WORST CASE
+    //     for the cut — its synthetic bigrams are near-uniform (916
+    //     types, max count 51, top-half OCCURRENCE coverage only
+    //     ~0.59, measured by DuckDB), so K = half drops ~41% of every
+    //     doc's bigram mass and shifts NLL by ~coverage-lost ×
+    //     ln(avg c2+1) ≈ 1.4 nats — far beyond the 80%-cut margins,
+    //     flipping 238/500 keep→drop. A natural-language corpus is
+    //     Zipf at the bigram level: the same K FRACTION concentrates
+    //     occurrence coverage near 1 and the shift collapses toward 0.
+    //     The deviation is a function of OCCURRENCE COVERAGE, not of
+    //     K — which is exactly how a production freeze should size K.
+    val full = lm
+    val k = full.nll.size / 2
+    val bounded = QualityGate.freeze(spark, sf0001, topK = k)
+    assert(bounded.nll.size == k, "bounded table must hold exactly K entries")
+    assert(bounded.c1 == full.c1 && bounded.v == full.v,
+      "unigram stats are linear-sized and stay exact")
+    bounded.nll.foreach { case (key, v) =>
+      assert(full.nll(key) == v, s"bounded NLL drifted for '$key'")
+    }
+    val fullG = QualityGate.gate(docs, full, thr)
+      .select($"doc_id", $"keep", $"nll").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    val boundedG = QualityGate.gate(docs, bounded, thr)
+      .select($"doc_id", $"keep", $"nll").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    // monotone: NLL never decreases, admissions only tighten
+    fullG.foreach { case (id, (keep, nll)) =>
+      val (bk, bn) = boundedG(id)
+      if (!nll.isNaN)
+        assert(bn >= nll, s"doc $id: bounded NLL $bn below full $nll")
+      if (bk) assert(keep, s"doc $id admitted by bounded but not full")
+    }
+    val flips = fullG.keySet.filter(id => fullG(id)._1 != boundedG(id)._1)
+    assert(flips.size == 238,
+      s"measured worst-case deviation moved: ${flips.size} flips at K=$k " +
+        "(expected the pinned 238 — re-measure if the fixture changed)")
+    // the full-size K is the identity bound (bit-identical table)
+    val atFull = QualityGate.freeze(spark, sf0001, topK = full.nll.size)
+    assert(atFull.nll == full.nll)
+  }
+
   test("the admission threshold reproduces the batch rank cut off-ties") {
     // threshold = max admitted NLL per lang: every batch-kept doc must
     // pass, and a rejected doc may only pass if it TIES the cut value
