@@ -659,6 +659,12 @@ object CorpusQueries extends QueryPack {
   val SpanMinLen = 4
   val SpanTopK = 20
 
+  /** Checkpoint count for the Heaps'-law vocabulary growth curve —
+    * bucket width derives from the corpus count so the cumulative
+    * window's frame is bounded at this many rows at any scale.
+    */
+  val HeapsBuckets = 10
+
   /** Selected winnowing fingerprints: (doc_id, n_kgrams, pos, h) — one
     * row per DISTINCT selected (position, hash). The sequential "pick
     * the rightmost minimum of each sliding window" rule is expressed as
@@ -1120,6 +1126,40 @@ object CorpusQueries extends QueryPack {
           .cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
+    }),
+
+    // Heaps'-law vocabulary growth curve: cumulative distinct token
+    // types vs cumulative tokens over the doc_id-ordered corpus at
+    // `HeapsBuckets` checkpoints (bucket width derives from the corpus
+    // count — the adaptive-k pattern, formula replayed in the oracle).
+    // This is the capacity-planning query behind every "vocabulary-
+    // sized" table in the engine (LM c2/c1, BPE merges, retrieval
+    // postings): it measures the exponent that says how those tables
+    // grow with the corpus. Shapes: one explode, two keyed aggs
+    // (per-bucket token counts; per-type min-doc first sighting — both
+    // partial-aggregable), then a cumulative window over a frame
+    // bounded at HeapsBuckets rows regardless of corpus size (the
+    // compaction-plan rule: global windows only over provably
+    // constant-sized frames).
+    "corpus_heaps_law" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val nDocs = docs.count()
+      val bw = math.max(1L, (nDocs + HeapsBuckets - 1) / HeapsBuckets)
+      val tok = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tk"))
+      val ntok = tok.select(expr(s"doc_id div $bw").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_tok"))
+      val ntyp = tok.groupBy(col("tk")).agg(min(col("doc_id")).as("fd"))
+        .select(expr(s"fd div $bw").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ntok.join(ntyp, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(col("n_tok")).over(w).as("cum_tokens"),
+          sum(coalesce(col("n_new"), lit(0L))).over(w).as("cum_types"))
+        .orderBy("bucket")
     }),
 
     // URL/domain frequency — the crawl-hygiene pass that finds boiler-
@@ -2255,6 +2295,26 @@ object CorpusQueries extends QueryPack {
           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
           |       AS BIGINT) AS pos
           |FROM b ORDER BY shard, pos""".stripMargin,
+
+      "corpus_heaps_law" ->
+        s"""WITH prm AS (SELECT greatest(1, (count(*) + $HeapsBuckets - 1) // $HeapsBuckets) AS bw
+           |  FROM documents),
+           |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+           |ntok AS (SELECT doc_id // (SELECT bw FROM prm) AS bucket,
+           |    CAST(count(*) AS BIGINT) AS n_tok
+           |  FROM u GROUP BY 1),
+           |fs AS (SELECT tk, min(doc_id) AS fd FROM u GROUP BY 1),
+           |ntyp AS (SELECT fd // (SELECT bw FROM prm) AS bucket,
+           |    CAST(count(*) AS BIGINT) AS n_new
+           |  FROM fs GROUP BY 1)
+           |SELECT n.bucket,
+           |  CAST(sum(n.n_tok) OVER (ORDER BY n.bucket
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           |  CAST(sum(coalesce(y.n_new, 0)) OVER (ORDER BY n.bucket
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+           |FROM ntok n LEFT JOIN ntyp y USING (bucket)
+           |ORDER BY bucket""".stripMargin,
 
       "event_transitions" ->
         """WITH p AS (

@@ -463,6 +463,23 @@ object PipelineQueries extends QueryPack {
       val nVecs = embeddings(s, d).count()
       semdedupPairs(s, d,
         math.max(SemCellsMin, (nVecs / SemCellPop).toInt))
+    }),
+
+    // Two-level IVF cell population profile — the layout-health view an
+    // embedding store reads before serving: skewed cells mean probe
+    // imbalance (one hot partition answers most queries) and oversized
+    // pairwise blocks in the semdedup path. Same derived cell count and
+    // two-level assignment as semdedup_pairs (the oracle replays both
+    // argmax levels through the shared CTE); one cells-sized keyed agg
+    // on top of the zero-shuffle assignment projection.
+    "embed_cell_profile" -> ((s, d) => {
+      val nVecs = embeddings(s, d).count()
+      Similarity.ivfAssignTwoLevel(embeddings(s, d), "vec_id", "embedding",
+          math.max(SemCellsMin, (nVecs / SemCellPop).toInt))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .orderBy("cell")
     }))
 
   /** The semdedup plan, parameterized on cell count so the scale probe can
@@ -852,6 +869,12 @@ object PipelineQueries extends QueryPack {
            |        / (a.nrm * b.nrm), 6) AS cos_sim
            |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
            |WHERE cos_sim >= $SemMinCos
-           |ORDER BY id_a, id_b""".stripMargin)
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "embed_cell_profile" ->
+        s"""WITH $duckIvfAssign
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+           |FROM assign GROUP BY cell ORDER BY cell""".stripMargin)
   }
 }

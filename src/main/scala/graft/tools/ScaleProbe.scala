@@ -347,7 +347,10 @@ object ScaleProbe {
     "pipeline_training_corpus_v2",
     // r11: tokenizer fertility rides the bpe_encode chain + one keyed
     // agg; embed pairs now (label × derived-cell)-blocked like semdedup
-    "bpe_fertility", "dedup_embed_pairs")
+    "bpe_fertility", "dedup_embed_pairs",
+    // r12: vocabulary growth curve (token-stream explode + first-
+    // sighting agg) and the two-level-assignment cell profile
+    "corpus_heaps_law", "embed_cell_profile")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
