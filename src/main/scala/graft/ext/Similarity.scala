@@ -126,6 +126,16 @@ object Similarity {
     * exact all-pairs is pinned by `ExtSpec`. Every argmax rounds cosine
     * to 6 and breaks ties to the lowest id, exactly like [[ivfAssign]],
     * so DuckDB replays both levels verbatim.
+    *
+    * The construction generalizes: k levels of fanout cells^(1/k) cost
+    * n·k·cells^(1/k) dot products (this function is k=2). At
+    * billion-vector scale with cells = n/32, √cells ≈ 10⁴ per-vector
+    * dots starts to bite and k=3 (≈ 10³ fanout per level, n·3·10³
+    * work) is the same code shape one level deeper — each level is
+    * just another broadcast (group → children) map and an argmax over
+    * the fetched entry. Two levels are what the current corpus sizes
+    * need; the depth is a constant in the plan, not an architectural
+    * limit.
     */
   def ivfAssignTwoLevel(embeddings: DataFrame, idCol: String, vecCol: String,
       numCells: Int): DataFrame = {

@@ -354,6 +354,9 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_embed_pairs",      // cells-row centroid table (corpus-derived
                                 // count, population-constant — the
                                 // semdedup attach)
+      "embed_cell_profile",     // the same two-level centroid attaches
+                                // (coarse array + coarse→fines map — both
+                                // cells-sized broadcast constants)
       "pipeline_training_corpus_v2") // the composite carries its
                                 // components' labeled attaches: the
                                 // lm 1-row vocab total (ppl gate) and the
