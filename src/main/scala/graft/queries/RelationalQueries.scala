@@ -336,6 +336,22 @@ object RelationalQueries extends QueryPack {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT ingestion: parse the JSON column ONCE into the
+    // binary variant encoding, then typed-path reads via variant_get —
+    // the semi-structured scale path (an open shredded format the scan
+    // can eventually push into), vs get_json_object's per-access string
+    // re-parse above. Value mass in exact integer cents (the
+    // percentile_surface rule) so the grouped sums hash identically;
+    // the oracle is the portable JSON spelling of the same result.
+    "variant_props_agg" -> ((s, d) =>
+      events(s, d)
+        .select(parse_json(col("props")).as("v"),
+          expr("cast(round(value * 100) as bigint)").as("_cents"))
+        .select(expr("variant_get(v, '$.k', 'int')").as("k"), col("_cents"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("_cents")).as("value_cents"))
+        .orderBy("k")),
+
     // Set operations: INTERSECT and EXCEPT (distinct semantics).
     "set_ops" -> ((s, d) => {
       val urgent = orders(s, d).where(col("o_orderpriority") === "1-URGENT")
@@ -583,6 +599,12 @@ object RelationalQueries extends QueryPack {
     "json_extract_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "variant_props_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
 
     "set_ops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
