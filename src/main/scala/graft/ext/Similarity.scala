@@ -116,9 +116,7 @@ object Similarity {
     * to its own group so no group is empty), and a vector argmaxes first
     * over the coarse seeds, then only over that group's fine centroids —
     * n·(√cells + avg-group) ≈ n·2√cells dot products, back to ~linear
-    * when cells ∝ n. Still a PURE PROJECTION over the vector stream:
-    * both centroid tables arrive as single broadcast rows (a sorted
-    * coarse array + a coarse→fines map), zero vector-side shuffle.
+    * when cells ∝ n.
     * Assignment is a clustering heuristic, so two-level ≠ flat cell ids
     * is acceptable by design; near-identical vectors still co-assign
     * (identical inputs take identical argmax paths), which is the only
@@ -127,31 +125,89 @@ object Similarity {
     * to 6 and breaks ties to the lowest id, exactly like [[ivfAssign]],
     * so DuckDB replays both levels verbatim.
     *
+    * TWO SPELLINGS of the fine (leaf) lookup, dispatched on cell count.
+    * The compute term is n·2√cells in both; they differ in where the
+    * fine-centroid PAYLOAD lives:
+    *
+    *  - `numCells <= broadcastMaxCells` (default [[TwoLevelBroadcastCells]]):
+    *    both centroid tables arrive as single broadcast rows (a sorted
+    *    coarse array + a coarse→fines map) and the whole assignment is a
+    *    PURE PROJECTION over the vector stream — zero vector-side
+    *    shuffle, whole-stage codegen. Optimal at bounded cell counts and
+    *    pinned so by `PlanAuditSpec`.
+    *  - above the threshold: the groups map is Θ(cells·d) bytes COLLECTED
+    *    INTO ONE ROW — with cells ∝ n that is corpus-proportional driver/
+    *    executor memory and eventually Spark's 2 GiB single-row bound
+    *    (the r12 verdict's carried scale-killer). The joined spelling
+    *    ([[ivfAssignTwoLevelJoined]]) keeps fines as a TABLE of √cells
+    *    rows (one per coarse group, each holding only its own ~√cells
+    *    fine centroids) and shuffle-hash-joins the vector stream,
+    *    repartitioned by its coarse argmax `_co`, to its group's row —
+    *    ONE bounded shuffle on ~√cells evenly-populated keys (Voronoi
+    *    groups of a prefix-seeded quantizer; no skew term), and per-task
+    *    memory drops to the groups resident in that partition,
+    *    Θ(√cells·d) per group instead of Θ(cells·d) total.
+    *
+    * Both spellings run the identical rounded argmax math, so results
+    * are bit-equal (spec-pinned by `ExtSpec`) and the DuckDB oracle
+    * replays either.
+    *
     * The construction generalizes: k levels of fanout cells^(1/k) cost
-    * n·k·cells^(1/k) dot products (this function is k=2). At
-    * billion-vector scale with cells = n/32, √cells ≈ 10⁴ per-vector
+    * n·k·cells^(1/k) dot products (this function is k=2), and the
+    * joined leaf spelling bounds the payload at any depth — each level
+    * holds Θ(cells^(1/k)·d) per group row, never Θ(cells) in one row.
+    * At billion-vector scale with cells = n/32, √cells ≈ 10⁴ per-vector
     * dots starts to bite and k=3 (≈ 10³ fanout per level, n·3·10³
-    * work) is the same code shape one level deeper — each level is
-    * just another broadcast (group → children) map and an argmax over
-    * the fetched entry. Two levels are what the current corpus sizes
-    * need; the depth is a constant in the plan, not an architectural
-    * limit.
+    * work) is the same code shape one level deeper. Two levels are what
+    * the current corpus sizes need; the depth is a constant in the
+    * plan, not an architectural limit.
     */
   def ivfAssignTwoLevel(embeddings: DataFrame, idCol: String, vecCol: String,
-      numCells: Int): DataFrame = {
-    val nCoarse = math.ceil(math.sqrt(numCells.toDouble)).toLong
-    val staged = embeddings
+      numCells: Int,
+      broadcastMaxCells: Int = TwoLevelBroadcastCells): DataFrame =
+    if (numCells <= broadcastMaxCells)
+      ivfAssignTwoLevelBroadcast(embeddings, idCol, vecCol, numCells)
+    else ivfAssignTwoLevelJoined(embeddings, idCol, vecCol, numCells)
+
+  /** Dispatch threshold for [[ivfAssignTwoLevel]]: the largest fine-
+    * centroid count whose single-row groups map is still a trivially
+    * cheap broadcast. Derived from a ~64 MB payload budget at production
+    * embedding widths — 1024 cells × 4096 dims × 8 B ≈ 32 MB (and at the
+    * fixture's 64 dims only ~0.5 MB) — comfortably inside executor
+    * memory and far from the 2 GiB single-row bound, while anything
+    * larger is by construction a corpus-derived cell count (cells ∝ n)
+    * on its way past both.
+    */
+  val TwoLevelBroadcastCells = 1024
+
+  private def stageVectors(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    embeddings
       .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
       .select(col(idCol), col("vecd"), norm(col("vecd")).as("nrm"))
-    val coarseArr = broadcast(staged.where(col(idCol) < nCoarse)
+
+  private def coarseArgmax(vec: Column, nrm: Column): Column =
+    array_min(transform(col("_coarse"), g =>
+      struct((lit(1.0) - round(dot(vec, g("gvec")) / (nrm * g("gnrm")), 6)).as("inv"),
+        g("co_id").as("co_id"))))("co_id")
+
+  /** Sorted coarse-seed array as a broadcast 1-row frame — √cells
+    * entries, bounded at any corpus size (Θ(√cells·d) bytes).
+    */
+  private def coarseSeeds(staged: DataFrame, idCol: String,
+      nCoarse: Long): DataFrame =
+    broadcast(staged.where(col(idCol) < nCoarse)
       .agg(array_sort(collect_list(struct(col(idCol).as("co_id"),
         col("vecd").as("gvec"), col("nrm").as("gnrm")))).as("_coarse")))
-    def coarseArgmax(vec: Column, nrm: Column): Column =
-      array_min(transform(col("_coarse"), g =>
-        struct((lit(1.0) - round(dot(vec, g("gvec")) / (nrm * g("gnrm")), 6)).as("inv"),
-          g("co_id").as("co_id"))))("co_id")
-    val groupsMap = broadcast(staged.where(col(idCol) < numCells)
-      .crossJoin(coarseArr)
+
+  /** Fine centroids keyed by their coarse group: (co, fines) rows, one
+    * per coarse group. Each ROW is Θ(√cells·d) bytes; the TABLE is never
+    * collected into a single row.
+    */
+  private def finesByCoarse(staged: DataFrame, idCol: String,
+      numCells: Int, nCoarse: Long): DataFrame =
+    staged.where(col(idCol) < numCells)
+      .crossJoin(coarseSeeds(staged, idCol, nCoarse))
       .select(col(idCol).as("cell_id"), col("vecd").as("cvec"),
         col("nrm").as("cnrm"),
         when(col(idCol) < nCoarse, col(idCol))
@@ -159,15 +215,51 @@ object Similarity {
       .groupBy(col("co"))
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cvec"),
         col("cnrm")))).as("fines"))
+
+  private def fineArgmax(fines: Column): Column =
+    array_min(transform(fines, c =>
+      struct((lit(1.0) - round(dot(col("vecd"), c("cvec")) / (col("nrm") * c("cnrm")), 6)).as("inv"),
+        c("cell_id").as("cell_id"))))("cell_id")
+
+  /** The bounded-cells spelling: fines collapse into one broadcast map
+    * row; assignment is a zero-shuffle projection. See
+    * [[ivfAssignTwoLevel]] for when this is (and stops being) the right
+    * physical form.
+    */
+  def ivfAssignTwoLevelBroadcast(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCells: Int): DataFrame = {
+    val nCoarse = math.ceil(math.sqrt(numCells.toDouble)).toLong
+    val staged = stageVectors(embeddings, idCol, vecCol)
+    val groupsMap = broadcast(finesByCoarse(staged, idCol, numCells, nCoarse)
       .agg(map_from_entries(collect_list(struct(col("co"), col("fines"))))
         .as("_groups")))
-    staged.crossJoin(coarseArr).crossJoin(groupsMap)
+    staged.crossJoin(coarseSeeds(staged, idCol, nCoarse)).crossJoin(groupsMap)
       .withColumn("_co", coarseArgmax(col("vecd"), col("nrm")))
-      .withColumn("_best", array_min(transform(
-        element_at(col("_groups"), col("_co")), c =>
-          struct((lit(1.0) - round(dot(col("vecd"), c("cvec")) / (col("nrm") * c("cnrm")), 6)).as("inv"),
-            c("cell_id").as("cell_id")))))
-      .select(col(idCol), col("vecd"), col("nrm"), col("_best.cell_id").as("cell"))
+      .withColumn("_best_cell", fineArgmax(element_at(col("_groups"), col("_co"))))
+      .select(col(idCol), col("vecd"), col("nrm"), col("_best_cell").as("cell"))
+  }
+
+  /** The corpus-proportional-cells spelling: fines stay a co-keyed
+    * TABLE; the vector stream computes its coarse argmax (broadcast
+    * projection), then shuffle-hash-joins on `_co` — √cells evenly-
+    * populated keys, one bounded shuffle — to fetch only its own group's
+    * fine centroids. Per-task memory is Θ(groups-per-partition·√cells·d),
+    * never Θ(cells·d). The shuffle_hash hint (build side = the fines
+    * table) keeps the planner from re-introducing the very broadcast
+    * this spelling exists to avoid, and from sorting 64-dim double
+    * arrays for a sort-merge on a small key.
+    */
+  def ivfAssignTwoLevelJoined(embeddings: DataFrame, idCol: String,
+      vecCol: String, numCells: Int): DataFrame = {
+    val nCoarse = math.ceil(math.sqrt(numCells.toDouble)).toLong
+    val staged = stageVectors(embeddings, idCol, vecCol)
+    val fines = finesByCoarse(staged, idCol, numCells, nCoarse)
+    staged.crossJoin(coarseSeeds(staged, idCol, nCoarse))
+      .withColumn("_co", coarseArgmax(col("vecd"), col("nrm")))
+      .drop("_coarse")
+      .join(fines.hint("shuffle_hash"), col("_co") === fines("co"))
+      .withColumn("_best_cell", fineArgmax(col("fines")))
+      .select(col(idCol), col("vecd"), col("nrm"), col("_best_cell").as("cell"))
   }
 
   /** IVF top-k cosine search for one query vector. */

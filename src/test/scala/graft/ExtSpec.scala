@@ -405,6 +405,30 @@ class ExtSpec extends SparkSpec {
     assert(assign.values.toSet.size > 1)
   }
 
+  test("ivfAssignTwoLevel: joined spelling == broadcast spelling, row for row") {
+    // The r13 scale fix: above TwoLevelBroadcastCells the fine-centroid
+    // payload moves from a single broadcast map row (Θ(cells·d) in ONE
+    // row) to a co-keyed table joined via a bounded shuffle. Same rounded
+    // argmax math in both spellings — the assignment must be identical,
+    // so the dispatch threshold can never change results, only plans.
+    val e = Tables.embeddings(spark, sf0001)
+    val cells = 24
+    val b = Similarity.ivfAssignTwoLevelBroadcast(e, "vec_id", "embedding", cells)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val j = Similarity.ivfAssignTwoLevelJoined(e, "vec_id", "embedding", cells)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assert(j == b, "joined and broadcast spellings must assign identically")
+    // dispatcher routes by threshold: at cells > broadcastMaxCells the
+    // dispatched plan is the joined one (same results, join in the plan)
+    val dispatched = Similarity.ivfAssignTwoLevel(
+      e, "vec_id", "embedding", cells, broadcastMaxCells = 16)
+    assert(dispatched.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"),
+      "above-threshold dispatch must take the joined spelling")
+    assert(dispatched.select($"vec_id", $"cell").as[(Long, Long)]
+      .collect().toMap == b)
+  }
+
   test("two-level blocking recall: planted near-dups are fully recovered") {
     // The advisor/judge ask: MEASURE the pair coverage of the
     // (label × two-level-cell) blocking against exact ground truth

@@ -239,6 +239,31 @@ class PlanAuditSpec extends SparkSpec {
       s"centroid tables must broadcast:\n$p")
   }
 
+  test("ivfAssignTwoLevelJoined: fines never collect into one row, join is shuffled") {
+    // The big-corpus spelling (cells > TwoLevelBroadcastCells): the
+    // corpus-proportional fine-centroid payload must stay a co-keyed
+    // TABLE — no map_from_entries(collect_list(...)) single-row groups
+    // map (the r12 carried scale-killer: Θ(cells·d) in one broadcast
+    // row, eventually Spark's 2 GiB row bound) — and the vector→fines
+    // attach must be a ShuffledHashJoin on _co, not a broadcast of the
+    // fines table (which would reintroduce the Θ(cells·d)-per-executor
+    // payload with extra steps).
+    val df = graft.ext.Similarity.ivfAssignTwoLevelJoined(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", 16)
+    df.foreach(_ => ())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("map_from_entries"),
+      s"joined spelling must not collect all cells into one row:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"fines attach must be a shuffled hash join on _co:\n$p")
+    // the only broadcasts are the √cells-sized coarse seed arrays
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bcasts == bnlj,
+      s"every broadcast must be a 1-row coarse array crossJoin " +
+        s"($bcasts broadcasts vs $bnlj nested-loop attaches):\n$p")
+  }
+
   test("text_rarity: vocabulary df table broadcasts to the doc-token probe") {
     val (p, _) = plan(graft.queries.PipelineQueries.queries, "text_rarity")
     assert(p.contains("BroadcastHashJoin"), s"df join must broadcast:\n$p")
