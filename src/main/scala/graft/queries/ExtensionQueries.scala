@@ -199,12 +199,26 @@ object ExtensionQueries extends QueryPack {
 
   /** The `dedup_embed_pairs` plan over an explicit embedding frame
     * (vec_id, label, embedding): (label × derived two-level IVF cell)
-    * blocking, exact cosine verify ≥ 0.995 inside blocks. Parameterized
-    * so `ExtSpec` can measure blocking recall on a frame with PLANTED
-    * near-dups (the shipped fixtures contain no ≥0.995 pair at any SF,
-    * so the catalog query alone would pin recall vacuously).
+    * blocking, exact cosine verify inside blocks.
+    *
+    * Two threshold modes. With `minCos = Some(t)` the cut is the fixed
+    * production near-dup bar (ExtSpec plants ≈1.0-cosine copies and
+    * measures blocking recall against exact all-pairs at 0.995). With
+    * `minCos = None` (the catalog entry) the cut is DERIVED from the
+    * fixture's own in-block similarity distribution — the exact 99th
+    * percentile of in-block cosine, rounded to 6 — because the shipped
+    * fixtures contain ZERO ≥0.995 pairs at any SF: a fixed bar made the
+    * driver-gate row both engines' empty set, which hash-matches
+    * trivially and proves nothing (r12 verdict #3). The quantile cut
+    * keeps the row evidence-bearing at every SF (percentile ≤ max, so
+    * at least the top pair always survives) and is replayed verbatim by
+    * DuckDB's quantile_cont (exact percentile ↔ quantile_cont is the
+    * repo's established parity pair). The threshold aggregate runs over
+    * the in-block pair set the verify stage scores anyway — one extra
+    * 1-row broadcast, no new corpus-sized pass.
     */
-  private[graft] def embedNearDupPairs(emb: DataFrame): DataFrame = {
+  private[graft] def embedNearDupPairs(emb: DataFrame,
+      minCos: Option[Double] = None): DataFrame = {
     val cells = math.max(PipelineQueries.SemCellsMin,
       (emb.count() / PipelineQueries.SemCellPop).toInt)
     val assign = Similarity.ivfAssignTwoLevel(emb, "vec_id", "embedding", cells)
@@ -213,13 +227,19 @@ object ExtensionQueries extends QueryPack {
       col("vec_id").as("id_a"), col("vecd").as("_va"), col("nrm").as("_na"))
     val r = assign.select(col("label"), col("cell"),
       col("vec_id").as("id_b"), col("vecd").as("_vb"), col("nrm").as("_nb"))
-    l.join(r.hint("shuffle_hash"), Seq("label", "cell"))
+    val pairs = l.join(r.hint("shuffle_hash"), Seq("label", "cell"))
       .where(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         round(Similarity.dot(col("_va"), col("_vb"))
           / (col("_na") * col("_nb")), 6).as("cos_sim"))
-      .where(col("cos_sim") >= 0.995)
-      .orderBy("id_a", "id_b")
+    val cut = minCos match {
+      case Some(t) => pairs.where(col("cos_sim") >= t)
+      case None =>
+        val thr = broadcast(pairs.agg(
+          round(expr("percentile(cos_sim, 0.99)"), 6).as("_thr")))
+        pairs.crossJoin(thr).where(col("cos_sim") >= col("_thr")).drop("_thr")
+    }
+    cut.orderBy("id_a", "id_b")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -357,20 +377,21 @@ object ExtensionQueries extends QueryPack {
     }),
 
     // Fuzzy near-dup verification by edit distance: candidates are the
-    // normalized-dup groups (same canonical form, different raw text —
-    // case/punct/whitespace variants), so the expensive O(len²)
-    // levenshtein runs only on documents already known to collide on a
-    // 16-byte key — never a pairwise pass. The within-group self-join is
-    // keyed by the hash; group sizes are duplicate multiplicities (tiny
-    // at any corpus scale).
+    // minhash-LSH band collisions (the same candidate generator as
+    // dedup_minhash_pairs, BEFORE the Jaccard cut), so the expensive
+    // O(len²) levenshtein runs only on pairs an O(n)-cost banding
+    // already surfaced — never a pairwise pass; candidate volume is the
+    // LSH collision rate, flat per document at any corpus scale. The
+    // r12 spelling keyed candidates on exact-normalized-text collisions,
+    // which the fixtures don't contain at any SF — both engines returned
+    // the empty set and the driver gate proved nothing (verdict #3);
+    // LSH candidates make the entry evidence-bearing everywhere.
     "dedup_fuzzy_verify" -> ((s, d) => {
-      val n = documents(s, d)
-        .select(col("doc_id"), col("text"),
-          md5(TextOps.normalize(col("text"))).as("k"))
-      val l = n.select(col("k"), col("doc_id").as("id_a"), col("text").as("ta"))
-      val r = n.select(col("k"), col("doc_id").as("id_b"), col("text").as("tb"))
-      l.join(r, Seq("k"))
-        .where(col("id_a") < col("id_b"))
+      val texts = documents(s, d).select(col("doc_id"), col("text"))
+      minhashCandidatesWithSets(shingleSets(s, d))
+        .select(col("id_a"), col("id_b"))
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           levenshtein(col("ta"), col("tb")).as("edit_dist"),
           (length(col("ta")) === length(col("tb"))).as("same_len"))
@@ -418,10 +439,13 @@ object ExtensionQueries extends QueryPack {
     // oracle's scalar subquery) keeps per-(label, cell) population flat,
     // and the assignment is the two-level coarse-then-fine argmax
     // (cells ∝ n would make the flat n·cells assignment quadratic).
-    // Near-dup pairs at cos ≥ 0.995 are nearly identical vectors, which
+    // Near-dup pairs at high cosine are nearly identical vectors, which
     // co-assign to the argmax cell — the SemDeDup blocking argument;
-    // the measured fixture recall vs exact all-pairs is pinned in
-    // ExtSpec ("two-level blocking recall").
+    // the measured fixture recall vs exact all-pairs (at the fixed
+    // production bar 0.995, on PLANTED near-dups) is pinned in ExtSpec
+    // ("two-level blocking recall"). The catalog cut is the fixture-
+    // derived 99th-percentile of in-block cosine (see embedNearDupPairs)
+    // so the driver gate row carries evidence at every SF.
     "dedup_embed_pairs" -> ((s, d) => embedNearDupPairs(embeddings(s, d))),
 
     // IVF ANN: probe the 4 nearest of 16 Voronoi cells for the query.
@@ -2006,16 +2030,14 @@ object ExtensionQueries extends QueryPack {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_fuzzy_verify" ->
-        """WITH n AS (
-          |  SELECT doc_id, text,
-          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-          |                            '\s+', ' ', 'g'))) AS k
-          |  FROM documents)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |  levenshtein(a.text, b.text) AS edit_dist,
-          |  len(a.text) = len(b.text) AS same_len
-          |FROM n a JOIN n b ON a.k = b.k AND a.doc_id < b.doc_id
-          |ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH $minhashPairCtes
+           |SELECT c.id_a, c.id_b,
+           |  levenshtein(a.text, b.text) AS edit_dist,
+           |  len(a.text) = len(b.text) AS same_len
+           |FROM cand c
+           |JOIN documents a ON a.doc_id = c.id_a
+           |JOIN documents b ON b.doc_id = c.id_b
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "ngram_jaccard_pairs" ->
         s"""WITH t AS (SELECT lang, source, doc_id,
@@ -2068,13 +2090,16 @@ object ExtensionQueries extends QueryPack {
           |      round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * f.cv[i]))
           |            / (a.nrm * f.cnrm), 6) AS fcos
           |    FROM v2c a JOIN f2c f ON a.co = f.co)
-          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY fcos DESC, cell_id) = 1)
-          |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-          |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
-          |        / (a.nrm * b.nrm), 6) AS cos_sim
-          |FROM assign a JOIN assign b
-          |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
-          |WHERE cos_sim >= 0.995
+          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY fcos DESC, cell_id) = 1),
+          |p AS MATERIALIZED (
+          |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+          |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          |          / (a.nrm * b.nrm), 6) AS cos_sim
+          |  FROM assign a JOIN assign b
+          |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+          |thr AS (SELECT round(quantile_cont(cos_sim, 0.99), 6) AS t FROM p)
+          |SELECT label, id_a, id_b, cos_sim FROM p, thr
+          |WHERE cos_sim >= t
           |ORDER BY id_a, id_b""".stripMargin,
 
       "sim_ivf_topk" ->

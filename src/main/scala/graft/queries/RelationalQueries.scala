@@ -126,10 +126,18 @@ object RelationalQueries extends QueryPack {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_custkey", "o_orderkey")),
 
-    // Left-anti join (NOT EXISTS): parts never shipped.
+    // Left-anti join (NOT EXISTS): the slow-mover report — parts with
+    // no shipment since 2001 (the fixture's final shipdate year). The
+    // unrestricted form was evidence-vacuous (every part has SOME
+    // lineitem at every SF, so both engines returned the empty set and
+    // the gate hash-matched trivially — r12 verdict #3); the date
+    // window gives the anti-join survivors at every SF while keeping
+    // the same plan shape, with the shipdate filter pushed into the
+    // lineitem scan before the join.
     "anti_join_unsold_parts" -> ((s, d) =>
       part(s, d)
-        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+        .join(lineitem(s, d).where(col("l_shipdate") >= lit("2001-01-01").cast("date")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy("p_brand")),
@@ -458,7 +466,8 @@ object RelationalQueries extends QueryPack {
     "anti_join_unsold_parts" ->
       """SELECT p_brand, count(*) AS n_parts
         |FROM part p
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_shipdate >= DATE '2001-01-01')
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "distinct_union" ->

@@ -463,7 +463,7 @@ class ExtSpec extends SparkSpec {
       if r6(dotLtr(va, vb) / (nrm(ia) * nrm(ib))) >= 0.995
     } yield (ia, ib)).toSet
     assert(exact.size >= 100, s"plant produced only ${exact.size} pairs — weak test")
-    val got = graft.queries.ExtensionQueries.embedNearDupPairs(aug)
+    val got = graft.queries.ExtensionQueries.embedNearDupPairs(aug, Some(0.995))
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got.subsetOf(exact), "blocking must not invent pairs")
     val recall = got.size.toDouble / exact.size
