@@ -494,21 +494,24 @@ object Similarity {
     val book =
       if (trainIters == 0) seedBook(embeddings, idCol, vecCol, k)
       else trainPqBook(embeddings, idCol, vecCol, m, k, dims, trainIters)
-    writeIvfPqIndexWith(embeddings, idCol, vecCol, cents, book, m, path)
+    writeIvfPqIndexWith(embeddings, idCol, vecCol, cents, book, m, path,
+      trainIters = trainIters)
   }
 
   /** [[writeIvfPqIndex]] against EXPLICIT (e.g. frozen) centroids and
     * codebook — the rebuild path that keeps serving constants fixed, and
     * the equality reference for [[appendIvfPqIndex]]. Besides the codes
     * table, writes the four side tables serving and maintenance need:
-    * `centroids`, `codebook`, `meta` (id/vector column names, m — so a
-    * reader never infers schema by exclusion) and `health` (per-cell
-    * build-time reconstruction error, the staleness baseline appends are
-    * judged against).
+    * `centroids`, `codebook`, `meta` (id/vector column names plus the
+    * FULL build hyperparameters — m, num_cells, pq_k, dims, train_iters
+    * — so maintenance never trusts caller-supplied shape values that
+    * could silently rebuild a differently-shaped index at the same
+    * path; r12 advice) and `health` (per-cell build-time reconstruction
+    * error, the staleness baseline appends are judged against).
     */
   def writeIvfPqIndexWith(embeddings: DataFrame, idCol: String, vecCol: String,
       cents: Book, book: Book, m: Int, path: String,
-      encoding: String = "raw"): Unit = {
+      encoding: String = "raw", trainIters: Int = 0): Unit = {
     require(encoding == "raw" || encoding == "residual",
       s"unknown index encoding '$encoding' (raw | residual)")
     val spark = embeddings.sparkSession
@@ -530,8 +533,10 @@ object Similarity {
     book.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("code", "vecd")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    Seq((idCol, vecCol, m, encoding))
-      .toDF("id_col", "vec_col", "m", "encoding")
+    Seq((idCol, vecCol, m, encoding, cents.length, book.length,
+        cents.head._2.length, trainIters))
+      .toDF("id_col", "vec_col", "m", "encoding", "num_cells", "pq_k",
+        "dims", "train_iters")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     reconErrorFor(embeddings, idCol, vecCol, cents, book, m, encoding)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/health")
@@ -707,6 +712,16 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Outcome of a staleness-gated refresh: whether anything retrained,
+    * which rung ("none" | "partial" | "full"), the hot cell ids, and the
+    * PINNED (eagerly materialized) staleness report — callers must read
+    * the report through this copy, because a triggered refresh
+    * overwrites the index files the original lazy plan reads (r12
+    * advice).
+    */
+  final case class RefreshOutcome(retrained: Boolean, mode: String,
+      hotCells: Seq[Long], report: DataFrame)
+
   /** Act on [[appendIvfPqIndex]]'s staleness report — the retrain
     * trigger the report's docstring specifies, CLOSED as an operator:
     * retrain fires when cells whose err_ratio exceeds
@@ -714,25 +729,43 @@ object Similarity {
     * rows, or when the append-weighted mean err_ratio exceeds
     * `meanErrRatio` (≈1.2). A cell the build-time health baseline has
     * never seen (null err_ratio) counts as hot — unknown baseline is
-    * staleness, not health. On trigger the index is rebuilt at `path`
-    * from the live corpus with FRESH training (same deterministic
-    * md5-seeded k-means, so a rebuild-from-scratch over the same corpus
-    * produces the identical index — the `ExtSpec` equality proof), and
-    * serving resumes from the new base. `corpus` must be the full live
-    * vector set (PQ codes are lossy; an index cannot re-derive its own
-    * training data). Returns whether a retrain ran.
+    * staleness, not health. `corpus` must be the full live vector set
+    * (PQ codes are lossy; an index cannot re-derive its own training
+    * data). Build hyperparameters (num_cells, m, pq_k, dims,
+    * train_iters) are READ FROM THE INDEX META, never trusted from the
+    * caller — a mismatched caller value would silently rebuild a
+    * differently-shaped index at the same path (r12 advice).
     *
-    * At 100 TB the retrain is the same one-pass train + one-pass encode
-    * the original build was, amortized over however many appends the
-    * trigger let through — the report is KB-sized per append, so the
-    * DECISION costs nothing; only the rebuild pays corpus price.
+    * TWO RETRAIN RUNGS, picked by how concentrated the staleness is:
+    *
+    *  - staleness confined to a few cells (hot cells ≤
+    *    `partialMaxCellShare` of the index; set 0.0 to disable) →
+    *    PARTIAL refresh ([[refreshHotCells]]): one local Lloyd step
+    *    refines only the hot centroids from their live members, only
+    *    hot-cell members re-encode, cold-cell code files are carried
+    *    into the consolidated delta as byte-identical copies. Compute
+    *    cost ∝ hot-cell membership, not corpus — the 100 TB answer to
+    *    "one ingest region drifted, don't re-k-means the other 99%".
+    *  - broad staleness → FULL rebuild with fresh training (same
+    *    deterministic md5-seeded k-means, so rebuild-from-scratch over
+    *    the same corpus produces the identical index — the `LayoutSpec`
+    *    equality proof), serving resuming from the new base.
+    *
+    * Either rung preserves the manifest's streaming batch watermark, so
+    * a replayed ingest batch remains a no-op after a retrain. The
+    * decision reads a KB-sized report (pinned eagerly before any file
+    * is touched); only the chosen rung pays data cost.
     */
   def refreshIfStale(corpus: DataFrame, path: String, report: DataFrame,
-      numCells: Int, m: Int, k: Int, dims: Int, trainIters: Int = 1,
       hotErrRatio: Double = 1.5, meanErrRatio: Double = 1.2,
-      hotShareDen: Int = 5): Boolean = {
+      hotShareDen: Int = 5,
+      partialMaxCellShare: Double = 0.25): RefreshOutcome = {
     val spark = corpus.sparkSession
-    val r = report.agg(
+    // pin BEFORE any aggregate or rebuild: the caller's lazy report plan
+    // reads the index's health/meta files, which a triggered refresh
+    // overwrites mid-flight
+    val pinned = report.localCheckpoint(true)
+    val r = pinned.agg(
       sum(col("n_appended")).as("n_tot"),
       sum(when(coalesce(col("err_ratio"),
           lit(Double.PositiveInfinity)) > hotErrRatio, col("n_appended"))
@@ -741,19 +774,171 @@ object Similarity {
           col("err_ratio") * col("n_appended")).otherwise(lit(0.0))).as("wsum"),
       sum(when(col("err_ratio").isNotNull, col("n_appended"))
         .otherwise(lit(0L))).as("n_known")).head()
-    if (r.isNullAt(0)) return false // empty report: nothing appended
+    if (r.isNullAt(0)) // empty report: nothing appended
+      return RefreshOutcome(retrained = false, "none", Nil, pinned)
     val (nTot, nHot) = (r.getLong(0), r.getLong(1))
     val meanRatio =
       if (r.getLong(3) == 0L) Double.PositiveInfinity
       else r.getDouble(2) / r.getLong(3)
     val trigger = nHot * hotShareDen >= nTot || meanRatio > meanErrRatio
-    if (trigger) {
-      val meta = spark.read.parquet(s"$path/meta")
-        .select(col("id_col"), col("vec_col")).head()
-      writeIvfPqIndex(corpus, meta.getString(0), meta.getString(1),
-        numCells, m, k, dims, path, trainIters)
+    if (!trigger) return RefreshOutcome(retrained = false, "none", Nil, pinned)
+
+    val metaRow = spark.read.parquet(s"$path/meta").head()
+    require(metaRow.schema.fieldNames.contains("num_cells"),
+      s"index at $path predates hyperparameter-bearing meta; rebuild " +
+        "with writeIvfPqIndex before using refreshIfStale")
+    val (idCol, vecCol) =
+      (metaRow.getAs[String]("id_col"), metaRow.getAs[String]("vec_col"))
+    val (numCells, m, k, dims, trainIters) = (
+      metaRow.getAs[Int]("num_cells"), metaRow.getAs[Int]("m"),
+      metaRow.getAs[Int]("pq_k"), metaRow.getAs[Int]("dims"),
+      metaRow.getAs[Int]("train_iters"))
+    val hot = pinned.where(coalesce(col("err_ratio"),
+        lit(Double.PositiveInfinity)) > hotErrRatio)
+      .select(col("cell")).collect().map(_.getLong(0)).toSeq.sorted
+    val watermark = graft.ops.Manifest.read(codesManifest(path))
+      .flatMap(_.maxBatch)
+    val partial = hot.nonEmpty &&
+      hot.size <= (numCells * partialMaxCellShare).floor.toInt
+    if (partial) refreshHotCells(corpus, path, hot)
+    else {
+      writeIvfPqIndex(corpus, idCol, vecCol, numCells, m, k, dims, path,
+        trainIters)
+      // writeIvfPqIndex starts a fresh manifest; restore the streaming
+      // watermark so a replayed ingest batch stays a no-op post-retrain
+      watermark.foreach(wm => graft.ops.Manifest.write(codesManifest(path),
+        Seq("base"), Some(wm)))
     }
-    trigger
+    RefreshOutcome(retrained = true, if (partial) "partial" else "full",
+      hot, pinned)
+  }
+
+  /** Partial (hot-cells-only) retrain — the middle rung between "serve
+    * stale" and a full re-k-means (r12 verdict #6). Mechanics:
+    *
+    *  1. Hot-cell MEMBERSHIP comes from the live codes table with its
+    *     cell-partition pruning intact (only hot directories are read),
+    *     joined to the corpus by id for the raw vectors — PQ codes are
+    *     lossy, so re-encoding needs the originals.
+    *  2. One LOCAL Lloyd step refines each hot centroid to the mean of
+    *     its live members (same avg + round(6) spelling as
+    *     [[trainIvfCentroids]]); cold centroids are untouched.
+    *  3. Hot members re-encode against the refined centroid with their
+    *     CELL PINNED (no re-argmax — partition stability is the point:
+    *     a member list may drift from its centroid, which is normal IVF
+    *     aging; the full rebuild is the rung that re-partitions).
+    *  4. The result consolidates into ONE new delta: hot-cell
+    *     partitions are the re-encoded output; cold-cell parquet files
+    *     are carried over as BYTE-IDENTICAL file copies (renamed with
+    *     their source delta prefix — parquet readers scan by directory,
+    *     not filename). The manifest then swaps to the new delta in one
+    *     atomic replace, preserving the streaming batch watermark;
+    *     [[vacuumCodes]] garbage-collects the superseded deltas.
+    *  5. `health` baselines recompute for hot cells only (under the
+    *     refined centroid); cold rows carry over unchanged.
+    *
+    * Compute cost ∝ hot-cell member count (one Lloyd pass + one encode
+    * pass over those members); everything else is sequential file IO.
+    * Cold-cell byte identity, cold-query serving equality, and
+    * hot-query recall restoration are pinned in `LayoutSpec`.
+    */
+  def refreshHotCells(corpus: DataFrame, path: String,
+      hotCells: Seq[Long]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(hotCells.nonEmpty, "refreshHotCells: empty hot-cell set")
+    require(codesManifest(path).exists(),
+      s"index at $path predates the delta layout; rebuild with " +
+        "writeIvfPqIndex before partial refresh")
+    val (idCol, vecCol, m, cents, book) = readIndexSides(spark, path)
+    val encoding = readIndexEncoding(spark, path)
+    val hotSet = hotCells.toSet
+
+    // 1. hot membership (partition-pruned codes read) + raw vectors.
+    // cell casts back to long: parquet partition-directory inference
+    // reads small `cell=N` values as int
+    val hotIds = readCodes(spark, path)
+      .where(col("cell").isin(hotCells: _*))
+      .select(col("cell").cast("long").as("cell"), col(idCol))
+    val members = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("vecd"))
+      .join(hotIds, Seq(idCol))
+
+    // 2. local Lloyd step over hot members only
+    val means = members
+      .select(col("cell"), posexplode(col("vecd")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("centroid"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val newCents: Book = cents.map { case (cid, cv) =>
+      if (!hotSet.contains(cid)) (cid, cv)
+      else {
+        val nv = cv.clone()
+        for (dd <- nv.indices) means.get((cid, dd)).foreach(nv(dd) = _)
+        (cid, nv)
+      }
+    }
+
+    // 3. re-encode hot members, cell pinned
+    val hotCentDf = broadcast(
+      newCents.filter(c => hotSet.contains(c._1)).toSeq
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cvec"))
+    val encInput =
+      if (encoding == "residual")
+        members.join(hotCentDf, Seq("cell"))
+          .select(col("cell"), col(idCol),
+            zip_with(col("vecd"), col("cvec"), (a, b) => a - b).as("_v"))
+      else members.select(col("cell"), col(idCol), col("vecd").as("_v"))
+    val reEncoded = encInput.select(col("cell"), col(idCol),
+      graft.functions.VectorExpressions.pq_codes(col("_v"),
+        book.map(_._2), book.map(_._1), m).as("codes"))
+
+    // 5 (computed before any file moves). carry cold health, recompute hot
+    val oldHealth = spark.read.parquet(s"$path/health")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filterNot(h => hotSet.contains(h._1))
+    val hotHealth = reconErrorCore(
+        encInput.select(col("cell"), col("_v")), book, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // 4. consolidated delta: Spark-written hot partitions + byte-copied
+    // cold files, then one atomic manifest swap (watermark preserved)
+    val manifest = codesManifest(path)
+    val live = graft.ops.Manifest.read(manifest).get
+    val gen = live.entries.flatMap(e =>
+      if (e.startsWith("refresh")) e.stripPrefix("refresh").toIntOption
+      else None).maxOption.getOrElse(0) + 1
+    val dname = s"refresh$gen"
+    graft.ops.Layout.writePartitioned(reEncoded, s"$path/codes/$dname",
+      Seq("cell"), Seq(idCol))
+    val codesDir = new java.io.File(s"$path/codes")
+    val target = new java.io.File(codesDir, dname)
+    for {
+      d <- live.entries
+      cellDir <- Option(new java.io.File(codesDir, d).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      if cellDir.isDirectory && cellDir.getName.startsWith("cell=") &&
+        !hotSet.contains(cellDir.getName.stripPrefix("cell=").toLong)
+      f <- Option(cellDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      if f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+    } {
+      val dst = new java.io.File(new java.io.File(target, cellDir.getName),
+        s"$d-${f.getName}")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    graft.ops.Manifest.write(manifest, Seq(dname), live.maxBatch)
+
+    // side tables: refined centroids, merged health (both KB-sized and
+    // fully collected above — no read-overwrite hazard)
+    newCents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cell_id", "vecd")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (oldHealth ++ hotHealth).sortBy(_._1).toSeq
+      .toDF("cell", "n_vecs", "avg_err")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/health")
   }
 
   /** Serve a top-k ANN query from a materialized [[writeIvfPqIndex]]

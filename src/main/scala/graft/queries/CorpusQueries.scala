@@ -589,22 +589,63 @@ object CorpusQueries extends QueryPack {
     * it — also the FROZEN model the streaming quality gate collects
     * ([[graft.stream.QualityGate]]). Returns (nll table, c1 table, V).
     *
-    * MEMOIZED per (session, dir): V is a plan-time constant (the
-    * `.head()` below runs eager Spark jobs during DataFrame
-    * construction), and the LM chain has several catalog consumers
-    * (`lm_bigram_score`, `corpus_ppl_filter`, the v2 composite's gate,
-    * the streaming QualityGate freeze) — without the memo each of them
-    * re-derived c2/c1/V from the token stream. The cached frames are
-    * vocabulary-sized lazy plans hanging off the same c2 localCheckpoint,
-    * so the token stream is scanned once per session, not once per
-    * consumer.
+    * MEMOIZED per (session, dir, corpus fingerprint): V is a plan-time
+    * constant (the `.head()` below runs eager Spark jobs during
+    * DataFrame construction), and the LM chain has several catalog
+    * consumers (`lm_bigram_score`, `corpus_ppl_filter`, the v2
+    * composite's gate, the streaming QualityGate freeze) — without the
+    * memo each of them re-derived c2/c1/V from the token stream. The
+    * cached frames are vocabulary-sized lazy plans hanging off the same
+    * c2 localCheckpoint, so the token stream is scanned once per
+    * session, not once per consumer.
+    *
+    * The key includes a CONTENT-IDENTITY fingerprint of the documents
+    * parquet (file listing + sizes + mtimes), not just the path: a
+    * corpus appended to or rewritten under the same dir — exactly the
+    * streaming-ingest flow QualityGate.freeze serves — must rebuild the
+    * model, not silently serve the stale (nll, c1, V) (r12 advice).
+    * Entries for superseded fingerprints and for stopped sessions are
+    * evicted on access, so the cache never pins localCheckpoint blocks
+    * of a corpus version or session that no consumer can reach.
     */
   private val lmModelCache =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String),
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String),
       (DataFrame, DataFrame, Long)]
+
+  /** Sorted (name, size, mtime) listing of `dir`/documents.parquet —
+    * cheap (one directory listing, no data read) and changes whenever a
+    * file is added, rewritten, or replaced.
+    */
+  private def docsFingerprint(d: String): String = {
+    val p = java.nio.file.Paths.get(d, "documents.parquet")
+    if (!java.nio.file.Files.exists(p)) s"absent:$d"
+    else if (java.nio.file.Files.isRegularFile(p))
+      s"file:${java.nio.file.Files.size(p)}:" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+    else {
+      val st = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSeq.sorted.mkString(",")
+      } finally st.close()
+    }
+  }
+
   private[graft] def lmModelTables(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Long) =
-    lmModelCache.getOrElseUpdate((s, d), lmModelTablesBuild(s, d))
+      : (DataFrame, DataFrame, Long) = {
+    val fp = docsFingerprint(d)
+    // evict: stopped sessions (their entries retain session references
+    // and checkpoint blocks forever) and superseded corpus versions
+    // under the same (session, dir)
+    lmModelCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped || (k._1 == s && k._2 == d && k._3 != fp))
+        lmModelCache.remove(k)
+    }
+    lmModelCache.getOrElseUpdate((s, d, fp), lmModelTablesBuild(s, d))
+  }
 
   private def lmModelTablesBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Long) = {

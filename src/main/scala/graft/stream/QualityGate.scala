@@ -164,9 +164,25 @@ object QualityGate {
     * `passthrough` names input columns to carry into the output
     * unchanged (e.g. `text`/`ts` when the gate feeds the streaming
     * dedup stages downstream — `ComposedStreamSpec`'s ingest pipeline).
+    * Passthrough names must be disjoint from the gate's own input and
+    * output columns (doc_id, lang, nll, keep, ...) — a collision would
+    * duplicate the column in both selects and surface downstream as an
+    * ambiguous-reference failure or a duplicate-named schema (r12
+    * advice), so it is rejected eagerly here with the offending names.
     */
   def gate(docs: DataFrame, lm: FrozenLm, thr: Map[String, Double],
       passthrough: Seq[String] = Nil): DataFrame = {
+    // "text" is absent on purpose: the gate CONSUMES it without emitting
+    // it, so passing it through is legal (ComposedStreamSpec's pipeline
+    // feeds the survivor text to the dedup stages downstream)
+    val reserved = Set("doc_id", "lang", "nc", "_toks", "n_words",
+      "_sl", "_na", "_t2", "_t3", "_t4", "_d5", "mean_word_len",
+      "alpha_frac", "top2_frac", "top3_frac", "top4_frac", "dup5_frac",
+      "gopher_keep", "_nlls", "n_bigrams", "nll", "lm_keep", "keep")
+    val clash = passthrough.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"QualityGate.gate: passthrough column(s) ${clash.mkString(", ")} " +
+        "collide with the gate's own input/output columns")
     val nllLit = typedlit(lm.nll)
     val c1Lit = typedlit(lm.c1)
     val thrLit = typedlit(thr)

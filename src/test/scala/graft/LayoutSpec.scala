@@ -186,8 +186,7 @@ class LayoutSpec extends SparkSpec {
       .localCheckpoint(true)
     val report0Rows = report0.collect().toSeq
     val corpus0 = first.unionByName(inDist)
-    assert(!Similarity.refreshIfStale(corpus0, path, report0,
-        numCells = 16, m = 8, k = 16, dims = 64, trainIters = 2),
+    assert(!Similarity.refreshIfStale(corpus0, path, report0).retrained,
       s"in-distribution append must not retrain: ${report0Rows.mkString(", ")}")
 
     // stale serving snapshot BEFORE the refresh, for the recall delta
@@ -217,9 +216,14 @@ class LayoutSpec extends SparkSpec {
       .localCheckpoint(true)
     val report1Rows = report1.collect().toSeq
     val staleRecall = recallOf(path)
-    assert(Similarity.refreshIfStale(corpus, path, report1,
-        numCells = 16, m = 8, k = 16, dims = 64, trainIters = 2),
-      s"drifted append must trip the retrain trigger: ${report1Rows.mkString(", ")}")
+    // partialMaxCellShare = 0.0 pins THIS test to the full-rebuild rung
+    // (its equality reference is rebuild-from-scratch); the partial rung
+    // has its own test below. Hyperparameters (cells/m/k/dims/iters) are
+    // read back from the index meta, not repeated here.
+    val outcome = Similarity.refreshIfStale(corpus, path, report1,
+      partialMaxCellShare = 0.0)
+    assert(outcome.retrained && outcome.mode == "full",
+      s"drifted append must trip the full retrain: ${report1Rows.mkString(", ")}")
 
     // the refreshed index IS the rebuild-from-scratch index: training is
     // deterministic (md5-seeded k-means over the same live corpus), so
@@ -251,6 +255,117 @@ class LayoutSpec extends SparkSpec {
     assert(freshRecall >= 0.4,
       s"refreshed recall@10 below the pinned fixture level: $freshRecall " +
         s"(stale was $staleRecall)")
+  }
+
+  test("partial refresh: cold codes byte-identical, cold serving equal, hot recall restored, watermark kept") {
+    import graft.ext.Similarity
+    val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val tmp = graft.TempStores.newStorePath("graft_ivfpq_partial").toString
+    val path = tmp + "/idx"
+    // residual encoding: the rung where a refined centroid actually
+    // changes the codes (raw PQ codes are centroid-independent)
+    val cents = Similarity.seedBook(e, "vec_id", "embedding", 16)
+    val rbook = Similarity.seedResidualBook(e, "vec_id", "embedding",
+      cents, 16)
+    Similarity.writeIvfPqIndexWith(e, "vec_id", "embedding", cents, rbook,
+      m = 8, path = path, encoding = "residual")
+
+    // concentrated drift: positive multiples (3x..7x) of ONE centroid's
+    // direction with a deterministic one-dimension jitter — cosine
+    // argmax sends every one to that centroid's cell (magnitude doesn't
+    // move a cosine argmax), where they reconstruct terribly against
+    // the frozen residual book → exactly one hot cell
+    val hotCell = cents(3)._1
+    val cLit = typedlit(cents(3)._2.toSeq)
+    val drifted = spark.range(0, 60).select(
+      ($"id" + 500000L).as("vec_id"),
+      transform(cLit, (x, j) =>
+        (x * (lit(3.0) + ($"id" % 5)) +
+          when(j === ($"id" % 64).cast("int"), lit(0.05)).otherwise(lit(0.0)))
+          .cast("float")).as("embedding"))
+    val report = Similarity.appendIvfPqIndex(drifted, path, "a1",
+      watermark = Some(7L)).localCheckpoint(true)
+    val corpus = e.unionByName(drifted)
+
+    // pre-refresh snapshots
+    def coldFileDigests(): Seq[String] = {
+      val live = graft.ops.Manifest.read(
+        new java.io.File(s"$path/codes.manifest")).get.entries
+      (for {
+        d <- live
+        cellDir <- Option(new java.io.File(s"$path/codes/$d").listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq
+        if cellDir.isDirectory && cellDir.getName.startsWith("cell=") &&
+          cellDir.getName.stripPrefix("cell=").toLong != hotCell
+        f <- cellDir.listFiles().toSeq
+        if f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+      } yield java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString).sorted.toSeq
+    }
+    val coldBefore = coldFileDigests()
+    assert(coldBefore.nonEmpty, "fixture produced no cold-cell files — weak test")
+    // a cold-cell query: nprobe=1 on a cold centroid's own direction
+    // probes exactly that (untouched) cell before and after
+    val coldQ = cents(7)._2
+    val coldServedBefore = Similarity.ivfPqTopKFromIndex(spark, path, coldQ,
+      nprobe = 1, topK = 5).as[(Long, Double)].collect().toSeq
+    val hotQ = drifted.where($"vec_id" === 500000L).select($"embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray
+    def recallOf(q: Array[Double]): Double = {
+      // exact EUCLIDEAN ground truth: from-index serving ranks by ADC
+      // L2 (adc_l2sq), and the planted magnitude spread makes L2 and
+      // cosine orders genuinely different here (the earlier full-rung
+      // test used cosine because its corpus is uniformly unit-ish)
+      val served = Similarity.ivfPqTopKFromIndex(spark, path, q,
+        nprobe = 4, topK = 10).select($"vec_id").as[Long].collect().toSet
+      val vecs = corpus.as[(Long, Seq[Float])].collect()
+        .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+      val exact = vecs.map { case (id, v) =>
+          (v.indices.map(i => (v(i) - q(i)) * (v(i) - q(i))).sum, id)
+        }.sortBy(identity).take(10).map(_._2).toSet
+      (served intersect exact).size.toDouble / exact.size
+    }
+    val staleRecall = recallOf(hotQ)
+
+    // the refresh must pick the PARTIAL rung: one hot cell out of 16
+    val outcome = Similarity.refreshIfStale(corpus, path, report)
+    assert(outcome.retrained && outcome.mode == "partial",
+      s"expected the partial rung, got ${outcome.mode} " +
+        s"(hot=${outcome.hotCells.mkString(",")})")
+    assert(outcome.hotCells == Seq(hotCell),
+      s"drift was planted in cell $hotCell only: ${outcome.hotCells}")
+
+    // 1. cold-cell code files are BYTE-IDENTICAL carried copies — the
+    // partial rung spent zero compute (and zero re-encode risk) on the
+    // 15 untouched cells
+    assert(coldFileDigests() == coldBefore,
+      "cold-cell code bytes changed under a partial refresh")
+    // 2. serving a cold-cell query is unchanged
+    val coldServedAfter = Similarity.ivfPqTopKFromIndex(spark, path, coldQ,
+      nprobe = 1, topK = 5).as[(Long, Double)].collect().toSeq
+    assert(coldServedAfter == coldServedBefore)
+    // 3. the hot query's recall is restored (refined centroid shrinks
+    // the drifted residuals the frozen book couldn't code)
+    val freshRecall = recallOf(hotQ)
+    assert(freshRecall >= staleRecall,
+      s"partial refresh regressed hot recall: stale=$staleRecall fresh=$freshRecall")
+    assert(freshRecall >= 0.5,
+      s"hot recall not restored: stale=$staleRecall fresh=$freshRecall")
+    // 4. the streaming watermark survived the consolidation: a replayed
+    // ingest batch must stay a no-op after the refresh
+    assert(graft.ops.Manifest.read(
+        new java.io.File(s"$path/codes.manifest")).get.maxBatch == Some(7L))
+    val deltasNow = new java.io.File(s"$path/codes").listFiles()
+      .map(_.getName).sorted.toSeq
+    Similarity.ingestBatch(drifted, 7L, path)
+    assert(new java.io.File(s"$path/codes").listFiles()
+      .map(_.getName).sorted.toSeq == deltasNow)
+    // vacuum garbage-collects the superseded pre-refresh deltas
+    Similarity.vacuumCodes(path)
+    assert(new java.io.File(s"$path/codes").listFiles()
+      .map(_.getName).sorted.toSeq == Seq("refresh1"))
+    assert(Similarity.readCodes(spark, path).count() == corpus.count())
   }
 
   test("residual (IVFADC) index: from-index serving == direct plan, append == rebuild, encoding recorded") {

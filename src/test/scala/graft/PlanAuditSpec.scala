@@ -55,6 +55,35 @@ class PlanAuditSpec extends SparkSpec {
       s"unpruned scan: $readSchema")
   }
 
+  test("variant queries: scan prunes to the referenced columns; variant work stays above the scan") {
+    // What the scan CAN and CANNOT do with the variant encoding today
+    // (the r12 verdict's audit-note ask): column pruning reaches the
+    // parquet scan (only props/value are read for variant_props_agg —
+    // the other 4+ events columns are pruned), but the variant PATH
+    // reads do NOT push into the scan: props is stored as a plain JSON
+    // string, try_parse_json runs as a post-scan projection, and Spark
+    // 4.1's variant shredding (SPARK-45891 line) is a table-format
+    // feature the parquet fixture doesn't carry — so per-path column
+    // skipping inside the variant is not available and the full props
+    // string is read for every row. At 100 TB that means: prune columns
+    // aggressively (works today), and materialize hot variant paths as
+    // shredded top-level columns at ingest if path-selective scans
+    // matter (the variant_nested_paths construction is exactly that
+    // written backwards).
+    val (p, _) = plan(RelationalQueries.queries, "variant_props_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail(s"no scan in plan:\n$p"))
+    assert(readSchema.contains("props") && readSchema.contains("value"),
+      readSchema)
+    assert(!readSchema.contains("event_type") && !readSchema.contains("user_id"),
+      s"unpruned scan: $readSchema")
+    // the parse is a projection above the scan, not a scan capability
+    // (the executed plan spells try_parse_json as a static_invoke of
+    // VariantExpressionEvalUtils.parseJson feeding try_variant_get)
+    assert(p.contains("parseJson") && p.contains("variant_get"),
+      s"variant parse must appear in the post-scan projection:\n$p")
+  }
+
   test("jaccard pair queries verify with the native sorted_overlap") {
     for (q <- Seq("ngram_jaccard_pairs", "dedup_minhash_pairs")) {
       val (p, _) = plan(ExtensionQueries.queries, q)

@@ -142,4 +142,34 @@ class QualityGateSpec extends SparkSpec {
         assert(nll == thr(lang), s"rejected doc $id passed off the tie")
     }
   }
+
+  test("a rewritten corpus rebuilds the frozen model — no stale memo under the same dir") {
+    // r12 advice: lmModelTables memoized per (session, dir) with no
+    // invalidation, so the streaming-ingest flow (append docs, re-freeze)
+    // silently served the stale (nll, c1, V). The memo key now carries a
+    // content fingerprint of documents.parquet.
+    val dir = graft.TempStores.newStorePath("graft_lm_memo").toString
+    def writeDocs(extra: Seq[(Long, String, String)]): Unit =
+      ((1L, "en", "alpha beta gamma delta alpha beta") +: extra)
+        .toDF("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(Nil)
+    val v1 = QualityGate.freeze(spark, dir).v
+    // rewrite the corpus under the SAME path with new vocabulary
+    writeDocs(Seq((2L, "en", "epsilon zeta eta theta iota epsilon zeta")))
+    val v2 = QualityGate.freeze(spark, dir).v
+    assert(v2 > v1,
+      s"freeze served the stale memoized model after a corpus rewrite: V=$v2 (was $v1)")
+  }
+
+  test("passthrough names colliding with gate columns are rejected eagerly") {
+    val err = intercept[IllegalArgumentException] {
+      QualityGate.gate(docs, lm, thr, passthrough = Seq("nll", "keep"))
+    }
+    assert(err.getMessage.contains("nll") && err.getMessage.contains("keep"))
+    // disjoint passthrough still works and lands in the output schema
+    val withTs = docs.withColumn("ingest_tag", $"doc_id" * 2)
+    val out = QualityGate.gate(withTs, lm, thr, passthrough = Seq("ingest_tag"))
+    assert(out.columns.count(_ == "ingest_tag") == 1)
+  }
 }
