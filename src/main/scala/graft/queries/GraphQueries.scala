@@ -135,21 +135,40 @@ object GraphQueries extends QueryPack {
     // Pearson correlation of endpoint degrees over the symmetrized
     // edge list — one number answering "do hubs trade with hubs?"
     // (bipartite trade graphs are typically disassortative). All
-    // sufficient statistics are exact INTEGER sums over one
-    // degree-denormalized edge scan; only the final scalar formula is
-    // float, on identical inputs in both engines (the ab_test_welch
-    // contract).
+    // sufficient statistics are exact INTEGER sums; only the final
+    // scalar formula is float, on identical inputs in both engines
+    // (the ab_test_welch contract).
+    //
+    // DEGREE-MOMENT SPELLING (r13): the naive plan joins deg onto BOTH
+    // edge endpoints — two edge-scale shuffled joins (measured 77×
+    // at the 64× probe: the second join re-shuffles the already-widened
+    // edge stream). On a SYMMETRIZED list the identities
+    //   Σ_edges dx^p  =  Σ_nodes deg^(p+1)   (node u is src deg(u) times)
+    //   sy = sx, syy = sxx                    (each edge appears both ways)
+    // collapse everything except sxy to NODE-sized degree moments.
+    // sxy alone needs neighbor degrees: ONE degree-attach join on dst,
+    // immediately reduced per src (map-side combinable — the shuffle
+    // after the join carries per-node partial sums, not edges), then
+    // sxy = Σ_u deg(u)·Σ_{v∈N(u)} deg(v) over the node-sized frame.
+    // One edge-scale join instead of two; every aggregate exact-integer
+    // identical to the naive spelling (GraphSpec proves equality), so
+    // the DuckDB oracle keeps the textbook two-join form.
     "graph_assortativity" -> ((s, d) => {
       val sym = tradeEdges(s, d)
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      sym
-        .join(deg.select(col("src"), col("dg").as("dx")), "src")
+      // Σ_{v∈N(u)} deg(v): the only edge-scale stage left
+      val neigh = sym
         .join(deg.select(col("src").as("dst"), col("dg").as("dy")), "dst")
-        .agg(count(lit(1)).as("m"),
-          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-          sum(col("dx") * col("dy")).as("sxy"),
-          sum(col("dx") * col("dx")).as("sxx"),
-          sum(col("dy") * col("dy")).as("syy"))
+        .groupBy(col("src")).agg(sum(col("dy")).as("sdy"))
+      // every node has deg ≥ 1 (it exists because an edge does) and all
+      // dst carry a degree, so the node-sized inner join drops nothing
+      deg.join(neigh, "src")
+        .agg(sum(col("dg")).as("m"),
+          sum(col("dg") * col("dg")).as("sx"),
+          sum(col("dg") * col("sdy")).as("sxy"),
+          sum(col("dg") * col("dg") * col("dg")).as("sxx"))
+        .select(col("m"), col("sxy"), col("sx").as("sy"),
+          col("sxx").as("syy"), col("sx"), col("sxx"))
         .select(col("m"), col("sxy"),
           // nullif: a degree-regular graph has zero endpoint-degree
           // variance, where Spark's / yields NULL but DuckDB under

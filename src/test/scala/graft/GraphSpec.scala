@@ -199,6 +199,42 @@ class GraphSpec extends SparkSpec {
     assert(run(Seq("a"), depth = 2) == Seq(("a", 2L, 1500000L)))
   }
 
+  test("assortativity degree-moment spelling equals the naive two-join spelling") {
+    // The catalog query computes Newman assortativity from node-sized
+    // degree moments plus ONE degree-attach join (see GraphQueries);
+    // this replays the textbook spelling — deg joined onto BOTH edge
+    // endpoints, sums over the denormalized edge scan — and asserts the
+    // full (m, sxy, assortativity) row is identical. Integer sufficient
+    // statistics make the equality exact, not approximate.
+    val orders = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val lab = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("c"),
+        concat(lit("s"), $"l_suppkey").as("sp")).distinct()
+    val sym = lab.select($"c".as("src"), $"sp".as("dst"))
+      .unionAll(lab.select($"sp".as("src"), $"c".as("dst")))
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("dg"))
+    val naive = sym
+      .join(deg.select($"src", $"dg".as("dx")), "src")
+      .join(deg.select($"src".as("dst"), $"dg".as("dy")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      .select($"m", $"sxy",
+        expr("""round((cast(m as double) * sxy - cast(sx as double) * sy) /
+               | nullif(
+               |  sqrt(cast(m as double) * sxx - cast(sx as double) * sx)
+               |  * sqrt(cast(m as double) * syy - cast(sy as double) * sy),
+               | 0.0), 6)""".stripMargin).as("assortativity"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val moment = graft.queries.GraphQueries.queries("graph_assortativity")(
+      spark, sf0001).as[(Long, Long, Option[Double])].collect().toSeq
+    assert(naive.size == 1 && moment == naive)
+    assert(naive.head._1 > 0L)
+  }
+
   test("kCore reaches its fixpoint on the fixture within the catalog's round budget") {
     import graft.queries.GraphQueries.{KCoreQuantile, KCoreRounds}
     val orders = Tables.orders(spark, sf0001)

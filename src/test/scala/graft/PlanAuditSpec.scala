@@ -462,7 +462,10 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_split_leakage_safe", // doc-keyed join of the corpus onto
                                   // the cluster labels: both sides scale
                                   // with the corpus, shuffle IS the plan
-      "graph_assortativity",      // degree joins onto the edge list: both
+      "graph_assortativity",      // ONE degree join onto the edge list
+                                  // (r13 degree-moment spelling — the
+                                  // other endpoint's statistics collapse
+                                  // to node-sized degree moments): both
                                   // sides scale with the graph (statless
                                   // post-agg degree side), shuffle IS the
                                   // plan
