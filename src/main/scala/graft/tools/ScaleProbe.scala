@@ -350,7 +350,11 @@ object ScaleProbe {
     "bpe_fertility", "dedup_embed_pairs",
     // r12: vocabulary growth curve (token-stream explode + first-
     // sighting agg) and the two-level-assignment cell profile
-    "corpus_heaps_law", "embed_cell_profile")
+    "corpus_heaps_law", "embed_cell_profile",
+    // r13: the remaining graph iteratives, registered after their 64×
+    // probe (pagerank 55.6 / kcore 22.5 vs linear=64 — at-most-linear;
+    // assortativity's former 77.3 dissected + respelled to 18.8)
+    "graph_pagerank", "graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
