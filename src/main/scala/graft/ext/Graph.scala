@@ -81,21 +81,30 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
+      // r13 (guide §2.4): nodes with no in-links used to re-enter via a
+      // per-iteration `nodes LEFT JOIN insum` — a sort-merge join (the
+      // checkpointed node frame has no size stats) costing an extra
+      // exchange+sort of both sides every round. UNION-ing a zero
+      // contribution per node into the SAME keyed aggregate the edge
+      // contributions already need yields the identical insum (sum + 0,
+      // never-null instead of coalesce(null, 0)) with ONE exchange per
+      // iteration and no join at all.
       val insum = eDeg
         .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), expr("r div du").as("c"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy(col("node")).agg(sum(col("c")).as("insum"))
       val withDang =
         if (hasDangling)
-          nodes.join(insum, Seq("node"), "left").crossJoin(broadcast(
+          insum.crossJoin(broadcast(
             ranks.join(broadcast(dangNodes), Seq("node"), "left_semi")
               .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))))
         else
-          nodes.join(insum, Seq("node"), "left").withColumn("dang", lit(0L))
+          insum.withColumn("dang", lit(0L))
       ranks = withDang
         .select(col("node"),
           (lit(teleport) +
-            expr(s"((coalesce(insum, 0L) + dang div ${n}L) * ${DampNum}L) div ${DampDen}L"))
+            expr(s"((insum + dang div ${n}L) * ${DampNum}L) div ${DampDen}L"))
             .as("r"))
         .localCheckpoint(false)
     }
@@ -126,34 +135,76 @@ object Graph {
     * degree and the adaptive threshold actually applied.
     */
   def kCore(edges: DataFrame, uCol: String, vCol: String,
-      degQuantile: Double, rounds: Int): DataFrame = {
+      degQuantile: Double, rounds: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val und = edges
-      .select(least(col(uCol), col(vCol)).as("u"),
-        greatest(col(uCol), col(vCol)).as("v"))
-      .where(col("u") < col("v")).distinct()
-    val sym = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(false)
+    // r13: `assumeCanonical` skips the least/greatest+distinct
+    // canonicalization (one full edge-stream shuffle) when the CALLER
+    // already guarantees a symmetric, duplicate-free, self-loop-free
+    // edge list — GraphQueries.tradeEdges does by construction (one
+    // distinct key-pair frame emitted in both orientations, 'c'/'s'
+    // prefixes make u ≠ v). For such input the canonicalize+resymmetrize
+    // round-trip is the identity, so the result is unchanged.
+    val sym = (if (assumeCanonical)
+        edges.select(col(uCol).as("src"), col(vCol).as("dst"))
+      else {
+        val und = edges
+          .select(least(col(uCol), col(vCol)).as("u"),
+            greatest(col(uCol), col(vCol)).as("v"))
+          .where(col("u") < col("v")).distinct()
+        und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      }).localCheckpoint(false)
+    // Degree frame pinned (node-sized, §8 rule): it feeds the threshold
+    // percentile AND round 1 below.
     val deg0 = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(false)
     val k = math.ceil(deg0
         .agg(expr(s"percentile(dg, $degQuantile)").as("q"))
         .first().getDouble(0)).toLong
-    def restrict(e: DataFrame, alive: DataFrame): DataFrame = e
-      .join(broadcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
-      .join(broadcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
-    var alive = sym.select(col("src").as("node")).distinct()
+    // r13 (guide §2.3/§2.4): one round used to cost TWO edge-stream
+    // broadcast semi-joins (src-alive and dst-alive) feeding the degree
+    // aggregate. The src-side restriction commutes with the aggregate —
+    // count edges into alive dsts for EVERY src, then semi-join the
+    // NODE-sized count frame against alive — so the second edge-scale
+    // semi-join becomes a node-scale one. Same survivor set (a src not
+    // in alive is dropped either way; an alive src's count only ever
+    // involves dst-restricted edges).
+    def survivors(alive: DataFrame): DataFrame = sym
+      .join(broadcast(alive.withColumnRenamed("node", "dst")),
+        Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .where(col("dg") >= k)
+      .select(col("src").as("node"))
+      .join(broadcast(alive), Seq("node"), "left_semi")
+    // Round 1's restriction is the identity (alive₀ = all nodes), so
+    // round 1 IS the pinned initial-degree filter — zero edge scans.
+    var alive = deg0.where(col("dg") >= k).select(col("src").as("node"))
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
-      alive = restrict(sym, alive)
-        .groupBy(col("src")).agg(count(lit(1)).as("dg"))
-        .where(col("dg") >= k)
-        .select(col("src").as("node"))
-        .localCheckpoint(false)
+    var aliveN = alive.count()
+    // Early exit at the fixpoint (r13): peeling is monotone (survivors
+    // only shrink and each round's set is semi-joined into the
+    // previous), so an unchanged COUNT means an unchanged SET, and
+    // every later round is the identity — running them would reproduce
+    // the same frame at full price. The declared `rounds` stays the
+    // algorithm definition (and the oracle's replay depth); stopping at
+    // the fixpoint is result-identical by monotonicity.
+    var r = 1
+    while (r < rounds && aliveN > 0) {
+      val next = survivors(alive).localCheckpoint(false)
+      val n = next.count()
+      r += 1
+      if (n == aliveN) r = rounds // fixpoint: remaining rounds are identity
+      aliveN = n
+      alive = next
     }
-    restrict(sym, alive)
+    sym
+      .join(broadcast(alive.withColumnRenamed("node", "dst")),
+        Seq("dst"), "left_semi")
       .groupBy(col("src")).agg(count(lit(1)).as("deg_core"))
-      .select(col("src").as("node"), col("deg_core"), lit(k).as("k"))
+      .withColumnRenamed("src", "node")
+      .join(broadcast(alive), Seq("node"), "left_semi")
+      .select(col("node"), col("deg_core"), lit(k).as("k"))
   }
 
   /** Triangle census of an undirected graph via the degree-oriented
@@ -240,6 +291,11 @@ object Graph {
       .localCheckpoint(false)
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint(false)
+    // (r13 note: a per-round fixpoint check was tried and REVERTED —
+    // the fixture's label frontier does not stabilize before the last
+    // round, so the per-round semi-join+count only added jobs, measured
+    // 19→30 jobs with no wall win. kCore keeps its check because
+    // peeling DOES hit its fixpoint after round 1 there.)
     for (_ <- 1 to iters) {
       lbl = eSelf
         .join(broadcast(lbl.select(col("node").as("dst"), col("lbl"))),
@@ -276,19 +332,43 @@ object Graph {
       sources: DataFrame, sourceCol: String, depth: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var dist = sources
+    // r13 (guide §2.3/§2.4): level-synchronous FRONTIER BFS. The old
+    // spelling folded the WHOLE accumulated distance frame through a
+    // (qsrc, node) min-aggregate every round — |sources|·|nodes| rows
+    // re-shuffled depth times (116 MB of the query's shuffle at sf0.1)
+    // — and joined frontier→edges as a sort-merge join that re-shuffled
+    // the edge list every round. Now each round ships only the FRONTIER
+    // (nodes first reached that round) as a broadcast into the edge
+    // scan, dedups the candidate (qsrc, node) pairs, and drops
+    // already-visited ones with a broadcast anti-join against the
+    // accumulated per-level frames. BFS level order IS min-distance
+    // (a node's first level = its shortest distance), so the union of
+    // levels equals the old min-fold exactly. An empty frontier ends
+    // the walk early — identical by induction (no new node can appear
+    // after a round that found none). State stays |sources|·|nodes|
+    // bounded; billion-node graphs flip the broadcasts to keyed
+    // exchanges of the frontier side, the pageRank/kCore note.
+    var frontier = sources
       .select(col(sourceCol).as("qsrc"), col(sourceCol).as("node"),
         lit(0).as("d"))
       .localCheckpoint(false)
-    for (i <- 1 to depth) {
-      val next = dist.where(col("d") === i - 1)
-        .join(e, col("node") === col("src"))
-        .select(col("qsrc"), col("dst").as("node"), lit(i).as("d"))
-      dist = dist.unionByName(next)
-        .groupBy("qsrc", "node").agg(min(col("d")).as("d"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var i = 1
+    while (i <= depth && !frontier.isEmpty) {
+      val visited = levels.map(_.select(col("qsrc"), col("node")))
+        .reduce(_ unionAll _)
+      frontier = e
+        .join(broadcast(frontier.select(col("qsrc"), col("node").as("src"))),
+          Seq("src"))
+        .select(col("qsrc"), col("dst").as("node")).distinct()
+        .join(broadcast(visited), Seq("qsrc", "node"), "left_anti")
+        .select(col("qsrc"), col("node"), lit(i).as("d"))
         .localCheckpoint(false)
+      levels += frontier
+      i += 1
     }
-    dist.groupBy(col("qsrc").as("source"))
+    levels.reduce(_ unionByName _)
+      .groupBy(col("qsrc").as("source"))
       .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
         coalesce(sum(expr(harmonicCaseSql(depth))), lit(0L))
           .as("harmonic_micro"))

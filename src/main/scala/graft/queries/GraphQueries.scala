@@ -67,16 +67,46 @@ object GraphQueries extends QueryPack {
     // join+distinct would execute 4× per query (measured 1.8 s warm
     // each at sf0.1). Same iterative-exception rationale as the edge
     // pin inside Graph.pageRank.
-    val base = orders(s, d)
-      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey")).distinct()
-      .localCheckpoint(false)
+    val base = tradePairs(s, d)
     val lab = base.select(
       concat(lit("c"), col("o_custkey").cast("string")).as("c"),
       concat(lit("s"), col("l_suppkey").cast("string")).as("sp"))
     lab.select(col("c").as("src"), col("sp").as("dst"))
       .unionAll(lab.select(col("sp").as("src"), col("c").as("dst")))
   }
+
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .localCheckpoint(false)
+
+  /** r13 (guide §2.3, narrower types): LONG-keyed spelling of
+    * [[tradeEdges]] — node id 2·custkey for customers, 2·suppkey+1 for
+    * suppliers, a bijection onto the labeled string ids (the 'c'/'s'
+    * prefix disjointness becomes parity disjointness, so no self-loops
+    * and no collisions). The iterative algorithms hash and compare a
+    * node id once per edge per round; an 8-byte long makes that a
+    * primitive op instead of a string hash + allocation, and the label
+    * strings are reconstructed only on the final node-sized output via
+    * [[decodeNode]]. Only id-order-INDEPENDENT algorithms may use this
+    * spelling (pageRank's arithmetic, kCore's counts, closeness' BFS,
+    * assortativity's degree moments are all invariant under any node
+    * bijection); LPA's smallest-LABEL tie-break depends on the string
+    * order and stays on [[tradeEdges]].
+    */
+  private def tradeEdgesLong(s: SparkSession, d: String): DataFrame = {
+    val base = tradePairs(s, d)
+    val lab = base.select((col("o_custkey") * 2).as("c"),
+      (col("l_suppkey") * 2 + 1).as("sp"))
+    lab.select(col("c").as("src"), col("sp").as("dst"))
+      .unionAll(lab.select(col("sp").as("src"), col("c").as("dst")))
+  }
+
+  /** Inverse of the [[tradeEdgesLong]] encoding: 2k → "ck", 2k+1 → "sk". */
+  private def decodeNode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(when(c % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(c, 1).cast("string"))
 
   /** Supplier co-occurrence edges: undirected (u < v) supplier pairs
     * that ship lines of the same order. Per-order fan-out is bounded by
@@ -105,7 +135,8 @@ object GraphQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) =>
-      Graph.pageRank(tradeEdges(s, d), "src", "dst", PageRankIters)
+      Graph.pageRank(tradeEdgesLong(s, d), "src", "dst", PageRankIters)
+        .select(decodeNode(col("node")).as("node"), col("rank_pico"))
         .orderBy("node")),
 
     // Triangle census of the (DOULION-sparsified) supplier co-trade
@@ -127,8 +158,15 @@ object GraphQueries extends QueryPack {
     // HOW CLUSTERED, k-core HOW COHESIVE). Exact integer compare:
     // degrees are counts, the threshold is ceil of an exact percentile
     // over integers (representable doubles end-to-end).
+    // assumeCanonical (r13): tradeEdges IS a canonical undirected list —
+    // one distinct ('c…','s…') pair frame emitted in both orientations,
+    // prefix-disjoint key spaces (no self-loops) — so kCore's
+    // least/greatest+distinct canonicalization round-trip is the
+    // identity; skipping it removes one full edge-stream shuffle.
     "graph_kcore" -> ((s, d) =>
-      Graph.kCore(tradeEdges(s, d), "src", "dst", KCoreQuantile, KCoreRounds)
+      Graph.kCore(tradeEdgesLong(s, d), "src", "dst", KCoreQuantile,
+          KCoreRounds, assumeCanonical = true)
+        .select(decodeNode(col("node")).as("node"), col("deg_core"), col("k"))
         .orderBy("node")),
 
     // Degree assortativity of the trade graph (Newman 2002): the
@@ -154,7 +192,10 @@ object GraphQueries extends QueryPack {
     // identical to the naive spelling (GraphSpec proves equality), so
     // the DuckDB oracle keeps the textbook two-join form.
     "graph_assortativity" -> ((s, d) => {
-      val sym = tradeEdges(s, d)
+      // long-keyed edges (r13): every aggregate below is a degree
+      // moment — invariant under any node bijection, so the cheaper key
+      // domain cannot change the result.
+      val sym = tradeEdgesLong(s, d)
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       // Σ_{v∈N(u)} deg(v): the only edge-scale stage left
       val neigh = sym
@@ -231,10 +272,17 @@ object GraphQueries extends QueryPack {
     // per-distance weights are integer micro literals so the aggregate
     // is an order-independent long sum — the compare is exact.
     "graph_closeness_sampled" -> ((s, d) => {
-      val e = tradeEdges(s, d).localCheckpoint(false)
+      val e = tradeEdgesLong(s, d).localCheckpoint(false)
+      // The source sample stays ranked by md5 of the LABEL string
+      // (content-stable, replayed verbatim by the oracle): decode the
+      // node-sized distinct set, rank, keep the long id for the BFS.
       val srcs = e.select(col("src").as("node")).distinct()
-        .orderBy(md5(col("node")), col("node")).limit(ClosenessSources)
+        .select(col("node"), decodeNode(col("node")).as("lab"))
+        .orderBy(md5(col("lab")), col("lab")).limit(ClosenessSources)
+        .select(col("node"))
       Graph.harmonicCloseness(e, "src", "dst", srcs, "node", ClosenessDepth)
+        .select(decodeNode(col("source")).as("source"), col("n_reached"),
+          col("harmonic_micro"))
         .orderBy("source")
     }))
 
