@@ -594,7 +594,27 @@ object Multimodal {
     * one doc-keyed window for the totals → doc-keyed bit pack. Shuffles
     * carry (doc, cell) pairs — 64 rows/doc regardless of media size.
     */
-  def stubAHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def stubAHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r13: ONE native codegen pass per document (stub_ahash_bits) in
+    // place of the char explode + (doc, cell) aggregate + doc window +
+    // bit-pack aggregate — the sketch is now a pure projection (zero
+    // exchanges; the old spelling cost three per sketch, and the char
+    // explode was the catalog's densest row stream). Bit-for-bit equal
+    // to [[stubAHashDeclarative]] (MediaSpec pins it); oracles untouched.
+    docs
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.RasterExpressions.stub_ahash_bits(col(textCol)).as("_h"))
+      .select(col("doc_id"), col("_h").getField("lo").as("ahash_lo"),
+        col("_h").getField("hi").as("ahash_hi"))
+
+  /** The r12 declarative spelling of [[stubAHash]], kept as the spec
+    * twin the native kernel is proved against (and as the documented
+    * distributed form: at ANY media size the kernel's per-row state is
+    * 2×64 longs, but a raster wider than one row's memory would shard
+    * back to exactly this keyed-aggregate shape).
+    */
+  def stubAHashDeclarative(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     docs
       .where(length(col(textCol)) > 0)
@@ -630,7 +650,24 @@ object Multimodal {
     * is a doc-keyed equi self-join on the shifted cell index; docs too
     * short to populate both neighbors leave those bits 0.
     */
-  def stubDHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def stubDHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r13: native one-pass kernel, the stubAHash note — the adjacent-
+    // cell self-join becomes an in-kernel neighbor compare. Proved
+    // equal to [[stubDHashDeclarative]] in MediaSpec.
+    docs
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.RasterExpressions.stub_dhash_bits(col(textCol)).as("_h"))
+      // null sketch = no populated adjacent cell pair = the declarative
+      // inner join emitted no rows for this doc — drop it, same row set
+      .where(col("_h").isNotNull)
+      .select(col("doc_id"), col("_h").getField("lo").as("dhash_lo"),
+        col("_h").getField("hi").as("dhash_hi"))
+
+  /** The r12 declarative spelling of [[stubDHash]] (spec twin — see
+    * [[stubAHashDeclarative]]).
+    */
+  def stubDHashDeclarative(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cells = docs
       .where(length(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
@@ -773,7 +810,18 @@ object Multimodal {
     * integer arithmetic, same two-32-bit-halves packing, same shuffle
     * bound (64 cell rows per FRAME at any media size).
     */
-  def stubFrameAHash(frames: DataFrame): DataFrame = {
+  def stubFrameAHash(frames: DataFrame): DataFrame =
+    // r13: native kernel per (doc, frame) row — the stubAHash note.
+    frames
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("frame_ix"),
+        graft.functions.RasterExpressions.stub_ahash_bits(col("text")).as("_h"))
+      .select(col("doc_id"), col("frame_ix"),
+        col("_h").getField("lo").as("ahash_lo"),
+        col("_h").getField("hi").as("ahash_hi"))
+
+  /** The r12 declarative spelling of [[stubFrameAHash]] (spec twin). */
+  def stubFrameAHashDeclarative(frames: DataFrame): DataFrame = {
     val byFrame = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("frame_ix"))
     frames

@@ -112,4 +112,56 @@ class SuffixOpsSpec extends SparkSpec {
       assert(hi >= 0L && hi < (1L << 32))
     }
   }
+
+  /** r13: the native one-pass kernels (stub_ahash_bits / stub_dhash_bits)
+    * must reproduce the declarative explode+aggregate+window spelling
+    * bit for bit — including non-ASCII code points (split(text, "") and
+    * length() both count code points; ascii() yields the code point) and
+    * docs shorter than the cell grid.
+    */
+  private val kernelFixtures = docs(
+    1L -> "a",
+    2L -> "ab",
+    3L -> ("the quick brown fox " * 12).trim,
+    4L -> "café naïve résumé 你好世界",
+    5L -> ("x" * 63),
+    6L -> ("mixed éèê ascii and '�' repl " * 7).trim,
+    7L -> (32 to 125).map(_.toChar).mkString,
+    8L -> ("short doc"))
+
+  test("native stub_ahash_bits equals the declarative stubAHash") {
+    val fast = Multimodal.stubAHash(kernelFixtures, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val slow = Multimodal.stubAHashDeclarative(kernelFixtures, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fast.map(_.toSeq) === slow.map(_.toSeq))
+    // fixture corpus too
+    val d = graft.Tables.documents(spark, sf0001)
+    val f2 = Multimodal.stubAHash(d, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val s2 = Multimodal.stubAHashDeclarative(d, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(f2.map(_.toSeq) === s2.map(_.toSeq))
+  }
+
+  test("native stub_dhash_bits equals the declarative stubDHash") {
+    val fast = Multimodal.stubDHash(kernelFixtures, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val slow = Multimodal.stubDHashDeclarative(kernelFixtures, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(fast.map(_.toSeq) === slow.map(_.toSeq))
+  }
+
+  test("native frame kernel equals the declarative stubFrameAHash") {
+    val frames = kernelFixtures
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(2L))).as("frame_ix"))
+      .select(col("doc_id"), col("frame_ix"),
+        substring_index(col("text"), " ", 3).as("text"))
+    val fast = Multimodal.stubFrameAHash(frames)
+      .orderBy("doc_id", "frame_ix").collect().toSeq
+    val slow = Multimodal.stubFrameAHashDeclarative(frames)
+      .orderBy("doc_id", "frame_ix").collect().toSeq
+    assert(fast.map(_.toSeq) === slow.map(_.toSeq))
+  }
 }
