@@ -44,13 +44,19 @@ object SuffixOps {
         posexplode(col("_toks")).as(Seq("pos", "_t")))
       .select(col("doc_id"), slice(col("_toks"), col("pos") + 1, lit(w)).as("s"))
 
-  /** Longest common prefix of two token arrays, declaratively:
-    * prefix-slice equality is monotone in j (once unequal, stays
-    * unequal), so counting the j with equal j-prefixes IS the LCP —
-    * O(W²) element compares per pair, constant at the W cap, all inside
-    * codegen.
+  /** Longest common prefix of two token arrays — the native codegen
+    * `token_lcp` walk (r13; one pass, stops at the first mismatch).
+    * Replaces the declarative aggregate-over-slices spelling below,
+    * which ran as an INTERPRETED higher-order function doing O(W²)
+    * slice allocations + compares per pair — measured as the dominant
+    * task time of the suffix family. Equal for every input because
+    * prefix-j equality is monotone in j (SuffixOpsSpec pins it).
     */
   def lcp(a: Column, b: Column): Column =
+    graft.functions.SuffixExpressions.token_lcp(a, b)
+
+  /** The r12 declarative spelling of [[lcp]] (spec twin). */
+  def lcpDeclarative(a: Column, b: Column): Column =
     aggregate(sequence(lit(1), least(size(a), size(b))), lit(0),
       (acc, j) => acc +
         when(slice(a, lit(1), j) === slice(b, lit(1), j), lit(1))

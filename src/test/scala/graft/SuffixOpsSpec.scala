@@ -129,6 +129,23 @@ class SuffixOpsSpec extends SparkSpec {
     7L -> (32 to 125).map(_.toChar).mkString,
     8L -> ("short doc"))
 
+  test("native token_lcp equals the declarative aggregate-over-slices lcp") {
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "b", "c"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq("x", "y"), Seq("x", "z", "w")),
+      (Seq("t1"), Seq("t1")),
+      ((1 to 16).map(i => s"t$i"), (1 to 16).map(i => s"t$i")),
+      ((1 to 16).map(i => s"t$i"), (1 to 15).map(i => s"t$i") :+ "zz"))
+      .toDF("a", "b")
+    val r = pairs.select(
+      graft.ext.SuffixOps.lcp(col("a"), col("b")).as("fast"),
+      graft.ext.SuffixOps.lcpDeclarative(col("a"), col("b")).as("slow"))
+      .collect()
+    r.foreach(row => assert(row.getInt(0) === row.getInt(1)))
+  }
+
   test("native stub_ahash_bits equals the declarative stubAHash") {
     val fast = Multimodal.stubAHash(kernelFixtures, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
