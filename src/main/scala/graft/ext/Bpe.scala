@@ -81,6 +81,18 @@ object Bpe {
     * on saves them re-running the corpus pass and the merge fold that
     * training already performed.
     */
+  /** Steps between eager re-checkpoints of the vocab frame during
+    * training (r13). Between checkpoints the per-step re-chunk rides as
+    * a LAZY `replace` projection, so each argmax job replays at most
+    * CkptEvery cheap vocab-sized projections instead of paying a full
+    * materialization job per step — training's job count halves (the
+    * argmax is the only per-step action). A linear projection chain has
+    * none of the quadratic broadcast-subplan blowup that forced
+    * per-iteration checkpoints in the graph family; the periodic
+    * checkpoint just bounds replay depth for large step counts.
+    */
+  val CkptEvery = 16
+
   def trainMergesWithVocab(docs: DataFrame, textCol: String,
       steps: Int): (Seq[Merge], DataFrame) = {
     var vocab = wordVocab(docs, textCol).localCheckpoint(true)
@@ -103,7 +115,8 @@ object Bpe {
       out += Merge(step, s1, s2, s1 + s2, r.getLong(2))
       vocab = vocab.withColumn("seg",
         call_function("replace", col("seg"),
-          lit(s" $s1  $s2 "), lit(s" $s1$s2 "))).localCheckpoint(true)
+          lit(s" $s1  $s2 "), lit(s" $s1$s2 ")))
+      if (step % CkptEvery == 0) vocab = vocab.localCheckpoint(true)
     }
     (out.result(), vocab)
   }
