@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ext.Graph
@@ -126,11 +127,17 @@ object GraphQueries extends QueryPack {
   private def supplierCoEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    // r13 (guide §2.3): the DOULION coin is a deterministic function of
+    // (u, v), so it commutes with DISTINCT — filtering BEFORE the
+    // distinct drops 7/8 of the pair stream ahead of that shuffle
+    // (md5 on the full pre-distinct stream is cheap codegen; the
+    // shuffle bytes were the cost). Same surviving edge set.
     li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("u"), col("b.sk").as("v")).distinct()
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
       .where(substring(md5(concat(col("u").cast("string"), lit(":"),
         col("v").cast("string"))), 1, 1) < "2")
+      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -257,6 +264,11 @@ object GraphQueries extends QueryPack {
     // triangles: how clustered, k-core: how cohesive, LPA: which
     // MODULES). Self-vote damps the bipartite oscillation; fixed
     // LpaIters rounds replayed exactly by the oracle chain.
+    // (r13 note: an order-isomorphic long-rank relabel of the label
+    // domain was tried and REVERTED — the two edge-stream relabel joins
+    // re-evaluate once per downstream consumer and measured SLOWER
+    // (3.53 → 5.76 s) than the string rounds they were meant to cheapen.
+    // LPA's cost is the two-level vote aggregate, not the key type.)
     "graph_lpa" -> ((s, d) =>
       Graph.lpa(tradeEdges(s, d), "src", "dst", LpaIters)
         .orderBy("node")),
