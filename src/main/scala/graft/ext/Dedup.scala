@@ -356,9 +356,17 @@ object Dedup {
     // costs two key-equi joins and ZERO propagate/jump rounds, where the
     // round-then-check shape always paid for a full round (3 joins + an
     // aggregate + a checkpoint) just to observe no change.
+    // r13: the label frame is NODE-sized checkpointed state — broadcast
+    // it into the edge-scale probe/propagate joins (the graph family's
+    // convention; without the hint the stats-free checkpoint plans as a
+    // sort-merge join that shuffles the edge stream every probe/round;
+    // billion-node graphs flip the broadcast to a keyed exchange of the
+    // node-sized side, the pageRank note).
     def inconsistent(l: DataFrame): Boolean = !sym
-      .join(l.select(col("node").as("_na"), col("label").as("_la")), col("src") === col("_na"))
-      .join(l.select(col("node").as("_nb"), col("label").as("_lb")), col("dst") === col("_nb"))
+      .join(broadcast(l.select(col("node").as("_na"), col("label").as("_la"))),
+        col("src") === col("_na"))
+      .join(broadcast(l.select(col("node").as("_nb"), col("label").as("_lb"))),
+        col("dst") === col("_nb"))
       .where(col("_la") =!= col("_lb")).limit(1).isEmpty
     var it = 0
     while (inconsistent(labels)) {
@@ -366,15 +374,17 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
             "labels would be incorrect — raise maxIter (rounds needed is O(log diameter))")
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+      val nbrMin = sym.join(broadcast(labels), sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val propagated = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+      val propagated = labels.join(broadcast(nbrMin),
+          labels("node") === nbrMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jumping: label <- label(label); every label is a node id,
       // so the self-join always resolves.
       labels = propagated.as("x")
-        .join(propagated.as("y"), col("x.label") === col("y.node"), "left")
+        .join(broadcast(propagated.as("y")), col("x.label") === col("y.node"),
+          "left")
         .select(col("x.node").as("node"),
           coalesce(col("y.label"), col("x.label")).as("label"))
         .localCheckpoint(false)
