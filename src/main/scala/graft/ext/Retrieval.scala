@@ -43,6 +43,22 @@ object Retrieval {
     */
   val IndexBuckets = 64
 
+  /** r13 (guide §6, file layout): SCALE-ADAPTIVE bucket count — callers
+    * passing `buckets = 0` to the writers get
+    * clamp(8, 1024, nDocs/1000). A fixed 64 made a 5k-doc corpus write
+    * 64 near-empty directories per table (the small-files anti-pattern:
+    * listing + open cost on every later read and a directory-commit tax
+    * per write), while a 100 TB corpus would cram a giant vocabulary
+    * into 64 dirs; the clamp keeps both ends sensible. The bucket count
+    * is a pure LAYOUT knob: serving reads it back from the index meta
+    * and every statistic recombines identically at any value, so
+    * results are bucket-count-invariant (the segmented recombination
+    * proof). Segment writers adopt the EXISTING index's count when one
+    * is live — segMetas requires cross-segment agreement.
+    */
+  def adaptiveBuckets(nDocs: Long): Int =
+    math.max(8L, math.min(1024L, nDocs / 1000L)).toInt
+
   /** (doc_id, term, tf) posting rows, filtered to `terms` BEFORE the
     * aggregation when a query vocabulary is given (the filter runs
     * map-side on the exploded stream, so the shuffle sees only matches).
@@ -128,7 +144,7 @@ object Retrieval {
     * parquet page stats prune intra-bucket term ranges too.
     */
   def writeInvertedIndex(docs: DataFrame, path: String,
-      buckets: Int = IndexBuckets): Unit = {
+      buckets0: Int = IndexBuckets): Unit = {
     val p = postings(docs, None)
     // df via groupBy + keyed join-back, not a per-term window: the
     // window form puts each term's whole posting list on one task — a
@@ -141,6 +157,11 @@ object Retrieval {
     // referenced twice (rows + dfs) and reuses, so the postings write is
     // ONE tokenize pass, and meta costs no corpus scan at all.
     val dlens = docLengths(docs).localCheckpoint(false)
+    // buckets = 0 opts into the scale-adaptive count (the doc count is
+    // one cheap action on the pinned dlens frame, which the write below
+    // re-reads from cache)
+    val buckets =
+      if (buckets0 > 0) buckets0 else adaptiveBuckets(dlens.count())
     val rows = p
       .join(dfs, Seq("term"))
       .join(dlens, Seq("doc_id"))
@@ -215,7 +236,7 @@ object Retrieval {
     * `path/segments/<name>`.
     */
   def writeIndexSegment(docs: DataFrame, path: String, name: String,
-      buckets: Int = IndexBuckets, watermark: Option[Long] = None): Unit = {
+      buckets0: Int = IndexBuckets, watermark: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
     val seg = s"$path/segments/$name"
     // Adopt a manifest BEFORE this segment's directory exists: on a
@@ -228,6 +249,18 @@ object Retrieval {
     // One tokenCount pass shared by the dlen join and the meta write
     // (doc-count-sized checkpoint, §8 rule).
     val dlens = docLengths(docs).localCheckpoint(false)
+    // buckets = 0 opts into the scale-adaptive count; an index with
+    // LIVE segments pins the count they already agreed on (segMetas
+    // fails loudly on disagreement), a fresh index derives it from this
+    // batch's doc count.
+    val buckets =
+      if (buckets0 > 0) buckets0
+      else {
+        val live = readManifest(path).getOrElse(Seq.empty)
+          .filter(s => new java.io.File(s"$path/segments/$s").isDirectory)
+        if (live.nonEmpty) segMetas(spark, path, live)._1
+        else adaptiveBuckets(dlens.count())
+      }
     // POSITIONAL postings: token positions ride per (term, doc) row so
     // the same segment serves phrase queries (positions intersect) —
     // scoring reads never pay for them (parquet column pruning drops

@@ -516,16 +516,30 @@ object Similarity {
       s"unknown index encoding '$encoding' (raw | residual)")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val indexed = encodedFrame(embeddings, idCol, vecCol, cents, book, m,
-      encoding)
+    // r13 (guide §1.2 step 1): ONE assign+encode pass serves both the
+    // codes table and the health baseline — the old spelling ran the
+    // full corpus argmax-assign + PQ-encode TWICE (once for codes, once
+    // inside reconErrorFor). The fused per-row frame is CODE-sized
+    // (cell + id + m code bytes + one long — no vectors), so pinning it
+    // is inside the §8 sketch-frame allowance.
+    val staged =
+      if (encoding == "residual")
+        residuals(embeddings, idCol, vecCol, cents)
+          .select(col("cell"), col(idCol), col("resd").as("_v"))
+      else
+        ivfAssignWith(embeddings, idCol, vecCol, cents)
+          .select(col("cell"), col(idCol), col("vecd").as("_v"))
+    val indexed = codesWithErr(staged, Seq(idCol), book, m)
+      .localCheckpoint(false)
     // codes live in manifest-committed DELTA directories (the inverted
     // index's segment model): the base build is delta "base", appends
     // add deltas, and the live set is codes.manifest — so an append
     // that crashes mid-write is never served half-done (SaveMode.Append
     // into shared cell partitions would be), and a retried append
     // overwrites its own delta idempotently.
-    graft.ops.Layout.writePartitioned(indexed, s"$path/codes/base",
-      Seq("cell"), Seq(idCol))
+    graft.ops.Layout.writePartitioned(
+      indexed.select(col("cell"), col(idCol), col("codes")),
+      s"$path/codes/base", Seq("cell"), Seq(idCol))
     graft.ops.Manifest.write(codesManifest(path), Seq("base"))
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cell_id", "vecd")
@@ -538,7 +552,7 @@ object Similarity {
       .toDF("id_col", "vec_col", "m", "encoding", "num_cells", "pq_k",
         "dims", "train_iters")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    reconErrorFor(embeddings, idCol, vecCol, cents, book, m, encoding)
+    healthAgg(indexed)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/health")
   }
 
@@ -688,19 +702,30 @@ object Similarity {
     // an empty append must commit nothing: a dataless delta directory
     // (a lone _SUCCESS, no parquet footers) would make every subsequent
     // readCodes fail schema inference — the whole index unservable
-    if (!newVectors.isEmpty) {
-      val indexed = encodedFrame(newVectors, idCol, vecCol, cents, book, m,
-        encoding)
+    //
+    // r13: one fused assign+encode pass serves the delta write AND the
+    // staleness report (the writeIvfPqIndexWith note) — the pinned
+    // frame is code-sized.
+    val staged =
+      if (encoding == "residual")
+        residuals(newVectors, idCol, vecCol, cents)
+          .select(col("cell"), col(idCol), col("resd").as("_v"))
+      else
+        ivfAssignWith(newVectors, idCol, vecCol, cents)
+          .select(col("cell"), col(idCol), col("vecd").as("_v"))
+    val indexed = codesWithErr(staged, Seq(idCol), book, m)
+      .localCheckpoint(false)
+    if (!indexed.isEmpty) {
       // delta fully written first, THEN the manifest commit makes it
       // live (crash before the commit leaves the old view serving; a
       // retried append overwrites this delta and re-commits the name)
-      graft.ops.Layout.writePartitioned(indexed, s"$path/codes/$deltaName",
-        Seq("cell"), Seq(idCol))
+      graft.ops.Layout.writePartitioned(
+        indexed.select(col("cell"), col(idCol), col("codes")),
+        s"$path/codes/$deltaName", Seq("cell"), Seq(idCol))
       graft.ops.Manifest.commit(codesManifest(path), deltaName,
         watermark, adopt = Seq("base"))
     }
-    val appended = reconErrorFor(newVectors, idCol, vecCol, cents, book, m,
-        encoding)
+    val appended = healthAgg(indexed)
       .withColumnRenamed("n_vecs", "n_appended")
       .withColumnRenamed("avg_err", "appended_err")
     val baseline = spark.read.parquet(s"$path/health")
@@ -1379,7 +1404,11 @@ object Similarity {
       residuals(embeddings, idCol, vecCol, cents)
         .select(col("cell"), col(idCol), col("resd").as("_v")), book, m)
 
-  private def reconErrorCore(staged: DataFrame, book: Book,
+  /** Per-row (…, cell, codes, err_micro) frame: codes and quantization
+    * SSE computed in ONE projection over the staged vectors. `keep`
+    * names staged columns to carry through (e.g. the id for a build).
+    */
+  private def codesWithErr(staged: DataFrame, keep: Seq[String], book: Book,
       m: Int): DataFrame = {
     val dims = book.head._2.length
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
@@ -1388,9 +1417,9 @@ object Similarity {
       s"reconError requires dense codebook ids 0..${book.length - 1}")
     val bookLit = typedlit(book.map(_._2.toSeq).toSeq)
     val withCodes = staged
-      .select(col("cell"), col("_v"),
+      .select(keep.map(col) ++ Seq(col("cell"), col("_v"),
         graft.functions.VectorExpressions.pq_codes(col("_v"),
-          book.map(_._2), book.map(_._1), m).as("codes"))
+          book.map(_._2), book.map(_._1), m).as("codes")): _*)
     val errMicro = aggregate(
       transform(sequence(lit(0), lit(m - 1)), j => {
         val sa = slice(col("_v"), j * lit(sub) + 1, lit(sub))
@@ -1399,12 +1428,20 @@ object Similarity {
         round((dot(sa, sa) - lit(2.0) * dot(sa, sb) + dot(sb, sb)) * 1e6, 0)
           .cast("long")
       }), lit(0L), (acc, x) => acc + x)
-    withCodes.select(col("cell"), errMicro.as("err_micro"))
-      .groupBy(col("cell"))
+    withCodes.select(keep.map(col) ++ Seq(col("cell"), col("codes"),
+      errMicro.as("err_micro")): _*)
+  }
+
+  /** The health aggregate over a per-row (cell, err_micro) frame. */
+  private def healthAgg(rows: DataFrame): DataFrame =
+    rows.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("err_micro")) / count(lit(1)) / 1e6, 6).as("avg_err"))
       .orderBy("cell")
-  }
+
+  private def reconErrorCore(staged: DataFrame, book: Book,
+      m: Int): DataFrame =
+    healthAgg(codesWithErr(staged, Seq.empty, book, m))
 
   /** Residual frame for IVFADC-style encoding: per vector,
     * r = v − centroid(cell(v)) — assignment via [[ivfAssignWith]]

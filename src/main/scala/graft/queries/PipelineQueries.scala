@@ -119,19 +119,30 @@ object PipelineQueries extends QueryPack {
     // runs on a sample (the paper's own setup) — the score pass is the
     // corpus-sized work either way.
     "corpus_dsir_weights" -> ((s, d) => {
-      val fb = dsirFeatures(s, d)
-      val bc = fb.groupBy(col("bucket")).agg(
-        count(lit(1)).as("cs"),
-        count(when(col("lang") === "en", 1)).as("ct"))
+      // r13 (guide §2.3/§2.4): the raw feature stream used to flow into
+      // TWO consumers (the bucket histogram and the per-doc sum), each
+      // re-running the token+bigram explode over the corpus. Aggregating
+      // to (doc_id, lang, bucket) counts FIRST shrinks the stream by the
+      // per-doc feature multiplicity AND makes the two consumers share
+      // one identical exchange subtree, which Spark executes once
+      // (ReusedExchange) — one explode pass instead of two. Exact:
+      // count(*) = Σc and the per-feature lr sum = Σ c·lr.
+      val db = dsirFeatures(s, d)
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val bc = db.groupBy(col("bucket")).agg(
+        sum(col("c")).as("cs"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
       val tot = bc.agg(sum(col("cs")).as("s_tot"), sum(col("ct")).as("t_tot"))
       val lr = bc.crossJoin(broadcast(tot))
         .select(col("bucket"),
           round(log(((col("ct") + lit(1.0)) * (col("s_tot") + lit(DsirBuckets.toDouble))) /
             ((col("cs") + lit(1.0)) * (col("t_tot") + lit(DsirBuckets.toDouble)))) * 1e6, 0)
             .cast("long").as("lr_micro"))
-      fb.join(broadcast(lr), Seq("bucket"))
+      db.join(broadcast(lr), Seq("bucket"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("dsir_micro"))
+        .agg(sum(col("c")).as("n_feats"),
+          sum(col("c") * col("lr_micro")).as("dsir_micro"))
         .orderBy("doc_id")
     }),
 

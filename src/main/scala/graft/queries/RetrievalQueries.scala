@@ -50,7 +50,9 @@ object RetrievalQueries extends QueryPack {
     // is identical SQL.
     "text_bm25_from_index" -> ((s, d) => {
       val path = indexScratchDir + "/index"
-      Retrieval.writeInvertedIndex(documents(s, d), path)
+      // buckets0 = 0: scale-adaptive directory count (r13, guide §6) —
+      // serving reads the count back from meta, results are invariant
+      Retrieval.writeInvertedIndex(documents(s, d), path, buckets0 = 0)
       Retrieval.bm25TopKFromIndex(s, path, QueryTerms, TopK)
     }),
 
@@ -62,8 +64,11 @@ object RetrievalQueries extends QueryPack {
     "text_bm25_segmented" -> ((s, d) => {
       val path = indexScratchDir + "/segindex"
       val docs = documents(s, d)
-      Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 0), path, "s0")
-      Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 1), path, "s1")
+      // buckets0 = 0: scale-adaptive (s0 derives the count, s1 adopts it)
+      Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 0), path,
+        "s0", buckets0 = 0)
+      Retrieval.writeIndexSegment(docs.where(col("doc_id") % 2 === 1), path,
+        "s1", buckets0 = 0)
       Retrieval.bm25TopKSegmented(s, path, QueryTerms, TopK)
     }),
 

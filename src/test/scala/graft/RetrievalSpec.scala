@@ -366,9 +366,9 @@ class RetrievalSpec extends SparkSpec {
     val docs = docsDf((1L, "alpha beta"), (2L, "beta gamma"))
     val path = graft.TempStores.newStorePath("graft_bm25_mix").toString + "/index"
     Retrieval.writeIndexSegment(docs.where($"doc_id" === 1), path, "s0",
-      buckets = 64)
+      buckets0 = 64)
     Retrieval.writeIndexSegment(docs.where($"doc_id" === 2), path, "s1",
-      buckets = 32)
+      buckets0 = 32)
     // pruning mod the wrong base would silently drop s1's postings —
     // the engine refuses instead, on every path that prunes by bucket
     intercept[IllegalArgumentException] {
