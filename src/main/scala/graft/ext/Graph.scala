@@ -281,7 +281,7 @@ object Graph {
     * quadratic in iters, see pageRank).
     */
   def lpa(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, distinctEdges: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val sel = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = sel.select(col("src").as("node"))
@@ -291,12 +291,30 @@ object Graph {
       .localCheckpoint(false)
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint(false)
+    // r13 (guide §2.3, aggregate before you shuffle): with
+    // `distinctEdges` the caller guarantees `edges` has no duplicate
+    // (src, dst) rows, and round 1 then has a closed form — every
+    // neighbor carries a DISTINCT label (its own id), so every vote
+    // count is exactly 1 and min(struct(-1, lbl)) degenerates to
+    // min(dst ∪ {self}): one map-side-combinable MIN aggregate whose
+    // shuffle is node-sized partial minima, instead of the full
+    // edge-scale (src, lbl) vote stream — the catalog's largest
+    // remaining per-query shuffle (62 MB). Later rounds keep the
+    // general vote plan (labels have collapsed by then, so their
+    // partial aggregation combines well map-side).
+    var start = 1
+    if (distinctEdges && iters >= 1) {
+      lbl = eSelf.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(false)
+      start = 2
+    }
     // (r13 note: a per-round fixpoint check was tried and REVERTED —
     // the fixture's label frontier does not stabilize before the last
     // round, so the per-round semi-join+count only added jobs, measured
     // 19→30 jobs with no wall win. kCore keeps its check because
     // peeling DOES hit its fixpoint after round 1 there.)
-    for (_ <- 1 to iters) {
+    for (_ <- start to iters) {
       lbl = eSelf
         .join(broadcast(lbl.select(col("node").as("dst"), col("lbl"))),
           Seq("dst"))

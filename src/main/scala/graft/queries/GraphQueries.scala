@@ -270,7 +270,11 @@ object GraphQueries extends QueryPack {
     // (3.53 → 5.76 s) than the string rounds they were meant to cheapen.
     // LPA's cost is the two-level vote aggregate, not the key type.)
     "graph_lpa" -> ((s, d) =>
-      Graph.lpa(tradeEdges(s, d), "src", "dst", LpaIters)
+      // distinctEdges: tradeEdges emits each (src, dst) exactly once
+      // (one distinct key-pair frame, two orientations), so LPA's
+      // round-1 closed form applies — see Graph.lpa.
+      Graph.lpa(tradeEdges(s, d), "src", "dst", LpaIters,
+        distinctEdges = true)
         .orderBy("node")),
 
     // Harmonic closeness centrality from a SAMPLED source set — the

@@ -161,6 +161,23 @@ class GraphSpec extends SparkSpec {
       lpaRun(g, graft.queries.GraphQueries.LpaIters + 1))
   }
 
+  test("lpa distinctEdges round-1 closed form equals the general vote plan") {
+    // r13: with no duplicate (src, dst) rows, round 1's vote counts are
+    // all 1 and the argmin degenerates to min(dst ∪ self) — prove the
+    // fast path equals the general plan round for round on a hand graph
+    // (incl. the bridged-triangle one whose labels keep moving).
+    val g = Seq(("c1", "c2"), ("c2", "c3"), ("c1", "c3"),
+      ("d1", "d2"), ("d2", "d3"), ("d1", "d3"), ("c3", "d1"))
+    val sym = (g ++ g.map(_.swap)).toDF("src", "dst")
+    for (iters <- Seq(0, 1, 2, 4)) {
+      val slow = Graph.lpa(sym, "src", "dst", iters)
+        .as[(String, String)].collect().sorted.toSeq
+      val fast = Graph.lpa(sym, "src", "dst", iters, distinctEdges = true)
+        .as[(String, String)].collect().sorted.toSeq
+      assert(fast == slow, s"iters=$iters")
+    }
+  }
+
   test("lpa is deterministic on the bipartite fixture graph and labels every node") {
     import graft.queries.GraphQueries.LpaIters
     val orders = Tables.orders(spark, sf0001)
