@@ -429,8 +429,14 @@ object Retrieval {
     */
   private def segMetas(spark: SparkSession, path: String,
       segs: Seq[String]): (Int, Seq[org.apache.spark.sql.Row]) = {
-    val metas = segs.map(s =>
-      spark.read.parquet(s"$path/segments/$s/meta").head())
+    // r13: ONE multi-path read instead of a head() job per segment —
+    // the consumers only fold the metas (sums / distinct buckets), so
+    // per-segment association and order don't matter.
+    val metas = spark.read
+      .parquet(segs.map(s => s"$path/segments/$s/meta"): _*)
+      .collect().toSeq
+    require(metas.size == segs.size,
+      s"expected ${segs.size} segment meta rows under $path, got ${metas.size}")
     val bs = metas.map(_.getAs[Int]("buckets")).distinct
     require(bs.size == 1,
       s"segments disagree on bucket count under $path: $bs")
