@@ -345,10 +345,100 @@ object Graph {
     * (source, n_reached, harmonic_micro). State is |sources|·|nodes|
     * rows max; `sources` must be bounded (sampled) — exact all-pairs
     * closeness is Θ(V·E) by definition, not a plan defect.
+    *
+    * r13 round 2: with ≤64 sources (the catalog samples 16) the walk
+    * runs BIT-PACKED — one long mask per node, bit b = "source b has
+    * reached this node" — so the per-round frame is NODE-sized instead
+    * of (source, node) PAIR-sized: the edge join emits one row per
+    * frontier edge (not one per edge × reaching source), the pair
+    * DISTINCT becomes a map-side-combinable `bit_or` per dst, and the
+    * visited anti-join becomes mask arithmetic against node-sized
+    * state — on the dense fixture graph (every source's frontier ≈ all
+    * nodes at depth 2) that is a ~|sources|× cut of the dedup volume.
+    * Exactly equal to the pair walk: the 16 BFS traversals are
+    * independent, bit b's level trace IS source b's BFS (bit_or ∘
+    * mask-subtract = per-source "reached this round and not before"),
+    * and BFS level order is min-distance — GraphSpec pins bitset ==
+    * pair spelling on hand graphs and the fixture. Wider source sets
+    * fall back to the pair spelling ([[harmonicClosenessPairs]]).
+    * The source sample rides as plan constants (a ≤64-row bounded
+    * collect — the broadcast-constant pattern, same as the node-count
+    * folds above).
     */
   def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
       sources: DataFrame, sourceCol: String, depth: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
+    val srcVals = sources.select(col(sourceCol)).collect().map(_.get(0))
+    if (srcVals.nonEmpty && srcVals.length <= 64 &&
+        srcVals.distinct.length == srcVals.length)
+      harmonicClosenessBitset(edges, srcCol, dstCol, sources, sourceCol,
+        depth, srcVals)
+    else
+      harmonicClosenessPairs(edges, srcCol, dstCol, sources, sourceCol, depth)
+  }
+
+  /** Bit-packed BFS (≤64 distinct sources): per-node long masks, one
+    * `bit_or` aggregate per round. See [[harmonicCloseness]].
+    */
+  private def harmonicClosenessBitset(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: DataFrame, sourceCol: String, depth: Int,
+      srcVals: Array[Any]): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // source value <-> bit index, as folded CASE chains (≤64 literals;
+    // bit assignment is arbitrary — every per-source statistic is
+    // invariant under it, the output re-maps bit → value at the end)
+    val maskOf = srcVals.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (v, i)) =>
+        when(col("node") === lit(v), lit(1L << i)).otherwise(acc)
+    }
+    val sourceOf = coalesce(srcVals.zipWithIndex.map {
+      case (v, i) => when(col("bit") === lit(i), lit(v))
+    }: _*)
+    var frontier = sources.select(col(sourceCol).as("node"))
+      .withColumn("mask", maskOf)
+      .localCheckpoint(false)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("d", lit(0)))
+    var i = 1
+    while (i <= depth && !frontier.isEmpty) {
+      // visited state: node-sized OR-fold of the checkpointed levels
+      // (a node can gain bits across several levels, so the fold is a
+      // groupBy, not a bare union)
+      val visited = levels.map(_.select(col("node"), col("mask")))
+        .reduce(_ unionAll _)
+        .groupBy(col("node")).agg(expr("bit_or(mask)").as("vmask"))
+      val cand = e
+        .join(broadcast(frontier.select(col("node").as("src"), col("mask"))),
+          Seq("src"))
+        .groupBy(col("dst")).agg(expr("bit_or(mask)").as("cmask"))
+        .withColumnRenamed("dst", "node")
+      frontier = cand
+        .join(broadcast(visited), Seq("node"), "left")
+        .select(col("node"),
+          col("cmask").bitwiseAND(bitwise_not(coalesce(col("vmask"), lit(0L))))
+            .as("mask"))
+        .where(col("mask") =!= 0L)
+        .localCheckpoint(false)
+      levels += frontier.withColumn("d", lit(i))
+      i += 1
+    }
+    levels.reduce(_ unionByName _)
+      .select(explode(expr(
+        s"filter(sequence(0, ${srcVals.length - 1})," +
+          " b -> (shiftright(mask, b) & 1) = 1)")).as("bit"), col("d"))
+      .groupBy(col("bit"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
+        coalesce(sum(expr(harmonicCaseSql(depth))), lit(0L))
+          .as("harmonic_micro"))
+      .select(sourceOf.as("source"), col("n_reached"), col("harmonic_micro"))
+  }
+
+  /** The general (source, node) pair spelling — any source-set size;
+    * the bitset walk's equality target in GraphSpec.
+    */
+  private[graft] def harmonicClosenessPairs(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: DataFrame, sourceCol: String,
+      depth: Int): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // r13 (guide §2.3/§2.4): level-synchronous FRONTIER BFS. The old
     // spelling folded the WHOLE accumulated distance frame through a

@@ -216,6 +216,39 @@ class GraphSpec extends SparkSpec {
     assert(run(Seq("a"), depth = 2) == Seq(("a", 2L, 1500000L)))
   }
 
+  test("harmonicCloseness bitset walk equals the pair-spelling walk") {
+    import spark.implicits._
+    // r13 round 2: ≤64 sources run bit-packed (one long mask per node,
+    // bit_or per round) — prove it equals the general (source, node)
+    // pair BFS on a hand graph at several depths and on the fixture
+    // trade graph with the catalog's own md5-ranked 16-source sample.
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g"))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    for (depth <- Seq(1, 2, 6); srcs <- Seq(Seq("a"), Seq("a", "c", "f"))) {
+      val s = srcs.toDF("node")
+      val fast = Graph.harmonicCloseness(e, "src", "dst", s, "node", depth)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      val slow = Graph.harmonicClosenessPairs(e, "src", "dst", s, "node", depth)
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(fast == slow, s"depth=$depth srcs=$srcs")
+    }
+    // fixture trade graph, catalog sample shape (16 sources, depth 6)
+    val orders = Tables.orders(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val base = orders.join(li, $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("c"),
+        concat(lit("s"), $"l_suppkey").as("sp")).distinct()
+    val sym = base.select($"c".as("src"), $"sp".as("dst"))
+      .unionAll(base.select($"sp".as("src"), $"c".as("dst")))
+    val srcs = sym.select($"src".as("node")).distinct()
+      .orderBy(md5($"node"), $"node").limit(16)
+    val fast = Graph.harmonicCloseness(sym, "src", "dst", srcs, "node", 6)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val slow = Graph.harmonicClosenessPairs(sym, "src", "dst", srcs, "node", 6)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fast.nonEmpty && fast == slow)
+  }
+
   test("assortativity degree-moment spelling equals the naive two-join spelling") {
     // The catalog query computes Newman assortativity from node-sized
     // degree moments plus ONE degree-attach join (see GraphQueries);
